@@ -31,7 +31,7 @@ NGRAM_N = 3
 TOPK_PAIRS = 50
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
-MINHASH_JACCARD_THRESHOLD = 0.5
+MINHASH_JACCARD_THRESHOLD = 0.8  # trigram-shingle Jaccard; true dups ~0.99
 
 
 def _norm_text():
@@ -108,22 +108,26 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id -> array<long> of MINHASH_PERMS min-hashes over distinct words."""
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
-    )
+    """doc_id -> array<long> of MINHASH_PERMS min-hashes over distinct word
+    3-gram shingles.
+
+    Shingles, not word sets: documents drawn from a small vocabulary share
+    nearly all *words* (set-Jaccard ~1 for everything — quadratic candidate
+    blowup), while 3-gram *sequences* discriminate (true near-dups ~0.99,
+    random pairs ~0)."""
+    sh = _shingle_df(docs)
     aggs = [
-        F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_PERMS)
     ]
-    sig = words.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_PERMS)]).alias("sig")
     )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash + LSH banding candidates, verified with exact word-set Jaccard.
+    """MinHash + LSH banding candidates, verified with exact shingle Jaccard.
 
     Pipeline: signature (1 shuffle, fixed 512B/doc) -> band explode -> bucket
     equality join (sub-quadratic) -> exact verify on candidates only.
@@ -164,7 +168,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     words = docs.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws")
+        "doc_id", _word_trigrams(F.split(F.col("text"), " ")).alias("ws")
     )
     wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
