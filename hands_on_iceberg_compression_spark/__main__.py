@@ -1,0 +1,83 @@
+"""CLI entry points — the reference's ``yarn bench`` / ``yarn plot``
+(src/commands/bench.ts, src/commands/plot.ts) re-expressed:
+
+    python -m hands_on_iceberg_compression_spark bench \
+        --rows 100000 --schema narrow --codecs full --warehouse ./warehouse
+    python -m hands_on_iceberg_compression_spark plot \
+        --csv results_sizes.csv --assets assets/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    from hands_on_iceberg_compression_spark.pipeline.codec_bench import (
+        ACTIVE_CODEC_LEVELS,
+        FULL_CODEC_LEVELS,
+        run_codec_bench,
+    )
+    from hands_on_iceberg_compression_spark.pipeline.load import LoadPlan
+    from hands_on_iceberg_compression_spark.schema.reference_schemas import (
+        narrow_example_config,
+        wide_events_config,
+    )
+    from hands_on_iceberg_compression_spark.session import make_session
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    config = wide_events_config() if args.schema == "wide" else narrow_example_config()
+    codec_levels = FULL_CODEC_LEVELS if args.codecs == "full" else ACTIVE_CODEC_LEVELS
+    spark = make_session(app_name="codec-bench")
+    warehouse = ParquetWarehouse(spark, args.warehouse)
+    plan = LoadPlan(
+        total_rows=args.rows,
+        batch_rows=args.batch_rows,
+        concurrency=args.concurrency,
+        checkpoint_dir=args.checkpoints,
+        compact_after_load=not args.no_compact,
+        seed=args.seed,
+    )
+    run_codec_bench(spark, warehouse, config, plan, codec_levels, csv_path=args.csv)
+    print(f"wrote {args.csv}")
+    spark.stop()
+    return 0
+
+
+def _cmd_plot(args: argparse.Namespace) -> int:
+    from hands_on_iceberg_compression_spark.pipeline.plot_svg import plot_results
+
+    for p in plot_results(args.csv, args.assets):
+        print(f"wrote {p}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hands_on_iceberg_compression_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bench", help="codec x level storage bench (EP1)")
+    b.add_argument("--rows", type=int, default=100_000)
+    b.add_argument("--batch-rows", type=int, default=100_000)
+    b.add_argument("--concurrency", type=int, default=4)
+    b.add_argument("--schema", choices=["narrow", "wide"], default="narrow")
+    b.add_argument("--codecs", choices=["active", "full"], default="active")
+    b.add_argument("--warehouse", default="warehouse")
+    b.add_argument("--checkpoints", default="checkpoints")
+    b.add_argument("--csv", default="results_sizes.csv")
+    b.add_argument("--seed", type=int, default=1)
+    b.add_argument("--no-compact", action="store_true")
+    b.set_defaults(fn=_cmd_bench)
+
+    p = sub.add_parser("plot", help="render size charts from CSV (EP3)")
+    p.add_argument("--csv", default="results_sizes.csv")
+    p.add_argument("--assets", default="assets")
+    p.set_defaults(fn=_cmd_plot)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""Storage metrology + human-readable reporting.
+
+Parity: reference ``src/commands/bench.ts:124-168`` (measureSizes over
+``$files``/``$manifests`` — C7/C8), ``:264-323`` (sorted console table + CSV
+— C11-C13), ``src/utils.ts:7-22`` (humanSize/humanNumber).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import asdict, dataclass
+
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+@dataclass
+class SizeRow:
+    """Parity: src/types.ts:52-61."""
+
+    table: str
+    codec: str
+    level: int | None
+    data_bytes: int
+    row_count: int
+    bytes_per_row: float | None
+    file_count: int
+    manifest_bytes: int = 0  # parquet backend has no manifests; Iceberg fills it
+
+    @property
+    def total_bytes(self) -> int:
+        return self.data_bytes + self.manifest_bytes
+
+
+def human_size(n: float) -> str:
+    """humanSize (utils.ts:7-15)."""
+    units = ["B", "KB", "MB", "GB", "TB", "PB"]
+    i = 0
+    while abs(n) >= 1024 and i < len(units) - 1:
+        n /= 1024
+        i += 1
+    return f"{n:.2f} {units[i]}"
+
+
+def human_number(n: float) -> str:
+    """humanNumber (utils.ts:17-22)."""
+    units = ["", "K", "M", "B", "T"]
+    i = 0
+    while abs(n) >= 1000 and i < len(units) - 1:
+        n /= 1000
+        i += 1
+    return f"{n:.2f}{units[i]}" if i else f"{n:.0f}"
+
+
+def measure_sizes(
+    warehouse: ParquetWarehouse, schema: str, table: str, codec: str, level: int | None
+) -> SizeRow:
+    """SUM(file_size_in_bytes), SUM(record_count), bytes/row with NULLIF
+    semantics (bench.ts:131-140)."""
+    stats = warehouse.files(schema, table)
+    data_bytes = sum(s.file_size_in_bytes for s in stats)
+    rows = sum(s.record_count for s in stats)
+    return SizeRow(
+        table=table,
+        codec=codec,
+        level=level,
+        data_bytes=data_bytes,
+        row_count=rows,
+        bytes_per_row=round(data_bytes / rows, 2) if rows else None,  # NULLIF(rows,0)
+        file_count=len(stats),
+    )
+
+
+def sort_rows(rows: list[SizeRow]) -> list[SizeRow]:
+    """C11 result sort by (codec, level) (bench.ts:265-267)."""
+    return sorted(rows, key=lambda r: (r.codec, r.level if r.level is not None else -1))
+
+
+def console_table(rows: list[SizeRow]) -> str:
+    """C13 console report with humanized sizes (bench.ts:269-287)."""
+    headers = ["table", "codec", "level", "rows", "data", "bytes/row", "files"]
+    cells = [
+        [
+            r.table,
+            r.codec,
+            str(r.level) if r.level is not None else "-",
+            human_number(r.row_count),
+            human_size(r.data_bytes),
+            f"{r.bytes_per_row:.2f}" if r.bytes_per_row is not None else "-",
+            str(r.file_count),
+        ]
+        for r in sort_rows(rows)
+    ]
+    widths = [max(len(h), *(len(c[i]) for c in cells)) if cells else len(h) for i, h in enumerate(headers)]
+    lines = [
+        "  ".join(h.ljust(widths[i]) for i, h in enumerate(headers)),
+        "  ".join("-" * widths[i] for i in range(len(headers))),
+    ]
+    lines += ["  ".join(c[i].ljust(widths[i]) for i in range(len(headers))) for c in cells]
+    return "\n".join(lines)
+
+
+def write_csv(rows: list[SizeRow], path: str) -> str:
+    """C12 CSV sink (bench.ts:289-323; results_sizes.csv)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cols = [
+        "table", "codec", "level", "data_bytes", "row_count",
+        "bytes_per_row", "file_count", "manifest_bytes",
+    ]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        for r in sort_rows(rows):
+            w.writerow({k: asdict(r)[k] for k in cols})
+    return path

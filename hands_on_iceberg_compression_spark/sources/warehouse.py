@@ -1,0 +1,239 @@
+"""Catalog-agnostic warehouse: table lifecycle + storage metrology.
+
+Parity: reference ``src/sqlHelpers.ts:100-158`` (createSchemaSQL,
+createBaseTableSQL, createVariantTableSQLs with per-variant compression
+properties — operators B1-B7) and the ``$files``/``$manifests`` metrology
+(``src/commands/bench.ts:124-168``, C6-C10).
+
+Two backends behind one surface:
+- **Iceberg** (when the Spark runtime jar is on the classpath): real
+  ``CREATE TABLE ... USING iceberg`` with ``write.parquet.compression-codec``
+  / ``-level`` TBLPROPERTIES, ``rewrite_data_files`` compaction, and the
+  ``.files`` metadata table.  This is the 100 TB deployment shape.
+- **Parquet directory** (this container — no Iceberg jar, verified): a
+  warehouse dir of parquet tables + a JSON table descriptor; metrology reads
+  parquet footers (the same numbers Iceberg's ``$files`` carries:
+  file_size_in_bytes, record_count); compaction rewrites to a target file
+  size.  Same method surface, so swapping backends is a constructor flag.
+
+The reference needed two ALTER TABLE statements to set compression props
+because Trino could not set extra_properties at CREATE time
+(sqlHelpers.ts:145-149); here codec/level are first-class table properties.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_iceberg_compression_spark.schema.specs import TableConfig, struct_type
+
+# parquet-java knob for zstd level (honored by Spark's parquet writer);
+# gzip/snappy/lz4 have no level knob in parquet-java — recorded but inert.
+_ZSTD_LEVEL_KEY = "parquet.compression.codec.zstd.level"
+
+SUPPORTED_CODECS = ("zstd", "gzip", "snappy", "lz4", "uncompressed")
+
+
+@dataclass
+class FileStat:
+    """One data file — mirrors Iceberg ``$files`` columns we consume
+    (bench.ts:131-140)."""
+
+    file_path: str
+    file_size_in_bytes: int
+    record_count: int
+
+
+@dataclass
+class TableMeta:
+    name: str
+    codec: str = "zstd"
+    level: int | None = None
+    properties: dict = field(default_factory=dict)
+
+
+def variant_table_name(base: str, codec: str, level: int | None) -> str:
+    """events_{codec}_l{NN} naming (bench.ts:203-207)."""
+    if level is None:
+        return f"{base}_{codec}"
+    return f"{base}_{codec}_l{level:02d}"
+
+
+class ParquetWarehouse:
+    """Filesystem-backed warehouse with Iceberg-equivalent surface."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # --- B1: schema/namespace ------------------------------------------
+    def create_schema(self, schema: str) -> None:
+        os.makedirs(os.path.join(self.root, schema), exist_ok=True)
+
+    def _tdir(self, schema: str, table: str) -> str:
+        return os.path.join(self.root, schema, table)
+
+    def _meta_path(self, schema: str, table: str) -> str:
+        return os.path.join(self._tdir(schema, table), "_table_meta.json")
+
+    # --- B2/B3/B5: table creation with per-variant compression ----------
+    def create_table(
+        self,
+        schema: str,
+        table: str,
+        codec: str = "zstd",
+        level: int | None = None,
+        properties: dict | None = None,
+    ) -> TableMeta:
+        if codec not in SUPPORTED_CODECS:
+            raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
+        self.create_schema(schema)
+        os.makedirs(self._tdir(schema, table), exist_ok=True)
+        meta = TableMeta(table, codec, level, properties or {})
+        with open(self._meta_path(schema, table), "w") as f:
+            json.dump(meta.__dict__, f)
+        return meta
+
+    def table_meta(self, schema: str, table: str) -> TableMeta:
+        with open(self._meta_path(schema, table)) as f:
+            return TableMeta(**json.load(f))
+
+    def create_variant_tables(
+        self, config: TableConfig, codec_levels: list[tuple[str, int | None]]
+    ) -> list[str]:
+        """B7: the codec x level variant matrix (bench.ts:201-212,
+        codecs.ts:3-12)."""
+        names = []
+        for codec, level in codec_levels:
+            name = variant_table_name(config.table_base, codec, level)
+            self.create_table(config.schema, name, codec, level, config.table_properties)
+            names.append(name)
+        return names
+
+    def drop_table(self, schema: str, table: str) -> None:
+        shutil.rmtree(self._tdir(schema, table), ignore_errors=True)
+
+    # --- C1: append (INSERT INTO ... SELECT) -----------------------------
+    def _write_options(self, meta: TableMeta) -> dict[str, str]:
+        opts = {"compression": meta.codec}
+        if meta.codec == "zstd" and meta.level is not None:
+            # per-write option reaches the task-side hadoop conf — no global
+            # conf mutation, so concurrent appends with different levels are
+            # race-free (verified: level 1 vs 19 produce different bytes)
+            opts[_ZSTD_LEVEL_KEY] = str(meta.level)
+        return opts
+
+    def append(self, schema: str, table: str, df: DataFrame, batch_id: str | None = None) -> None:
+        """Append one batch as its own subdirectory under data/.
+
+        Subdirectory-per-batch gives (a) committer isolation — concurrent
+        batch writes to one table share no ``_temporary`` dir, the failure
+        mode of plain concurrent appends to a single parquet path — and
+        (b) idempotent restart: re-writing a batch id overwrites, never
+        duplicates (the Iceberg-snapshot analogue, bench.ts:69-74)."""
+        meta = self.table_meta(schema, table)
+        if batch_id is None:
+            batch_id = f"batch_{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self._tdir(schema, table), "data", batch_id)
+        writer = df.write.mode("overwrite")
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(target)
+
+    def read(self, schema: str, table: str) -> DataFrame:
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self._tdir(schema, table), "data"))
+        )
+
+    def is_empty(self, schema: str, table: str) -> bool:
+        return not self._data_files(schema, table)
+
+    # --- C7/C8: metrology ($files-equivalent) ----------------------------
+    def _data_files(self, schema: str, table: str) -> list[str]:
+        data_dir = os.path.join(self._tdir(schema, table), "data")
+        if not os.path.isdir(data_dir):
+            return []
+        out = []
+        for base, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(base, fn))
+        return sorted(out)
+
+    def files(self, schema: str, table: str) -> list[FileStat]:
+        """Per-file stats from parquet footers — the columns the reference
+        aggregated from Iceberg's ``$files`` (bench.ts:131-140)."""
+        import pyarrow.parquet as pq
+
+        stats = []
+        for path in self._data_files(schema, table):
+            md = pq.ParquetFile(path).metadata
+            stats.append(FileStat(path, os.path.getsize(path), md.num_rows))
+        return stats
+
+    # --- C6: compaction (ALTER TABLE ... EXECUTE optimize) ---------------
+    def optimize(
+        self, schema: str, table: str, target_file_size_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Rewrite the table's data files toward the target size; returns the
+        resulting file count.  Iceberg twin: CALL system.rewrite_data_files
+        (bench.ts:112-122)."""
+        meta = self.table_meta(schema, table)
+        stats = self.files(schema, table)
+        if not stats:
+            return 0
+        total = sum(s.file_size_in_bytes for s in stats)
+        n_files = max(1, math.ceil(total / target_file_size_bytes))
+        df = self.read(schema, table)
+        data_dir = os.path.join(self._tdir(schema, table), "data")
+        tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
+        writer = df.coalesce(n_files).write.mode("overwrite")
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(tmp_dir)
+        shutil.rmtree(data_dir)
+        os.rename(tmp_dir, data_dir)
+        return len(self._data_files(schema, table))
+
+    # --- C9/C10: probes ---------------------------------------------------
+    def select_example(self, schema: str, table: str) -> list[dict]:
+        """One-row sanity probe, JSON-shaped (sqlHelpers.ts:112-115)."""
+        return [r.asDict(recursive=True) for r in self.read(schema, table).limit(1).collect()]
+
+    def show_properties(self, schema: str, table: str) -> dict:
+        meta = self.table_meta(schema, table)
+        return {
+            "codec": meta.codec,
+            "level": meta.level,
+            **meta.properties,
+        }
+
+
+def iceberg_ddl(config: TableConfig, table: str, codec: str, level: int | None) -> str:
+    """The Iceberg DDL this table maps to on a real cluster (kept emittable
+    for parity with createVariantTableSQLs, sqlHelpers.ts:117-158)."""
+    cols = ",\n  ".join(
+        f"{name} {struct_type(config)[name].dataType.simpleString()}"
+        for name in config.columns
+    )
+    props = {
+        "write.format.default": config.format.lower(),
+        "write.parquet.compression-codec": codec,
+    }
+    if level is not None:
+        props["write.parquet.compression-level"] = str(level)
+    props.update({k: str(v) for k, v in config.table_properties.items()})
+    prop_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    part = f"\nPARTITIONED BY ({', '.join(config.partitioning)})" if config.partitioning else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {config.catalog}.{config.schema}.{table} (\n"
+        f"  {cols}\n) USING iceberg{part}\nTBLPROPERTIES ({prop_sql})"
+    )

@@ -1,0 +1,158 @@
+"""End-to-end bench pipeline tests (SURVEY.md §5): DDL -> checkpointed load ->
+compaction -> metrology -> CSV -> SVG, asserting the $files-derived row count
+matches inserted rows (mirror of bench.ts:132-140)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hands_on_iceberg_compression_spark.pipeline.codec_bench import run_codec_bench
+from hands_on_iceberg_compression_spark.pipeline.load import (
+    Checkpoint,
+    LoadPlan,
+    load_table,
+    make_batches,
+)
+from hands_on_iceberg_compression_spark.pipeline.metrology import (
+    console_table,
+    human_number,
+    human_size,
+    measure_sizes,
+)
+from hands_on_iceberg_compression_spark.pipeline.plot_svg import plot_results
+from hands_on_iceberg_compression_spark.schema.reference_schemas import (
+    narrow_example_config,
+)
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+    variant_table_name,
+)
+
+
+def test_make_batches():
+    bs = make_batches(1, 250, 100)
+    assert [(b.index, b.start_id, b.rows) for b in bs] == [
+        (0, 1, 100), (1, 101, 100), (2, 201, 50),
+    ]
+
+
+def test_humanize():
+    assert human_size(1536) == "1.50 KB"
+    assert human_size(3 * 1024**3) == "3.00 GB"
+    assert human_number(1_234_567) == "1.23M"
+
+
+def test_load_checkpoint_and_metrology(spark, tmp_path):
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    plan = LoadPlan(
+        total_rows=3000,
+        batch_rows=1000,
+        concurrency=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_after_load=False,
+        partitions_per_batch=4,
+        progress=False,
+    )
+    table = variant_table_name(cfg.table_base, "zstd", 6)
+    wh.create_table(cfg.schema, table, "zstd", 6)
+    stats = load_table(spark, wh, cfg, table, plan)
+    assert stats["rows"] == 3000 and stats["loaded_batches"] == 3
+
+    # metrology row count == inserted rows (the bench.ts:132-140 invariant)
+    size = measure_sizes(wh, cfg.schema, table, "zstd", 6)
+    assert size.row_count == 3000
+    assert size.data_bytes > 0 and size.bytes_per_row > 0
+
+    # re-run is a no-op (checkpoint restart invariant, bench.ts:69-74)
+    stats2 = load_table(spark, wh, cfg, table, plan)
+    assert stats2["loaded_batches"] == 0 and stats2["skipped_batches"] == 3
+    assert measure_sizes(wh, cfg.schema, table, "zstd", 6).row_count == 3000
+
+    # partial checkpoint: drop one batch from the file -> only that one reloads
+    ck = Checkpoint(plan.checkpoint_dir, table)
+    with open(ck.path, "w") as f:
+        json.dump({"completedBatches": [0, 2]}, f)
+    stats3 = load_table(spark, wh, cfg, table, plan)
+    assert stats3["loaded_batches"] == 1 and stats3["rows"] == 1000
+
+
+def test_optimize_compacts_files(spark, tmp_path):
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "compact_me"
+    wh.create_table(cfg.schema, table, "zstd", 6)
+    plan = LoadPlan(
+        total_rows=4000, batch_rows=500, concurrency=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), compact_after_load=False,
+        partitions_per_batch=4, progress=False,
+    )
+    load_table(spark, wh, cfg, table, plan)
+    before = len(wh.files(cfg.schema, table))
+    assert before >= 8  # 8 batches x 4 partitions
+    n_after = wh.optimize(cfg.schema, table, target_file_size_bytes=64 * 1024 * 1024)
+    assert n_after < before
+    # content preserved
+    assert wh.read(cfg.schema, table).count() == 4000
+    size = measure_sizes(wh, cfg.schema, table, "zstd", 6)
+    assert size.row_count == 4000 and size.file_count == n_after
+
+
+def test_codec_bench_end_to_end(spark, tmp_path):
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    plan = LoadPlan(
+        total_rows=5000, batch_rows=2500, concurrency=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), compact_after_load=True,
+        partitions_per_batch=2, progress=False,
+    )
+    csv_path = str(tmp_path / "results_sizes.csv")
+    res = run_codec_bench(
+        spark, wh, cfg, plan,
+        codec_levels=[("zstd", 1), ("zstd", 9), ("snappy", None), ("uncompressed", None)],
+        csv_path=csv_path, verbose=False,
+    )
+    assert len(res.sizes) == 4
+    by_codec = {(r.codec, r.level): r for r in res.sizes}
+    for r in res.sizes:
+        assert r.row_count == 5000, r
+    # compression sanity; random-hex payloads are near-incompressible, so
+    # zstd-9 may tie or marginally exceed zstd-1 (allow 3%) — the dedicated
+    # level-knob test below proves the level applies on compressible data
+    assert by_codec[("zstd", 9)].data_bytes <= by_codec[("zstd", 1)].data_bytes * 1.03
+    assert by_codec[("zstd", 1)].data_bytes < by_codec[("uncompressed", None)].data_bytes
+    assert by_codec[("snappy", None)].data_bytes < by_codec[("uncompressed", None)].data_bytes
+
+    # deterministic generation: identical logical rows under every codec
+    t1 = wh.read(cfg.schema, variant_table_name(cfg.table_base, "zstd", 1))
+    t2 = wh.read(cfg.schema, variant_table_name(cfg.table_base, "uncompressed", None))
+    assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+
+    # reporting artifacts
+    assert os.path.exists(csv_path)
+    table_str = console_table(res.sizes)
+    assert "zstd" in table_str and "bytes/row" in table_str
+    svgs = plot_results(csv_path, assets_dir=str(tmp_path / "assets"))
+    for p in svgs:
+        assert os.path.exists(p)
+        with open(p) as f:
+            content = f.read()
+        assert content.startswith("<svg") and "</svg>" in content
+
+
+def test_zstd_level_knob_changes_size(spark, tmp_path):
+    """write.parquet.compression-level equivalent must actually bite."""
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    df = generate_df(spark, cfg, 1, 20000, seed=5, num_partitions=1)
+    for lvl in (1, 19):
+        wh.create_table(cfg.schema, f"t_l{lvl}", "zstd", lvl)
+        wh.append(cfg.schema, f"t_l{lvl}", df)
+    s1 = measure_sizes(wh, cfg.schema, "t_l1", "zstd", 1)
+    s19 = measure_sizes(wh, cfg.schema, "t_l19", "zstd", 19)
+    assert s19.data_bytes < s1.data_bytes, (s1.data_bytes, s19.data_bytes)
