@@ -23,6 +23,7 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     from hands_on_iceberg_compression_spark.operators import (
+        advanced,
         dedup,
         multimodal,
         similarity,
@@ -31,7 +32,7 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (workload, dedup, similarity, textops, multimodal):
+    for mod in (workload, advanced, dedup, similarity, textops, multimodal):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,287 @@
+"""Advanced relational surface: rollups, subqueries, pivot, JSON/regex
+functions, statistics, outer joins, deterministic sampling, and the
+generator DSL exposed as queries.
+
+These go beyond the reference's documented workload (SURVEY.md §2 closing
+note lists exactly what it lacked) — they complete the engine so "every query
+a user runs today" has a home, and each carries a DuckDB oracle where the
+semantics are engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.operators import Query
+from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical totals in one pass (partial-agg
+    friendly; Spark expands grouping sets map-side)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_month_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Date bucketing on the orders timeline."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_tpch_q6_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single agg — the pushdown showcase."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch — the 100 TB cardinality path (exact distinct is the
+    oracle-checked twin in workload.py).  Approximate -> rows-only check."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+
+
+def q_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """IN (SELECT ...) — decorrelates to a semi join."""
+    orders = load_table(spark, sf, "orders")
+    rich = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        orders.join(rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter against a scalar aggregate (broadcast single-row join)."""
+    li = load_table(spark, sf, "lineitem")
+    avg_qty = li.agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_qty))
+        .filter(F.col("l_quantity") > F.col("avg_qty"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    return (
+        region.crossJoin(nation)
+        .select(F.col("r_name"), F.col("n_name"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER customer<->orders; counts matched/unmatched sides."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    okeys = load_table(spark, sf, "orders").select("o_custkey").distinct()
+    j = cust.join(okeys, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+    return j.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("cust_no_orders"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("orders_no_cust"),
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT event counts per user decile — fixed value list keeps the
+    output schema static (required for pivot at scale anyway)."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("user_decile", F.pmod(F.col("user_id"), F.lit(10)))
+        .groupBy("user_decile")
+        .pivot("event_type", types)
+        .count()
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction from props ({"k": N}) + numeric agg."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+def q_regexp_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex capture over props; distribution of the extracted digits."""
+    ev = load_table(spark, sf, "events")
+    digits = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("long")
+    return (
+        ev.groupBy((digits % 10).alias("last_mod"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5% sample by key modulus — replayable across engines
+    and partitionings (unlike TABLESAMPLE)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(20)) == 0)
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_gen_narrow_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Generator DSL through the driver contract: 1000 deterministic rows of
+    the narrow example schema (engine-specific hashing -> rows-only)."""
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+    from hands_on_iceberg_compression_spark.schema.reference_schemas import (
+        narrow_example_config,
+    )
+
+    return generate_df(spark, narrow_example_config(), 1, 1000, seed=42)
+
+
+def q_gen_wide_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """1000 rows of the reference's 90-column wide events schema
+    (tableConfig.ts:15-192), bit-exact enum dictionaries."""
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+    from hands_on_iceberg_compression_spark.schema.reference_schemas import (
+        wide_events_config,
+    )
+
+    return generate_df(spark, wide_events_config(), 1, 1000, seed=42)
+
+
+QUERIES: dict[str, Query] = {
+    "rollup_agg": Query(
+        q_rollup,
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        "GROUP BY ROLLUP hierarchical aggregation",
+    ),
+    "month_rollup": Query(
+        q_month_rollup,
+        "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS cnt, "
+        "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1",
+        "monthly date bucketing",
+    ),
+    "tpch_q6_shape": Query(
+        q_tpch_q6_shape,
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        "TPC-H Q6 shape: filter + single aggregate",
+    ),
+    "stats_agg": Query(
+        q_stats_agg,
+        "SELECT round(avg(l_extendedprice), 2) AS avg_price, "
+        "round(stddev_samp(l_extendedprice), 2) AS stddev_price, "
+        "round(min(l_extendedprice), 2) AS min_price, "
+        "round(max(l_extendedprice), 2) AS max_price, "
+        "round(quantile_cont(l_quantity, 0.5), 4) AS median_qty FROM lineitem",
+        "statistical aggregates incl. exact interpolated median",
+    ),
+    "approx_distinct": Query(
+        q_approx_distinct,
+        None,  # HLL sketch values are engine-specific; rows-only check
+        "approximate distinct (HLL) — scale path for cardinality",
+    ),
+    "in_subquery": Query(
+        q_in_subquery,
+        "SELECT count(*) AS cnt FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+        "IN subquery (semi-join decorrelation)",
+    ),
+    "scalar_subquery": Query(
+        q_scalar_subquery,
+        "SELECT count(*) AS cnt FROM lineitem "
+        "WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)",
+        "scalar aggregate subquery",
+    ),
+    "cross_join_count": Query(
+        q_cross_join,
+        "SELECT count(*) AS cnt FROM region CROSS JOIN nation",
+        "cross join",
+    ),
+    "full_outer_join": Query(
+        q_full_outer_join,
+        "SELECT count(*) AS total, "
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_no_orders, "
+        "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_no_cust "
+        "FROM customer FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o "
+        "ON c_custkey = o_custkey",
+        "full outer join with unmatched-side accounting",
+    ),
+    "pivot_counts": Query(
+        q_pivot_counts,
+        "SELECT user_id % 10 AS user_decile, "
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+        "CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+        "CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
+        "FROM events GROUP BY 1",
+        "pivot with fixed value list",
+    ),
+    "json_extract": Query(
+        q_json_extract,
+        "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) "
+        "AS avg_k, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+        "FROM events GROUP BY event_type",
+        "JSON field extraction + aggregation",
+    ),
+    "regexp_extract_agg": Query(
+        q_regexp_extract,
+        "SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 10 AS last_mod, "
+        "count(*) AS cnt FROM events GROUP BY 1",
+        "regex capture + aggregation",
+    ),
+    "deterministic_sample": Query(
+        q_deterministic_sample,
+        "SELECT count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events "
+        "WHERE event_id % 20 = 0",
+        "deterministic key-modulus sampling",
+    ),
+    "gen_narrow_sample": Query(
+        q_gen_narrow_sample,
+        None,  # engine-specific hashing; rows-only (schema + count + determinism)
+        "generator DSL: narrow example schema (all DSL kinds)",
+    ),
+    "gen_wide_sample": Query(
+        q_gen_wide_sample,
+        None,  # engine-specific hashing; rows-only
+        "generator DSL: reference 90-column wide events schema",
+    ),
+}

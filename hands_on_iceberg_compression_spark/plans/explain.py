@@ -45,6 +45,17 @@ def scan_columns(df: DataFrame) -> set[str]:
     return cols
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries of the scan nodes (partition pruning)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 

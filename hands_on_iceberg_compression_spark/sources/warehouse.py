@@ -26,11 +26,13 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hands_on_iceberg_compression_spark.schema.specs import TableConfig, struct_type
 
@@ -39,6 +41,54 @@ from hands_on_iceberg_compression_spark.schema.specs import TableConfig, struct_
 _ZSTD_LEVEL_KEY = "parquet.compression.codec.zstd.level"
 
 SUPPORTED_CODECS = ("zstd", "gzip", "snappy", "lz4", "uncompressed")
+
+# Iceberg-style partition transforms (README.md:85-86 shows the reference's
+# intended month()/bucket()/identity syntax; its partitioning config was dead
+# — FIXME at sqlHelpers.ts:127).  Here they work: transform columns are
+# derived at write time, hive-layout on the parquet backend, native hidden
+# partitioning on Iceberg.
+_TRANSFORM_RE = re.compile(
+    r"^(?:(days|months|years|hours)\((\w+)\)|bucket\((\d+),\s*(\w+)\)|(\w+))$"
+)
+
+
+def partition_transform_exprs(partitioning: list[str]):
+    """[(out_col_name, lazy_expr_builder | None)]; None = identity column.
+    Builders are thunks so parsing works without an active SparkSession."""
+    out = []
+    for spec in partitioning:
+        m = _TRANSFORM_RE.match(spec.strip())
+        if not m:
+            raise ValueError(f"unsupported partition transform {spec!r}")
+        fn, col, n, bcol, ident = m.groups()
+        if fn:
+            mk = {
+                "days": lambda c: lambda: F.to_date(F.col(c)),
+                "months": lambda c: lambda: F.date_format(F.col(c), "yyyy-MM"),
+                "years": lambda c: lambda: F.year(F.col(c)),
+                "hours": lambda c: lambda: F.date_format(F.col(c), "yyyy-MM-dd-HH"),
+            }[fn](col)
+            out.append((f"{col}_{fn[:-1]}", mk))
+        elif n:
+            out.append(
+                (
+                    f"{bcol}_bucket",
+                    lambda b=bcol, k=int(n): F.pmod(F.xxhash64(F.col(b)), F.lit(k)),
+                )
+            )
+        else:
+            out.append((ident, None))
+    return out
+
+
+def apply_partition_transforms(df: DataFrame, partitioning: list[str]):
+    """Derive partition columns; returns (df, partition_col_names)."""
+    names = []
+    for name, build in partition_transform_exprs(partitioning or []):
+        names.append(name)
+        if build is not None and name not in df.columns:
+            df = df.withColumn(name, build())
+    return df, names
 
 
 @dataclass
@@ -57,6 +107,7 @@ class TableMeta:
     codec: str = "zstd"
     level: int | None = None
     properties: dict = field(default_factory=dict)
+    partitioning: list = field(default_factory=list)
 
 
 def variant_table_name(base: str, codec: str, level: int | None) -> str:
@@ -91,12 +142,13 @@ class ParquetWarehouse:
         codec: str = "zstd",
         level: int | None = None,
         properties: dict | None = None,
+        partitioning: list[str] | None = None,
     ) -> TableMeta:
         if codec not in SUPPORTED_CODECS:
             raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
         self.create_schema(schema)
         os.makedirs(self._tdir(schema, table), exist_ok=True)
-        meta = TableMeta(table, codec, level, properties or {})
+        meta = TableMeta(table, codec, level, properties or {}, partitioning or [])
         with open(self._meta_path(schema, table), "w") as f:
             json.dump(meta.__dict__, f)
         return meta
@@ -131,27 +183,43 @@ class ParquetWarehouse:
         return opts
 
     def append(self, schema: str, table: str, df: DataFrame, batch_id: str | None = None) -> None:
-        """Append one batch as its own subdirectory under data/.
+        """Append one batch.
 
-        Subdirectory-per-batch gives (a) committer isolation — concurrent
-        batch writes to one table share no ``_temporary`` dir, the failure
-        mode of plain concurrent appends to a single parquet path — and
-        (b) idempotent restart: re-writing a batch id overwrites, never
-        duplicates (the Iceberg-snapshot analogue, bench.ts:69-74)."""
+        Unpartitioned: each batch gets its own subdirectory under data/ —
+        (a) committer isolation: concurrent batch writes share no
+        ``_temporary`` dir (the failure mode of concurrent appends to one
+        parquet path), and (b) idempotent restart: re-writing a batch id
+        overwrites, never duplicates (Iceberg-snapshot analogue,
+        bench.ts:69-74).
+
+        Partitioned (Iceberg hidden-partitioning fallback): partition
+        transform columns are derived and written hive-style
+        (``<col>_day=...``); appends go to the shared data/ root, so they
+        must be sequential on this backend — the Iceberg backend gets
+        snapshot-isolated concurrency instead."""
         meta = self.table_meta(schema, table)
-        if batch_id is None:
-            batch_id = f"batch_{uuid.uuid4().hex[:12]}"
-        target = os.path.join(self._tdir(schema, table), "data", batch_id)
-        writer = df.write.mode("overwrite")
+        data_root = os.path.join(self._tdir(schema, table), "data")
+        writer_df, part_cols = apply_partition_transforms(df, meta.partitioning)
+        if part_cols:
+            writer = writer_df.write.mode("append").partitionBy(*part_cols)
+            target = data_root
+        else:
+            if batch_id is None:
+                batch_id = f"batch_{uuid.uuid4().hex[:12]}"
+            writer = writer_df.write.mode("overwrite")
+            target = os.path.join(data_root, batch_id)
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
         writer.parquet(target)
 
     def read(self, schema: str, table: str) -> DataFrame:
-        return (
-            self.spark.read.option("recursiveFileLookup", "true")
-            .parquet(os.path.join(self._tdir(schema, table), "data"))
-        )
+        meta = self.table_meta(schema, table)
+        data_root = os.path.join(self._tdir(schema, table), "data")
+        if meta.partitioning:
+            # hive partition discovery (enables partition pruning on the
+            # derived transform columns)
+            return self.spark.read.option("basePath", data_root).parquet(data_root)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(data_root)
 
     def is_empty(self, schema: str, table: str) -> bool:
         return not self._data_files(schema, table)
@@ -196,6 +264,10 @@ class ParquetWarehouse:
         data_dir = os.path.join(self._tdir(schema, table), "data")
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
         writer = df.coalesce(n_files).write.mode("overwrite")
+        if meta.partitioning:
+            # read() already materialized the derived partition columns
+            part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
+            writer = writer.partitionBy(*part_names)
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
         writer.parquet(tmp_dir)
