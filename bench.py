@@ -36,6 +36,10 @@ HEADLINE = [
     "join_shuffle_agg",
     "tpch_q3_shape",
     "window_topn",
+    "asof_join",
+    "sessionize",
+    "range_join_banded",
+    "tpch_q6_shape",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

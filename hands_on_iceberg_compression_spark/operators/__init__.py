@@ -27,12 +27,13 @@ def all_queries() -> dict[str, Query]:
         dedup,
         multimodal,
         similarity,
+        temporal,
         textops,
         workload,
     )
 
     out: dict[str, Query] = {}
-    for mod in (workload, advanced, dedup, similarity, textops, multimodal):
+    for mod in (workload, advanced, temporal, dedup, similarity, textops, multimodal):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,193 @@
+"""Temporal and interval operators Spark has no single-call primitive for:
+as-of join, sessionization, banded range join.
+
+These are the "custom operator" tier (SURVEY.md §2 note: the reference has
+none of these; a complete engine needs them).  Each is a *composition of
+built-in DataFrame ops* — no Python in the data path — chosen for its
+scale shape:
+
+- **as-of join**: union-tag + running ``last(ignorenulls)`` window.  One
+  shuffle on the key, one sort per partition — the same cost profile as a
+  sort-merge join, versus the naive per-row subquery which is quadratic.
+- **sessionization**: native ``session_window`` (gap-close semantics), which
+  Spark executes with partial merge on the map side and which carries over
+  unchanged to Structured Streaming (streaming/sessions twin).
+- **banded range join**: equality join on band buckets + residual filter.
+  Turns BETWEEN-join (O(n*m) theta join in naive engines) into an equi-join
+  with duplication factor <= 2 — the standard trick for interval joins at
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hands_on_iceberg_compression_spark.operators import Query
+from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+SESSION_GAP = "4 hours"
+SESSION_GAP_US = 4 * 3600 * 1_000_000
+RANGE_TOL = 2.0
+RANGE_BAND = 2 * RANGE_TOL
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase event, the nearest prior (ts <=) click of the same
+    user: union-tag both sides, per-user time order, running last(click).
+
+    Equal-timestamp ties sort clicks before purchases, matching ASOF's
+    inclusive >= bound."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_p")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("is_p")
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "src_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.last(F.when(F.col("is_p") == 0, F.col("src_id")), ignorenulls=True).over(w)
+    click_ts = F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        unioned.withColumn("click_id", click_id)
+        .withColumn("click_ts", click_ts)
+        .filter((F.col("is_p") == 1) & F.col("click_id").isNotNull())
+        .select(
+            F.col("src_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based user sessions via native session_window (4h inactivity
+    closes a session)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), SESSION_GAP))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level session metrology: how many sessions, how long, how big."""
+    s = q_sessionize(spark, sf)
+    dur_s = (F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start"))) / 1_000_000.0
+    return s.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.avg(dur_s), 2).alias("avg_duration_s"),
+    )
+
+
+def q_range_join_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """customer.c_acctbal within +-RANGE_TOL of part.p_retailprice: band
+    buckets of width 2*tol mean each customer lands in <= 2 buckets, so the
+    theta join becomes an equi-join + residual |diff| filter."""
+    part = load_table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    pb = part.withColumn("band", F.floor(F.col("p_retailprice") / RANGE_BAND))
+    cb = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("c_acctbal") - RANGE_TOL) / RANGE_BAND),
+                F.floor((F.col("c_acctbal") + RANGE_TOL) / RANGE_BAND),
+            )
+        ).alias("band"),
+    )
+    joined = cb.join(pb, "band").filter(
+        F.abs(F.col("c_acctbal") - F.col("p_retailprice")) <= RANGE_TOL
+    )
+    return joined.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(F.abs(F.col("c_acctbal") - F.col("p_retailprice"))), 4).alias("avg_absdiff"),
+    )
+
+
+QUERIES: dict[str, Query] = {
+    "asof_join": Query(
+        q_asof_join,
+        """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "as-of join: nearest prior click per purchase (union + running-last)",
+    ),
+    "sessionize": Query(
+        q_sessionize,
+        f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""",
+        "gap-based sessionization (session_window vs lag/cumsum oracle)",
+    ),
+    "session_stats": Query(
+        q_session_stats,
+        f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sess
+)
+SELECT count(*) AS n_sessions, round(avg(n_events), 4) AS avg_events,
+       max(n_events) AS max_events,
+       round(avg((epoch_us(session_end) - epoch_us(session_start)) / 1000000.0), 2)
+         AS avg_duration_s
+FROM sessions
+""",
+        "session metrology",
+    ),
+    "range_join_banded": Query(
+        q_range_join_banded,
+        f"""
+SELECT count(*) AS cnt,
+       round(avg(abs(c_acctbal - p_retailprice)), 4) AS avg_absdiff
+FROM customer JOIN part
+  ON c_acctbal BETWEEN p_retailprice - {RANGE_TOL} AND p_retailprice + {RANGE_TOL}
+""",
+        "banded range join (equi-join on buckets + residual filter)",
+    ),
+}

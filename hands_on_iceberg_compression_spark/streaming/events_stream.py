@@ -58,14 +58,73 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+def session_windows(events: DataFrame, gap: str = "4 hours", watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of operators/temporal.py q_sessionize: native
+    session_window aggregation.  Sessions emit once the watermark passes
+    their close; state is bounded by (watermark + gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value sum, emitted on every update.
+
+    The canonical template for operators Structured Streaming lacks: state is
+    one tiny row per key, partitioned by user across executors; Arrow batches
+    carry the data (no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion on the available data
     (availableNow trigger -> memory sink) and return the final result as a
     batch DataFrame.  This is both the test harness and the backfill mode."""
+    if output_mode is None:
+        output_mode = "complete" if _has_aggregation(df) else "append"
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if _has_aggregation(df) else "append")
+        .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
         .trigger(availableNow=True)
         .start()

@@ -28,6 +28,53 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     assert (abs(s["sum_value"].values - b["sum_value"].values) < 1e-6).all()
 
 
+def test_streaming_sessions_subset_of_batch(spark, tmp_path):
+    from hands_on_iceberg_compression_spark.operators.temporal import q_sessionize
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        session_windows,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    emitted = run_available_now(
+        session_windows(stream), "sessions_stream", str(tmp_path / "ckpt_s"),
+        output_mode="append",
+    ).toPandas()
+    batch = q_sessionize(spark, SF_SMALL).toPandas()
+    # append mode emits only watermark-closed sessions; every emitted session
+    # must exist verbatim in the batch result, and most sessions should close
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    b = set(map(tuple, batch[key].itertuples(index=False)))
+    e = set(map(tuple, emitted[key].itertuples(index=False)))
+    assert e <= b
+    assert len(e) >= 0.5 * len(b)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from pyspark.sql import functions as F2
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    out = run_available_now(
+        running_user_totals(stream), "running_totals", str(tmp_path / "ckpt_r"),
+        output_mode="update",
+    ).toPandas()
+    # final state per user == batch aggregation
+    final = out.groupby("user_id").last().reset_index()
+    batch = (
+        spark.read.schema("event_id long, ts long, user_id long, event_type string, value double")
+        .parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(F2.count("*").alias("n_events"), F2.round(F2.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+    )
+    m = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+    assert (abs(m["sum_value_s"] - m["sum_value_b"]) < 1e-6).all()
+
+
 def test_streaming_dedup(spark, tmp_path):
     stream = read_events_stream(spark, SF_SMALL)
     deduped = run_available_now(
