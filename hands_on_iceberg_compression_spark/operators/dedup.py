@@ -57,7 +57,13 @@ def q_dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _word_trigrams(words):
-    """DISTINCT word 3-grams; empty array for docs shorter than N tokens."""
+    """DISTINCT word 3-grams; empty array for docs shorter than N tokens.
+
+    IMPORTANT: pass a *materialized column reference* (project the split
+    array first), not the split expression itself — higher-order-function
+    lambdas are interpreted (no codegen, no CSE), so an inlined split would
+    re-tokenize the document for every element_at call: O(len^2) per doc
+    (measured 5.6s -> 0.6s at sf0.1 for shingle generation)."""
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(NGRAM_N - 1)),
@@ -68,21 +74,39 @@ def _word_trigrams(words):
     return F.array_distinct(F.when(n >= NGRAM_N, grams).otherwise(F.array()))
 
 
-def _shingle_df(docs: DataFrame) -> DataFrame:
-    words = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id", F.explode(_word_trigrams(words)).alias("sh")
-    )
+def _with_trigrams(docs: DataFrame, out: str = "grams") -> DataFrame:
+    """doc_id + distinct-trigram array, with the token split materialized
+    in its own projection so the HOF sees a column, not an expression."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    return toks.select("doc_id", _word_trigrams(F.col("words")).alias(out))
+
+
+def _shingle_df(docs: DataFrame, hashed: bool = False) -> DataFrame:
+    """(doc_id, sh) exploded distinct trigrams.  ``hashed=True`` replaces the
+    ~25-char shingle string with its xxhash64 — the join/shuffle key drops to
+    8 bytes and counts are unchanged w.h.p. (a 2^-64 collision changes one
+    count by one)."""
+    # exact shape matters: explode(trigrams(words_col)) directly over the
+    # words projection keeps the split materialized (0.6s at sf0.1); an
+    # intermediate grams projection lets the optimizer re-inline the split
+    # into the interpreted HOF lambda (9.5s)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    sh_expr = F.explode(_word_trigrams(F.col("words"))).alias("sh")
+    out = toks.select("doc_id", sh_expr)
+    if hashed:
+        out = out.select("doc_id", F.xxhash64(F.col("sh")).alias("sh"))
+    return out
 
 
 def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k most similar doc pairs by word-3-gram Jaccard.
 
     shingle self-join -> common counts; |A ∪ B| = |A| + |B| - common.
-    Deterministic order: (jaccard desc, doc_a, doc_b)."""
+    Deterministic order: (jaccard desc, doc_a, doc_b).  Set sizes are
+    computed inline from the array (no extra shuffle) and broadcast."""
     docs = load_table(spark, sf, "documents")
-    sh = _shingle_df(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = _shingle_df(docs, hashed=True)
+    sizes = _with_trigrams(docs).select("doc_id", F.size(F.col("grams")).alias("n_sh"))
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,7 +139,9 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     nearly all *words* (set-Jaccard ~1 for everything — quadratic candidate
     blowup), while 3-gram *sequences* discriminate (true near-dups ~0.99,
     random pairs ~0)."""
-    sh = _shingle_df(docs)
+    # hash the shingle string ONCE; each permutation re-hashes the 8-byte
+    # long, not the string — 64x less string hashing in the hot loop
+    sh = _shingle_df(docs, hashed=True)
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_PERMS)
@@ -167,9 +193,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
-    words = docs.select(
-        "doc_id", _word_trigrams(F.split(F.col("text"), " ")).alias("ws")
-    )
+    words = _with_trigrams(docs, "ws")
     wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
