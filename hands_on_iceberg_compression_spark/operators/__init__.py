@@ -26,6 +26,7 @@ def all_queries() -> dict[str, Query]:
         advanced,
         dedup,
         multimodal,
+        pandas_ops,
         similarity,
         temporal,
         textops,
@@ -33,7 +34,7 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (workload, advanced, temporal, dedup, similarity, textops, multimodal):
+    for mod in (workload, advanced, temporal, dedup, similarity, textops, multimodal, pandas_ops):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
