@@ -27,7 +27,8 @@ from hands_on_iceberg_compression_spark.sources.fixtures import load_table
 N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
 TOPK = 10
 NEAR_DUP_TOPK = 20
-LSH_PLANES = 12
+LSH_BITS = 6  # hyperplanes per table
+LSH_TABLES = 8  # OR-ed tables: P(candidate) = 1-(1-p_bit^BITS)^TABLES
 LSH_SEED = 42
 EMB_DIM = 64
 
@@ -101,40 +102,133 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 def _hyperplanes() -> np.ndarray:
     rng = np.random.RandomState(LSH_SEED)
-    return rng.standard_normal((LSH_PLANES, EMB_DIM))
+    return rng.standard_normal((LSH_TABLES, LSH_BITS, EMB_DIM))
 
 
-def _lsh_signature(emb: Column) -> Column:
-    """Pack sign(plane . v) bits into one long — deterministic, JVM-side."""
-    planes = _hyperplanes()
-    sig = F.lit(0).cast("long")
-    for p in range(LSH_PLANES):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
-        d = F.aggregate(
-            F.zip_with(coeffs, emb, lambda c, x: c * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+def _lsh_tables(unit: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, u, table, sig): one LSH_BITS-bit signature per table per vector.
+
+    Signatures are computed with numpy matmul inside mapInPandas: 48
+    hyperplane dots per vector are one (batch x dim) @ (dim x 48) product —
+    the interpreted-HOF expression version of the same math measured 10x
+    slower (SIMD + Arrow beats per-element lambda interpretation; this is a
+    rows-only operator, so no cross-engine oracle constrains the hashing)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = _hyperplanes().reshape(LSH_TABLES * LSH_BITS, EMB_DIM).T  # dim x 48
+    weights = (2 ** np.arange(LSH_BITS)).astype(np.int64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(emb_col, T.ArrayType(T.DoubleType())),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[emb_col].to_numpy())  # batch x dim
+            bits = (mat @ planes) > 0  # batch x (tables*bits)
+            sigs = bits.reshape(len(pdf), LSH_TABLES, LSH_BITS) @ weights  # batch x tables
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(LSH_TABLES),
+                    emb_col: pdf[emb_col].to_numpy().repeat(LSH_TABLES),
+                    "table": np.tile(np.arange(LSH_TABLES, dtype=np.int32), len(pdf)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+            yield out
+
+    return unit.select(id_col, emb_col).mapInPandas(gen, schema)
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate kNN: random-hyperplane LSH bucket join, exact cosine rerank
-    within the bucket.  Recall < 1 by construction -> rows-only driver check;
-    correctness of the *returned* sims is still exact math."""
+    """Approximate kNN: multi-table random-hyperplane LSH (LSH_TABLES OR-ed
+    tables of LSH_BITS bits — single-table exact-signature match has ~0
+    recall for moderately-similar neighbors), candidates deduped, exact
+    cosine rerank.  Recall < 1 by construction -> rows-only driver check."""
     emb = load_table(spark, sf, "embeddings")
-    sigged = emb.select("vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig"))
-    queries = sigged.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("sig").alias("q_sig")
+    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
+    tables = _lsh_tables(unit, "vec_id", "u")
+    q_tables = tables.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), "table", "sig"
     )
-    sim = cosine(F.col("q_emb"), F.col("embedding"))
+    t = tables.alias("t")
+    qt = q_tables.alias("qt")
+    cands = (
+        t.join(
+            F.broadcast(qt),
+            (F.col("t.table") == F.col("qt.table"))
+            & (F.col("t.sig") == F.col("qt.sig"))
+            & (F.col("qt.q_id") != F.col("t.vec_id")),
+        )
+        .select("q_id", "q_u", F.col("t.vec_id").alias("n_id"), F.col("t.u").alias("u"))
+        .distinct()
+    )
+    sim = _dot(F.col("q_u"), F.col("u"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
-        sigged.join(
-            F.broadcast(queries),
-            (F.col("sig") == F.col("q_sig")) & (F.col("q_id") != F.col("vec_id")),
-        )
+        cands.select("q_id", "n_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+    )
+
+
+IVF_CENTROIDS = 16
+IVF_PROBES = 3
+
+
+def _ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments): deterministic training-free IVF — the
+    IVF_CENTROIDS lowest vec_ids seed the centroid set; every vector joins
+    its nearest centroid (broadcast argmin via min_by).  A k-means refinement
+    would drop in here without changing the query shape."""
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("u").alias("c_u")
+    )
+    sim = _dot(F.col("u"), F.col("c_u"))
+    assignments = (
+        emb.crossJoin(F.broadcast(centroids))
+        .groupBy("vec_id")
+        .agg(F.min_by(F.col("centroid_id"), -sim).alias("centroid_id"))
+    )
+    return centroids, assignments
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate kNN via IVF: assign vectors to inverted lists by nearest
+    centroid; each query probes its IVF_PROBES closest lists only.  Search
+    cost drops from O(N) to O(N * probes / centroids) per query; recall < 1
+    by construction -> rows-only driver check."""
+    emb = load_table(spark, sf, "embeddings")
+    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
+    centroids, assignments = _ivf_assignments(unit)
+    listed = unit.join(assignments, "vec_id")
+
+    queries = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+    )
+    qsim = _dot(F.col("q_u"), F.col("c_u"))
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_u", "centroid_id", qsim.alias("qsim"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("q_id", "q_u", "centroid_id")
+    )
+
+    sim = _dot(F.col("q_u"), F.col("u"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        listed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("n_id"), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
@@ -188,6 +282,11 @@ ORDER BY sim DESC, id_a, id_b LIMIT {NEAR_DUP_TOPK}
         q_ann_lsh,
         None,  # approximate by construction; rows-only driver check
         "ANN via random-hyperplane LSH buckets + exact rerank",
+    ),
+    "sim_ann_ivf": Query(
+        q_ann_ivf,
+        None,  # approximate by construction; rows-only driver check
+        "ANN via IVF inverted lists (nearest-centroid probes)",
     ),
     "sim_norm_stats": Query(
         q_norm_stats,

@@ -55,6 +55,24 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs, each with
+# optional leading space (GPT-2 style, minus the RE2-incompatible lookahead —
+# the oracle runs on DuckDB's RE2)
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting with the BPE-ish regex pre-tokenizer (the whitespace
+    tokenizer's twin in text_token_stats)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring: length, stopword ratio, digit ratio, distinct-token
     ratio — the standard cheap pre-training filters."""
@@ -156,6 +174,14 @@ QUERIES: dict[str, Query] = {
         "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
         "len(string_split(text, ' ')), 4) AS avg_token_len FROM documents",
         "token counting (whitespace tokenizer)",
+    ),
+    "text_token_count_bpe": Query(
+        q_token_count_bpe,
+        f"SELECT doc_id, len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0)) "
+        "AS n_bpe_tokens, "
+        f"len(list_distinct(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0))) "
+        "AS n_distinct_bpe FROM documents",
+        "BPE-ish regex token counting",
     ),
     "text_quality_score": Query(
         q_quality_score,

@@ -113,6 +113,31 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_into_warehouse(
+    events: DataFrame,
+    warehouse,
+    schema: str,
+    table: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming sink into a warehouse table via foreachBatch: each
+    micro-batch appends as its own batch directory (committer-isolated,
+    exactly-once per epoch via the streaming checkpoint + idempotent batch
+    ids).  This is the ingest path: stream -> table, then every batch
+    operator in operators/ runs over the table."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        warehouse.append(schema, table, batch_df, batch_id=f"epoch_{epoch_id:08d}")
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str | None = None
 ) -> DataFrame:

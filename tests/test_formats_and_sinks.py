@@ -1,0 +1,63 @@
+"""Format connectors round-trip + streaming->warehouse ingest + Iceberg DDL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.schema.reference_schemas import (
+    narrow_example_config,
+)
+from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+from hands_on_iceberg_compression_spark.sources.formats import read_table, write_table
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+    iceberg_ddl,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def test_format_roundtrips(spark, tmp_path):
+    src = load_table(spark, SF_SMALL, "lineitem").limit(500)
+    schema = src.schema
+    for fmt in ("parquet", "csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt)
+        back = read_table(spark, path, fmt, schema=schema)
+        assert back.count() == 500, fmt
+        # value fidelity on a numeric aggregate
+        a = src.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).collect()[0]["s"]
+        b = back.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).collect()[0]["s"]
+        assert a == b, fmt
+
+
+def test_stream_into_warehouse(spark, tmp_path):
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        read_events_stream,
+        stream_into_warehouse,
+    )
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(cfg.schema, "events_ingest", "zstd", 3)
+    stream = read_events_stream(spark, SF_SMALL)
+    stream_into_warehouse(stream, wh, cfg.schema, "events_ingest", str(tmp_path / "ckpt"))
+
+    got = wh.read(cfg.schema, "events_ingest")
+    want = load_table(spark, SF_SMALL, "events")
+    assert got.count() == want.count()
+    # re-running with the same checkpoint is a no-op (exactly-once ingest)
+    stream2 = read_events_stream(spark, SF_SMALL)
+    stream_into_warehouse(stream2, wh, cfg.schema, "events_ingest", str(tmp_path / "ckpt"))
+    assert wh.read(cfg.schema, "events_ingest").count() == want.count()
+
+
+def test_iceberg_ddl_emission():
+    cfg = narrow_example_config()
+    ddl = iceberg_ddl(cfg, "orders_narrow_zstd_l06", "zstd", 6)
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (days(created_at))" in ddl
+    assert "'write.parquet.compression-codec'='zstd'" in ddl
+    assert "'write.parquet.compression-level'='6'" in ddl
+    assert "tags array<string>" in ddl
+    assert "created_at timestamp" in ddl
