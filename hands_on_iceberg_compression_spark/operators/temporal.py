@@ -55,8 +55,9 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     click_id = F.last(F.when(F.col("is_p") == 0, F.col("src_id")), ignorenulls=True).over(w)
     click_ts = F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w)
     return (
-        unioned.withColumn("click_id", click_id)
-        .withColumn("click_ts", click_ts)
+        # both window expressions in ONE select -> a single Window node over
+        # one sort, instead of two chained Window operators
+        unioned.select("*", click_id.alias("click_id"), click_ts.alias("click_ts"))
         .filter((F.col("is_p") == 1) & F.col("click_id").isNotNull())
         .select(
             F.col("src_id").alias("purchase_id"),

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Throughput probe against the reference's published numbers (BASELINE.md).
+
+Generates N_ROWS of the reference's 90-column wide events schema into a local
+zstd-6 warehouse table (the baseline's events_zstd_l06 analogue), then times
+the baseline's query shapes on it:
+
+- COUNT + varchar equality        (temp.md:42-44, 49.4M rows/s on 100M)
+- COUNT + timestamp BETWEEN       (temp.md:81-82, 116M rows/s)
+- COUNT + LIKE '%..%'             (temp.md:87-94, 30-40M rows/s)
+- flagship LIKE+BETWEEN+int<      (temp.md:104-105, 40.7M rows/s)
+
+plus load throughput (config/load.ts:22: 10M wide rows ~7 min via Trino).
+
+Usage: python scripts/throughput_probe.py [n_rows] [workdir]
+Writes a JSON line; PERF.md records results per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.pipeline.load import LoadPlan, load_table
+from hands_on_iceberg_compression_spark.pipeline.metrology import measure_sizes
+from hands_on_iceberg_compression_spark.schema.reference_schemas import wide_events_config
+from hands_on_iceberg_compression_spark.session import make_session
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/throughput_probe"
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    spark = make_session(app_name="throughput-probe")
+    cfg = wide_events_config()
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    table = "events_zstd_l06"
+    wh.create_table(cfg.schema, table, "zstd", 6)
+
+    plan = LoadPlan(
+        total_rows=n_rows,
+        batch_rows=max(250_000, n_rows // 8),
+        concurrency=4,
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        compact_after_load=False,
+        partitions_per_batch=32,
+        progress=False,
+    )
+    t0 = time.perf_counter()
+    load_table(spark, wh, cfg, table, plan)
+    load_s = time.perf_counter() - t0
+    # baseline storage numbers are post-compaction (bench.ts:234-239)
+    t0 = time.perf_counter()
+    wh.optimize(cfg.schema, table, target_file_size_bytes=512 * 1024 * 1024)
+    optimize_s = time.perf_counter() - t0
+    size = measure_sizes(wh, cfg.schema, table, "zstd", 6)
+
+    df = wh.read(cfg.schema, table)
+    shapes = {
+        "count_eq_varchar": lambda d: d.filter(F.col("row_3") == "433b0fa").count(),
+        "count_ts_between": lambda d: d.filter(
+            F.col("row_1").between(
+                F.lit("2024-03-01 00:00:00").cast("timestamp"),
+                F.lit("2024-04-01 00:00:00").cast("timestamp"),
+            )
+        ).count(),
+        "count_like_infix": lambda d: d.filter(F.col("row_32").like("%50c%")).count(),
+        "flagship": lambda d: d.filter(
+            F.col("row_32").like("%50c%")
+            & F.col("row_1").between(
+                F.lit("2024-02-01 00:00:00").cast("timestamp"),
+                F.lit("2024-10-01 00:00:00").cast("timestamp"),
+            )
+            & (F.col("row_16") < 80)
+        ).count(),
+    }
+    results = {}
+    for name, fn in shapes.items():
+        best, rows = float("inf"), 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = fn(df)
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {
+            "sec": round(best, 3),
+            "rows": rows,
+            "mrows_per_s": round(n_rows / best / 1e6, 1),
+        }
+
+    print(
+        json.dumps(
+            {
+                "n_rows": n_rows,
+                "load_sec": round(load_s, 1),
+                "load_krows_per_s": round(n_rows / load_s / 1e3, 1),
+                "optimize_sec": round(optimize_s, 1),
+                "data_bytes": size.data_bytes,
+                "bytes_per_row": size.bytes_per_row,
+                "queries": results,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

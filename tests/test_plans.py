@@ -70,3 +70,45 @@ def test_count_star_reads_no_data_columns(spark):
 def test_scalar_funcs_whole_stage_codegen(spark):
     df = q_scalar_funcs(spark, SF_SMALL)
     assert codegen_stage_count(df) >= 1
+
+
+def test_tpch_q3_broadcasts_filtered_dim(spark):
+    from hands_on_iceberg_compression_spark.operators.workload import q_tpch_q3_shape
+
+    df = q_tpch_q3_shape(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the customer mktsegment filter must reach its scan, not post-join
+    assert_filter_pushdown(df, "c_mktsegment")
+
+
+def test_asof_join_single_shuffle(spark):
+    from hands_on_iceberg_compression_spark.operators.temporal import q_asof_join
+
+    import re
+
+    plan = formatted_plan(q_asof_join(spark, SF_SMALL))
+    # union + one window: exactly one exchange on user_id, no join operator
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "Join" not in plan
+
+
+def test_range_join_is_equi_join_not_cartesian(spark):
+    from hands_on_iceberg_compression_spark.operators.temporal import (
+        q_range_join_banded,
+    )
+
+    plan = formatted_plan(q_range_join_banded(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_exact_groups_on_digest_not_text(spark):
+    from hands_on_iceberg_compression_spark.operators.dedup import q_dedup_exact
+    from hands_on_iceberg_compression_spark.plans.explain import formatted_plan as fp
+
+    plan = fp(q_dedup_exact(spark, SF_SMALL))
+    # shuffle key is the md5 digest, so the exchange must not carry raw text
+    exchange = plan[plan.index("Exchange") :].split("\n", 3)
+    assert "text" not in exchange[0]
