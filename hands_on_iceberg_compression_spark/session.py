@@ -73,6 +73,11 @@ def make_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Spark's default INT96 timestamps carry NO parquet min/max stats —
+        # every range predicate on a timestamp scans every row group.  INT64
+        # micros restores stats-based file/row-group skipping (and is what
+        # Iceberg writes).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

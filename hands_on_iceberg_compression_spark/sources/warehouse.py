@@ -108,6 +108,11 @@ class TableMeta:
     level: int | None = None
     properties: dict = field(default_factory=dict)
     partitioning: list = field(default_factory=list)
+    # WRITE ORDERED BY analogue (reference README.md:85-86 sorted_by):
+    # compaction range-partitions + sorts on these columns, giving disjoint
+    # per-file min/max ranges -> parquet row-group/file skipping on range
+    # predicates
+    sort_order: list = field(default_factory=list)
 
 
 def variant_table_name(base: str, codec: str, level: int | None) -> str:
@@ -143,12 +148,15 @@ class ParquetWarehouse:
         level: int | None = None,
         properties: dict | None = None,
         partitioning: list[str] | None = None,
+        sort_order: list[str] | None = None,
     ) -> TableMeta:
         if codec not in SUPPORTED_CODECS:
             raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
         self.create_schema(schema)
         os.makedirs(self._tdir(schema, table), exist_ok=True)
-        meta = TableMeta(table, codec, level, properties or {}, partitioning or [])
+        meta = TableMeta(
+            table, codec, level, properties or {}, partitioning or [], sort_order or []
+        )
         with open(self._meta_path(schema, table), "w") as f:
             json.dump(meta.__dict__, f)
         return meta
@@ -263,7 +271,15 @@ class ParquetWarehouse:
         df = self.read(schema, table)
         data_dir = os.path.join(self._tdir(schema, table), "data")
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
-        writer = df.coalesce(n_files).write.mode("overwrite")
+        if meta.sort_order:
+            # range-partition + in-partition sort: files get disjoint
+            # [min,max] on the sort keys, so range predicates skip whole
+            # files/row-groups via parquet stats
+            sort_cols = [F.col(c) for c in meta.sort_order]
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+            writer = df.write.mode("overwrite")
+        else:
+            writer = df.coalesce(n_files).write.mode("overwrite")
         if meta.partitioning:
             # read() already materialized the derived partition columns
             part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]

@@ -113,6 +113,37 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: purchases within `horizon` after a click by
+    the same user.  Watermarks on both sides bound the join state (clicks
+    older than horizon+watermark are evicted); works identically on batch
+    DataFrames, which is how the test oracles it."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", "10 minutes")
+        p = p.withWatermark("purchase_ts", "10 minutes")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
+    )
+
+
 def stream_into_warehouse(
     events: DataFrame,
     warehouse,

@@ -36,15 +36,22 @@ from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehous
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/throughput_probe"
+    args = [a for a in sys.argv[1:] if a != "--sorted"]
+    sorted_by_ts = "--sorted" in sys.argv
+    n_rows = int(args[0]) if args else 2_000_000
+    workdir = args[1] if len(args) > 1 else "/tmp/throughput_probe"
     shutil.rmtree(workdir, ignore_errors=True)
 
     spark = make_session(app_name="throughput-probe")
     cfg = wide_events_config()
     wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
     table = "events_zstd_l06"
-    wh.create_table(cfg.schema, table, "zstd", 6)
+    # --sorted: WRITE ORDERED BY row_1 (reference README.md:85-86 sorted_by)
+    # -> compaction produces disjoint per-file ts ranges -> range predicates
+    # skip whole files via parquet stats
+    wh.create_table(
+        cfg.schema, table, "zstd", 6, sort_order=["row_1"] if sorted_by_ts else None
+    )
 
     plan = LoadPlan(
         total_rows=n_rows,
@@ -100,6 +107,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_rows": n_rows,
+                "sorted_by_ts": sorted_by_ts,
                 "load_sec": round(load_s, 1),
                 "load_krows_per_s": round(n_rows / load_s / 1e3, 1),
                 "optimize_sec": round(optimize_s, 1),

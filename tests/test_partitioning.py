@@ -57,6 +57,37 @@ def test_partitioned_write_and_prune(spark, tmp_path):
     assert after.filter(F.col("created_at_month") == "2024-03").count() == n_march
 
 
+def test_sorted_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """sort_order compaction must produce files with non-overlapping min/max
+    on the sort key (the row-group-skipping precondition)."""
+    import pyarrow.parquet as pq
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(cfg.schema, "sorted_t", "zstd", 3, sort_order=["created_at"])
+    df = generate_df(spark, cfg, 1, 30000, seed=13, num_partitions=8)
+    wh.append(cfg.schema, "sorted_t", df)
+    wh.optimize(cfg.schema, "sorted_t", target_file_size_bytes=256 * 1024)
+
+    stats = wh.files(cfg.schema, "sorted_t")
+    assert len(stats) >= 3
+    ranges = []
+    for s in stats:
+        md = pq.ParquetFile(s.file_path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["created_at"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+    # content preserved
+    assert wh.read(cfg.schema, "sorted_t").count() == 30000
+
+
 def test_apply_transforms_identity_passthrough(spark):
     cfg = narrow_example_config()
     df = generate_df(spark, cfg, 1, 100, seed=1)

@@ -75,6 +75,38 @@ def test_stateful_running_totals(spark, tmp_path):
     assert (abs(m["sum_value_s"] - m["sum_value_b"]) < 1e-6).all()
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F2
+    from hands_on_iceberg_compression_spark.operators.workload import _ts  # noqa
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        click_purchase_join,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    s_out = run_available_now(
+        click_purchase_join(
+            stream.filter(F2.col("event_type") == "click"),
+            stream.filter(F2.col("event_type") == "purchase"),
+        ),
+        "ss_join",
+        str(tmp_path / "ckpt_j"),
+        output_mode="append",
+    ).toPandas()
+
+    ev = load_table(spark, SF_SMALL, "events")
+    b_out = click_purchase_join(
+        ev.filter(F2.col("event_type") == "click"),
+        ev.filter(F2.col("event_type") == "purchase"),
+    ).toPandas()
+
+    key = ["click_id", "purchase_id", "user_id", "gap_us"]
+    assert len(s_out) == len(b_out) > 0
+    assert set(map(tuple, s_out[key].itertuples(index=False))) == set(
+        map(tuple, b_out[key].itertuples(index=False))
+    )
+
+
 def test_streaming_dedup(spark, tmp_path):
     stream = read_events_stream(spark, SF_SMALL)
     deduped = run_available_now(
