@@ -25,6 +25,7 @@ def all_queries() -> dict[str, Query]:
     from hands_on_iceberg_compression_spark.operators import (
         advanced,
         dedup,
+        functions_battery,
         multimodal,
         pandas_ops,
         similarity,
@@ -34,7 +35,17 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (workload, advanced, temporal, dedup, similarity, textops, multimodal, pandas_ops):
+    for mod in (
+        workload,
+        advanced,
+        temporal,
+        functions_battery,
+        dedup,
+        similarity,
+        textops,
+        multimodal,
+        pandas_ops,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
