@@ -160,6 +160,15 @@ def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL snapshot-diff shape: rows of events minus the deterministic
+    sample — the multiset-difference operator incremental pipelines use to
+    diff table versions."""
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    sample = ev.filter(F.pmod(F.col("event_id"), F.lit(20)) == 0)
+    return ev.exceptAll(sample).agg(F.count("*").alias("cnt"))
+
+
 def q_gen_narrow_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Generator DSL through the driver contract: 1000 deterministic rows of
     the narrow example schema (engine-specific hashing -> rows-only)."""
@@ -273,6 +282,12 @@ QUERIES: dict[str, Query] = {
         "SELECT count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events "
         "WHERE event_id % 20 = 0",
         "deterministic key-modulus sampling",
+    ),
+    "except_all_diff": Query(
+        q_except_all,
+        "SELECT count(*) AS cnt FROM (SELECT event_id, event_type FROM events "
+        "EXCEPT ALL SELECT event_id, event_type FROM events WHERE event_id % 20 = 0)",
+        "EXCEPT ALL multiset difference (snapshot-diff shape)",
     ),
     "gen_narrow_sample": Query(
         q_gen_narrow_sample,
