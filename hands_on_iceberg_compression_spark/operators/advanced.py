@@ -160,6 +160,57 @@ def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiler: null count, distinct count, min/max per column of
+    events — ONE scan (single wide aggregate), then stack/UNPIVOT to one row
+    per column.  The standard data-quality sweep; at 100 TB this is exactly
+    one pass + a 6-row driver result."""
+    ev = load_table(spark, sf, "events")
+
+    def _str(c):
+        col = F.col(c)
+        if c == "ts":
+            return lambda agg: F.date_format(agg, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        return lambda agg: agg.cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        s = _str(c)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            s(F.min(F.col(c))).alias(f"{c}__min"),
+            s(F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        if c == "ts":
+            mn = "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')"
+            mx = "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')"
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_val, {mx} AS max_val "
+            "FROM events"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_except_all(spark: SparkSession, sf: str) -> DataFrame:
     """EXCEPT ALL snapshot-diff shape: rows of events minus the deterministic
     sample — the multiset-difference operator incremental pipelines use to
@@ -282,6 +333,11 @@ QUERIES: dict[str, Query] = {
         "SELECT count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events "
         "WHERE event_id % 20 = 0",
         "deterministic key-modulus sampling",
+    ),
+    "profile_table": Query(
+        q_profile_table,
+        _profile_oracle(),
+        "column profiler: nulls/distinct/min/max per column, one scan + stack",
     ),
     "except_all_diff": Query(
         q_except_all,
