@@ -103,6 +103,13 @@ def load_table(
     done = ckpt.completed()
     todo = [b for b in batches if b.index not in done]
 
+    concurrency = plan.concurrency
+    if warehouse.table_meta(config.schema, table).partitioning and concurrency > 1:
+        # partitioned parquet tables append into a shared data/ root — the
+        # hadoop committer's _temporary dir is per-path, so concurrent batch
+        # jobs would clobber each other.  Iceberg backend lifts this.
+        concurrency = 1
+
     t0 = time.time()
     loaded = 0
 
@@ -119,7 +126,7 @@ def load_table(
         ckpt.mark(b.index)
         return b.rows
 
-    if plan.concurrency > 1 and len(todo) > 1:
+    if concurrency > 1 and len(todo) > 1:
         # C4 Limiter: cap in-flight batches; Spark's scheduler interleaves
         # their tasks (fair enough for local; on a cluster this pipelines
         # write commits against generation)
