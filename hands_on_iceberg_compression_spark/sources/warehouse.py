@@ -291,6 +291,54 @@ class ParquetWarehouse:
         os.rename(tmp_dir, data_dir)
         return len(self._data_files(schema, table))
 
+    # --- B4: ALTER TABLE SET PROPERTIES ----------------------------------
+    def alter_table_properties(
+        self,
+        schema: str,
+        table: str,
+        codec: str | None = None,
+        level: int | None = None,
+        **properties: str,
+    ) -> TableMeta:
+        """Post-create property changes — the reference needed two ALTER
+        statements via extra_properties because Trino could not set
+        compression at CREATE (README.md:53-57, sqlHelpers.ts:145-149);
+        here it is one metadata update, applied to subsequent writes."""
+        meta = self.table_meta(schema, table)
+        if codec is not None:
+            if codec not in SUPPORTED_CODECS:
+                raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
+            meta.codec = codec
+        if level is not None:
+            meta.level = level
+        meta.properties.update(properties)
+        with open(self._meta_path(schema, table), "w") as f:
+            json.dump(meta.__dict__, f)
+        return meta
+
+    def show_create_table(self, schema: str, table: str, config=None) -> str:
+        """SHOW CREATE TABLE equivalent (reference README.md:50,83): emits
+        the Iceberg DDL this table maps to; falls back to the observed
+        parquet schema when no TableConfig is given."""
+        meta = self.table_meta(schema, table)
+        if config is not None:
+            return iceberg_ddl(config, table, meta.codec, meta.level)
+        df = self.read(schema, table)
+        cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        props = {
+            "write.parquet.compression-codec": meta.codec,
+            **({"write.parquet.compression-level": str(meta.level)} if meta.level is not None else {}),
+            **{k: str(v) for k, v in meta.properties.items()},
+        }
+        prop_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        part = (
+            f"\nPARTITIONED BY ({', '.join(meta.partitioning)})" if meta.partitioning else ""
+        )
+        return (
+            f"CREATE TABLE {schema}.{table} (\n  {cols}\n) USING iceberg{part}\n"
+            f"TBLPROPERTIES ({prop_sql})"
+        )
+
     # --- C9/C10: probes ---------------------------------------------------
     def select_example(self, schema: str, table: str) -> list[dict]:
         """One-row sanity probe, JSON-shaped (sqlHelpers.ts:112-115)."""

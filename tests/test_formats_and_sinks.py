@@ -52,6 +52,30 @@ def test_stream_into_warehouse(spark, tmp_path):
     assert wh.read(cfg.schema, "events_ingest").count() == want.count()
 
 
+def test_alter_properties_and_show_create(spark, tmp_path):
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+    from hands_on_iceberg_compression_spark.pipeline.metrology import measure_sizes
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(cfg.schema, "alterable", "snappy")
+    df = generate_df(spark, cfg, 1, 20000, seed=9, num_partitions=1)
+    wh.append(cfg.schema, "alterable", df, batch_id="b0")
+    snappy_bytes = measure_sizes(wh, cfg.schema, "alterable", "snappy", None).data_bytes
+
+    # ALTER to zstd-9; subsequent writes (incl. compaction rewrite) honor it
+    wh.alter_table_properties(cfg.schema, "alterable", codec="zstd", level=9)
+    wh.optimize(cfg.schema, "alterable", target_file_size_bytes=256 * 1024 * 1024)
+    zstd_bytes = measure_sizes(wh, cfg.schema, "alterable", "zstd", 9).data_bytes
+    assert zstd_bytes < snappy_bytes
+    assert wh.read(cfg.schema, "alterable").count() == 20000
+
+    ddl = wh.show_create_table(cfg.schema, "alterable")
+    assert "'write.parquet.compression-codec'='zstd'" in ddl
+    assert "'write.parquet.compression-level'='9'" in ddl
+    assert "amount double" in ddl
+
+
 def test_iceberg_ddl_emission():
     cfg = narrow_example_config()
     ddl = iceberg_ddl(cfg, "orders_narrow_zstd_l06", "zstd", 6)
