@@ -28,6 +28,11 @@ def _cmd_bench(args: argparse.Namespace) -> int:
     from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
 
     config = wide_events_config() if args.schema == "wide" else narrow_example_config()
+    if not args.partitioned:
+        # codec comparison defaults to unpartitioned tables (matches the
+        # reference's measured setup — its partitioning config was dead);
+        # --partitioned honors the schema's declared transforms instead
+        config.partitioning = []
     codec_levels = FULL_CODEC_LEVELS if args.codecs == "full" else ACTIVE_CODEC_LEVELS
     spark = make_session(app_name="codec-bench")
     warehouse = ParquetWarehouse(spark, args.warehouse)
@@ -68,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--csv", default="results_sizes.csv")
     b.add_argument("--seed", type=int, default=1)
     b.add_argument("--no-compact", action="store_true")
+    b.add_argument("--partitioned", action="store_true",
+                   help="honor the schema's declared partition transforms")
     b.set_defaults(fn=_cmd_bench)
 
     p = sub.add_parser("plot", help="render size charts from CSV (EP3)")

@@ -36,8 +36,12 @@ from hands_on_iceberg_compression_spark.schema.specs import (
     TimestampSpec,
 )
 
-# Denominator for uniform draws; 2**30 keeps pmod cheap and gives ~1e-9 grain.
-_U_DEN = 1 << 30
+# Uniform-draw denominator.  This is an ABSOLUTE lattice: floor(u * span)
+# can only reach _U_DEN distinct values, so it must comfortably exceed any
+# realistic spec span (a 2**30 grid would alias large BigintSpec ranges to
+# ~1e9 lattice points).  2**40 is exact in a double and leaves modulo bias
+# at a negligible 2**-24.
+_U_DEN = 1 << 40
 
 
 def _uniform(id_col: Column, name: str, salt: str, seed: int, *extra: Column) -> Column:

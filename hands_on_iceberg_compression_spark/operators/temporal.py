@@ -28,6 +28,9 @@ from hands_on_iceberg_compression_spark.operators import Query
 from hands_on_iceberg_compression_spark.sources.fixtures import load_table
 
 SESSION_GAP = "4 hours"
+# session_window treats its window end as EXCLUSIVE: an event at exactly
+# prev + gap starts a new session, so the oracle's new-session predicate is
+# `>=` the gap (a `>` oracle disagrees whenever data hits the boundary)
 SESSION_GAP_US = 4 * 3600 * 1_000_000
 RANGE_TOL = 2.0
 RANGE_BAND = 2 * RANGE_TOL
@@ -139,7 +142,7 @@ ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') 
 WITH g AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -160,7 +163,7 @@ FROM s GROUP BY user_id, sess
 WITH g AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -61,7 +61,14 @@ def run_codec_bench(
     result = BenchResult(sizes=[])
     for codec, level in codec_levels:
         table = variant_table_name(config.table_base, codec, level)  # B7
-        warehouse.create_table(config.schema, table, codec, level, config.table_properties)  # B3/B4
+        warehouse.create_table(
+            config.schema,
+            table,
+            codec,
+            level,
+            config.table_properties,
+            partitioning=config.partitioning,  # B6 — declared config is honored
+        )  # B3/B4
         stats = load_table(spark, warehouse, config, table, plan)  # C1-C5
         result.loads[table] = stats
         if plan.compact_after_load:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -67,11 +68,16 @@ def make_batches(start_id: int, total_rows: int, batch_rows: int) -> list[Batch]
 
 
 class Checkpoint:
-    """JSON {completedBatches: [...]} per table (bench.ts:62-101)."""
+    """JSON {completedBatches: [...]} per table (bench.ts:62-101).
+
+    ``mark`` is a locked read-modify-write: concurrent batch completions from
+    the thread pool must not lose each other's marks (last-writer-wins on the
+    whole file would re-run already-loaded batches after a restart)."""
 
     def __init__(self, directory: str, table: str):
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, f"{table}.json")
+        self._lock = threading.Lock()
 
     def completed(self) -> set[int]:
         if not os.path.exists(self.path):
@@ -80,12 +86,13 @@ class Checkpoint:
             return set(json.load(f).get("completedBatches", []))
 
     def mark(self, index: int) -> None:
-        done = self.completed()
-        done.add(index)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"completedBatches": sorted(done)}, f)
-        os.replace(tmp, self.path)
+        with self._lock:
+            done = self.completed()
+            done.add(index)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"completedBatches": sorted(done)}, f)
+            os.replace(tmp, self.path)
 
 
 def load_table(

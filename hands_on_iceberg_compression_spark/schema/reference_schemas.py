@@ -2,10 +2,11 @@
 
 WIDE_EVENTS: the active 90-column ``events`` schema the reference's baseline
 numbers were measured on (reference src/config/tableConfig.ts:15-192,
-SURVEY.md §1.3).  Column layout: id bigint + row_1..row_89 with 11 timestamps
-over 2024, 19 ranged nullable ints, 52 fixed-length hex strings, and 8 enum
-columns whose dictionaries come from the seeded Mulberry32 PRNG (utils.ts:40-69)
-— reproduced bit-exactly in functions/prng.py.
+SURVEY.md §1.3).  Column layout: id bigint + row_1..row_89 with 9 timestamps
+over 2024 (rows 1,2,37,42-46,60), 19 ranged nullable ints, 53 fixed-length
+hex strings, and 8 enum columns whose dictionaries come from the seeded
+Mulberry32 PRNG (utils.ts:40-69) — reproduced bit-exactly in
+functions/prng.py and verified column-by-column against the reference.
 
 NARROW_EXAMPLE: the commented-out example schema (tableConfig.ts:193-203),
 which exercises every DSL kind; canonical generator-unit-test schema

@@ -47,8 +47,8 @@ def make_session(
     """Build a SparkSession with scale-ready defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
-    ``shuffle_partitions`` defaults to 2x the local core count — on a real
-    cluster callers pass the cluster-appropriate value (or rely on AQE
+    ``shuffle_partitions`` defaults to the local core count (min 8) — on a
+    real cluster callers pass the cluster-appropriate value (or rely on AQE
     coalescing, which is enabled).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -173,7 +173,14 @@ class ParquetWarehouse:
         names = []
         for codec, level in codec_levels:
             name = variant_table_name(config.table_base, codec, level)
-            self.create_table(config.schema, name, codec, level, config.table_properties)
+            self.create_table(
+                config.schema,
+                name,
+                codec,
+                level,
+                config.table_properties,
+                partitioning=config.partitioning,
+            )
             names.append(name)
         return names
 
@@ -206,7 +213,7 @@ class ParquetWarehouse:
         must be sequential on this backend — the Iceberg backend gets
         snapshot-isolated concurrency instead."""
         meta = self.table_meta(schema, table)
-        data_root = os.path.join(self._tdir(schema, table), "data")
+        data_root = self._live_data_dir(schema, table)
         writer_df, part_cols = apply_partition_transforms(df, meta.partitioning)
         if part_cols:
             writer = writer_df.write.mode("append").partitionBy(*part_cols)
@@ -222,7 +229,7 @@ class ParquetWarehouse:
 
     def read(self, schema: str, table: str) -> DataFrame:
         meta = self.table_meta(schema, table)
-        data_root = os.path.join(self._tdir(schema, table), "data")
+        data_root = self._live_data_dir(schema, table)
         if meta.partitioning:
             # hive partition discovery (enables partition pruning on the
             # derived transform columns)
@@ -233,8 +240,18 @@ class ParquetWarehouse:
         return not self._data_files(schema, table)
 
     # --- C7/C8: metrology ($files-equivalent) ----------------------------
+    def _live_data_dir(self, schema: str, table: str) -> str:
+        """data/, healing first: if a crash during optimize()'s swap left only
+        the pre-compaction data_old/, promote it back to data/ so every later
+        operation (read/append/optimize) sees one consistent directory."""
+        data = os.path.join(self._tdir(schema, table), "data")
+        old = os.path.join(self._tdir(schema, table), "data_old")
+        if not os.path.isdir(data) and os.path.isdir(old):
+            os.rename(old, data)
+        return data
+
     def _data_files(self, schema: str, table: str) -> list[str]:
-        data_dir = os.path.join(self._tdir(schema, table), "data")
+        data_dir = self._live_data_dir(schema, table)
         if not os.path.isdir(data_dir):
             return []
         out = []
@@ -269,7 +286,7 @@ class ParquetWarehouse:
         total = sum(s.file_size_in_bytes for s in stats)
         n_files = max(1, math.ceil(total / target_file_size_bytes))
         df = self.read(schema, table)
-        data_dir = os.path.join(self._tdir(schema, table), "data")
+        data_dir = self._live_data_dir(schema, table)
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
         if meta.sort_order:
             # range-partition + in-partition sort: files get disjoint
@@ -287,8 +304,15 @@ class ParquetWarehouse:
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
         writer.parquet(tmp_dir)
-        shutil.rmtree(data_dir)
+        # crash-safe swap: data is live at every instant.  rename(data ->
+        # data_old) then rename(tmp -> data); a crash between the renames
+        # leaves data_old, which _live_data_dir serves until the next
+        # optimize.  (Iceberg backend: snapshot commit, no swap at all.)
+        old_dir = os.path.join(self._tdir(schema, table), "data_old")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(data_dir, old_dir)
         os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
         return len(self._data_files(schema, table))
 
     # --- B4: ALTER TABLE SET PROPERTIES ----------------------------------

@@ -157,6 +157,15 @@ def stream_into_warehouse(
     ids).  This is the ingest path: stream -> table, then every batch
     operator in operators/ runs over the table."""
 
+    if warehouse.table_meta(schema, table).partitioning:
+        # partitioned parquet tables ignore batch_id (shared data/ root), so
+        # a replayed epoch would duplicate rows — exactly-once needs the
+        # batch-dir layout here, or the Iceberg backend's snapshot commits
+        raise NotImplementedError(
+            "exactly-once streaming ingest into a partitioned parquet table "
+            "is not supported; use an unpartitioned table or Iceberg"
+        )
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         warehouse.append(schema, table, batch_df, batch_id=f"epoch_{epoch_id:08d}")
 

@@ -5,8 +5,6 @@ schema smoke check."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 import pytest
@@ -50,12 +48,12 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None
     for c in s.columns:
         sv, dv = s[c], d[c]
         if pd.api.types.is_float_dtype(sv):
+            # exact equality on purpose — the driver's value-hash is exact,
+            # so any tolerance here would hide a driver-visible mismatch
             for i, (a, b) in enumerate(zip(sv, dv)):
                 if pd.isna(a) and pd.isna(b):
                     continue
-                assert a == b or math.isclose(a, b, rel_tol=0, abs_tol=0), (
-                    f"{name}: value mismatch col={c} row={i}: {a!r} != {b!r}"
-                )
+                assert a == b, f"{name}: value mismatch col={c} row={i}: {a!r} != {b!r}"
         else:
             pd.testing.assert_series_equal(
                 sv, dv, check_dtype=False, check_names=False, obj=f"{name}.{c}"

@@ -103,6 +103,7 @@ def test_optimize_compacts_files(spark, tmp_path):
 
 def test_codec_bench_end_to_end(spark, tmp_path):
     cfg = narrow_example_config()
+    cfg.partitioning = []  # codec comparison on unpartitioned tables (CLI default)
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     plan = LoadPlan(
         total_rows=5000, batch_rows=2500, concurrency=1,
@@ -141,6 +142,26 @@ def test_codec_bench_end_to_end(spark, tmp_path):
         with open(p) as f:
             content = f.read()
         assert content.startswith("<svg") and "</svg>" in content
+
+
+def test_codec_bench_honors_declared_partitioning(spark, tmp_path):
+    """Declared config.partitioning must reach the variant tables (the
+    reference's dead-config defect, fixed for real)."""
+    import os
+
+    cfg = narrow_example_config()  # declares days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    plan = LoadPlan(
+        total_rows=2000, batch_rows=2000, concurrency=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), compact_after_load=False,
+        partitions_per_batch=2, progress=False,
+    )
+    res = run_codec_bench(spark, wh, cfg, plan, codec_levels=[("zstd", 3)], verbose=False)
+    assert res.sizes[0].row_count == 2000
+    table = variant_table_name(cfg.table_base, "zstd", 3)
+    data_dir = os.path.join(str(tmp_path / "wh"), cfg.schema, table, "data")
+    part_dirs = [d for d in os.listdir(data_dir) if d.startswith("created_at_day=")]
+    assert len(part_dirs) > 100  # ~366 day partitions over 2024
 
 
 def test_zstd_level_knob_changes_size(spark, tmp_path):
