@@ -236,6 +236,139 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_knn_vectorized(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force kNN with numpy matmul inside mapInPandas — the honest
+    100 TB shape for exact search: each partition computes
+    (batch x dim) @ (dim x n_queries) with SIMD against the broadcast query
+    matrix, keeps its local top-k, and TakeOrdered folds partitions.
+
+    The JVM expression twin (sim_knn_bruteforce) is the oracle-checked
+    baseline; this one is rows-only because BLAS pairwise summation is not
+    bitwise-stable against DuckDB's sequential fold."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf, "embeddings")
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # batch x n_queries
+            n_ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = n_ids != qid
+                # local top-k only — the driver merge sees k rows/partition
+                take = min(TOPK, mask.sum())
+                idx = np.argpartition(-col[mask], take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(n_ids[mask][idx])
+                out_s.extend(col[mask][idx])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "sim": out_s})
+
+    from pyspark.sql.window import Window as W
+
+    local = emb.select("vec_id", "embedding").mapInPandas(score, schema)
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+    )
+
+
+KMEANS_ITERS = 2
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids: KMEANS_ITERS distributed k-means
+    steps (assign via broadcast argmin, re-center via posexplode +
+    per-dimension mean) before building the inverted lists.
+
+    The iterative-algorithm template: each iteration is one shuffle of
+    (centroid_id, pos, value) triples; centroids collect to the driver
+    (C x dim doubles — tiny) and re-broadcast.  Rows-only (approximate)."""
+    emb = load_table(spark, sf, "embeddings")
+    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
+
+    centroids_rows = sorted(
+        unit.filter(F.col("vec_id") < IVF_CENTROIDS).collect(), key=lambda r: r.vec_id
+    )
+    centroids = [(i, list(r.u)) for i, r in enumerate(centroids_rows)]
+
+    for _ in range(KMEANS_ITERS):
+        c_df = F.broadcast(
+            unit.sparkSession.createDataFrame(centroids, ["centroid_id", "c_u"])
+        )
+        sim = _dot(F.col("u"), F.col("c_u"))
+        assigned = (
+            unit.crossJoin(c_df)
+            .groupBy("vec_id", "u")
+            .agg(F.min_by(F.col("centroid_id"), -sim).alias("centroid_id"))
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col("u")).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("centroid_id", F.transform(F.col("pm"), lambda s: s.m).alias("c_u"))
+        )
+        new = {r.centroid_id: list(r.c_u) for r in means.collect()}
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+
+    c_df = F.broadcast(
+        unit.sparkSession.createDataFrame(centroids, ["centroid_id", "c_u"])
+    )
+    sim_c = _dot(F.col("u"), F.col("c_u"))
+    listed = (
+        unit.crossJoin(c_df)
+        .groupBy("vec_id", "u")
+        .agg(F.min_by(F.col("centroid_id"), -sim_c).alias("centroid_id"))
+    )
+
+    queries = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+    )
+    qsim = _dot(F.col("q_u"), F.col("c_u"))
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probes = (
+        queries.crossJoin(c_df)
+        .select("q_id", "q_u", "centroid_id", qsim.alias("qsim"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("q_id", "q_u", "centroid_id")
+    )
+    sim = _dot(F.col("q_u"), F.col("u"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        listed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+    )
+
+
 def q_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Vector norm distribution — sanity metrology for the embedding column."""
     emb = load_table(spark, sf, "embeddings")
@@ -287,6 +420,16 @@ ORDER BY sim DESC, id_a, id_b LIMIT {NEAR_DUP_TOPK}
         q_ann_ivf,
         None,  # approximate by construction; rows-only driver check
         "ANN via IVF inverted lists (nearest-centroid probes)",
+    ),
+    "sim_ann_ivf_kmeans": Query(
+        q_ann_ivf_kmeans,
+        None,  # approximate + iterative; rows-only driver check
+        "IVF with distributed Lloyd-refined centroids (iterative algorithm)",
+    ),
+    "sim_knn_vectorized": Query(
+        q_knn_vectorized,
+        None,  # BLAS summation order is not bitwise-stable vs DuckDB
+        "brute-force kNN via numpy matmul in mapInPandas (scale path)",
     ),
     "sim_norm_stats": Query(
         q_norm_stats,
