@@ -211,6 +211,38 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+SALT_BUCKETS = 16
+
+
+def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key.
+
+    ~80% of events collapse onto one 'hot' key; a naive groupBy sends them
+    all to one reducer.  Salting appends a random-ish bucket to the key for
+    the partial aggregate (fan-out SALT_BUCKETS ways), then the tiny partial
+    results re-aggregate on the bare key.  Result is identical to the naive
+    plan — the oracle is the plain GROUP BY."""
+    ev = load_table(spark, sf, "events")
+    key = F.when(F.col("value") < 400, F.lit("hot")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    salted = ev.select(
+        key.alias("k"),
+        F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)).alias("salt"),
+        "value",
+    )
+    partial = salted.groupBy("k", "salt").agg(
+        F.count("*").alias("c"), F.sum("value").alias("s")
+    )
+    return (
+        partial.groupBy("k")
+        .agg(
+            F.sum("c").alias("cnt"),
+            F.round(F.sum("s"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_except_all(spark: SparkSession, sf: str) -> DataFrame:
     """EXCEPT ALL snapshot-diff shape: rows of events minus the deterministic
     sample — the multiset-difference operator incremental pipelines use to
@@ -333,6 +365,13 @@ QUERIES: dict[str, Query] = {
         "SELECT count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events "
         "WHERE event_id % 20 = 0",
         "deterministic key-modulus sampling",
+    ),
+    "skew_salted_agg": Query(
+        q_skew_salted_agg,
+        "SELECT CASE WHEN value < 400 THEN 'hot' ELSE CAST(user_id AS VARCHAR) END "
+        "AS k, count(*) AS cnt, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1",
+        "salted two-phase aggregation over a skewed key (== plain GROUP BY)",
     ),
     "profile_table": Query(
         q_profile_table,

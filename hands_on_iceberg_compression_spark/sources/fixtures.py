@@ -39,7 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate to Spark's native microseconds with *integer* division —
         # float division would lose precision (ns epochs exceed 2**53).
         # DuckDB applies the same ns->us truncation, so oracles agree.
+        #
+        # timestamp_micros() produces an *instant* (TIMESTAMP_LTZ) whose
+        # wall-clock rendering and string-literal comparisons depend on the
+        # session timezone; the stored values and every oracle are tz-naive.
+        # Pin the session to UTC so a non-UTC caller session cannot shift
+        # every events-timestamp predicate and rendering.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(path)
