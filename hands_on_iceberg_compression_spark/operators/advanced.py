@@ -211,6 +211,26 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_list aggregation: per event_type, the sorted value list of its
+    5 highest-value events, canonicalized to a string (collect order is
+    nondeterministic -> always sort before exposing)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    top = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    arr = F.array_sort(F.collect_list(F.round(F.col("value"), 2)))
+    return (
+        top.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(arr, lambda x: x.cast("string")), ","
+            ).alias("top_values")
+        )
+    )
+
+
 SALT_BUCKETS = 16
 
 
@@ -365,6 +385,20 @@ QUERIES: dict[str, Query] = {
         "SELECT count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events "
         "WHERE event_id % 20 = 0",
         "deterministic key-modulus sampling",
+    ),
+    "collect_sorted_topvalues": Query(
+        q_collect_sorted,
+        """
+WITH top AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       array_to_string(list_transform(list_sort(list(round(value, 2))), x -> CAST(x AS VARCHAR)), ',') AS top_values
+FROM top WHERE rn <= 5 GROUP BY event_type
+""",
+        "collect_list aggregation, sorted + canonicalized",
     ),
     "skew_salted_agg": Query(
         q_skew_salted_agg,
