@@ -91,6 +91,66 @@ def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function battery: rank family, lead/lag, ntile, running
+    aggregates — one sort per partition serves all of them."""
+    from pyspark.sql.window import Window
+
+    ev = _sample(spark, sf)
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("event_id", 1).over(w).alias("prev_id"),
+        F.lead("event_id", 1).over(w).alias("next_id"),
+        F.count("*").over(wrows).alias("running_cnt"),
+        F.round(F.sum("value").over(wrows), 2).alias("running_sum"),
+        F.first("event_id").over(w).alias("first_id"),
+    )
+
+
+def q_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime battery over the events timeline.  dayofweek is mapped
+    explicitly (Spark: 1=Sunday; DuckDB dayofweek: 0=Sunday)."""
+    ev = _sample(spark, sf)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("s"),
+        (F.dayofweek(ts) - 1).alias("dow_sun0"),
+        F.dayofyear(ts).alias("doy"),
+        F.date_trunc("hour", ts).alias("hour_bucket"),
+        # dates as ISO strings: pandas renders Spark DateType as datetime.date
+        # but DuckDB DATE as datetime64 — strings hash identically everywhere
+        F.date_format(ts, "yyyy-MM-dd").alias("day_str"),
+        F.datediff(F.lit("2024-06-01").cast("date"), F.to_date(ts)).alias("days_to_june"),
+        F.unix_micros(ts).alias("epoch_us"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the general form of rollup/cube)."""
+    from hands_on_iceberg_compression_spark.sources.fixtures import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE: all grouping-set combinations in one pass."""
     li = load_table(spark, sf, "lineitem")
@@ -147,6 +207,38 @@ FROM ints
         "round(fmod(value, 7.0), 2) AS mod7 "
         "FROM events WHERE event_id < 50",
         "math function battery",
+    ),
+    "window_funcs_battery": Query(
+        q_window_funcs,
+        "SELECT event_id, event_type, round(value, 2) AS value_r, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+        "row_number() OVER w AS rn, ntile(4) OVER w AS quartile, "
+        "lag(event_id, 1) OVER w AS prev_id, lead(event_id, 1) OVER w AS next_id, "
+        "count(*) OVER wr AS running_cnt, round(sum(value) OVER wr, 2) AS running_sum, "
+        "first_value(event_id) OVER w AS first_id "
+        "FROM events WHERE event_id < 50 "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id), "
+        "wr AS (PARTITION BY event_type ORDER BY value, event_id "
+        "ROWS UNBOUNDED PRECEDING)",
+        "window function battery",
+    ),
+    "datetime_funcs_battery": Query(
+        q_datetime_funcs,
+        "SELECT event_id, year(ts) AS y, month(ts) AS mo, dayofmonth(ts) AS d, "
+        "hour(ts) AS h, minute(ts) AS mi, CAST(floor(second(ts)) AS BIGINT) AS s, "
+        "dayofweek(ts) AS dow_sun0, dayofyear(ts) AS doy, "
+        "date_trunc('hour', ts) AS hour_bucket, strftime(ts, '%Y-%m-%d') AS day_str, "
+        "date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS days_to_june, "
+        "epoch_us(ts) AS epoch_us "
+        "FROM events WHERE event_id < 50",
+        "datetime function battery",
+    ),
+    "grouping_sets_agg": Query(
+        q_grouping_sets,
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+        "explicit GROUPING SETS",
     ),
     "cube_agg": Query(
         q_cube_agg,
