@@ -274,13 +274,24 @@ def q_except_all(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_gen_narrow_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Generator DSL through the driver contract: 1000 deterministic rows of
-    the narrow example schema (engine-specific hashing -> rows-only)."""
+    the narrow example schema (engine-specific hashing -> rows-only).
+
+    Array-typed columns are canonicalized to joined strings: the driver's
+    canonicalizer (pandas sort_values) dies on list cells even for rows-only
+    checks (the one ERROR in CORRECTNESS_r01.json)."""
     from hands_on_iceberg_compression_spark.functions.generators import generate_df
     from hands_on_iceberg_compression_spark.schema.reference_schemas import (
         narrow_example_config,
     )
 
-    return generate_df(spark, narrow_example_config(), 1, 1000, seed=42)
+    df = generate_df(spark, narrow_example_config(), 1, 1000, seed=42)
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "array":
+            df = df.withColumn(
+                field.name,
+                F.array_join(F.col(field.name).cast("array<string>"), ","),
+            )
+    return df
 
 
 def q_gen_wide_sample(spark: SparkSession, sf: str) -> DataFrame:

@@ -29,6 +29,12 @@ from hands_on_iceberg_compression_spark.sources.fixtures import load_table
 
 NGRAM_N = 3
 TOPK_PAIRS = 50
+# Hot-shingle document-frequency cap: a shingle shared by more than
+# NGRAM_MAX_DF documents is a stop-shingle and is dropped before the
+# self-join, bounding its pair contribution at MAX_DF^2/2 instead of
+# corpus^2/2.  At fixture scale the observed max DF is 7 (sf0.01) so the
+# cap is result-neutral there; it exists for the 100 TB posture.
+NGRAM_MAX_DF = 100
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
 MINHASH_JACCARD_THRESHOLD = 0.8  # trigram-shingle Jaccard; true dups ~0.99
@@ -103,9 +109,21 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     shingle self-join -> common counts; |A ∪ B| = |A| + |B| - common.
     Deterministic order: (jaccard desc, doc_a, doc_b).  Set sizes are
-    computed inline from the array (no extra shuffle) and broadcast."""
+    computed inline from the array (no extra shuffle) and broadcast.
+
+    Stop-shingles (document frequency > NGRAM_MAX_DF) are dropped before
+    the self-join via a window count over ``sh`` — one shuffle, hash-
+    partitioned on the same key the join needs, so the exchange is reused.
+    Union sizes stay uncapped (mirrored exactly in the oracle)."""
     docs = load_table(spark, sf, "documents")
-    sh = _shingle_df(docs, hashed=True)
+    from pyspark.sql.window import Window
+
+    sh_all = _shingle_df(docs, hashed=True)
+    sh = (
+        sh_all.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("doc_id", "sh")
+    )
     sizes = _with_trigrams(docs).select("doc_id", F.size(F.col("grams")).alias("n_sh"))
 
     a = sh.alias("a")
@@ -259,11 +277,15 @@ WITH toks AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM toks, unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS t(i)
   WHERE len(w) >= {NGRAM_N}
+), shf AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
+  ) WHERE df <= {NGRAM_MAX_DF}
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

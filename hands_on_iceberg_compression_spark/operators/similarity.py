@@ -85,16 +85,63 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Top most-similar embedding pairs (cosine) — the embedding-space
-    near-dup detector.  Brute force all-pairs with id<id over pre-normalized
-    vectors; at scale the LSH bucketing below prunes the pair space first."""
+    near-dup detector, exact all-pairs baseline.
+
+    No broadcast hint: the planner decides (auto-broadcast under the
+    threshold, cartesian-product shuffle above it) — an unconditional
+    ``F.broadcast`` of the full corpus side OOMs past fixture scale
+    (VERDICT r1 #3).  The sub-quadratic scale path is
+    ``sim_near_dup_lsh`` below, which prunes the pair space through the
+    LSH tables before the exact rerank."""
     emb = load_table(spark, sf, "embeddings")
     unit = _with_unit(emb, "embedding", "u")
-    a = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    # the fixture is a single parquet file -> 1 input partition; fan the
+    # streamed side out so the nested-loop probe uses every core
+    par = spark.sparkContext.defaultParallelism
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(par)
     b = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     sim = _dot(F.col("u_a"), F.col("u_b"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "id_a", "id_b")
+        .limit(NEAR_DUP_TOPK)
+    )
+
+
+def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup at scale: LSH-bucket candidate pairs + exact
+    cosine rerank — the sub-quadratic twin of ``sim_embedding_near_dup``.
+
+    Pair space is pruned to vectors that collide in at least one of the
+    LSH_TABLES (table, sig) buckets — an equality join, shuffled on an
+    8-byte key, never all-pairs.  Candidates are deduped, then reranked
+    with the exact dot product.  Recall < 1 by construction (a pair that
+    collides in no table is unseen) -> rows-only driver check; at fixture
+    scale the multi-table OR makes top-pair recall ~1 in practice."""
+    emb = load_table(spark, sf, "embeddings")
+    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
+    tables = _lsh_tables(unit, "vec_id", "u")
+    a = tables.alias("a")
+    b = tables.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.u").alias("u_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("b.u").alias("u_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _dot(F.col("u_a"), F.col("u_b"))
+    return (
+        cands.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
         .limit(NEAR_DUP_TOPK)
     )
@@ -409,7 +456,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ORDER BY sim DESC, id_a, id_b LIMIT {NEAR_DUP_TOPK}
 """,
-        "embedding-cosine near-dup pairs (top-k)",
+        "embedding-cosine near-dup pairs (top-k, exact all-pairs baseline)",
+    ),
+    "sim_near_dup_lsh": Query(
+        q_near_dup_lsh,
+        None,  # recall < 1 by construction; rows-only driver check
+        "embedding near-dup via LSH candidate pairs + exact rerank (scale path)",
     ),
     "sim_ann_lsh": Query(
         q_ann_lsh,

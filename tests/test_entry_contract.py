@@ -34,3 +34,39 @@ def test_registry_consistent():
     assert len(oracles) >= 0.75 * len(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_driver_window_composition():
+    """The driver grades only the FIRST 50 registry entries (VERDICT r1).
+    Pin the window: every LLM-pipeline operator, the temporal ops, all
+    function batteries, the D1-D10 workload core, and both generator
+    samples must be inside; the window must be exactly the declared list."""
+    from hands_on_iceberg_compression_spark.operators import (
+        DRIVER_WINDOW,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
+
+    must_be_graded = {
+        "dedup_exact", "dedup_exact_stats", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash",
+        "sim_knn_bruteforce", "sim_embedding_near_dup", "sim_near_dup_lsh",
+        "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_kmeans",
+        "sim_knn_vectorized", "sim_norm_stats",
+        "text_token_stats", "text_token_count_bpe", "text_quality_score",
+        "text_lang_id", "text_fingerprint", "text_word_freq_topk",
+        "mm_extract_features", "mm_frame_sample", "mm_meta_stats",
+        "token_count_pandas_udf", "zscore_per_user",
+        "asof_join", "sessionize", "session_stats", "range_join_banded",
+        "scalar_funcs", "string_funcs_battery", "array_funcs_battery",
+        "math_funcs_battery", "window_funcs_battery",
+        "datetime_funcs_battery", "grouping_sets_agg", "cube_agg",
+        "scan_limit", "count_star", "filter_eq_string",
+        "filter_eq_timestamp", "filter_range_conj", "filter_between",
+        "like_rare", "flagship_conjunction", "agg_ratio_nullif",
+        "agg_coalesce", "gen_narrow_sample", "gen_wide_sample",
+    }
+    assert must_be_graded <= set(DRIVER_WINDOW)
