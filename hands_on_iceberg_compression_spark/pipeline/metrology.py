@@ -25,7 +25,12 @@ class SizeRow:
     row_count: int
     bytes_per_row: float | None
     file_count: int
-    manifest_bytes: int = 0  # parquet backend has no manifests; Iceberg fills it
+    # C8 manifest bytes.  On the Iceberg backend this is SUM over $manifests;
+    # on the parquet backend we report the summed serialized footer sizes —
+    # the footer carries the same stats index (schema, per-column min/max/
+    # null counts, offsets) Iceberg lifts into manifests, so it is the
+    # honest metadata-overhead equivalent rather than a constant 0.
+    manifest_bytes: int = 0
 
     @property
     def total_bytes(self) -> int:
@@ -68,6 +73,7 @@ def measure_sizes(
         row_count=rows,
         bytes_per_row=round(data_bytes / rows, 2) if rows else None,  # NULLIF(rows,0)
         file_count=len(stats),
+        manifest_bytes=sum(s.footer_bytes for s in stats),
     )
 
 

@@ -17,11 +17,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 FORMATS = ("parquet", "csv", "json", "orc")
+# AVRO completes the reference's format enum ("PARQUET"|"ORC"|"AVRO",
+# types.ts:35) but needs the external spark-avro module, which is not on
+# this container's classpath (no network; probe below).  When the jar is
+# present, avro becomes a first-class member of the same read/write surface.
+OPTIONAL_FORMATS = ("avro",)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro data source resolves (jar on classpath).
+
+    Class-presence alone lies here: avro-* core jars ship with Spark while
+    the DataSourceRegister entry lives in the external spark-avro module,
+    so we ask Spark's own source lookup."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", compression: str | None = None, **options) -> None:
-    if fmt not in FORMATS:
-        raise ValueError(f"format {fmt!r} not in {FORMATS}")
+    if fmt not in FORMATS + OPTIONAL_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {FORMATS + OPTIONAL_FORMATS}")
     w = df.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
@@ -35,8 +55,8 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", compression: str
 def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", schema: T.StructType | str | None = None, **options
 ) -> DataFrame:
-    if fmt not in FORMATS:
-        raise ValueError(f"format {fmt!r} not in {FORMATS}")
+    if fmt not in FORMATS + OPTIONAL_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {FORMATS + OPTIONAL_FORMATS}")
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

@@ -94,11 +94,17 @@ def apply_partition_transforms(df: DataFrame, partitioning: list[str]):
 @dataclass
 class FileStat:
     """One data file — mirrors Iceberg ``$files`` columns we consume
-    (bench.ts:131-140)."""
+    (bench.ts:131-140).
+
+    ``footer_bytes`` is the serialized parquet footer (schema + per-column
+    chunk min/max/null stats + offsets) — the same metadata Iceberg lifts
+    into manifests, so it serves as the parquet backend's manifest-
+    equivalent for C8 instead of a constant 0."""
 
     file_path: str
     file_size_in_bytes: int
     record_count: int
+    footer_bytes: int = 0
 
 
 @dataclass
@@ -269,7 +275,9 @@ class ParquetWarehouse:
         stats = []
         for path in self._data_files(schema, table):
             md = pq.ParquetFile(path).metadata
-            stats.append(FileStat(path, os.path.getsize(path), md.num_rows))
+            stats.append(
+                FileStat(path, os.path.getsize(path), md.num_rows, md.serialized_size)
+            )
         return stats
 
     # --- C6: compaction (ALTER TABLE ... EXECUTE optimize) ---------------

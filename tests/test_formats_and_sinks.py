@@ -31,6 +31,26 @@ def test_format_roundtrips(spark, tmp_path):
         assert a == b, fmt
 
 
+def test_format_roundtrip_avro(spark, tmp_path):
+    """AVRO completes the reference format enum (types.ts:35); the external
+    spark-avro module is not on this container's classpath (no network), so
+    this documents the absence as a skip-with-reason and becomes a real
+    round-trip the moment the jar appears."""
+    import pytest
+
+    from hands_on_iceberg_compression_spark.sources.formats import avro_available
+
+    if not avro_available(spark):
+        pytest.skip(
+            "spark-avro jar not on classpath (external module; container has "
+            "no network) — avro surface is wired but environment-blocked"
+        )
+    src = load_table(spark, SF_SMALL, "lineitem").limit(500)
+    path = str(tmp_path / "avro")
+    write_table(src, path, "avro")
+    assert read_table(spark, path, "avro", schema=src.schema).count() == 500
+
+
 def test_stream_into_warehouse(spark, tmp_path):
     from hands_on_iceberg_compression_spark.streaming.events_stream import (
         read_events_stream,

@@ -66,6 +66,9 @@ def test_load_checkpoint_and_metrology(spark, tmp_path):
     size = measure_sizes(wh, cfg.schema, table, "zstd", 6)
     assert size.row_count == 3000
     assert size.data_bytes > 0 and size.bytes_per_row > 0
+    # C8 manifest-equivalent: parquet footer index bytes, never a constant 0
+    assert 0 < size.manifest_bytes < size.data_bytes
+    assert size.total_bytes == size.data_bytes + size.manifest_bytes
 
     # re-run is a no-op (checkpoint restart invariant, bench.ts:69-74)
     stats2 = load_table(spark, wh, cfg, table, plan)
