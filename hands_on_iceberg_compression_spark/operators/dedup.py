@@ -170,14 +170,9 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash + LSH banding candidates, verified with exact shingle Jaccard.
-
-    Pipeline: signature (1 shuffle, fixed 512B/doc) -> band explode -> bucket
-    equality join (sub-quadratic) -> exact verify on candidates only.
-    Engine-specific hashing -> rows-only driver check; the jaccard column
-    itself is exact math."""
-    docs = load_table(spark, sf, "documents")
+def _verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs: MinHash signature -> LSH band
+    buckets -> candidate equi-join -> exact-Jaccard verify -> threshold."""
     sig = _minhash_signatures(docs)
 
     rows_per_band = MINHASH_PERMS // LSH_BANDS
@@ -225,7 +220,70 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
-        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH banding candidates, verified with exact shingle Jaccard.
+
+    Pipeline: signature (1 shuffle, fixed 512B/doc) -> band explode -> bucket
+    equality join (sub-quadratic) -> exact verify on candidates only.
+    Engine-specific hashing -> rows-only driver check; the jaccard column
+    itself is exact math."""
+    docs = load_table(spark, sf, "documents")
+    return _verified_near_dup_pairs(docs).orderBy(
+        F.col("jaccard").desc(), "doc_a", "doc_b"
+    )
+
+
+CC_ITERS = 6  # min-label propagation rounds; near-dup components are tiny
+               # (dup clusters), so diameter << CC_ITERS at any corpus size
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS via connected components over the verified
+    MinHash-LSH pair graph — the operator that turns pairwise near-dups into
+    survivor selection (keep one doc per component).
+
+    Iterative min-label propagation: each round, every vertex takes the min
+    label among itself and its neighbors — one join + one groupBy per round,
+    all shuffles on the doc_id key.  Dup-cluster diameter is small by
+    construction (near-dup similarity is ~transitive at 0.8 Jaccard), so a
+    fixed CC_ITERS rounds reaches the fixpoint; the classic large-star/
+    small-star alternation drops in here if components ever grow deep.
+    Engine-specific hashing upstream -> rows-only driver check."""
+    docs = load_table(spark, sf, "documents")
+    edges = _verified_near_dup_pairs(docs).select("doc_a", "doc_b")
+    # symmetric closure once; labels ride on the vertex set of the edge graph
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(CC_ITERS):
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.v)
+            .groupBy(F.col("doc_a").alias("v2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
     )
 
 
@@ -306,5 +364,10 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT {TOPK_PAIRS}
         q_simhash,
         None,  # engine-specific hashing; rows-only driver check
         "SimHash document signatures",
+    ),
+    "dedup_cluster_sizes": Query(
+        q_dedup_cluster_sizes,
+        None,  # hashing upstream + iterative; rows-only driver check
+        "near-dup cluster-size histogram via connected components",
     ),
 }

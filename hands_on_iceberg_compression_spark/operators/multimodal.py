@@ -93,9 +93,18 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def q_mm_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary payload -> Arrow-batched feature extraction via mapInPandas."""
+    """Binary payload -> Arrow-batched feature extraction via mapInPandas.
+
+    The feature vector crosses the UDF boundary as a real array<double>
+    (that is the plumbing under test); the driver-facing projection joins
+    it to a string because the driver canonicalizer dies on list cells
+    (same class as the r01 gen_narrow_sample ERROR)."""
     docs = load_table(spark, sf, "documents")
-    return with_binary_payload(docs).mapInPandas(_extract_features, _FEATURE_SCHEMA)
+    feats = with_binary_payload(docs).mapInPandas(_extract_features, _FEATURE_SCHEMA)
+    return feats.withColumn(
+        "feature",
+        F.array_join(F.transform(F.col("feature"), lambda x: x.cast("string")), ","),
+    )
 
 
 def q_mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:

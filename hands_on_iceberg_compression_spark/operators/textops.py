@@ -145,6 +145,109 @@ def q_word_freq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- benchmark contamination -------------------------------------------------
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> pseudo-benchmark/eval document
+CONTAM_TOPK = 50
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, count
+    word-3-gram shingles shared with the (held-out) eval set — the standard
+    n-gram-overlap decontamination pass before pre-training.
+
+    Scale shape: eval suites are small and fixed, so the distinct eval
+    shingle set is broadcast; the training side is a linear scan + one
+    map-side-combinable count.  Shingles are 8-byte xxhash64 keys on the
+    Spark side (counts equal the oracle's raw-string counts w.h.p.)."""
+    from hands_on_iceberg_compression_spark.operators.dedup import _shingle_df
+
+    docs = load_table(spark, sf, "documents")
+    sh = _shingle_df(docs, hashed=True)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .orderBy(F.col("n_shared_shingles").desc(), "doc_id")
+        .limit(CONTAM_TOPK)
+    )
+
+
+# --- stratified sampling -----------------------------------------------------
+# per-language sampling rates out of 100: downsample the majority language,
+# keep minorities — the standard training-mix rebalancing op
+_STRATA_RATES = {"en": 10, "es": 40, "de": 40, "fr": 40}
+_DEFAULT_RATE = 25
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language stratified sample: admit doc when
+    ``doc_id % 100 < rate(lang)``; report per-language totals, sampled
+    counts, and achieved rates.  Hash-mod admission is reproducible across
+    partitionings/retries — the property random() sampling loses."""
+    docs = load_table(spark, sf, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    admitted = F.pmod(F.col("doc_id"), F.lit(100)) < rate
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(admitted.cast("long")).alias("n_sampled"),
+        )
+        .withColumn(
+            "achieved_rate",
+            F.round(F.col("n_sampled").cast("double") / F.col("n_total"), 4),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- length histogram --------------------------------------------------------
+LEN_BUCKET = 100
+
+
+def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-length histogram (floor(n_chars/LEN_BUCKET) buckets) — the
+    length-distribution metrology every corpus audit starts with."""
+    docs = load_table(spark, sf, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(LEN_BUCKET))
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+def q_quality_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed pre-training filter chain (the realistic end-to-end shape):
+    keep docs with enough tokens, non-degenerate distinct-token ratio, and a
+    resolvable language; report survivors per (lang, source).  One scan,
+    all-JVM expressions, map-side-combinable aggregation."""
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    kept = docs.filter(
+        (n >= 5) & (uniq_ratio > 0.3) & F.col("lang").isin(*_LANG_MARKERS.keys())
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg(F.size(_tokens(F.col("text")))), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -211,5 +314,68 @@ QUERIES: dict[str, Query] = {
         "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
         "AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 20",
         "corpus token frequency top-k",
+    ),
+    "text_contamination_check": Query(
+        q_contamination_check,
+        f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+), train AS (
+  SELECT * FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM train JOIN eval_sh USING (sh)
+GROUP BY doc_id
+ORDER BY n_shared_shingles DESC, doc_id LIMIT {CONTAM_TOPK}
+""",
+        "benchmark-contamination check (eval-set n-gram overlap)",
+    ),
+    "text_sample_stratified": Query(
+        q_sample_stratified,
+        f"""
+SELECT lang, count(*) AS n_total,
+       CAST(count(*) FILTER (doc_id % 100 <
+         CASE lang WHEN 'en' THEN {_STRATA_RATES['en']} WHEN 'es' THEN {_STRATA_RATES['es']}
+                   WHEN 'de' THEN {_STRATA_RATES['de']} WHEN 'fr' THEN {_STRATA_RATES['fr']}
+                   ELSE {_DEFAULT_RATE} END) AS BIGINT) AS n_sampled,
+       round(CAST(count(*) FILTER (doc_id % 100 <
+         CASE lang WHEN 'en' THEN {_STRATA_RATES['en']} WHEN 'es' THEN {_STRATA_RATES['es']}
+                   WHEN 'de' THEN {_STRATA_RATES['de']} WHEN 'fr' THEN {_STRATA_RATES['fr']}
+                   ELSE {_DEFAULT_RATE} END) AS DOUBLE) / count(*), 4) AS achieved_rate
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "deterministic per-language stratified sampling stats",
+    ),
+    "text_length_histogram": Query(
+        q_length_histogram,
+        f"""
+SELECT CAST(floor(n_chars / {LEN_BUCKET}) AS BIGINT) AS len_bucket, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+        "document length histogram",
+    ),
+    "text_quality_filter_pipeline": Query(
+        q_quality_filter_pipeline,
+        """
+WITH scored AS (
+  SELECT lang, source, text, len(string_split(text, ' ')) AS n,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_kept,
+       round(avg(n), 4) AS avg_tokens
+FROM scored
+WHERE n >= 5 AND uniq_ratio > 0.3 AND lang IN ('en', 'es', 'de', 'fr')
+GROUP BY lang, source ORDER BY lang, source
+""",
+        "composed pre-training quality filter chain",
     ),
 }
