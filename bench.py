@@ -48,7 +48,7 @@ HEADLINE = [
     "text_word_freq_topk",
 ]
 
-RUNS = 2
+RUNS = 3  # warm best-of-3 — the reference's published protocol (BASELINE.md)
 
 
 def main() -> None:

@@ -274,6 +274,11 @@ def q_window_topn(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf, "orders")
+    # NB: o_orderpriority has 5 values, so the final per-partition reducers
+    # bound parallelism at 5 — acceptable for top-3-per-priority (each
+    # reducer streams its partition once); a high-cardinality partition key
+    # or a pre-aggregation (local top-3 per input split, then re-rank)
+    # is the shape to reach for if the key set were wider than the cluster.
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )

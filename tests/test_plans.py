@@ -112,3 +112,55 @@ def test_dedup_exact_groups_on_digest_not_text(spark):
     # shuffle key is the md5 digest, so the exchange must not carry raw text
     exchange = plan[plan.index("Exchange") :].split("\n", 3)
     assert "text" not in exchange[0]
+
+
+def test_contamination_broadcasts_eval_shingles(spark):
+    """The eval shingle set (bounded: benchmark suites are small) must be
+    the broadcast side; the training scan stays streaming."""
+    from hands_on_iceberg_compression_spark.operators.textops import (
+        q_contamination_check,
+    )
+
+    df = q_contamination_check(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_near_dup_no_unconditional_corpus_broadcast(spark):
+    """sim_embedding_near_dup must not carry an unconditional broadcast
+    hint on the corpus side (VERDICT r1 #3) — the physical plan may still
+    auto-broadcast under the size threshold, which is the point: the
+    planner decides from statistics, not a hint that OOMs at scale."""
+    from hands_on_iceberg_compression_spark.operators.similarity import (
+        q_embedding_near_dup,
+    )
+
+    df = q_embedding_near_dup(spark, SF_SMALL)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+
+
+def test_stratified_sample_single_scan_partial_agg(spark):
+    """Stratified sampling must be one scan + map-side-combinable agg."""
+    from hands_on_iceberg_compression_spark.operators.textops import (
+        q_sample_stratified,
+    )
+
+    import re
+
+    df = q_sample_stratified(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # one scan node (formatted output repeats the name in the detail block)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The max_df window count partitions on `sh` — the same key the
+    self-join shuffles on — so the exchange must be reused, not doubled."""
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        q_ngram_jaccard_topk,
+    )
+
+    df = q_ngram_jaccard_topk(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" in plan
