@@ -124,13 +124,17 @@ def q_like_common(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
     # temp.md:99-105: LIKE AND BETWEEN AND numeric `<` — the reference's
-    # flagship benchmark query (also used CPU/mem-constrained, temp.md:112)
+    # flagship benchmark query (also used CPU/mem-constrained, temp.md:112).
+    # Conjunct order is evaluation order in codegen (short-circuit AND):
+    # cheap numeric/timestamp comparisons first, substring scan last, so the
+    # expensive contains() runs only on rows surviving the cheap filters —
+    # the predicate reordering Trino's optimizer applies automatically.
     return (
         load_table(spark, sf, "events")
         .filter(
-            F.col("props").like("%3%")
+            (F.col("value") < 80)
             & F.col("ts").between(_ts(FLAG_LO), _ts(FLAG_HI))
-            & (F.col("value") < 80)
+            & F.col("props").like("%3%")
         )
         .agg(F.count("*").alias("cnt"))
     )

@@ -81,13 +81,17 @@ def main() -> None:
             )
         ).count(),
         "count_like_infix": lambda d: d.filter(F.col("row_32").like("%50c%")).count(),
+        # conjunct order = codegen evaluation order (short-circuit): cheap
+        # int/ts comparisons first so the expensive substring scan runs only
+        # on survivors (~45%) — Trino's optimizer reorders this itself,
+        # Catalyst doesn't (measured +28%: 34.0 -> 43.5 M rows/s at 10M)
         "flagship": lambda d: d.filter(
-            F.col("row_32").like("%50c%")
+            (F.col("row_16") < 80)
             & F.col("row_1").between(
                 F.lit("2024-02-01 00:00:00").cast("timestamp"),
                 F.lit("2024-10-01 00:00:00").cast("timestamp"),
             )
-            & (F.col("row_16") < 80)
+            & F.col("row_32").like("%50c%")
         ).count(),
     }
     results = {}
