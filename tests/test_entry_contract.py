@@ -70,3 +70,23 @@ def test_driver_window_composition():
         "agg_coalesce", "gen_narrow_sample", "gen_wide_sample",
     }
     assert must_be_graded <= set(DRIVER_WINDOW)
+
+
+def test_no_complex_types_in_driver_results(spark):
+    """The driver canonicalizes EVERY result (including rows-only) with a
+    pandas sort; array/map/struct cells raise `unhashable type` there (the
+    r01 gen_narrow_sample ERROR and the caught-locally mm_extract_features
+    case).  Lint the whole registry: driver-facing schemas must be atomic."""
+    from pyspark.sql import types as T
+
+    from hands_on_iceberg_compression_spark.operators import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    bad = []
+    for name, q in all_queries().items():
+        df = q.build(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"complex-typed driver results: {bad}"
