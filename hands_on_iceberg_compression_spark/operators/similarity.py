@@ -124,6 +124,9 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     tables = _lsh_tables(unit, "vec_id", "u")
     a = tables.alias("a")
     b = tables.alias("b")
+    # dedup the 16-byte id pairs BEFORE re-attaching vectors: a pair that
+    # collides in several tables would otherwise drag two ~0.5 KB unit
+    # vectors through the distinct shuffle once per collision
     cands = (
         a.join(
             b,
@@ -131,17 +134,16 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("a.u").alias("u_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("b.u").alias("u_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
+    va = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    vb = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     sim = _dot(F.col("u_a"), F.col("u_b"))
     return (
-        cands.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
         .limit(NEAR_DUP_TOPK)
     )
