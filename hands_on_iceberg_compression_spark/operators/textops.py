@@ -248,6 +248,49 @@ def q_quality_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end corpus-curation funnel in one plan: raw -> quality
+    filter -> exact dedup (digest survivor = min doc_id) -> stratified
+    sample, reporting the count at every stage.
+
+    This is the composed shape a real pre-training data pipeline runs; each
+    stage is the operator tested standalone elsewhere (quality:
+    q_quality_filter_pipeline, dedup: q_dedup_exact, sampling:
+    q_sample_stratified).  Two aggregation branches (stream counts +
+    per-digest survivors) joined on a literal — no data-dependent shuffle
+    beyond the digest groupBy."""
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    is_quality = (
+        (n >= 5) & (uniq_ratio > 0.3) & F.col("lang").isin(*_LANG_MARKERS.keys())
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    quality = docs.filter(is_quality).select(
+        "doc_id", "lang", F.md5(norm.cast("binary")).alias("digest")
+    )
+
+    stream_counts = docs.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(is_quality.cast("long")).alias("n_quality"),
+    )
+
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    survivors = quality.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("lang", "doc_id").alias("lang")
+    )
+    survivor_counts = survivors.agg(
+        F.count("*").alias("n_unique"),
+        F.sum((F.pmod(F.col("doc_id"), F.lit(100)) < rate).cast("long")).alias(
+            "n_sampled"
+        ),
+    )
+    return stream_counts.crossJoin(survivor_counts)
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -377,5 +420,40 @@ WHERE n >= 5 AND uniq_ratio > 0.3 AND lang IN ('en', 'es', 'de', 'fr')
 GROUP BY lang, source ORDER BY lang, source
 """,
         "composed pre-training quality filter chain",
+    ),
+    "pipeline_curation_funnel": Query(
+        q_curation_funnel,
+        f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+), quality AS (
+  SELECT doc_id, lang,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest
+  FROM scored
+  WHERE n >= 5 AND uniq_ratio > 0.3 AND lang IN ('en', 'es', 'de', 'fr')
+), stream_counts AS (
+  SELECT count(*) AS n_raw,
+         CAST(count(*) FILTER (
+           n >= 5 AND uniq_ratio > 0.3 AND lang IN ('en', 'es', 'de', 'fr')
+         ) AS BIGINT) AS n_quality
+  FROM scored
+), survivors AS (
+  SELECT digest, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+  FROM quality GROUP BY digest
+), survivor_counts AS (
+  SELECT count(*) AS n_unique,
+         CAST(count(*) FILTER (doc_id % 100 <
+           CASE lang WHEN 'en' THEN {_STRATA_RATES['en']} WHEN 'es' THEN {_STRATA_RATES['es']}
+                     WHEN 'de' THEN {_STRATA_RATES['de']} WHEN 'fr' THEN {_STRATA_RATES['fr']}
+                     ELSE {_DEFAULT_RATE} END) AS BIGINT) AS n_sampled
+  FROM survivors
+)
+SELECT n_raw, n_quality, n_unique, n_sampled FROM stream_counts, survivor_counts
+""",
+        "end-to-end curation funnel: raw -> quality -> dedup -> sample counts",
     ),
 }
