@@ -291,6 +291,89 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return stream_counts.crossJoin(survivor_counts)
 
 
+# --- context-window chunking -------------------------------------------------
+CHUNK_TOKENS = 16  # tokens per chunk
+CHUNK_STRIDE = 12  # tokens advanced per chunk (CHUNK_TOKENS - overlap)
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    CHUNK_TOKENS-token windows advanced by CHUNK_STRIDE — the tokenize-and-
+    pack step before training.  Pure JVM: one sequence+slice HOF over the
+    materialized token array, exploded; no shuffle at all (the plan is scan
+    -> project -> generate), so it scales with input splits."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n = F.size(F.col("w"))
+    # chunk starts: 1, 1+stride, ... while start <= n - CHUNK_TOKENS (plus
+    # a final shorter tail chunk when the stride does not land exactly)
+    n_full = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(CHUNK_TOKENS)).cast("double") / CHUNK_STRIDE).cast("int")
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_full), lambda i: i * CHUNK_STRIDE + 1
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(F.col("w"), s, CHUNK_TOKENS), " ")
+    )
+    return (
+        toks.filter(n >= 1)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
+        )
+    )
+
+
+# --- winnowing fingerprints (rolling-hash k-gram minima, MOSS scheme) --------
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # winnow window: one fingerprint kept per W consecutive k-grams
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every WINNOW_K-token k-gram,
+    keep the minimum hash in each window of WINNOW_W consecutive k-grams,
+    dedup — the rolling-hash fingerprint family (MOSS) used for local
+    near-dup/plagiarism detection, where exact-dup docs share fingerprints
+    with any overlapping region.
+
+    All array HOFs over the materialized token projection (no shuffle until
+    the final per-doc count); xxhash64 k-gram hashing -> rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n = F.size(F.col("w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(WINNOW_K - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                *[F.element_at(F.col("w"), i + j) for j in range(WINNOW_K)],
+            )
+        ),
+    )
+    hashed = toks.filter(n >= WINNOW_K).select(
+        "doc_id", grams.alias("g"), (n - F.lit(WINNOW_K)).alias("last0")
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("last0") - F.lit(WINNOW_W - 2))),
+        lambda s: F.array_min(F.slice(F.col("g"), s, WINNOW_W)),
+    )
+    return (
+        hashed.select("doc_id", F.array_distinct(mins).alias("fps"))
+        .select(
+            "doc_id",
+            F.size(F.col("fps")).alias("n_fingerprints"),
+            F.array_join(
+                F.transform(F.array_sort(F.col("fps")), lambda x: x.cast("string")),
+                ",",
+            ).alias("fingerprints"),
+        )
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -455,5 +538,29 @@ WITH scored AS (
 SELECT n_raw, n_quality, n_unique, n_sampled FROM stream_counts, survivor_counts
 """,
         "end-to-end curation funnel: raw -> quality -> dedup -> sample counts",
+    ),
+    "text_chunk_documents": Query(
+        q_chunk_documents,
+        f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(w, i*{CHUNK_STRIDE}+1, i*{CHUNK_STRIDE}+{CHUNK_TOKENS}), ' ') AS chunk_text
+  FROM base, unnest(generate_series(0,
+    greatest(0, CAST(ceil((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT)))) AS t(i)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+       len(string_split(chunk_text, ' ')) AS chunk_tokens
+FROM chunks
+""",
+        "context-window chunking (overlapping token windows)",
+    ),
+    "text_winnow_fingerprints": Query(
+        q_winnow_fingerprints,
+        None,  # xxhash64 k-gram hashing; rows-only driver check
+        "winnowing fingerprints (rolling k-gram hash minima, MOSS scheme)",
     ),
 }
