@@ -70,7 +70,14 @@ def _with_unit(df: DataFrame, emb_col: str, out_col: str) -> DataFrame:
 
 
 def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact cosine top-k for each of the N_QUERIES query vectors."""
+    """Exact cosine top-k for each of the N_QUERIES query vectors.
+
+    The final window ranks per q_id (N_QUERIES reducers).  At cluster scale
+    that final rank should be preceded by a per-input-partition top-k
+    pre-reduction (two-level rank over (q_id, spark_partition_id) — measured
+    bit-identical, but ~8% slower on the single-file fixture where there is
+    nothing to pre-reduce); sim_knn_vectorized IS that shape, with the
+    local top-k folded inside the Arrow batch loop."""
     emb = load_table(spark, sf, "embeddings")
     unit = _with_unit(emb, "embedding", "u")
     queries = unit.filter(F.col("vec_id") < N_QUERIES).select(
