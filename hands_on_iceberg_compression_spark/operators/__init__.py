@@ -87,9 +87,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # generator DSL through the driver contract (2)
     "gen_narrow_sample",
     "gen_wide_sample",
-    # representative join + window shapes (2)
-    "tpch_q3_shape",
-    "window_topn",
+    # round-2 pipeline flagships (2) — tpch_q3_shape / window_topn were
+    # r01-green and rotate out to make room (still locally oracle-checked)
+    "pipeline_curation_funnel",
+    "text_contamination_check",
 )
 
 

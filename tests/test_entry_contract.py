@@ -68,6 +68,7 @@ def test_driver_window_composition():
         "filter_eq_timestamp", "filter_range_conj", "filter_between",
         "like_rare", "flagship_conjunction", "agg_ratio_nullif",
         "agg_coalesce", "gen_narrow_sample", "gen_wide_sample",
+        "pipeline_curation_funnel", "text_contamination_check",
     }
     assert must_be_graded <= set(DRIVER_WINDOW)
 
