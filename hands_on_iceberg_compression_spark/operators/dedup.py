@@ -251,13 +251,19 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     construction (near-dup similarity is ~transitive at 0.8 Jaccard), so a
     fixed CC_ITERS rounds reaches the fixpoint; the classic large-star/
     small-star alternation drops in here if components ever grow deep.
-    Engine-specific hashing upstream -> rows-only driver check."""
+    Engine-specific hashing upstream -> rows-only driver check.
+
+    Lineage discipline (the iterative-algorithm rule): the edge graph is
+    materialized ONCE (localCheckpoint) and the label frame's lineage is
+    truncated every round — without this the unrolled plan embeds the
+    whole upstream LSH pipeline 2^iters times and OOMs the driver during
+    planning, at any data size."""
     docs = load_table(spark, sf, "documents")
     edges = _verified_near_dup_pairs(docs).select("doc_a", "doc_b")
     # symmetric closure once; labels ride on the vertex set of the edge graph
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("doc_a").alias("v"))
         .distinct()
@@ -277,6 +283,9 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
                     "label"
                 ),
             )
+            # labels_{i+1} references labels_i twice (directly and through
+            # neigh) — without truncation the plan doubles every round
+            .localCheckpoint(eager=True)
         )
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
