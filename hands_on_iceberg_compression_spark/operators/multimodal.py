@@ -139,6 +139,68 @@ def q_mm_meta_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized_crc32", T.LongType()),
+    ]
+)
+
+RESIZE_FACTOR = 2  # halve each dimension
+
+
+def _fake_resize(payload: bytes, factor: int) -> bytes:
+    """STUB for a real image resampler (no codec libs in this container).
+
+    Deterministic stand-in: nearest-neighbor on the byte stream (every
+    factor^2-th byte — the area ratio of a 2D downscale).  Swap for
+    PIL.Image.resize in a real deployment; the Spark plumbing (Arrow batch
+    in, new payload + updated metadata out) is what's under test."""
+    return payload[:: factor * factor]
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: _fake_resize(bytes(b), RESIZE_FACTOR))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len),
+                "resized_bytes": resized.map(len),
+                "new_width": (pdf["width"] // RESIZE_FACTOR).astype("int32"),
+                "new_height": (pdf["height"] // RESIZE_FACTOR).astype("int32"),
+                "resized_crc32": resized.map(lambda b: zlib.crc32(b) & 0xFFFFFFFF),
+            }
+        )
+
+
+def mm_resize_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize with the content crc of the resampled bytes — proves payload
+    bytes flow through the UDF; tested in pytest, not driver-exposed (the
+    crc is not SQL-expressible)."""
+    docs = load_table(spark, sf, "documents")
+    mm = with_binary_payload(docs).select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return mm.mapInPandas(_resize_batches, _RESIZE_SCHEMA)
+
+
+def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize: Arrow-batched payload resampling with metadata update — the
+    third leg of the decode/extract/resize/frame-sample multimodal quartet.
+    Driver projection keeps the SQL-expressible columns (sizes + new dims)
+    so the full DuckDB oracle applies; the content crc variant is
+    mm_resize_full (pytest-checked)."""
+    return mm_resize_full(spark, sf).drop("resized_crc32")
+
+
 QUERIES: dict[str, Query] = {
     "mm_extract_features": Query(
         q_mm_features,
@@ -163,5 +225,16 @@ SELECT count(*) AS n_assets, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
 FROM documents
 """,
         "multimodal: metadata-struct aggregation with payload pruning",
+    ),
+    "mm_resize": Query(
+        q_mm_resize,
+        f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(ceil(length(text) / {RESIZE_FACTOR * RESIZE_FACTOR}.0) AS BIGINT) AS resized_bytes,
+       CAST((doc_id % 640) // {RESIZE_FACTOR} AS INTEGER) AS new_width,
+       CAST((doc_id % 480) // {RESIZE_FACTOR} AS INTEGER) AS new_height
+FROM documents
+""",
+        "multimodal: Arrow-batched resize with metadata update",
     ),
 }

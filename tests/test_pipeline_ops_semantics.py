@@ -78,3 +78,23 @@ def test_cluster_membership_consistent_with_pairs(spark):
         .collect()[0][0]
     )
     assert total_members == verts
+
+
+def test_mm_resize_bytes_flow_through_udf(spark):
+    """The resized payload content (not just lengths) must cross the Arrow
+    boundary — crc of the resampled bytes matches a host-side recompute."""
+    import zlib
+
+    from hands_on_iceberg_compression_spark.operators.multimodal import (
+        RESIZE_FACTOR,
+        _fake_resize,
+        mm_resize_full,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+    out = {r.doc_id: r for r in mm_resize_full(spark, SF_ORACLE).collect()}
+    docs = load_table(spark, SF_ORACLE, "documents").limit(20).collect()
+    for d in docs:
+        expect = zlib.crc32(_fake_resize(d.text.encode(), RESIZE_FACTOR)) & 0xFFFFFFFF
+        assert out[d.doc_id].resized_crc32 == expect
+        assert out[d.doc_id].new_width == (d.doc_id % 640) // RESIZE_FACTOR
