@@ -299,12 +299,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
 SIMHASH_BITS = 48
 
 
-def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """48-bit SimHash per document (bitwise majority over token hashes).
-
-    One groupBy with 48 conditional-sum aggregates — fully codegen'd, one
-    shuffle of 48 ints per doc.  Engine-specific hashing -> rows-only check."""
-    docs = load_table(spark, sf, "documents")
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 48-bit bitwise-majority signature per document."""
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     h = F.xxhash64(F.col("w"))
     bit_aggs = [
@@ -319,6 +315,71 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """48-bit SimHash per document (bitwise majority over token hashes).
+
+    One groupBy with 48 conditional-sum aggregates — fully codegen'd, one
+    shuffle of 48 ints per doc.  Engine-specific hashing -> rows-only check."""
+    return _simhash_df(load_table(spark, sf, "documents"))
+
+
+SIMHASH_BANDS = 4  # 4 bands x 12 bits: pairs within HAMMING_MAX distance
+HAMMING_MAX = 3    # share at least one exact band w.h.p. (pigeonhole: any
+                   # <=3 flipped bits leave >=1 of 4 bands untouched)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + Hamming verify.
+
+    Pigeonhole guarantee, not probability: a pair with Hamming distance
+    <= SIMHASH_BANDS-1 MUST share at least one exact 12-bit band, so the
+    band equi-join (sub-quadratic, 8-byte keys) has recall 1.0 for
+    HAMMING_MAX <= 3; the verify step is one xor+bit_count per candidate.
+    Engine-specific hashing -> rows-only driver check."""
+    docs = load_table(spark, sf, "documents")
+    sims = _simhash_df(docs).localCheckpoint(eager=True)  # reused by both join sides
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
 
 
 QUERIES: dict[str, Query] = {
@@ -378,5 +439,10 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT {TOPK_PAIRS}
         q_dedup_cluster_sizes,
         None,  # hashing upstream + iterative; rows-only driver check
         "near-dup cluster-size histogram via connected components",
+    ),
+    "dedup_simhash_near_dup": Query(
+        q_simhash_near_dup,
+        None,  # engine-specific hashing; rows-only driver check
+        "SimHash near-dup pairs (banded blocking, recall-1 Hamming verify)",
     ),
 }

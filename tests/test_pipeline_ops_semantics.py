@@ -98,3 +98,26 @@ def test_mm_resize_bytes_flow_through_udf(spark):
         expect = zlib.crc32(_fake_resize(d.text.encode(), RESIZE_FACTOR)) & 0xFFFFFFFF
         assert out[d.doc_id].resized_crc32 == expect
         assert out[d.doc_id].new_width == (d.doc_id % 640) // RESIZE_FACTOR
+
+
+def test_simhash_near_dup_recall_is_exact(spark):
+    """Pigeonhole property: banded blocking must find EVERY pair within
+    HAMMING_MAX — compare against a host-side brute-force Hamming scan of
+    the collected signatures."""
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        HAMMING_MAX,
+        _simhash_df,
+        q_simhash_near_dup,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sigs = sorted((r.doc_id, r.simhash) for r in _simhash_df(docs).collect())
+    expect = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            if bin(sigs[i][1] ^ sigs[j][1]).count("1") <= HAMMING_MAX:
+                expect.add((sigs[i][0], sigs[j][0]))
+    got = {(r.doc_a, r.doc_b) for r in q_simhash_near_dup(spark, SF_ORACLE).collect()}
+    assert got == expect
+    assert expect, "fixture should contain at least one simhash near-dup pair"
