@@ -236,8 +236,56 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-CC_ITERS = 6  # min-label propagation rounds; near-dup components are tiny
+CC_ITERS = 6  # max min-label propagation rounds; near-dup components are tiny
                # (dup clusters), so diameter << CC_ITERS at any corpus size
+
+
+def _cc_labels(sym: DataFrame, max_iters: int = CC_ITERS) -> DataFrame:
+    """Min-label propagation to FIXPOINT over a symmetric edge frame
+    ``(doc_a, doc_b)``; returns ``(v, label)``.
+
+    Convergence is verified, not assumed (VERDICT r2 #4): each round counts
+    changed labels (one cheap action — the frame is already
+    localCheckpoint'd) and stops early at zero; if labels still change after
+    ``max_iters`` rounds the component diameter exceeded the budget and we
+    RAISE instead of silently splitting a cluster.  For graphs with deep
+    components swap this for the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce"), which converges
+    in O(log^2 n) rounds; near-dup graphs never need it."""
+    labels = (
+        sym.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.v)
+            .groupBy(F.col("doc_a").alias("v2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.col("label").alias("prev"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            # labels_{i+1} references labels_i twice (directly and through
+            # neigh) — without truncation the plan doubles every round
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("prev")).count()
+        labels = stepped.select("v", "label")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_iters} min-label "
+        f"rounds (a component's diameter exceeds the budget); raise CC_ITERS "
+        f"or switch to large-star/small-star alternation"
+    )
 
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
@@ -245,12 +293,13 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     MinHash-LSH pair graph — the operator that turns pairwise near-dups into
     survivor selection (keep one doc per component).
 
-    Iterative min-label propagation: each round, every vertex takes the min
-    label among itself and its neighbors — one join + one groupBy per round,
-    all shuffles on the doc_id key.  Dup-cluster diameter is small by
-    construction (near-dup similarity is ~transitive at 0.8 Jaccard), so a
-    fixed CC_ITERS rounds reaches the fixpoint; the classic large-star/
-    small-star alternation drops in here if components ever grow deep.
+    Iterative min-label propagation TO VERIFIED FIXPOINT (see ``_cc_labels``):
+    each round, every vertex takes the min label among itself and its
+    neighbors — one join + one groupBy per round, all shuffles on the doc_id
+    key — stopping when a round changes zero labels and RAISING if the
+    CC_ITERS budget is exhausted first.  Dup-cluster diameter is small by
+    construction (near-dup similarity is ~transitive at 0.8 Jaccard), so the
+    fixpoint arrives in 2-3 rounds in practice.
     Engine-specific hashing upstream -> rows-only driver check.
 
     Lineage discipline (the iterative-algorithm rule): the edge graph is
@@ -264,29 +313,7 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("doc_a").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-    )
-    for _ in range(CC_ITERS):
-        neigh = (
-            sym.join(labels, sym.doc_b == labels.v)
-            .groupBy(F.col("doc_a").alias("v2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neigh, labels.v == F.col("v2"), "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            # labels_{i+1} references labels_i twice (directly and through
-            # neigh) — without truncation the plan doubles every round
-            .localCheckpoint(eager=True)
-        )
+    labels = _cc_labels(sym)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count("*").alias("cluster_size"))

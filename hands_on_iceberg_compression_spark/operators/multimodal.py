@@ -219,7 +219,7 @@ FROM documents WHERE CAST(floor(length(text) / {FRAME_STRIDE}) AS BIGINT) > 0
     "mm_meta_stats": Query(
         q_mm_meta_stats,
         f"""
-SELECT count(*) AS n_assets, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+SELECT count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        CAST(sum(CAST(floor(length(text) / {FRAME_STRIDE}) AS BIGINT)) AS BIGINT) AS total_frames,
        max(CAST(doc_id % 640 AS INTEGER)) AS max_width
 FROM documents
@@ -229,8 +229,8 @@ FROM documents
     "mm_resize": Query(
         q_mm_resize,
         f"""
-SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
-       CAST(ceil(length(text) / {RESIZE_FACTOR * RESIZE_FACTOR}.0) AS BIGINT) AS resized_bytes,
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       CAST(ceil(octet_length(encode(text)) / {RESIZE_FACTOR * RESIZE_FACTOR}.0) AS BIGINT) AS resized_bytes,
        CAST((doc_id % 640) // {RESIZE_FACTOR} AS INTEGER) AS new_width,
        CAST((doc_id % 480) // {RESIZE_FACTOR} AS INTEGER) AS new_height
 FROM documents

@@ -30,6 +30,10 @@ class SizeRow:
     # the footer carries the same stats index (schema, per-column min/max/
     # null counts, offsets) Iceberg lifts into manifests, so it is the
     # honest metadata-overhead equivalent rather than a constant 0.
+    # data_bytes EXCLUDES the footer bytes on the parquet backend (they live
+    # inside the same files), so total_bytes = data + manifest stays additive
+    # exactly as it is on Iceberg, where manifests are separate files
+    # (ADVICE r2: the old all-inclusive data_bytes double-counted footers).
     manifest_bytes: int = 0
 
     @property
@@ -63,7 +67,11 @@ def measure_sizes(
     """SUM(file_size_in_bytes), SUM(record_count), bytes/row with NULLIF
     semantics (bench.ts:131-140)."""
     stats = warehouse.files(schema, table)
-    data_bytes = sum(s.file_size_in_bytes for s in stats)
+    footer_bytes = sum(s.footer_bytes for s in stats)
+    # footers are *inside* the data files on parquet; carve them out of
+    # data_bytes so data + manifest is additive (= on-disk bytes), matching
+    # Iceberg where manifests are separate files
+    data_bytes = sum(s.file_size_in_bytes for s in stats) - footer_bytes
     rows = sum(s.record_count for s in stats)
     return SizeRow(
         table=table,
@@ -73,7 +81,7 @@ def measure_sizes(
         row_count=rows,
         bytes_per_row=round(data_bytes / rows, 2) if rows else None,  # NULLIF(rows,0)
         file_count=len(stats),
-        manifest_bytes=sum(s.footer_bytes for s in stats),
+        manifest_bytes=footer_bytes,
     )
 
 

@@ -38,9 +38,10 @@ def test_registry_consistent():
 
 def test_driver_window_composition():
     """The driver grades only the FIRST 50 registry entries (VERDICT r1).
-    Pin the window: every LLM-pipeline operator, the temporal ops, all
-    function batteries, the D1-D10 workload core, and both generator
-    samples must be inside; the window must be exactly the declared list."""
+    Round-3 window (VERDICT r2 #1): the eight round-2 additions with no
+    driver evidence plus sim_ann_recall rotate IN; nine r02-green slots
+    (covered by the local oracle replica every round) rotate OUT.  The
+    window must be exactly the declared list."""
     from hands_on_iceberg_compression_spark.operators import (
         DRIVER_WINDOW,
         all_queries,
@@ -53,24 +54,37 @@ def test_driver_window_composition():
     must_be_graded = {
         "dedup_exact", "dedup_exact_stats", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_cluster_sizes", "dedup_simhash_near_dup",
         "sim_knn_bruteforce", "sim_embedding_near_dup", "sim_near_dup_lsh",
         "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_kmeans",
-        "sim_knn_vectorized", "sim_norm_stats",
+        "sim_knn_vectorized", "sim_norm_stats", "sim_ann_recall",
         "text_token_stats", "text_token_count_bpe", "text_quality_score",
         "text_lang_id", "text_fingerprint", "text_word_freq_topk",
+        "text_sample_stratified", "text_length_histogram",
+        "text_quality_filter_pipeline", "text_chunk_documents",
+        "text_winnow_fingerprints",
         "mm_extract_features", "mm_frame_sample", "mm_meta_stats",
+        "mm_resize",
         "token_count_pandas_udf", "zscore_per_user",
-        "asof_join", "sessionize", "session_stats", "range_join_banded",
-        "scalar_funcs", "string_funcs_battery", "array_funcs_battery",
-        "math_funcs_battery", "window_funcs_battery",
-        "datetime_funcs_battery", "grouping_sets_agg", "cube_agg",
+        "asof_join", "sessionize",
+        "array_funcs_battery", "window_funcs_battery", "grouping_sets_agg",
         "scan_limit", "count_star", "filter_eq_string",
         "filter_eq_timestamp", "filter_range_conj", "filter_between",
         "like_rare", "flagship_conjunction", "agg_ratio_nullif",
-        "agg_coalesce", "gen_narrow_sample", "gen_wide_sample",
+        "agg_coalesce",
         "pipeline_curation_funnel", "text_contamination_check",
     }
     assert must_be_graded <= set(DRIVER_WINDOW)
+    # rotated-out slots must still be registered (past the window) so the
+    # local oracle replica keeps re-verifying them every round
+    rotated_out = {
+        "session_stats", "range_join_banded", "scalar_funcs",
+        "string_funcs_battery", "math_funcs_battery",
+        "datetime_funcs_battery", "cube_agg",
+        "gen_narrow_sample", "gen_wide_sample",
+    }
+    assert rotated_out <= set(names)
+    assert rotated_out.isdisjoint(DRIVER_WINDOW)
 
 
 def test_no_complex_types_in_driver_results(spark):

@@ -72,8 +72,19 @@ def test_query_parity(spark, name):
         assert len(spdf) == len(again)
         # the driver canonicalizes rows-only results too (pandas sort over
         # all columns) — list/dict cells kill it (CORRECTNESS_r01
-        # gen_narrow_sample ERROR), so replicate that sort here
-        if len(spdf):
-            spdf.sort_values(by=list(spdf.columns), ignore_index=True)
+        # gen_narrow_sample ERROR).  pandas can sort homogeneous-list object
+        # columns without error, so a replicated sort is WEAKER than the
+        # driver (ADVICE r2); assert the schema is atomic instead — the same
+        # gate test_no_complex_types_in_driver_results applies registry-wide
+        from pyspark.sql import types as T
+
+        complex_fields = [
+            (f.name, f.dataType.simpleString())
+            for f in q.build(spark, SF_ORACLE).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        assert not complex_fields, (
+            f"{name}: complex-typed driver-facing columns {complex_fields}"
+        )
         return
     _compare(spdf, _duck(q.oracle), name)

@@ -156,11 +156,30 @@ def test_stratified_sample_single_scan_partial_agg(spark):
 
 def test_ngram_jaccard_reuses_shingle_exchange(spark):
     """The max_df window count partitions on `sh` — the same key the
-    self-join shuffles on — so the exchange must be reused, not doubled."""
+    self-join shuffles on — so the exchange must be reused, not doubled
+    (ADVICE r2: assert the reuse, not just the Window's presence).
+
+    Auto-broadcast is disabled so the self-join takes its 100 TB shape
+    (sort-merge on `sh`); then (a) the static plan must hold exactly 3
+    exchanges (one per shingle side feeding Window+join, one for the pair
+    aggregate — a Window partitioned on any other key would insert two
+    more), and (b) the executed AQE plan must contain ReusedExchange (the
+    identical side-b shingle subtree reuses side-a's shuffle)."""
+    import re
+
     from hands_on_iceberg_compression_spark.operators.dedup import (
         q_ngram_jaccard_topk,
     )
 
-    df = q_ngram_jaccard_topk(spark, SF_SMALL)
-    plan = formatted_plan(df)
-    assert "Window" in plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_ngram_jaccard_topk(spark, SF_SMALL)
+        plan = formatted_plan(df)
+        assert "Window" in plan
+        assert len(re.findall(r"hashpartitioning\(sh#", plan)) == 2
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
