@@ -323,6 +323,99 @@ class ParquetWarehouse:
         shutil.rmtree(old_dir, ignore_errors=True)
         return len(self._data_files(schema, table))
 
+    # --- C6b: per-column-codec rewrite -----------------------------------
+    def rewrite_per_column_codec(
+        self,
+        schema: str,
+        table: str,
+        overrides: dict[str, tuple[str, int | None]],
+        max_workers: int = 8,
+    ) -> dict:
+        """Rewrite every data file with a per-COLUMN compression codec.
+
+        The parquet format allows a different codec per column chunk, but
+        Spark's writer exposes only one codec per file — so mixed-entropy
+        tables pay zstd-6 decode cost on columns where it buys nothing.
+        Measured on this lab's 35-char hex string columns (PERF.md round 3):
+        zstd-1 scans ~36% faster than zstd-6 AND is slightly smaller —
+        high-entropy strings don't reward search depth.  Low-entropy
+        numeric/enum columns keep the table default (zstd-6's ratio).
+
+        ``overrides`` maps column name -> (codec, level); every other column
+        keeps the table's default codec/level.  Implemented as a pyarrow
+        rewrite of each file (pyarrow accepts per-column compression dicts).
+        Files rewrite independently — driver thread pool here; on a cluster
+        this is one task per file (Iceberg rewrite_data_files shape).
+        Crash-safe: same tmp-dir + rename swap as optimize().
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        meta = self.table_meta(schema, table)
+        files = self._data_files(schema, table)
+        if not files:
+            return {"files": 0}
+        data_dir = self._live_data_dir(schema, table)
+        tmp_dir = os.path.join(self._tdir(schema, table), "_percol_tmp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        arrow_codec = {
+            "zstd": "ZSTD", "gzip": "GZIP", "snappy": "SNAPPY",
+            "lz4": "LZ4", "uncompressed": "NONE",
+        }
+        for col, (codec, _lvl) in overrides.items():
+            if codec not in arrow_codec:
+                raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
+
+        def rewrite_one(path: str) -> None:
+            rel = os.path.relpath(path, data_dir)
+            dst = os.path.join(tmp_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pf = pq.ParquetFile(path)
+            # pyarrow treats columns absent from a compression dict as
+            # UNCOMPRESSED, and nested columns match only by their LEAF path
+            # ("tags.list.element", not "tags") — so enumerate the footer's
+            # leaf paths and name every one explicitly
+            comp: dict[str, str] = {}
+            levels: dict[str, int] = {}
+            rg0 = pf.metadata.row_group(0)
+            for i in range(pf.metadata.num_columns):
+                leaf = rg0.column(i).path_in_schema
+                top = leaf.split(".", 1)[0]
+                codec, lvl = overrides.get(top, (meta.codec, meta.level))
+                comp[leaf] = arrow_codec[codec]
+                if lvl is not None and codec in ("zstd", "gzip"):
+                    levels[leaf] = lvl
+            # stream row-group-sized batches: memory stays one row group per
+            # worker regardless of file size (512 MB+ compacted files)
+            writer = pq.ParquetWriter(
+                dst, pf.schema_arrow, compression=comp,
+                compression_level=levels or None,
+                use_deprecated_int96_timestamps=False,
+            )
+            try:
+                for rg in range(pf.metadata.num_row_groups):
+                    writer.write_table(pf.read_row_group(rg))
+            finally:
+                writer.close()
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(rewrite_one, files))
+
+        old_dir = os.path.join(self._tdir(schema, table), "data_old")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        self.alter_table_properties(
+            schema, table,
+            **{"per_column_codecs": json.dumps(
+                {c: f"{codec}{'' if lvl is None else f'-l{lvl}'}"
+                 for c, (codec, lvl) in sorted(overrides.items())})},
+        )
+        return {"files": len(files), "overridden_columns": len(overrides)}
+
     # --- B4: ALTER TABLE SET PROPERTIES ----------------------------------
     def alter_table_properties(
         self,
@@ -383,6 +476,21 @@ class ParquetWarehouse:
             "level": meta.level,
             **meta.properties,
         }
+
+
+def string_column_overrides(
+    df: DataFrame, codec: str = "zstd", level: int | None = 1
+) -> dict[str, tuple[str, int | None]]:
+    """Per-column override dict selecting every string column — the
+    decode-bound column class (LIKE/equality scans pay zstd-6 decode on
+    high-entropy strings for no storage win; PERF.md round 3)."""
+    from pyspark.sql.types import StringType
+
+    return {
+        f.name: (codec, level)
+        for f in df.schema.fields
+        if isinstance(f.dataType, StringType)
+    }
 
 
 def iceberg_ddl(config: TableConfig, table: str, codec: str, level: int | None) -> str:

@@ -36,8 +36,12 @@ from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehous
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--sorted"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sorted_by_ts = "--sorted" in sys.argv
+    # --percol: after the baseline pass, rewrite string columns to zstd-1
+    # (per-column codec via warehouse.rewrite_per_column_codec) and re-measure
+    # — the LIKE-floor experiment (VERDICT r2 #5, PERF.md round 3)
+    percol = "--percol" in sys.argv
     n_rows = int(args[0]) if args else 2_000_000
     workdir = args[1] if len(args) > 1 else "/tmp/throughput_probe"
     shutil.rmtree(workdir, ignore_errors=True)
@@ -94,33 +98,56 @@ def main() -> None:
             & F.col("row_32").like("%50c%")
         ).count(),
     }
-    results = {}
-    for name, fn in shapes.items():
-        best, rows = float("inf"), 0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = fn(df)
-            best = min(best, time.perf_counter() - t0)
-        results[name] = {
-            "sec": round(best, 3),
-            "rows": rows,
-            "mrows_per_s": round(n_rows / best / 1e6, 1),
+    def run_shapes(d):
+        out = {}
+        for name, fn in shapes.items():
+            best, rows = float("inf"), 0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = fn(d)
+                best = min(best, time.perf_counter() - t0)
+            out[name] = {
+                "sec": round(best, 3),
+                "rows": rows,
+                "mrows_per_s": round(n_rows / best / 1e6, 1),
+            }
+        return out
+
+    results = run_shapes(df)
+
+    report = {
+        "n_rows": n_rows,
+        "sorted_by_ts": sorted_by_ts,
+        "load_sec": round(load_s, 1),
+        "load_krows_per_s": round(n_rows / load_s / 1e3, 1),
+        "optimize_sec": round(optimize_s, 1),
+        "data_bytes": size.data_bytes,
+        "bytes_per_row": size.bytes_per_row,
+        "queries": results,
+    }
+
+    if percol:
+        from hands_on_iceberg_compression_spark.sources.warehouse import (
+            string_column_overrides,
+        )
+
+        overrides = string_column_overrides(df, "zstd", 1)
+        t0 = time.perf_counter()
+        wh.rewrite_per_column_codec(cfg.schema, table, overrides, max_workers=16)
+        rewrite_s = time.perf_counter() - t0
+        size2 = measure_sizes(wh, cfg.schema, table, "zstd", 6)
+        report["percol"] = {
+            "string_cols": len(overrides),
+            "rewrite_sec": round(rewrite_s, 1),
+            "data_bytes": size2.data_bytes,
+            "bytes_per_row": size2.bytes_per_row,
+            "bytes_delta_pct": round(
+                100 * (size2.data_bytes - size.data_bytes) / size.data_bytes, 2
+            ),
+            "queries": run_shapes(wh.read(cfg.schema, table)),
         }
 
-    print(
-        json.dumps(
-            {
-                "n_rows": n_rows,
-                "sorted_by_ts": sorted_by_ts,
-                "load_sec": round(load_s, 1),
-                "load_krows_per_s": round(n_rows / load_s / 1e3, 1),
-                "optimize_sec": round(optimize_s, 1),
-                "data_bytes": size.data_bytes,
-                "bytes_per_row": size.bytes_per_row,
-                "queries": results,
-            }
-        )
-    )
+    print(json.dumps(report))
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
 
