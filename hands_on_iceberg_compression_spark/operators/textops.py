@@ -374,6 +374,89 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): per doc, the fraction of
+    bigrams occupied by the single most frequent bigram, and the fraction of
+    bigram slots that repeat an earlier bigram.  High values flag boilerplate
+    / degenerate generation — a standard pre-training filter.
+
+    Shape at 100 TB: tokens and bigrams are projected per row (no shuffle),
+    then two map-side-combinable aggregations keyed on (doc_id[, bigram]) —
+    keys are near-unique, no skew."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+    tail = F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0)))
+    # zip_with pads the shorter side with null; (last, null) pairs map to
+    # null and are filtered — ANSI-safe for docs with < 2 tokens
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("l"),
+            tail,
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    counts = (
+        toks.select("doc_id", bigrams.alias("bgs"))
+        .select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_cnt"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_frac"
+            ),
+            F.round(
+                F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_bigrams"), 4
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# PII patterns — shared verbatim between Spark (Java regex) and DuckDB (RE2):
+# plain character classes only, no lookaround/backrefs
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE = "\\+[0-9]{7,15}\\b"
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: count email/IPv4/phone matches per doc and measure the
+    redacted length after replacing all three classes with ``[PII]``.
+
+    Pure JVM regexes per row — shuffle-free at any scale.  The shipped
+    fixtures are clean word soup (all counts 0 there); semantic evidence is
+    tests/test_pipeline_ops_semantics.py, which runs query + oracle over a
+    synthetic corpus that actually contains PII."""
+    docs = load_table(spark, sf, "documents")
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[PII]"), PII_IPV4, "[PII]"
+        ),
+        PII_PHONE,
+        "[PII]",
+    )
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ipv4"),
+        n_phone.alias("n_phone"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -562,5 +645,28 @@ FROM chunks
         q_winnow_fingerprints,
         None,  # xxhash64 k-gram hashing; rows-only driver check
         "winnowing fingerprints (rolling k-gram hash minima, MOSS scheme)",
+    ),
+    "text_repetition_ratio": Query(
+        q_repetition_ratio,
+        """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg FROM t),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_frac,
+       round(1 - CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS dup_bigram_frac
+FROM c GROUP BY doc_id
+""",
+        "bigram repetition quality signal (Gopher-style boilerplate filter)",
+    ),
+    "text_pii_scrub_stats": Query(
+        q_pii_scrub_stats,
+        f"SELECT doc_id, len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email, "
+        f"len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4, "
+        f"len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone, "
+        f"length(regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '[PII]', 'g'), '{PII_IPV4}', '[PII]', 'g'), "
+        f"'{PII_PHONE}', '[PII]', 'g')) AS redacted_len FROM documents",
+        "PII scrub metrology (email/ipv4/phone counts + redacted length)",
     ),
 }

@@ -251,6 +251,38 @@ def q_tpch_q3_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (local supplier volume for one region,
+    one order year).  Plan at scale: lineitem-orders-customer-supplier
+    shuffle on their keys (AQE re-plans skew), nation+region broadcast —
+    region filter prunes before any big join; the date range reaches the
+    orders scan as a pushed filter."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     # customers with >= 1 order (EXISTS) — left_semi never widens rows
     cust = load_table(spark, sf, "customer")
@@ -461,6 +493,19 @@ QUERIES: dict[str, Query] = {
         "JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' "
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10",
         "TPC-H Q3 shape: multi-join + group + top-k",
+    ),
+    "tpch_q5_shape": Query(
+        q_tpch_q5_shape,
+        "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name",
+        "TPC-H Q5 shape: 6-table join, broadcast dims, date pushdown",
     ),
     "semi_join": Query(
         q_semi_join,

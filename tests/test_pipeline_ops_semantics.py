@@ -200,3 +200,77 @@ def test_ann_recall_floors(spark):
         assert r.n_exact > 0 and r.n_exact % TOPK == 0
     assert rows["lsh"].recall_at_k >= 0.95, rows["lsh"]
     assert rows["ivf"].recall_at_k >= 0.85, rows["ivf"]
+
+
+def test_pii_scrub_semantics_on_synthetic_corpus(spark, tmp_path):
+    """The shipped fixtures contain no PII (all counts 0), so parity there
+    proves only plumbing.  This runs the SAME Spark query and DuckDB oracle
+    over a synthetic corpus that actually contains emails/IPs/phones and
+    compares full results."""
+    import duckdb
+    import pandas as pd
+
+    from hands_on_iceberg_compression_spark.operators.textops import QUERIES
+
+    rows = [
+        (0, "contact me at alice.smith+spam@mail.example.org for details", "en", "web", 0),
+        (1, "server 192.168.0.1 and 10.0.0.255 rebooted", "en", "logs", 0),
+        (2, "call +15551234567 or +442071838750 now", "en", "web", 0),
+        (3, "mixed bob@x.io from 8.8.8.8 dial +77012345678 end", "en", "web", 0),
+        (4, "nothing sensitive here at all", "en", "web", 0),
+        (5, "not-an-email @ nor an ip 999.999 nor + phone", "en", "web", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir)
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = (
+        QUERIES["text_pii_scrub_stats"].build(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["text_pii_scrub_stats"].oracle)
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["n_email"].tolist() == want["n_email"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert got["n_ipv4"].tolist() == want["n_ipv4"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert got["n_phone"].tolist() == want["n_phone"].tolist() == [0, 0, 2, 1, 0, 0]
+    assert got["redacted_len"].tolist() == want["redacted_len"].tolist()
+
+
+def test_repetition_ratio_flags_degenerate_doc(spark, tmp_path):
+    """A doc that repeats one phrase must score near 1 on both fractions; a
+    doc of distinct words must score 0 on both."""
+    import os
+
+    import pandas as pd
+
+    from hands_on_iceberg_compression_spark.operators.textops import QUERIES
+
+    rows = [
+        (0, " ".join(["spam ham"] * 20), "en", "web", 0),       # "ham spam" x19 + "spam ham" x20
+        (1, "all words here are unique tokens", "en", "web", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = (
+        QUERIES["text_repetition_ratio"].build(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.loc[0, "top_bigram_frac"] > 0.5
+    assert got.loc[0, "dup_bigram_frac"] > 0.9
+    assert got.loc[1, "top_bigram_frac"] < 0.25
+    assert got.loc[1, "dup_bigram_frac"] == 0.0
