@@ -53,6 +53,81 @@ def q_tpch_q6_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q1_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the pricing-summary report — wide multi-aggregate
+    groupBy over a date-filtered fact scan.  Every aggregate is
+    map-side-combinable, so at 100 TB this is one scan + a 6-row shuffle;
+    the shipdate filter reaches the parquet scan (min/max stat skipping on
+    the sorted/compacted layout)."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-funnel conversion (view -> click -> purchase): per-user first
+    occurrence of each stage, then strict temporal-order counts.  One shuffle
+    on user_id with map-side-combined conditional mins; the final count is a
+    single-row agg — the canonical product-analytics shape, linear at 100 TB."""
+    ev = load_table(spark, sf, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_view_click"),
+        F.sum(purchased.cast("long")).alias("n_full_funnel"),
+        F.round(
+            F.sum(clicked.cast("long")) / F.sum(viewed.cast("long")), 4
+        ).alias("click_rate"),
+        F.round(
+            F.sum(purchased.cast("long")) / F.sum(clicked.cast("long")), 4
+        ).alias("purchase_rate"),
+    )
+
+
+def q_approx_quantile_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketches (GK/KLL-style `approx_percentile`) — the 100 TB
+    percentile path: mergeable sketches, one pass, no global sort.  Sketch
+    internals are engine-specific, so no DuckDB value oracle (rows-only);
+    tests/test_pipeline_ops_semantics.py pins each estimate within 5% rank
+    error of the exact percentile."""
+    ev = load_table(spark, sf, "events")
+    pcts = F.percentile_approx(
+        F.col("value"), F.array(*[F.lit(p) for p in (0.5, 0.9, 0.99)]), 10_000
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(pcts[0], 4).alias("p50"),
+        F.round(pcts[1], 4).alias("p90"),
+        F.round(pcts[2], 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return li.agg(
@@ -326,6 +401,53 @@ QUERIES: dict[str, Query] = {
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
         "TPC-H Q6 shape: filter + single aggregate",
+    ),
+    "tpch_q1_shape": Query(
+        q_tpch_q1_shape,
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(avg(l_quantity), 4) AS avg_qty, "
+        "round(avg(l_extendedprice), 4) AS avg_price, "
+        "round(avg(l_discount), 4) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus",
+        "TPC-H Q1 shape: pricing summary (wide multi-agg groupBy)",
+    ),
+    "funnel_conversion": Query(
+        q_funnel_conversion,
+        """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT t_view IS NOT NULL AS viewed,
+         t_view IS NOT NULL AND t_click > t_view AS clicked,
+         t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click AS purchased
+  FROM per_user
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+       round(CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN viewed THEN 1 ELSE 0 END), 4) AS click_rate,
+       round(CAST(sum(CASE WHEN purchased THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN clicked THEN 1 ELSE 0 END), 4) AS purchase_rate
+FROM flags
+""",
+        "event-funnel conversion (view -> click -> purchase, strict order)",
+    ),
+    "approx_quantile_battery": Query(
+        q_approx_quantile_battery,
+        None,  # sketch estimates are engine-specific; pytest pins rank error
+        "approx_percentile sketch battery per event_type (p50/p90/p99)",
     ),
     "stats_agg": Query(
         q_stats_agg,

@@ -409,7 +409,35 @@ def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-latest dedup: one survivor row per (user_id, event_type), newest
+    ts wins, event_id as the deterministic tie-break.  The snapshot/upsert
+    compaction shape every CDC-fed training corpus needs; a single
+    row_number window = one shuffle on the dedup key at 100 TB (no
+    self-join, no global sort)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "dedup_keep_latest": Query(
+        q_dedup_keep_latest,
+        "SELECT user_id, event_type, event_id, ts, value FROM ("
+        "  SELECT user_id, event_type, event_id, ts, value, "
+        "         row_number() OVER (PARTITION BY user_id, event_type "
+        "                            ORDER BY ts DESC, event_id DESC) AS rn "
+        "  FROM events) WHERE rn = 1",
+        "keep-latest dedup per (user_id, event_type) — CDC snapshot shape",
+    ),
     "dedup_exact": Query(
         q_dedup_exact,
         "SELECT min(doc_id) AS doc_id FROM documents "

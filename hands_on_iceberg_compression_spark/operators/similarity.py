@@ -595,6 +595,72 @@ def q_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PCA_POWER_ITERS = 60
+
+
+def q_pca_topcomponent(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding cloud via distributed moment
+    sums + driver-side power iteration — the whitening/anisotropy probe
+    (dominant-direction removal is standard embedding post-processing).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass emits per-batch
+    moment partials (count, sum vector, sum of outer products) — a few KB per
+    partition regardless of corpus size — and the driver folds them into the
+    d x d covariance (bounded collect, same contract as the k-means
+    centroid collect above).  Power iteration then runs on the tiny d x d
+    matrix host-side; no per-row data ever reaches the driver.  BLAS partial
+    sums are not bitwise-stable vs a sequential fold -> rows-only driver
+    check; tests pin |cos| vs numpy.linalg.eigh >= 0.999."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf, "embeddings")
+    d = EMB_DIM
+
+    moment_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("outer", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partial_moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [mat.shape[0]],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "outer": [(mat.T @ mat).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(partial_moments, moment_schema).collect()
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    outer = np.sum([np.asarray(r.outer).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = outer / n - np.outer(mean, mean)
+
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(PCA_POWER_ITERS):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    eigval = float(v @ cov @ v)
+    # deterministic sign: largest-|loading| dimension is positive
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+
+    rows = [
+        (int(i), round(float(v[i]), 6), round(float(mean[i]), 6), round(eigval, 6))
+        for i in range(d)
+    ]
+    return spark.createDataFrame(rows, ["dim", "pc1_loading", "mean_val", "eigval"])
+
+
 _COS_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 QUERIES: dict[str, Query] = {
@@ -679,6 +745,12 @@ SELECT CAST(p[2] AS INT) AS dim,
 FROM x GROUP BY dim
 """,
         "per-dimension mean/std (whitening statistics pass)",
+    ),
+    "emb_pca_topcomponent": Query(
+        q_pca_topcomponent,
+        None,  # BLAS partial sums not bitwise-stable vs DuckDB; pytest pins
+        # |cos(pc1, numpy eigh)| >= 0.999 on the same fixtures
+        "top principal component via moment sums + power iteration",
     ),
     "sim_norm_stats": Query(
         q_norm_stats,

@@ -145,6 +145,32 @@ def q_word_freq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the cheap perplexity
+    proxy used for corpus quality filtering (KenLM-style scoring without the
+    model): train the unigram LM on the corpus itself, score each doc by its
+    mean token -ln p(w).  Two map-side-combinable aggregations sharing one
+    tokenized scan; the vocab join keys on the token (at 100 TB: a shuffle
+    join on word — bounded by vocab size, not corpus size, after the
+    count aggregation; the single-row total is a broadcast cross join, never
+    a collect)."""
+    docs = load_table(spark, sf, "documents")
+    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
 # --- benchmark contamination -------------------------------------------------
 EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> pseudo-benchmark/eval document
 CONTAM_TOPK = 50
@@ -523,6 +549,23 @@ QUERIES: dict[str, Query] = {
         "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
         "AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 20",
         "corpus token frequency top-k",
+    ),
+    "text_unigram_logprob": Query(
+        q_unigram_logprob,
+        """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(CAST(c AS DOUBLE) / t)), 4) AS avg_surprisal
+FROM words JOIN vocab USING (w), tot
+GROUP BY doc_id
+""",
+        "unigram-LM surprisal per doc (perplexity-proxy quality score)",
     ),
     "text_contamination_check": Query(
         q_contamination_check,

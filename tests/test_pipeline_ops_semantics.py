@@ -274,3 +274,55 @@ def test_repetition_ratio_flags_degenerate_doc(spark, tmp_path):
     assert got.loc[0, "dup_bigram_frac"] > 0.9
     assert got.loc[1, "top_bigram_frac"] < 0.25
     assert got.loc[1, "dup_bigram_frac"] == 0.0
+
+
+def test_pca_topcomponent_matches_numpy_eigh(spark):
+    """The distributed moment-sum + power-iteration PC1 must align with the
+    exact eigendecomposition of the same covariance (|cos| >= 0.999)."""
+    import numpy as np
+
+    from hands_on_iceberg_compression_spark.operators.similarity import (
+        q_pca_topcomponent,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+    rows = sorted(q_pca_topcomponent(spark, SF_ORACLE).collect(), key=lambda r: r.dim)
+    v = np.array([r.pc1_loading for r in rows])
+
+    mat = np.vstack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+        ]
+    )
+    cov = np.cov(mat, rowvar=False, bias=True)
+    eigval, eigvec = np.linalg.eigh(cov)
+    top = eigvec[:, -1]
+
+    assert abs(float(v @ top) / np.linalg.norm(v)) >= 0.999
+    # reported eigenvalue matches the exact top eigenvalue
+    assert abs(rows[0].eigval - float(eigval[-1])) <= 1e-3 * max(1.0, eigval[-1])
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """Sketch estimates must land within 5% rank error of the exact
+    percentile (accuracy=10000 -> 0.01% nominal; 5% is a loose ceiling)."""
+    from hands_on_iceberg_compression_spark.operators.advanced import (
+        q_approx_quantile_battery,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+    got = {r.event_type: r for r in q_approx_quantile_battery(spark, SF_ORACLE).collect()}
+    ev = load_table(spark, SF_ORACLE, "events")
+    for etype, row in got.items():
+        vals = sorted(
+            r.value for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        assert n == row.n
+        for p, est in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            # rank of the estimate must be within 5% of the target rank
+            import bisect
+
+            rank = bisect.bisect_left(vals, est)
+            assert abs(rank - p * n) <= 0.05 * n + 1, (etype, p, est, rank)
