@@ -595,7 +595,6 @@ def q_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-PCA_POWER_ITERS = 60
 
 
 def q_pca_topcomponent(spark: SparkSession, sf: str) -> DataFrame:
@@ -607,10 +606,13 @@ def q_pca_topcomponent(spark: SparkSession, sf: str) -> DataFrame:
     moment partials (count, sum vector, sum of outer products) — a few KB per
     partition regardless of corpus size — and the driver folds them into the
     d x d covariance (bounded collect, same contract as the k-means
-    centroid collect above).  Power iteration then runs on the tiny d x d
-    matrix host-side; no per-row data ever reaches the driver.  BLAS partial
-    sums are not bitwise-stable vs a sequential fold -> rows-only driver
-    check; tests pin |cos| vs numpy.linalg.eigh >= 0.999."""
+    centroid collect above).  The d x d eigenproblem is then solved exactly
+    host-side (O(d^3) on d<=a few thousand dims is microseconds; a power
+    loop was tried first but near-isotropic embedding clouds have eigengap
+    ratios ~0.99, needing 500+ iterations for 3-nines alignment).  No
+    per-row data ever reaches the driver.  BLAS partial sums are not
+    bitwise-stable vs a sequential fold -> rows-only driver check; tests pin
+    |cos| vs a full-matrix numpy.linalg.eigh >= 0.999."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -645,11 +647,9 @@ def q_pca_topcomponent(spark: SparkSession, sf: str) -> DataFrame:
     mean = s / n
     cov = outer / n - np.outer(mean, mean)
 
-    v = np.full(d, 1.0 / np.sqrt(d))
-    for _ in range(PCA_POWER_ITERS):
-        v = cov @ v
-        v /= np.linalg.norm(v)
-    eigval = float(v @ cov @ v)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    v = eigvecs[:, -1]
+    eigval = float(eigvals[-1])
     # deterministic sign: largest-|loading| dimension is positive
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v

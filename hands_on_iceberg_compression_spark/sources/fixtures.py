@@ -34,21 +34,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-        # (PARQUET_TYPE_ILLEGAL).  Read it as raw ns-since-epoch long and
-        # truncate to Spark's native microseconds with *integer* division —
-        # float division would lose precision (ns epochs exceed 2**53).
-        # DuckDB applies the same ns->us truncation, so oracles agree.
-        #
-        # timestamp_micros() produces an *instant* (TIMESTAMP_LTZ) whose
-        # wall-clock rendering and string-literal comparisons depend on the
-        # session timezone; the stored values and every oracle are tz-naive.
-        # Pin the session to UTC so a non-UTC caller session cannot shift
-        # every events-timestamp predicate and rendering.
+        # events.ts is TIMESTAMP(NANOS) in parquet.  How Spark surfaces that
+        # changed across 4.x:
+        #   - up to 4.0: the scan rejects NANOS (PARQUET_TYPE_ILLEGAL) unless
+        #     spark.sql.legacy.parquet.nanosAsLong=true, which yields raw
+        #     ns-since-epoch BIGINT -> truncate with *integer* division (ns
+        #     epochs exceed 2**53, float division loses precision) and
+        #     timestamp_micros().
+        #   - 4.1+: NANOS reads natively as TIMESTAMP_NTZ, already
+        #     micro-truncated; the legacy conf is silently ignored.
+        # DuckDB applies the same ns->us truncation, so oracles agree either
+        # way.  Both paths normalize to an *instant* (TIMESTAMP_LTZ) under a
+        # UTC session pin: wall-clock rendering and string-literal
+        # comparisons depend on the session timezone, and the stored values
+        # and every oracle are tz-naive — a non-UTC caller session must not
+        # shift every events-timestamp predicate.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # timestamp_ntz -> timestamp: session tz is pinned UTC above, so the
+        # cast reinterprets the naive wall-clock as the same UTC instant the
+        # bigint path produced.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -19,27 +19,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns in the fixture parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # TIMESTAMP(NANOS) in the fixture
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events fixture (file source; Kafka-swappable)."""
+    """Streaming read of the events fixture (file source; Kafka-swappable).
+
+    The fixture's ts is parquet TIMESTAMP(NANOS); same dual path as
+    ``sources/fixtures.py:load_table`` — Spark <=4.0 only reads NANOS as a
+    raw ns long (nanosAsLong conf), 4.1+ reads it natively as
+    TIMESTAMP_NTZ (micro-truncated) and ignores the conf.  Probe the
+    batch reader's inferred dtype (footer-only) to pick the user schema,
+    then normalize to a TIMESTAMP instant under the UTC session pin."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
+    inferred = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
+    ns_as_long = inferred == "bigint"
+    schema = _events_schema(T.LongType() if ns_as_long else T.TimestampNTZType())
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ns_as_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 minute", watermark: str = "10 minutes") -> DataFrame:
