@@ -380,6 +380,50 @@ def q_gen_wide_sample(spark: SparkSession, sf: str) -> DataFrame:
     return generate_df(spark, wide_events_config(), 1, 1000, seed=42)
 
 
+def q_tpch_q4_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority where EXISTS a qualifying
+    lineitem — decorrelates to a LEFT SEMI join on l_orderkey.  (The fixture
+    lineitem has no commit/receipt dates, so the EXISTS predicate is
+    l_quantity > 45; the plan shape — date-filtered orders semi-joined to a
+    filtered fact, then a tiny groupBy — is Q4's.)  At 100 TB the semi join
+    shuffles only (orderkey) pairs that survive both filters; no row
+    multiplication can occur by construction."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    qualifying = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(qualifying, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q14_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — fact scan joined to the
+    part dimension with a conditional aggregate ratio.  part is a classic
+    broadcast dimension (bounded by the catalog, not the fact volume), so
+    the join is map-side at any fact scale; both sums combine map-side."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100 * F.sum(promo) / F.sum(revenue), 4).alias("promo_revenue_pct"),
+            F.round(F.sum(revenue), 2).alias("total_revenue"),
+        )
+    )
+
+
 QUERIES: dict[str, Query] = {
     "rollup_agg": Query(
         q_rollup,
@@ -416,6 +460,27 @@ QUERIES: dict[str, Query] = {
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus",
         "TPC-H Q1 shape: pricing summary (wide multi-agg groupBy)",
+    ),
+    "tpch_q4_shape": Query(
+        q_tpch_q4_shape,
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+        "GROUP BY o_orderpriority",
+        "TPC-H Q4 shape: EXISTS decorrelated to left-semi join",
+    ),
+    "tpch_q14_shape": Query(
+        q_tpch_q14_shape,
+        "SELECT round(100 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'",
+        "TPC-H Q14 shape: promo revenue share (broadcast dim join + conditional agg)",
     ),
     "funnel_conversion": Query(
         q_funnel_conversion,

@@ -428,7 +428,70 @@ def q_dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+LEV_BUCKET_CHARS = 32  # length-bucket width for the blocked edit-distance join
+LEV_MAX_DIST_FRAC = 0.3  # pair admitted when lev <= frac * max(len_a, len_b)
+
+
+def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance, blocked so the quadratic
+    levenshtein never sees the full pair space: candidates must share
+    (lang, length bucket) — an equi-join on a compact key — before the
+    per-pair distance runs.  The standard blocking/record-linkage shape.
+
+    Recall < 1 by construction (a near-dup pair straddling a bucket
+    boundary is unseen — same contract as LSH banding; widen with
+    neighboring-bucket keys for recall at the cost of candidate volume).
+    At 100 TB the blocking key bounds every bucket's pair count to
+    |bucket|^2, and buckets are (lang x length-band) cells, so the worst
+    cell — not the corpus — sets the cost."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    bucket = F.floor(F.length("text") / LEV_BUCKET_CHARS)
+    t = docs.select("doc_id", "lang", "text", bucket.alias("bucket"))
+    a = t.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("text").alias("text_a"), F.col("bucket").alias("bucket_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("text").alias("text_b"), F.col("bucket").alias("bucket_b"),
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a", "id_b", dist.alias("edit_dist"),
+            F.round(dist / max_len, 4).alias("dist_frac"),
+        )
+        .filter(F.col("dist_frac") <= LEV_MAX_DIST_FRAC)
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "dedup_levenshtein_blocked": Query(
+        q_dedup_levenshtein_blocked,
+        f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(floor(length(text) / {LEV_BUCKET_CHARS}.0) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS edit_dist,
+       round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / greatest(length(a.text), length(b.text)), 4) AS dist_frac
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      / greatest(length(a.text), length(b.text)) <= {LEV_MAX_DIST_FRAC}
+""",
+        "blocked edit-distance near-dup pairs (lang x length-band blocking)",
+    ),
     "dedup_keep_latest": Query(
         q_dedup_keep_latest,
         "SELECT user_id, event_type, event_id, ts, value FROM ("

@@ -124,6 +124,44 @@ def q_range_join_banded(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their first
+    event; for each (cohort_week, week_offset) the count of cohort members
+    active that week, plus the retention rate vs the cohort size.
+
+    Two shuffles at any scale: (1) min(ts) per user, (2) the distinct
+    (user, active_week) projection — both key on user_id so AQE coalesces
+    them into one exchange reuse; the final (cohort, offset) aggregate is
+    bounded by weeks^2 rows.  The product-analytics companion to
+    funnel_conversion."""
+    ev = load_table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .join(cohort_sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
+
+
 QUERIES: dict[str, Query] = {
     "asof_join": Query(
         q_asof_join,
@@ -193,5 +231,30 @@ FROM customer JOIN part
   ON c_acctbal BETWEEN p_retailprice - {RANGE_TOL} AND p_retailprice + {RANGE_TOL}
 """,
         "banded range join (equi-join on buckets + residual filter)",
+    ),
+    "cohort_retention": Query(
+        q_cohort_retention,
+        """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+), cohort_sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY cohort_week
+), grid AS (
+  SELECT f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, a.active_week) / 7.0) AS BIGINT)
+           AS week_offset,
+         count(*) AS n_active
+  FROM active a JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week, g.week_offset,
+       g.n_active, c.cohort_size,
+       round(CAST(g.n_active AS DOUBLE) / c.cohort_size, 4) AS retention
+FROM grid g JOIN cohort_sizes c ON g.cohort_week = c.cohort_week
+""",
+        "weekly cohort retention matrix (first-seen week x active week)",
     ),
 }

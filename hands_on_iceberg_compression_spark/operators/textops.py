@@ -483,6 +483,99 @@ def q_pii_scrub_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CTX_TOKENS = 128  # sequence-packing context length (tokens per packed bin)
+MIXTURE_CAP_PER_SOURCE = 15  # mixture-sampling admission quota per source
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents in stable order
+    into fixed CTX_TOKENS-token bins (greedy contiguous fill), reporting per
+    bin the doc count, token total, and fill rate.
+
+    Packing is per-source: the cumulative-token window partitions on
+    ``source``, so the sort is distributed (one partition per source shard),
+    never a global single-reducer sort.  At 100 TB the unit of packing is
+    whatever sharding key the corpus already has — the window shape is
+    identical.  A doc longer than the context would occupy ceil(len/CTX)
+    bins; the fixture maxes at ~120 tokens so every doc fits one bin."""
+    docs = load_table(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy("source").orderBy("doc_id")
+    toks = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    cum = toks.withColumn(
+        "cum_tok", F.sum("n_tok").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    bin_idx = F.floor((F.col("cum_tok") - F.col("n_tok")) / CTX_TOKENS)
+    return (
+        cum.groupBy("source", bin_idx.alias("bin_idx"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+        .select(
+            "source",
+            "bin_idx",
+            "n_docs",
+            "bin_tokens",
+            F.round(F.col("bin_tokens") / F.lit(float(CTX_TOKENS)), 4).alias(
+                "fill_rate"
+            ),
+        )
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture sampling: admit up to MIXTURE_CAP_PER_SOURCE documents
+    per source, chosen by a deterministic md5 order — the quota sampler that
+    shapes a raw crawl into a target mixture.
+
+    The md5 rank is engine-reproducible (same admissions on Spark and
+    DuckDB, any partitioning, any retry — unlike TABLESAMPLE).  One shuffle
+    on the source key; the rank window is per-source, so parallelism equals
+    the source count (at 100 TB sources are the mixture's domain labels,
+    thousands wide; a skewed mega-source pre-splits on a salt and takes
+    quota/salt per split)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    # rank by md5 of the doc id: uniform, deterministic, engine-portable
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy("rank_key", "doc_id")
+    return (
+        docs.select("doc_id", "source", "lang", rank_key.alias("rank_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MIXTURE_CAP_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("rank_key").alias("first_key"),
+        )
+    )
+
+
+def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated length percentiles per language — the curriculum /
+    truncation-budget profile.  percentile() is a map-side-combinable sketch
+    of the full distribution only in the approx variant; the exact form
+    gathers per-group sorted runs, which is fine because groups are languages
+    (bounded domain) even at 100 TB."""
+    docs = load_table(spark, sf, "documents")
+    pct = lambda p: F.percentile(F.col("n_chars"), F.lit(p))  # noqa: E731
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(pct(0.25), 2).alias("p25"),
+            F.round(pct(0.50), 2).alias("p50"),
+            F.round(pct(0.90), 2).alias("p90"),
+            F.round(pct(0.99), 2).alias("p99"),
+        )
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -711,5 +804,48 @@ FROM c GROUP BY doc_id
         f"'{PII_EMAIL}', '[PII]', 'g'), '{PII_IPV4}', '[PII]', 'g'), "
         f"'{PII_PHONE}', '[PII]', 'g')) AS redacted_len FROM documents",
         "PII scrub metrology (email/ipv4/phone counts + redacted length)",
+    ),
+    "text_pack_sequences": Query(
+        q_pack_sequences,
+        f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM t
+)
+SELECT source, CAST(floor((cum_tok - n_tok) / {CTX_TOKENS}.0) AS BIGINT) AS bin_idx,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       round(sum(n_tok) / {CTX_TOKENS}.0, 4) AS fill_rate
+FROM c GROUP BY 1, 2
+""",
+        "sequence packing into fixed-token context bins (per-source windows)",
+    ),
+    "text_mixture_sample": Query(
+        q_mixture_sample,
+        f"""
+WITH r AS (
+  SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS rank_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled, count(DISTINCT lang) AS n_langs,
+       min(rank_key) AS first_key
+FROM r WHERE rn <= {MIXTURE_CAP_PER_SOURCE} GROUP BY source
+""",
+        "deterministic per-source quota sampling (md5 admission order)",
+    ),
+    "text_length_percentiles": Query(
+        q_length_percentiles,
+        "SELECT lang, count(*) AS n_docs, "
+        "round(quantile_cont(n_chars, 0.25), 2) AS p25, "
+        "round(quantile_cont(n_chars, 0.50), 2) AS p50, "
+        "round(quantile_cont(n_chars, 0.90), 2) AS p90, "
+        "round(quantile_cont(n_chars, 0.99), 2) AS p99 "
+        "FROM documents GROUP BY lang",
+        "exact interpolated length percentiles per language",
     ),
 }
