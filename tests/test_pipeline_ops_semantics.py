@@ -326,3 +326,113 @@ def test_approx_quantiles_within_rank_error(spark):
 
             rank = bisect.bisect_left(vals, est)
             assert abs(rank - p * n) <= 0.05 * n + 1, (etype, p, est, rank)
+
+
+def test_pack_sequences_conservation_and_contiguity(spark):
+    """Packing must conserve tokens (no doc lost or double-packed) and fill
+    bins contiguously from 0 within each source."""
+    from collections import defaultdict
+
+    from hands_on_iceberg_compression_spark.operators.textops import (
+        q_pack_sequences,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+    rows = q_pack_sequences(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0].t
+    total_docs = docs.count()
+
+    assert sum(r.bin_tokens for r in rows) == total_tokens
+    assert sum(r.n_docs for r in rows) == total_docs
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r.bin_idx)
+        assert r.n_docs >= 1 and r.bin_tokens >= 1
+    for source, bins in by_source.items():
+        assert sorted(bins) == list(range(len(bins))), source
+
+
+def test_mixture_sample_quota_and_determinism(spark):
+    """Admission never exceeds the per-source quota and is bit-identical
+    across independent runs (the retry-reproducibility contract)."""
+    from hands_on_iceberg_compression_spark.operators.textops import (
+        MIXTURE_CAP_PER_SOURCE,
+        q_mixture_sample,
+    )
+
+    a = sorted(map(tuple, q_mixture_sample(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, q_mixture_sample(spark, SF_ORACLE).collect()))
+    assert a == b
+    assert all(r[1] <= MIXTURE_CAP_PER_SOURCE for r in a)
+    # the quota must actually bite somewhere at this sf, else the test is vacuous
+    assert any(r[1] == MIXTURE_CAP_PER_SOURCE for r in a)
+
+
+def test_cohort_retention_week0_is_full(spark):
+    """Every user is active in their own first-seen week, so offset-0
+    retention is exactly 1.0 for every cohort, and no offset is negative."""
+    from hands_on_iceberg_compression_spark.operators.temporal import (
+        q_cohort_retention,
+    )
+
+    rows = q_cohort_retention(spark, SF_ORACLE).collect()
+    assert rows
+    week0 = {r.cohort_week: r for r in rows if r.week_offset == 0}
+    cohorts = {r.cohort_week for r in rows}
+    assert set(week0) == cohorts
+    for r in week0.values():
+        assert r.n_active == r.cohort_size and r.retention == 1.0
+    assert all(r.week_offset >= 0 for r in rows)
+
+
+def test_levenshtein_blocked_finds_planted_near_dup(spark, tmp_path):
+    """A planted one-edit pair in the same (lang, length-band) block must
+    surface; the pair straddling languages must not (blocking contract)."""
+    import shutil
+
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        q_dedup_levenshtein_blocked,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base + "alpha", "en", "s", len(base) + 5),
+        (2, base + "alphb", "en", "s", len(base) + 5),  # 1 edit from doc 1
+        (3, base + "alpha", "de", "s", len(base) + 5),  # same text, other lang
+    ]
+    sf = str(tmp_path / "sf")
+    for t in ("documents",):
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.parquet(f"{sf}/{t}.parquet")
+
+    got = {(r.id_a, r.id_b): r for r in q_dedup_levenshtein_blocked(spark, sf).collect()}
+    assert (1, 2) in got and got[(1, 2)].edit_dist == 1
+    assert (1, 3) not in got and (2, 3) not in got
+    shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_tpch_q14_broadcasts_part_dim(spark):
+    """The part dimension must come in via a broadcast join — a shuffled
+    fact-side exchange on l_partkey would be the 100 TB bottleneck."""
+    from hands_on_iceberg_compression_spark.operators.advanced import (
+        q_tpch_q14_shape,
+    )
+
+    plan = q_tpch_q14_shape(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    row = q_tpch_q14_shape(spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= row.promo_revenue_pct <= 100.0
+
+
+def test_tpch_q4_uses_semi_join(spark):
+    """EXISTS must decorrelate to a left-semi join (no row multiplication)."""
+    from hands_on_iceberg_compression_spark.operators.advanced import (
+        q_tpch_q4_shape,
+    )
+
+    plan = q_tpch_q4_shape(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
