@@ -129,29 +129,33 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     event; for each (cohort_week, week_offset) the count of cohort members
     active that week, plus the retention rate vs the cohort size.
 
-    Two shuffles at any scale: (1) min(ts) per user, (2) the distinct
-    (user, active_week) projection — both key on user_id so AQE coalesces
-    them into one exchange reuse; the final (cohort, offset) aggregate is
-    bounded by weeks^2 rows.  The product-analytics companion to
-    funnel_conversion."""
+    ONE fact scan at any scale: the cohort week is min(active_week) over a
+    user window on the already-distinct (user, active_week) frame — not a
+    separate first-seen aggregate joined back (a naive 3-scan/7-exchange
+    plan; measured).  Cohort sizes need no extra pass either: every user is
+    active in their own first week, so the offset-0 grid row IS the cohort
+    size (broadcast self-join of the tiny weeks^2 grid).  The
+    product-analytics companion to funnel_conversion."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
     active = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
-    cohort_sizes = first_seen.groupBy("cohort_week").agg(
-        F.count("*").alias("cohort_size")
+    cohort = active.withColumn(
+        "cohort_week", F.min("active_week").over(Window.partitionBy("user_id"))
     )
     offset = (
         F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
     ).cast("long")
+    grid = cohort.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.count("*").alias("n_active")
+    )
+    sizes = grid.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
     return (
-        active.join(first_seen, "user_id")
-        .groupBy("cohort_week", offset.alias("week_offset"))
-        .agg(F.count("*").alias("n_active"))
-        .join(cohort_sizes, "cohort_week")
+        grid.join(F.broadcast(sizes), "cohort_week")
         .select(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             "week_offset",
