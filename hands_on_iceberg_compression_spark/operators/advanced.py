@@ -424,6 +424,50 @@ def q_tpch_q14_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ZSCORE_THRESHOLD = 3.0  # |z| beyond this counts as an outlier
+
+
+def q_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type outlier census: two-pass z-score (grouped stats, then
+    a broadcast join back onto the scan).  Both passes are map-side
+    combinable; the stats side is bounded by the type domain, so the join
+    is always broadcast — the standard large-scale anomaly sweep."""
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((z > ZSCORE_THRESHOLD).cast("long")).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
+
+
+def q_customer_ltv_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 customers by order lifetime value, with their nation — fact
+    aggregate first (shrinks to the customer domain), THEN the broadcast
+    dimension joins, then a global top-k (TakeOrdered, no full sort)."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("ltv"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        ltv.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "ltv", "n_orders")
+        .orderBy(F.col("ltv").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, Query] = {
     "rollup_agg": Query(
         q_rollup,
@@ -481,6 +525,32 @@ QUERIES: dict[str, Query] = {
         "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'",
         "TPC-H Q14 shape: promo revenue share (broadcast dim join + conditional agg)",
+    ),
+    "value_outliers": Query(
+        q_value_outliers,
+        f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > {ZSCORE_THRESHOLD}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type
+""",
+        "per-type z-score outlier census (two-pass, broadcast stats join)",
+    ),
+    "customer_ltv_topk": Query(
+        q_customer_ltv_topk,
+        "SELECT c_custkey, c_name, n_name AS nation, "
+        "round(sum(o_totalprice), 2) AS ltv, count(*) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY ltv DESC, c_custkey LIMIT 10",
+        "top-10 customer lifetime value with nation (agg-then-join, TakeOrdered)",
     ),
     "funnel_conversion": Query(
         q_funnel_conversion,

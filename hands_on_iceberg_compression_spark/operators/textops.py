@@ -576,6 +576,29 @@ def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_source_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the source mixture per language — the diversity
+    dial a mixture curator watches (entropy collapse = one source dominating
+    a language's slice).  The heavy scan reduces to a (lang, source) count
+    grid; the entropy window runs on that bounded-domain grid, not the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    tot = F.sum("cnt").over(Window.partitionBy("lang"))
+    p = F.col("cnt") / F.col("tot")
+    return (
+        counts.withColumn("tot", tot)
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count("*").alias("n_sources"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("source_entropy_bits"),
+        )
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -847,5 +870,20 @@ FROM r WHERE rn <= {MIXTURE_CAP_PER_SOURCE} GROUP BY source
         "round(quantile_cont(n_chars, 0.99), 2) AS p99 "
         "FROM documents GROUP BY lang",
         "exact interpolated length percentiles per language",
+    ),
+    "text_source_entropy": Query(
+        q_source_entropy,
+        """
+WITH c AS (
+  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT lang, cnt, sum(cnt) OVER (PARTITION BY lang) AS tot FROM c
+)
+SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_sources,
+       round(-sum((CAST(cnt AS DOUBLE) / tot) * log2(CAST(cnt AS DOUBLE) / tot)), 4)
+         AS source_entropy_bits
+FROM t GROUP BY lang
+""",
+        "per-language Shannon entropy of the source mixture",
     ),
 }
