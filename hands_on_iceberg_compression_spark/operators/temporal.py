@@ -166,6 +166,48 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_user_activity_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Events-per-user distribution in power-of-two buckets — the
+    engagement-skew profile (and the shuffle-skew early warning: a hot
+    bucket at the top IS the key that needs salting downstream).  Two
+    map-side-combinable aggregates; the second runs on the user domain."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2("n_events"))).cast("long")
+    return (
+        per_user.groupBy(bucket.alias("bucket_min_events"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )
+
+
+ROLLING_DAYS = 7
+
+
+def q_rolling_daily_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily value totals with a trailing 7-day moving average — the
+    time-series smoothing shape.  The rolling window runs over the DAY
+    grid (bounded: one row per day), never the raw events, so the sort is
+    trivial at any fact scale."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLLING_DAYS - 1), 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        "n_events",
+        F.round(F.avg("day_value").over(w), 2).alias("avg_7d"),
+        F.count("*").over(w).alias("window_days"),
+    )
+
+
 QUERIES: dict[str, Query] = {
     "asof_join": Query(
         q_asof_join,
@@ -260,5 +302,33 @@ SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week, g.week_offset,
 FROM grid g JOIN cohort_sizes c ON g.cohort_week = c.cohort_week
 """,
         "weekly cohort retention matrix (first-seen week x active week)",
+    ),
+    "user_activity_histogram": Query(
+        q_user_activity_histogram,
+        """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT CAST(power(2, floor(log2(n_events))) AS BIGINT) AS bucket_min_events,
+       count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per_user GROUP BY 1
+""",
+        "events-per-user histogram in power-of-two buckets (skew profile)",
+    ),
+    "rolling_daily_value": Query(
+        q_rolling_daily_value,
+        f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS day_value,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, day_value, n_events,
+       round(avg(day_value) OVER w, 2) AS avg_7d,
+       count(*) OVER w AS window_days
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW)
+""",
+        "trailing 7-day moving average over the bounded day grid",
     ),
 }
