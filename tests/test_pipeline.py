@@ -238,3 +238,38 @@ def test_rewrite_per_column_codec(spark, tmp_path):
     assert after == before
     props = wh.show_properties(cfg.schema, table)
     assert "per_column_codecs" in props and "user_name" in props["per_column_codecs"]
+
+
+def test_codec_advisor_end_to_end(spark, tmp_path):
+    """Advisor policy invariants + the advice actually drives a rewrite."""
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+    from hands_on_iceberg_compression_spark.pipeline.codec_advisor import (
+        SIZE_TOLERANCE,
+        advise,
+        overrides_from_advice,
+    )
+
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "advised"
+    wh.create_table(cfg.schema, table, "zstd", 6)
+    df = generate_df(spark, cfg, 1, 5000, seed=11, num_partitions=1)
+    wh.append(cfg.schema, table, df)
+
+    read = wh.read(cfg.schema, table).drop("tags")  # advisor is per-leaf; keep flat
+    advice = advise(read, sample_rows=2000)
+    assert set(advice) == set(read.columns)
+    for a in advice.values():
+        # the policy's own contract: never more than tolerance above optimal
+        assert a.encoded_bytes <= a.best_bytes * (1 + SIZE_TOLERANCE) + 1
+        assert a.decode_ms > 0
+
+    overrides = overrides_from_advice(advice, ("zstd", 6))
+    # applying the advice must round-trip values exactly
+    before = wh.read(cfg.schema, table).orderBy("id").collect()
+    if overrides:
+        flat_overrides = {c: o for c, o in overrides.items() if c != "tags"}
+        wh.rewrite_per_column_codec(cfg.schema, table, flat_overrides)
+    after = wh.read(cfg.schema, table).orderBy("id").collect()
+    assert before == after
