@@ -323,6 +323,135 @@ class ParquetWarehouse:
         shutil.rmtree(old_dir, ignore_errors=True)
         return len(self._data_files(schema, table))
 
+    # --- MERGE INTO analogue: keyed copy-on-write upsert -----------------
+    def merge_upsert(
+        self,
+        schema: str,
+        table: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None = None,
+    ) -> dict:
+        """Upsert ``updates`` into the table by key (MERGE INTO analogue —
+        parquet has no transaction log, so this is copy-on-write).
+
+        Partitioned tables rewrite ONLY the partitions that contain updated
+        keys (the Iceberg/Delta COW shape): the touched-partition set is
+        derived from the updates' transform columns (bounded collect — one
+        tuple per touched partition), current rows are read with a pruning
+        filter on exactly those values, and untouched partitions' files are
+        never opened.  Unpartitioned tables rewrite fully via the same
+        crash-safe tmp+swap as optimize().
+
+        Semantics: an update row replaces the current row with its key;
+        unmatched update rows insert.  ``delete_col`` (boolean) marks
+        tombstones: matching current rows disappear and the tombstone row is
+        not written.  Duplicate keys within ``updates`` are an error at 100
+        TB (ambiguous MERGE), enforced here with a cheap count check."""
+        meta = self.table_meta(schema, table)
+        table_cols = self.read(schema, table).columns
+        n_updates = updates.count()
+        if updates.select(*key_cols).distinct().count() != n_updates:
+            raise ValueError("updates contain duplicate keys (ambiguous MERGE)")
+
+        deletes = None
+        if delete_col is not None:
+            deletes = updates.filter(F.col(delete_col)).drop(delete_col)
+            updates = updates.filter(~F.col(delete_col)).drop(delete_col)
+        upserts = updates.select(
+            *[c for c in table_cols if c in updates.columns]
+        )
+        changed_keys = (
+            upserts.select(*key_cols)
+            if deletes is None
+            else upserts.select(*key_cols).unionByName(deletes.select(*key_cols))
+        )
+
+        data_dir = self._live_data_dir(schema, table)
+        tmp_dir = os.path.join(self._tdir(schema, table), "_merge_tmp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        part_specs = partition_transform_exprs(meta.partitioning or [])
+        n_deleted = 0 if deletes is None else deletes.count()
+
+        if part_specs:
+            from functools import reduce
+
+            # touched partitions from the updates themselves (deletes share
+            # the upsert schema once the tombstone flag is dropped)
+            all_changed = (
+                upserts if deletes is None else upserts.unionByName(deletes)
+            )
+            changed_parts, part_names = apply_partition_transforms(
+                all_changed, meta.partitioning
+            )
+            touched = [tuple(r) for r in changed_parts.select(*part_names).distinct().collect()]
+            current = self.read(schema, table)
+            # plain equality disjunction on the partition columns — the form
+            # hive partition discovery prunes on (struct isin does not)
+            in_touched = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(c) == F.lit(v) for c, v in zip(part_names, t)],
+                    )
+                    for t in touched
+                ],
+            )
+            scoped = current.filter(in_touched)
+            kept = scoped.join(changed_keys, key_cols, "left_anti")
+            upserts_p, _ = apply_partition_transforms(upserts, meta.partitioning)
+            merged = kept.select(*table_cols).unionByName(
+                upserts_p.select(*table_cols)
+            )
+            writer = merged.write.mode("overwrite").partitionBy(*part_names)
+            for k, v in self._write_options(meta).items():
+                writer = writer.option(k, v)
+            writer.parquet(tmp_dir)
+            # per-partition swap: only touched partition dirs are replaced,
+            # each with an atomic rename; untouched dirs are never written
+            swapped = 0
+            for t in touched:
+                rel = os.path.join(
+                    *[f"{n}={v}" for n, v in zip(part_names, t)]
+                )
+                src = os.path.join(tmp_dir, rel)
+                dst = os.path.join(data_dir, rel)
+                old = dst + "_old"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(dst):
+                    os.rename(dst, old)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+                shutil.rmtree(old, ignore_errors=True)
+                swapped += 1
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return {
+                "upserts": n_updates - n_deleted,
+                "deletes": n_deleted,
+                "partitions_rewritten": swapped,
+            }
+
+        current = self.read(schema, table)
+        merged = current.join(changed_keys, key_cols, "left_anti").select(
+            *table_cols
+        ).unionByName(upserts.select(*table_cols))
+        writer = merged.write.mode("overwrite")
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(tmp_dir)
+        old_dir = os.path.join(self._tdir(schema, table), "data_old")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return {
+            "upserts": n_updates - n_deleted,
+            "deletes": n_deleted,
+            "partitions_rewritten": 0,
+        }
+
     # --- C6b: per-column-codec rewrite -----------------------------------
     def rewrite_per_column_codec(
         self,

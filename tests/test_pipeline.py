@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from hands_on_iceberg_compression_spark.pipeline.codec_bench import run_codec_bench
 from hands_on_iceberg_compression_spark.pipeline.load import (
@@ -273,3 +274,104 @@ def test_codec_advisor_end_to_end(spark, tmp_path):
         wh.rewrite_per_column_codec(cfg.schema, table, flat_overrides)
     after = wh.read(cfg.schema, table).orderBy("id").collect()
     assert before == after
+
+
+def test_merge_upsert_partitioned_touches_only_changed_partitions(spark, tmp_path):
+    """MERGE semantics (update wins, insert lands, tombstone removes) AND the
+    copy-on-write contract: files of untouched partitions are not replaced."""
+    import os
+
+    import pytest
+
+    cfg = narrow_example_config()  # declares days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "merge_part"
+    wh.create_table(cfg.schema, table, "zstd", 6, partitioning=cfg.partitioning)
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    df = generate_df(spark, cfg, 1, 3000, seed=13, num_partitions=2)
+    wh.append(cfg.schema, table, df)
+    before = wh.read(cfg.schema, table)
+    n_before = before.count()
+
+    # one existing row to update, one to delete, one new id to insert —
+    # all confined to the victim row's day-partition
+    victim, casualty = [
+        r.asDict() for r in before.drop("created_at_day").orderBy("id").limit(2).collect()
+    ]
+    updated = dict(victim, amount=99999.5)
+    inserted = dict(victim, id=10_000_000)
+    deleted = dict(casualty)
+    from pyspark.sql import types as T
+
+    base_schema = before.drop("created_at_day").schema
+    schema_cols = [f.name for f in base_schema.fields]
+    up_schema = T.StructType(
+        base_schema.fields + [T.StructField("_del", T.BooleanType())]
+    )
+    updates = spark.createDataFrame(
+        [
+            tuple(updated[c] for c in schema_cols) + (False,),
+            tuple(inserted[c] for c in schema_cols) + (False,),
+            tuple(deleted[c] for c in schema_cols) + (True,),
+        ],
+        up_schema,
+    )
+
+    files_before = {
+        p: os.path.getmtime(p) for p in wh._data_files(cfg.schema, table)
+    }
+    res = wh.merge_upsert(cfg.schema, table, updates, ["id"], delete_col="_del")
+    assert res["upserts"] == 2 and res["deletes"] == 1
+    assert res["partitions_rewritten"] >= 1
+
+    after = wh.read(cfg.schema, table)
+    assert after.count() == n_before  # +1 insert -1 delete
+    assert after.filter(F.col("id") == updated["id"]).collect()[0].amount == 99999.5
+    assert after.filter(F.col("id") == 10_000_000).count() == 1
+    assert after.filter(F.col("id") == deleted["id"]).count() == 0
+
+    # untouched partitions: identical file paths and mtimes
+    import datetime as _dt
+
+    touched_days = {
+        d.strftime("%Y-%m-%d") if isinstance(d, (_dt.date, _dt.datetime)) else str(d)
+        for d in (updated["created_at"].date(), deleted["created_at"].date())
+    }
+    for p, mtime in files_before.items():
+        day = next(
+            (seg.split("=", 1)[1] for seg in p.split(os.sep) if seg.startswith("created_at_day=")),
+            None,
+        )
+        if day not in touched_days:
+            assert os.path.exists(p) and os.path.getmtime(p) == mtime, p
+
+    # ambiguous MERGE refused
+    dup = updates.unionByName(updates)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        wh.merge_upsert(cfg.schema, table, dup, ["id"], delete_col="_del")
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    """Unpartitioned fallback: full crash-safe rewrite, same semantics."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "merge_flat"
+    wh.create_table(cfg.schema, table, "zstd", 6)
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 500, seed=17, num_partitions=1))
+    before = wh.read(cfg.schema, table)
+    n = before.count()
+    row = before.orderBy("id").limit(1).collect()[0].asDict()
+    updated = dict(row, amount=-1.0)
+    cols = [f.name for f in before.schema.fields]
+    updates = spark.createDataFrame(
+        [tuple(updated[c] for c in cols)], before.schema
+    )
+    res = wh.merge_upsert(cfg.schema, table, updates, ["id"])
+    assert res == {"upserts": 1, "deletes": 0, "partitions_rewritten": 0}
+    after = wh.read(cfg.schema, table)
+    assert after.count() == n
+    assert after.filter(F.col("id") == row["id"]).collect()[0].amount == -1.0
