@@ -160,7 +160,31 @@ def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_predicate_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate/ordering aggregates per event_type: count_if, bool_and/or,
+    exact median, deterministic any_value (min stands in — any_value itself
+    is nondeterministic and so untestable cross-engine)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_extreme"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.min("user_id").alias("first_user"),
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "agg_predicate_battery": Query(
+        q_agg_predicate_battery,
+        "SELECT event_type, CAST(count_if(value > 50) AS BIGINT) AS n_high, "
+        "bool_and(value >= 0) AS all_nonneg, "
+        "bool_or(value > 99) AS any_extreme, "
+        "round(median(value), 4) AS median_value, "
+        "min(user_id) AS first_user "
+        "FROM events GROUP BY event_type",
+        "predicate aggregates: count_if / bool_and / bool_or / median",
+    ),
     "string_funcs_battery": Query(
         q_string_funcs,
         "SELECT event_id, lpad(event_type, 10, '*') AS lpadded, "

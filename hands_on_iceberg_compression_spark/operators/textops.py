@@ -599,6 +599,44 @@ def q_source_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BIGRAM_MIN_COUNT = 3
+BIGRAM_TOPK = 50
+
+
+def q_bigram_lm_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top bigram conditional probabilities P(w2|w1) with a min-count floor —
+    the tiny-LM-over-the-corpus shape (the counting backbone of every n-gram
+    model; KenLM's first pass is exactly this).
+
+    Two map-side-combinable counts (bigram, and its w1 margin) and one join
+    keyed on w1.  The explode runs over a pre-projected token array (HOF
+    lambdas are interpreted and un-CSE'd — the repetition-ratio lesson), so
+    the corpus scan stays linear; the join input is the aggregated vocab,
+    not the corpus."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bg")
+    )
+    counts = bigrams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    counts = counts.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    margins = counts.groupBy("w1").agg(F.sum("cnt").alias("w1_total"))
+    return (
+        counts.filter(F.col("cnt") >= BIGRAM_MIN_COUNT)
+        .join(margins, "w1")
+        .select(
+            "bg",
+            "cnt",
+            "w1_total",
+            F.round(F.col("cnt") / F.col("w1_total"), 4).alias("cond_p"),
+        )
+        .orderBy(F.col("cond_p").desc(), F.col("cnt").desc(), "bg")
+        .limit(BIGRAM_TOPK)
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -885,5 +923,19 @@ SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_sources,
 FROM t GROUP BY lang
 """,
         "per-language Shannon entropy of the source mixture",
+    ),
+    "text_bigram_lm_topk": Query(
+        q_bigram_lm_topk,
+        f"""
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg FROM t),
+c AS (SELECT bg, count(*) AS cnt, split_part(bg, ' ', 1) AS w1 FROM b GROUP BY bg),
+m AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS w1_total FROM c GROUP BY w1)
+SELECT bg, cnt, w1_total, round(CAST(cnt AS DOUBLE) / w1_total, 4) AS cond_p
+FROM c JOIN m USING (w1)
+WHERE cnt >= {BIGRAM_MIN_COUNT}
+ORDER BY cond_p DESC, cnt DESC, bg LIMIT {BIGRAM_TOPK}
+""",
+        "bigram conditional-probability top-k (n-gram LM counting pass)",
     ),
 }
