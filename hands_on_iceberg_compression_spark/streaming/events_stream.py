@@ -219,3 +219,48 @@ def run_available_now(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def stream_upsert_latest_into_warehouse(
+    events: DataFrame,
+    warehouse,
+    schema: str,
+    table: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming CDC: maintain a keep-latest-per-(user_id, event_type)
+    snapshot table via ``merge_upsert`` from ``foreachBatch`` — the
+    streaming twin of the batch ``dedup_keep_latest`` query.
+
+    Each micro-batch reduces to one row per key (max ts wins, event_id
+    breaks ties) BEFORE merging, so the upsert's key set — and therefore
+    the copy-on-write rewrite — is bounded by the batch's distinct keys,
+    not its row count.  Exactly-once: the checkpoint replays a failed
+    epoch, and merge_upsert is idempotent for identical updates."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if warehouse.is_empty(schema, table):
+            warehouse.append(schema, table, latest, batch_id=f"epoch_{epoch_id:08d}")
+            return
+        warehouse.merge_upsert(schema, table, latest, ["user_id", "event_type"])
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

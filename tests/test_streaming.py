@@ -122,3 +122,53 @@ def test_streaming_dedup(spark, tmp_path):
     )
     assert n_stream == n_batch
     assert deduped.select("event_id").distinct().count() == n_stream
+
+
+def test_streaming_upsert_matches_batch_keep_latest(spark, tmp_path):
+    """The foreachBatch merge_upsert CDC path must converge to exactly the
+    batch dedup_keep_latest snapshot (same keys, same surviving rows)."""
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        q_dedup_keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_upsert_latest_into_warehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "latest_events", "zstd", 3)
+    # seed with a stale snapshot (first half of the log) so the streaming
+    # epoch takes the merge_upsert branch, not the empty-table append
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_SMALL, "events")
+    half = ev.filter(F.col("event_id") < ev.count() / 2)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seed = (
+        half.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    wh.append("lab", "latest_events", seed, batch_id="seed")
+
+    stream = read_events_stream(spark, SF_SMALL)
+    stream_upsert_latest_into_warehouse(
+        stream, wh, "lab", "latest_events", str(tmp_path / "ckpt")
+    )
+
+    got = (
+        wh.read("lab", "latest_events")
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    want = (
+        q_dedup_keep_latest(spark, SF_SMALL)
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert got.equals(want)
