@@ -183,3 +183,18 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
         assert "ReusedExchange" in final
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_pack_and_mixture_single_exchange(spark):
+    """The per-source window ops must shuffle exactly once (the window's
+    hashpartitioning(source)); the downstream per-source aggregate reuses
+    that partitioning instead of re-exchanging."""
+    from hands_on_iceberg_compression_spark.operators.textops import (
+        q_mixture_sample,
+        q_pack_sequences,
+    )
+
+    for q in (q_pack_sequences, q_mixture_sample):
+        text = q(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        n = text.count("Exchange hashpartitioning")
+        assert n == 1, f"{q.__name__}: expected 1 exchange, plan has {n}"
