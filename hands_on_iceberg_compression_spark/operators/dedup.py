@@ -472,7 +472,43 @@ def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history: each event becomes a versioned row with a validity
+    interval [ts, next ts for the same key) and an is_current flag — the
+    slowly-changing-dimension twin of ``dedup_keep_latest`` (which returns
+    only the final version).  One shuffle on the key; lead() runs inside
+    the same sort the shuffle already established."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "value",
+        )
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "scd2_history": Query(
+        q_scd2_history,
+        """
+SELECT user_id, event_type, event_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       value
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+""",
+        "SCD2 validity intervals per key (versioned history, lead window)",
+    ),
     "dedup_levenshtein_blocked": Query(
         q_dedup_levenshtein_blocked,
         f"""

@@ -131,7 +131,17 @@ def main() -> None:
             string_column_overrides,
         )
 
-        overrides = string_column_overrides(df, "zstd", 1)
+        if "--advise" in sys.argv:
+            # measured per-column choice (codec_advisor) instead of the
+            # static strings->zstd-1 heuristic
+            from hands_on_iceberg_compression_spark.pipeline.codec_advisor import (
+                advise,
+                overrides_from_advice,
+            )
+
+            overrides = overrides_from_advice(advise(df), ("zstd", 6))
+        else:
+            overrides = string_column_overrides(df, "zstd", 1)
         t0 = time.perf_counter()
         wh.rewrite_per_column_codec(cfg.schema, table, overrides, max_workers=16)
         rewrite_s = time.perf_counter() - t0
