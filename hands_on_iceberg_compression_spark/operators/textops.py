@@ -637,6 +637,46 @@ def q_bigram_lm_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 1000
+
+
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage analysis: out-of-vocabulary rate per language
+    against the corpus's own top-VOCAB_SIZE word vocabulary — the check run
+    before freezing a tokenizer (a vocab that covers 95% of English but 60%
+    of German is a curation bug).
+
+    The vocabulary is a TakeOrdered top-k of the word-frequency aggregate
+    (deterministic count-then-word tiebreak) and is broadcast back against
+    the exploded token stream as a left-anti join; both heavy stages are
+    the same single-shuffle word count, which AQE reuses."""
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(VOCAB_SIZE)
+        .select("w")
+    )
+    oov = words.join(F.broadcast(vocab), "w", "left_anti")
+    per_lang_tokens = words.groupBy("lang").agg(F.count("*").alias("total_tokens"))
+    per_lang_oov = oov.groupBy("lang").agg(F.count("*").alias("oov_tokens"))
+    return (
+        per_lang_tokens.join(per_lang_oov, "lang", "left")
+        .select(
+            "lang",
+            "total_tokens",
+            F.coalesce(F.col("oov_tokens"), F.lit(0)).alias("oov_tokens"),
+            F.round(
+                F.coalesce(F.col("oov_tokens"), F.lit(0)) / F.col("total_tokens"), 4
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def _lang_sql() -> str:
     def marker_filter(markers: tuple[str, ...]) -> str:
         cond = " OR ".join(f"x = '{m}'" for m in markers)
@@ -937,5 +977,28 @@ WHERE cnt >= {BIGRAM_MIN_COUNT}
 ORDER BY cond_p DESC, cnt DESC, bg LIMIT {BIGRAM_TOPK}
 """,
         "bigram conditional-probability top-k (n-gram LM counting pass)",
+    ),
+    "text_oov_rate": Query(
+        q_oov_rate,
+        f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS cnt FROM words GROUP BY w
+    ORDER BY cnt DESC, w LIMIT {VOCAB_SIZE}
+  )
+), tot AS (
+  SELECT lang, count(*) AS total_tokens FROM words GROUP BY lang
+), oov AS (
+  SELECT lang, count(*) AS oov_tokens FROM words
+  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY lang
+)
+SELECT t.lang, t.total_tokens, coalesce(o.oov_tokens, 0) AS oov_tokens,
+       round(CAST(coalesce(o.oov_tokens, 0) AS DOUBLE) / t.total_tokens, 4)
+         AS oov_rate
+FROM tot t LEFT JOIN oov o ON t.lang = o.lang
+""",
+        "out-of-vocabulary rate per language vs the corpus top-k vocabulary",
     ),
 }
