@@ -646,24 +646,35 @@ def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     before freezing a tokenizer (a vocab that covers 95% of English but 60%
     of German is a curation bug).
 
-    The vocabulary is a TakeOrdered top-k of the word-frequency aggregate
-    (deterministic count-then-word tiebreak) and is broadcast back against
-    the exploded token stream as a left-anti join; both heavy stages are
-    the same single-shuffle word count, which AQE reuses."""
+    Every branch aggregates the exploded tokens down to the (lang, word)
+    count grid BEFORE anything else, so only grid-sized partials ever cross
+    the wire (a naive formulation anti-joins the raw token stream — corpus-
+    sized shuffle input).  Catalyst still recomputes the grid per branch
+    (the branches group on different keys, so no exchange is reusable —
+    verified on the executed plan); a caller running this at warehouse
+    scale stages the grid once (persist / temp table) — the operator stays
+    a pure DataFrame expression by contract."""
     docs = load_table(spark, sf, "documents")
-    words = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    cells = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
     )
     vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("cnt"))
+        cells.groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "w")
         .limit(VOCAB_SIZE)
         .select("w")
     )
-    oov = words.join(F.broadcast(vocab), "w", "left_anti")
-    per_lang_tokens = words.groupBy("lang").agg(F.count("*").alias("total_tokens"))
-    per_lang_oov = oov.groupBy("lang").agg(F.count("*").alias("oov_tokens"))
+    per_lang_tokens = cells.groupBy("lang").agg(
+        F.sum("cnt").alias("total_tokens")
+    )
+    per_lang_oov = (
+        cells.join(F.broadcast(vocab), "w", "left_anti")
+        .groupBy("lang")
+        .agg(F.sum("cnt").alias("oov_tokens"))
+    )
     return (
         per_lang_tokens.join(per_lang_oov, "lang", "left")
         .select(
