@@ -424,6 +424,45 @@ def q_tpch_q14_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DOC_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The data-quality sweep over the documents table — same one-scan
+    wide-aggregate + UNPIVOT shape as q_profile_table, applied to the corpus
+    catalog columns (text itself is profiled by the text_* operators)."""
+    docs = load_table(spark, sf, "documents")
+    aggs = []
+    for c in _DOC_PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _DOC_PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_DOC_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def _doc_profile_oracle() -> str:
+    parts = [
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_val, "
+        f"CAST(max({c}) AS VARCHAR) AS max_val FROM documents"
+        for c in _DOC_PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 ZSCORE_THRESHOLD = 3.0  # |z| beyond this counts as an outlier
 
 
@@ -525,6 +564,11 @@ QUERIES: dict[str, Query] = {
         "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'",
         "TPC-H Q14 shape: promo revenue share (broadcast dim join + conditional agg)",
+    ),
+    "profile_documents": Query(
+        q_profile_documents,
+        _doc_profile_oracle(),
+        "data-quality profile of the documents catalog columns (one scan + UNPIVOT)",
     ),
     "value_outliers": Query(
         q_value_outliers,

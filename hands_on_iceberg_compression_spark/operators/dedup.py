@@ -472,6 +472,26 @@ def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_materialize(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialize the deduplicated corpus: full survivor rows (min doc_id
+    per content digest), not just ids — the step that actually writes the
+    clean dataset.  The digest groupBy shrinks to one 16-byte key + one id
+    per unique document; the join back to full rows keys on doc_id, so
+    heavyweight text payloads cross the wire once, only for survivors."""
+    docs = load_table(spark, sf, "documents")
+    digest = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))))
+    survivors = (
+        docs.select(digest.alias("d"), "doc_id")
+        .groupBy("d")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(survivors, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD2 history: each event becomes a versioned row with a validity
     interval [ts, next ts for the same key) and an is_current flag — the
@@ -497,6 +517,18 @@ def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES: dict[str, Query] = {
+    "dedup_materialize": Query(
+        q_dedup_materialize,
+        """
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN survivors USING (doc_id)
+""",
+        "materialized dedup survivors (full rows of the clean corpus)",
+    ),
     "scd2_history": Query(
         q_scd2_history,
         """
