@@ -174,7 +174,49 @@ def q_agg_predicate_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Price deciles via ntile(10) per return flag: per-decile row count and
+    price range.  The order key is total (price, orderkey, linenumber) so
+    tie placement — and therefore every decile boundary — is engine-exact.
+    Scale note: a global/low-cardinality-partition ntile funnels each
+    partition through one reducer; at warehouse scale bucket by
+    approx-percentile boundaries instead (approx_quantile_battery is that
+    twin) — this is the exact form for bounded partitions."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "ntile_deciles": Query(
+        q_ntile_deciles,
+        """
+SELECT l_returnflag, decile, count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(10) OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS decile
+  FROM lineitem
+)
+GROUP BY l_returnflag, decile
+""",
+        "ntile(10) price deciles per return flag (engine-exact tie order)",
+    ),
     "agg_predicate_battery": Query(
         q_agg_predicate_battery,
         "SELECT event_type, CAST(count_if(value > 50) AS BIGINT) AS n_high, "
