@@ -646,45 +646,31 @@ def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     before freezing a tokenizer (a vocab that covers 95% of English but 60%
     of German is a curation bug).
 
-    Every branch aggregates the exploded tokens down to the (lang, word)
-    count grid BEFORE anything else, so only grid-sized partials ever cross
-    the wire (a naive formulation anti-joins the raw token stream — corpus-
-    sized shuffle input).  Catalyst still recomputes the grid per branch
-    (the branches group on different keys, so no exchange is reusable —
-    verified on the executed plan); a caller running this at warehouse
-    scale stages the grid once (persist / temp table) — the operator stays
-    a pure DataFrame expression by contract."""
+    Exactly TWO corpus scans, both necessary: (1) the word-frequency
+    aggregate whose top-k IS the vocabulary — collected driver-side
+    (bounded by VOCAB_SIZE, the same contract as the k-means centroid and
+    PCA moment collects) and inlined as an InSet literal; (2) one
+    conditional aggregate computing per-language totals and OOV counts in
+    a single pass — no join, no branch lineage recompute (an earlier
+    three-branch formulation re-scanned the corpus per branch; different
+    grouping keys make no exchange reusable)."""
     docs = load_table(spark, sf, "documents")
-    cells = (
-        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .groupBy("lang", "w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    vocab = (
-        cells.groupBy("w")
-        .agg(F.sum("cnt").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "w")
-        .limit(VOCAB_SIZE)
-        .select("w")
-    )
-    per_lang_tokens = cells.groupBy("lang").agg(
-        F.sum("cnt").alias("total_tokens")
-    )
-    per_lang_oov = (
-        cells.join(F.broadcast(vocab), "w", "left_anti")
-        .groupBy("lang")
-        .agg(F.sum("cnt").alias("oov_tokens"))
-    )
-    return (
-        per_lang_tokens.join(per_lang_oov, "lang", "left")
-        .select(
-            "lang",
-            "total_tokens",
-            F.coalesce(F.col("oov_tokens"), F.lit(0)).alias("oov_tokens"),
-            F.round(
-                F.coalesce(F.col("oov_tokens"), F.lit(0)) / F.col("total_tokens"), 4
-            ).alias("oov_rate"),
+    words = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    vocab = [
+        r.w
+        for r in (
+            words.groupBy("w")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "w")
+            .limit(VOCAB_SIZE)
+            .collect()
         )
+    ]
+    oov_cnt = F.sum((~F.col("w").isin(vocab)).cast("long"))
+    return words.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        oov_cnt.alias("oov_tokens"),
+        F.round(oov_cnt / F.count("*"), 4).alias("oov_rate"),
     )
 
 
