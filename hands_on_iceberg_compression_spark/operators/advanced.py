@@ -475,13 +475,19 @@ def q_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    # nullif guards the constant-group case identically on both engines:
+    # Spark's non-ANSI Divide already NULLs on zero, DuckDB's IEEE double
+    # division yields inf — NULLIF makes both sides NULL, and the outlier
+    # count coalesces per-row so an all-NULL group sums to 0, not NULL
+    z = F.abs((F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum((z > ZSCORE_THRESHOLD).cast("long")).alias("n_outliers"),
+            F.sum(F.coalesce((z > ZSCORE_THRESHOLD).cast("long"), F.lit(0))).alias(
+                "n_outliers"
+            ),
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
@@ -578,9 +584,9 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type, count(*) AS n,
-       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > {ZSCORE_THRESHOLD}
+       CAST(sum(CASE WHEN abs((e.value - s.mu) / nullif(s.sigma, 0)) > {ZSCORE_THRESHOLD}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+       round(max(abs((e.value - s.mu) / nullif(s.sigma, 0))), 4) AS max_abs_z
 FROM events e JOIN stats s USING (event_type)
 GROUP BY e.event_type
 """,

@@ -409,23 +409,35 @@ def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def keep_latest(
+    df: DataFrame,
+    key_cols: list[str] = ["user_id", "event_type"],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """One survivor row per key: newest ``ts_col`` wins, ``tie_col`` breaks
+    ties deterministically.  THE single source of the CDC keep-latest
+    ordering — q_dedup_keep_latest, the streaming merge_upsert sink, and
+    their convergence test all call this so the tie-break cannot drift
+    between twins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
 def q_dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     """Keep-latest dedup: one survivor row per (user_id, event_type), newest
     ts wins, event_id as the deterministic tie-break.  The snapshot/upsert
     compaction shape every CDC-fed training corpus needs; a single
     row_number window = one shuffle on the dedup key at 100 TB (no
     self-join, no global sort)."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
-    )
+    return keep_latest(ev).select("user_id", "event_type", "event_id", "ts", "value")
 
 
 LEV_BUCKET_CHARS = 32  # length-bucket width for the blocked edit-distance join
@@ -464,11 +476,14 @@ def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("bucket_a") == F.col("bucket_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
+        # admit on the UNROUNDED fraction (the oracle's WHERE is unrounded
+        # too — filtering on the rounded projection would admit a pair the
+        # oracle rejects once raw fractions land inside the rounding step)
+        .filter(dist / max_len <= LEV_MAX_DIST_FRAC)
         .select(
             "id_a", "id_b", dist.alias("edit_dist"),
             F.round(dist / max_len, 4).alias("dist_frac"),
         )
-        .filter(F.col("dist_frac") <= LEV_MAX_DIST_FRAC)
     )
 
 

@@ -29,36 +29,47 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def prepare_events_session(spark: SparkSession, path: str) -> bool:
+    """Pin the confs the events TIMESTAMP(NANOS) column needs and return
+    whether this runtime surfaces it as a raw ns BIGINT.
+
+    How Spark reads parquet NANOS changed across 4.x:
+      - up to 4.0: the scan rejects NANOS (PARQUET_TYPE_ILLEGAL) unless
+        spark.sql.legacy.parquet.nanosAsLong=true, which yields raw
+        ns-since-epoch BIGINT;
+      - 4.1+: NANOS reads natively as TIMESTAMP_NTZ, already
+        micro-truncated; the legacy conf is silently ignored (this exact
+        shift broke 53 tests between rounds — keep ONE source of truth).
+    The UTC pin matters either way: ``normalize_events_ts`` produces an
+    *instant* (TIMESTAMP_LTZ) whose wall-clock rendering and
+    string-literal comparisons depend on the session timezone, while the
+    stored values and every oracle are tz-naive."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+
+
+def normalize_events_ts(df: DataFrame, ns_as_long: bool) -> DataFrame:
+    """Normalize the events ts column to TIMESTAMP (an instant, UTC pin
+    assumed — see prepare_events_session) from either runtime's raw form.
+
+    BIGINT path: truncate with *integer* division (ns epochs exceed 2**53,
+    float division loses precision) then timestamp_micros().  NTZ path: a
+    bare cast — the session tz is UTC, so the naive wall-clock reinterprets
+    as the same instant the bigint path produces.  DuckDB applies the same
+    ns->us truncation, so oracles agree either way."""
+    if ns_as_long:
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet.  How Spark surfaces that
-        # changed across 4.x:
-        #   - up to 4.0: the scan rejects NANOS (PARQUET_TYPE_ILLEGAL) unless
-        #     spark.sql.legacy.parquet.nanosAsLong=true, which yields raw
-        #     ns-since-epoch BIGINT -> truncate with *integer* division (ns
-        #     epochs exceed 2**53, float division loses precision) and
-        #     timestamp_micros().
-        #   - 4.1+: NANOS reads natively as TIMESTAMP_NTZ, already
-        #     micro-truncated; the legacy conf is silently ignored.
-        # DuckDB applies the same ns->us truncation, so oracles agree either
-        # way.  Both paths normalize to an *instant* (TIMESTAMP_LTZ) under a
-        # UTC session pin: wall-clock rendering and string-literal
-        # comparisons depend on the session timezone, and the stored values
-        # and every oracle are tz-naive — a non-UTC caller session must not
-        # shift every events-timestamp predicate.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        # timestamp_ntz -> timestamp: session tz is pinned UTC above, so the
-        # cast reinterprets the naive wall-clock as the same UTC instant the
-        # bigint path produced.
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        ns_as_long = prepare_events_session(spark, path)
+        return normalize_events_ts(spark.read.parquet(path), ns_as_long)
     return spark.read.parquet(path)
 
 

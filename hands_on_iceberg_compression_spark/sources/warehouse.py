@@ -335,23 +335,44 @@ class ParquetWarehouse:
         """Upsert ``updates`` into the table by key (MERGE INTO analogue —
         parquet has no transaction log, so this is copy-on-write).
 
-        Partitioned tables rewrite ONLY the partitions that contain updated
-        keys (the Iceberg/Delta COW shape): the touched-partition set is
-        derived from the updates' transform columns (bounded collect — one
-        tuple per touched partition), current rows are read with a pruning
-        filter on exactly those values, and untouched partitions' files are
-        never opened.  Unpartitioned tables rewrite fully via the same
+        Partitioned tables rewrite ONLY partitions containing changed keys —
+        in BOTH positions: the partitions the updates land in AND the
+        partitions currently holding those keys (an update may move a row
+        across partitions; scoping only by the new values would leave the
+        stale row behind).  The current positions come from a key+partition
+        column discovery scan over the table — column-pruned, but a full
+        partition sweep, exactly the touched-file discovery every
+        transaction-log MERGE (Delta/Iceberg) performs absent a key index.
+        Untouched partitions' FILES are never rewritten; dir swaps use the
+        filesystem's own (Spark-encoded) partition dir names, never
+        reconstructed strings, so NULL/escaped partition values swap
+        correctly.  Unpartitioned tables rewrite fully via the same
         crash-safe tmp+swap as optimize().
 
         Semantics: an update row replaces the current row with its key;
         unmatched update rows insert.  ``delete_col`` (boolean) marks
         tombstones: matching current rows disappear and the tombstone row is
-        not written.  Duplicate keys within ``updates`` are an error at 100
-        TB (ambiguous MERGE), enforced here with a cheap count check."""
+        not written.  Duplicate keys within ``updates`` are an error
+        (ambiguous MERGE), enforced with one aggregate."""
+        from urllib.parse import unquote, urlparse
+
         meta = self.table_meta(schema, table)
         table_cols = self.read(schema, table).columns
-        n_updates = updates.count()
-        if updates.select(*key_cols).distinct().count() != n_updates:
+        # updates drives several actions (stats aggregate, discovery scan,
+        # the write); truncate its lineage once so a heavy upstream plan
+        # (e.g. the streaming sink's keep-latest window) runs once, not 4x
+        try:
+            updates = updates.localCheckpoint(eager=True)
+        except Exception:
+            pass  # checkpointing is an optimization, never a requirement
+        # one aggregate answers both "how many updates" and "any dup keys"
+        agg = updates.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+        stats = agg.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("total"),
+            F.coalesce(F.max("_n"), F.lit(0)).alias("max_per_key"),
+        ).collect()[0]
+        n_updates = stats.total
+        if stats.max_per_key > 1:
             raise ValueError("updates contain duplicate keys (ambiguous MERGE)")
 
         deletes = None
@@ -372,33 +393,62 @@ class ParquetWarehouse:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         part_specs = partition_transform_exprs(meta.partitioning or [])
         n_deleted = 0 if deletes is None else deletes.count()
+        result = {
+            "upserts": n_updates - n_deleted,
+            "deletes": n_deleted,
+            "partitions_rewritten": 0,
+        }
+        if n_updates == 0:
+            return result
 
         if part_specs:
             from functools import reduce
 
-            # touched partitions from the updates themselves (deletes share
-            # the upsert schema once the tombstone flag is dropped)
+            part_names = [n for n, _ in part_specs]
+            # discovery scan: where do the changed keys currently live?
+            # (key + partition cols + file path only — column-pruned)
+            cur = self.read(schema, table).select(
+                *key_cols, *part_names, F.input_file_name().alias("_f")
+            )
+            hits = cur.join(changed_keys, key_cols, "left_semi")
+            hit_rows = hits.select(*part_names, "_f").distinct().collect()
+            # input_file_name() yields file:// URIs with percent-encoding;
+            # decode to plain paths before taking dirnames relative to data/
+            old_dirs = {
+                os.path.relpath(
+                    os.path.dirname(unquote(urlparse(r["_f"]).path)), data_dir
+                )
+                for r in hit_rows
+            }
+            # touched partition VALUES: current positions of changed keys
+            # plus the updates' new positions (value-based so the scoped
+            # read below still partition-prunes)
             all_changed = (
                 upserts if deletes is None else upserts.unionByName(deletes)
             )
-            changed_parts, part_names = apply_partition_transforms(
+            changed_parts, _ = apply_partition_transforms(
                 all_changed, meta.partitioning
             )
-            touched = [tuple(r) for r in changed_parts.select(*part_names).distinct().collect()]
-            current = self.read(schema, table)
-            # plain equality disjunction on the partition columns — the form
-            # hive partition discovery prunes on (struct isin does not)
+            touched = {
+                tuple(r[n] for n in part_names)
+                for r in changed_parts.select(*part_names).distinct().collect()
+            } | {tuple(r[n] for n in part_names) for r in hit_rows}
+            if not touched:
+                return result
             in_touched = reduce(
                 lambda a, b: a | b,
                 [
                     reduce(
                         lambda a, b: a & b,
-                        [F.col(c) == F.lit(v) for c, v in zip(part_names, t)],
+                        [
+                            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                            for c, v in zip(part_names, t)
+                        ],
                     )
-                    for t in touched
+                    for t in sorted(touched, key=repr)
                 ],
             )
-            scoped = current.filter(in_touched)
+            scoped = self.read(schema, table).filter(in_touched)
             kept = scoped.join(changed_keys, key_cols, "left_anti")
             upserts_p, _ = apply_partition_transforms(upserts, meta.partitioning)
             merged = kept.select(*table_cols).unionByName(
@@ -408,30 +458,31 @@ class ParquetWarehouse:
             for k, v in self._write_options(meta).items():
                 writer = writer.option(k, v)
             writer.parquet(tmp_dir)
-            # per-partition swap: only touched partition dirs are replaced,
-            # each with an atomic rename; untouched dirs are never written
-            swapped = 0
-            for t in touched:
-                rel = os.path.join(
-                    *[f"{n}={v}" for n, v in zip(part_names, t)]
-                )
+            # swap by the dir names Spark actually wrote (encoding-safe):
+            # every leaf dir in tmp replaces its counterpart atomically ...
+            new_dirs = set()
+            for base, _dirs, files in os.walk(tmp_dir):
+                if any(fn.endswith(".parquet") for fn in files):
+                    new_dirs.add(os.path.relpath(base, tmp_dir))
+            for rel in sorted(new_dirs):
                 src = os.path.join(tmp_dir, rel)
                 dst = os.path.join(data_dir, rel)
                 old = dst + "_old"
                 shutil.rmtree(old, ignore_errors=True)
                 if os.path.isdir(dst):
                     os.rename(dst, old)
-                if os.path.isdir(src):
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(src, dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
                 shutil.rmtree(old, ignore_errors=True)
-                swapped += 1
+            # ... and a changed key\'s old partition with NO surviving output
+            # (every row deleted or moved away) is removed outright
+            for rel in sorted(old_dirs - new_dirs):
+                victim = os.path.join(data_dir, rel)
+                if os.path.realpath(victim).startswith(os.path.realpath(data_dir)):
+                    shutil.rmtree(victim, ignore_errors=True)
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            return {
-                "upserts": n_updates - n_deleted,
-                "deletes": n_deleted,
-                "partitions_rewritten": swapped,
-            }
+            result["partitions_rewritten"] = len(new_dirs | old_dirs)
+            return result
 
         current = self.read(schema, table)
         merged = current.join(changed_keys, key_cols, "left_anti").select(
@@ -446,11 +497,7 @@ class ParquetWarehouse:
         os.rename(data_dir, old_dir)
         os.rename(tmp_dir, data_dir)
         shutil.rmtree(old_dir, ignore_errors=True)
-        return {
-            "upserts": n_updates - n_deleted,
-            "deletes": n_deleted,
-            "partitions_rewritten": 0,
-        }
+        return result
 
     # --- C6b: per-column-codec rewrite -----------------------------------
     def rewrite_per_column_codec(

@@ -35,29 +35,27 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture (file source; Kafka-swappable).
 
-    The fixture's ts is parquet TIMESTAMP(NANOS); same dual path as
-    ``sources/fixtures.py:load_table`` — Spark <=4.0 only reads NANOS as a
-    raw ns long (nanosAsLong conf), 4.1+ reads it natively as
-    TIMESTAMP_NTZ (micro-truncated) and ignores the conf.  Probe the
-    batch reader's inferred dtype (footer-only) to pick the user schema,
-    then normalize to a TIMESTAMP instant under the UTC session pin."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    import os
+    The fixture's ts is parquet TIMESTAMP(NANOS); the runtime-version
+    dual path (Spark <=4.0 raw-ns-BIGINT vs 4.1+ native TIMESTAMP_NTZ)
+    lives in ONE place — ``sources/fixtures.py:prepare_events_session`` /
+    ``normalize_events_ts`` — shared with the batch loader, so batch and
+    streaming cannot drift on ts normalization.  Only the user schema for
+    the stream reader is chosen here (streaming sources cannot infer)."""
+    from hands_on_iceberg_compression_spark.sources.fixtures import (
+        normalize_events_ts,
+        prepare_events_session,
+    )
 
-    inferred = dict(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
-    )["ts"]
-    ns_as_long = inferred == "bigint"
+    ns_as_long = prepare_events_session(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     schema = _events_schema(T.LongType() if ns_as_long else T.TimestampNTZType())
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if ns_as_long:
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(raw, ns_as_long)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 minute", watermark: str = "10 minutes") -> DataFrame:
@@ -233,29 +231,41 @@ def stream_upsert_latest_into_warehouse(
     streaming twin of the batch ``dedup_keep_latest`` query.
 
     Each micro-batch reduces to one row per key (max ts wins, event_id
-    breaks ties) BEFORE merging, so the upsert's key set — and therefore
+    breaks ties — operators/dedup.py:keep_latest, the SAME ordering as the
+    batch twin) BEFORE merging, so the upsert's key set — and therefore
     the copy-on-write rewrite — is bounded by the batch's distinct keys,
-    not its row count.  Exactly-once: the checkpoint replays a failed
-    epoch, and merge_upsert is idempotent for identical updates."""
+    not its row count.  An update older than the STORED row for its key is
+    dropped before the merge (out-of-order micro-batches — a multi-file
+    source lists by name, not event time — must never regress the
+    snapshot).  Exactly-once: the checkpoint replays a failed epoch, and
+    merge_upsert is idempotent for identical updates."""
     import os
 
-    from pyspark.sql.window import Window
+    from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        w = Window.partitionBy("user_id", "event_type").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        latest = keep_latest(batch_df)
         if warehouse.is_empty(schema, table):
             warehouse.append(schema, table, latest, batch_id=f"epoch_{epoch_id:08d}")
             return
-        warehouse.merge_upsert(schema, table, latest, ["user_id", "event_type"])
+        stored = warehouse.read(schema, table).select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("_cur_ts"),
+            F.col("event_id").alias("_cur_id"),
+        )
+        fresh = (
+            latest.join(stored, ["user_id", "event_type"], "left")
+            .filter(
+                F.col("_cur_ts").isNull()
+                | (F.col("ts") > F.col("_cur_ts"))
+                | ((F.col("ts") == F.col("_cur_ts")) & (F.col("event_id") > F.col("_cur_id")))
+            )
+            .drop("_cur_ts", "_cur_id")
+        )
+        warehouse.merge_upsert(schema, table, fresh, ["user_id", "event_type"])
 
     q = (
         events.writeStream.foreachBatch(_sink)

@@ -375,3 +375,75 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     after = wh.read(cfg.schema, table)
     assert after.count() == n
     assert after.filter(F.col("id") == row["id"]).collect()[0].amount == -1.0
+
+
+def test_merge_upsert_moves_row_across_partitions(spark, tmp_path):
+    """An update that changes the partition-source column must remove the
+    stale row from its OLD partition (discovery-scan scoping), and a
+    tombstone that empties a partition must remove that partition's dir."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    cfg = narrow_example_config()  # days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "merge_move"
+    wh.create_table(cfg.schema, table, "zstd", 6, partitioning=cfg.partitioning)
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    df = generate_df(spark, cfg, 1, 2000, seed=23, num_partitions=1)
+    wh.append(cfg.schema, table, df)
+    before = wh.read(cfg.schema, table)
+    n_before = before.count()
+
+    victim = before.drop("created_at_day").orderBy("id").limit(1).collect()[0].asDict()
+    old_day = victim["created_at"].date()
+    # move the row ~400 days forward — guaranteed different partition
+    moved = dict(victim, created_at=victim["created_at"] + dt.timedelta(days=400))
+
+    base_schema = before.drop("created_at_day").schema
+    cols = [f.name for f in base_schema.fields]
+    updates = spark.createDataFrame([tuple(moved[c] for c in cols)], base_schema)
+    res = wh.merge_upsert(cfg.schema, table, updates, ["id"])
+    assert res["upserts"] == 1
+
+    after = wh.read(cfg.schema, table)
+    assert after.count() == n_before
+    rows = after.filter(F.col("id") == victim["id"]).collect()
+    assert len(rows) == 1, "stale row left in the old partition"
+    assert rows[0].created_at == moved["created_at"]
+    # old partition must not contain the key anymore
+    assert (
+        after.filter(
+            (F.col("created_at_day") == F.lit(old_day)) & (F.col("id") == victim["id"])
+        ).count()
+        == 0
+    )
+
+    # tombstone every remaining row of the old partition -> its dir vanishes
+    old_part_rows = (
+        wh.read(cfg.schema, table)
+        .filter(F.col("created_at_day") == F.lit(old_day))
+        .drop("created_at_day")
+    )
+    n_old = old_part_rows.count()
+    if n_old:
+        tomb_schema = T.StructType(
+            base_schema.fields + [T.StructField("_del", T.BooleanType())]
+        )
+        tombs = spark.createDataFrame(
+            [tuple(r[c] for c in cols) + (True,) for r in old_part_rows.collect()],
+            tomb_schema,
+        )
+        res2 = wh.merge_upsert(cfg.schema, table, tombs, ["id"], delete_col="_del")
+        assert res2["deletes"] == n_old
+        left = wh.read(cfg.schema, table).filter(
+            F.col("created_at_day") == F.lit(old_day)
+        )
+        assert left.count() == 0
+        import os as _os
+
+        assert not any(
+            f"created_at_day={old_day}" in p
+            for p in wh._data_files(cfg.schema, table)
+        ), "emptied partition dir still present"

@@ -140,19 +140,11 @@ def test_streaming_upsert_matches_batch_keep_latest(spark, tmp_path):
     wh.create_table("lab", "latest_events", "zstd", 3)
     # seed with a stale snapshot (first half of the log) so the streaming
     # epoch takes the merge_upsert branch, not the empty-table append
-    from pyspark.sql.window import Window
+    from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 
     ev = load_table(spark, SF_SMALL, "events")
     half = ev.filter(F.col("event_id") < ev.count() / 2)
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    seed = (
-        half.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    wh.append("lab", "latest_events", seed, batch_id="seed")
+    wh.append("lab", "latest_events", keep_latest(half), batch_id="seed")
 
     stream = read_events_stream(spark, SF_SMALL)
     stream_upsert_latest_into_warehouse(
