@@ -68,10 +68,19 @@ def measure_sizes(
     semantics (bench.ts:131-140)."""
     stats = warehouse.files(schema, table)
     footer_bytes = sum(s.footer_bytes for s in stats)
-    # footers are *inside* the data files on parquet; carve them out of
-    # data_bytes so data + manifest is additive (= on-disk bytes), matching
-    # Iceberg where manifests are separate files
-    data_bytes = sum(s.file_size_in_bytes for s in stats) - footer_bytes
+    # C8: REAL manifest bytes when the table opted into the snapshot log
+    # (warehouse.commit_snapshot); otherwise the parquet-footer stats index
+    # is the manifest-equivalent.  Footers are *inside* the data files, so
+    # on the footer path they are carved out of data_bytes to keep
+    # data + manifest additive (= on-disk bytes), matching Iceberg where
+    # manifests are separate files; real snapshot manifests ARE separate
+    # files, so data_bytes stays whole on that path.
+    snap_bytes = warehouse.snapshot_manifest_bytes(schema, table)
+    if snap_bytes:
+        footer_bytes = snap_bytes
+        data_bytes = sum(s.file_size_in_bytes for s in stats)
+    else:
+        data_bytes = sum(s.file_size_in_bytes for s in stats) - footer_bytes
     rows = sum(s.record_count for s in stats)
     return SizeRow(
         table=table,

@@ -323,6 +323,106 @@ class ParquetWarehouse:
         shutil.rmtree(old_dir, ignore_errors=True)
         return len(self._data_files(schema, table))
 
+    # --- snapshot/manifest log (opt-in; Iceberg-manifest analogue) -------
+    def _snap_dir(self, schema: str, table: str) -> str:
+        return os.path.join(self._tdir(schema, table), "snapshots")
+
+    def commit_snapshot(self, schema: str, table: str, operation: str) -> dict:
+        """Record the table's CURRENT file list as snapshot v{N} — a real
+        manifest (file paths, per-file rows/bytes, parent pointer), the
+        Iceberg-manifest analogue C8 wants.  Opt-in and additive: callers
+        commit after each write they want replayable; nothing else changes.
+
+        Retention caveat, stated not hidden: append-only histories time-
+        travel exactly (appends never remove files), but optimize()/
+        merge_upsert() REWRITE files, so snapshots older than a rewrite
+        dangle — read_snapshot detects the missing files and raises (the
+        moral equivalent of reading an expired Iceberg snapshot)."""
+        snaps = self.snapshots(schema, table)
+        version = (snaps[-1]["version"] + 1) if snaps else 1
+        stats = self.files(schema, table)
+        manifest = {
+            "version": version,
+            "parent": snaps[-1]["version"] if snaps else None,
+            "operation": operation,
+            "files": [
+                {
+                    "path": os.path.relpath(s.file_path, self._tdir(schema, table)),
+                    "bytes": s.file_size_in_bytes,
+                    "rows": s.record_count,
+                }
+                for s in stats
+            ],
+            "total_rows": sum(s.record_count for s in stats),
+            "total_bytes": sum(s.file_size_in_bytes for s in stats),
+        }
+        os.makedirs(self._snap_dir(schema, table), exist_ok=True)
+        path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, path)  # atomic publish
+        return manifest
+
+    def snapshots(self, schema: str, table: str) -> list[dict]:
+        """All committed snapshot manifests, oldest first."""
+        d = self._snap_dir(schema, table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def read_snapshot(self, schema: str, table: str, version: int) -> DataFrame:
+        """Time travel: read exactly the files snapshot ``version`` listed.
+        Raises if a later rewrite removed any of them (expired snapshot)."""
+        manifest = next(
+            (m for m in self.snapshots(schema, table) if m["version"] == version),
+            None,
+        )
+        if manifest is None:
+            raise KeyError(f"no snapshot v{version} for {schema}.{table}")
+        tdir = self._tdir(schema, table)
+        paths = [os.path.join(tdir, f["path"]) for f in manifest["files"]]
+        missing = [p for p in paths if not os.path.isfile(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot v{version} is expired: {len(missing)} of "
+                f"{len(paths)} files were rewritten (e.g. {missing[0]})"
+            )
+        if not paths:
+            return self.read(schema, table).limit(0)
+        return self.spark.read.parquet(*paths)
+
+    def expire_snapshots(self, schema: str, table: str, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` manifests; returns removed
+        count.  (Data files are shared with the live table on this backend,
+        so expiry only removes manifests, never data.)"""
+        snaps = self.snapshots(schema, table)
+        victims = snaps[:-keep_last] if keep_last > 0 else snaps
+        for m in victims:
+            os.remove(
+                os.path.join(
+                    self._snap_dir(schema, table), f"v{m['version']:06d}.json"
+                )
+            )
+        return len(victims)
+
+    def snapshot_manifest_bytes(self, schema: str, table: str) -> int:
+        """Total on-disk bytes of snapshot manifests — REAL manifest bytes
+        for C8 when the caller opted into the snapshot log (0 otherwise)."""
+        d = self._snap_dir(schema, table)
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(d, fn))
+            for fn in os.listdir(d)
+            if fn.endswith(".json")
+        )
+
     # --- MERGE INTO analogue: keyed copy-on-write upsert -----------------
     def merge_upsert(
         self,

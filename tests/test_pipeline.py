@@ -447,3 +447,44 @@ def test_merge_upsert_moves_row_across_partitions(spark, tmp_path):
             f"created_at_day={old_day}" in p
             for p in wh._data_files(cfg.schema, table)
         ), "emptied partition dir still present"
+
+
+def test_snapshot_log_time_travel_and_expiry(spark, tmp_path):
+    """Opt-in snapshot log: append-only history time-travels exactly; a
+    compaction expires older snapshots detectably; metrology reports real
+    manifest bytes once snapshots exist."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "snap"
+    wh.create_table(cfg.schema, table, "zstd", 3)
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 300, seed=29, num_partitions=1), batch_id="b1")
+    m1 = wh.commit_snapshot(cfg.schema, table, "append")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=29, num_partitions=1), batch_id="b2")
+    m2 = wh.commit_snapshot(cfg.schema, table, "append")
+
+    assert m1["version"] == 1 and m2["version"] == 2 and m2["parent"] == 1
+    assert m1["total_rows"] == 300 and m2["total_rows"] == 500
+    # time travel: v1 sees exactly the first batch
+    assert wh.read_snapshot(cfg.schema, table, 1).count() == 300
+    assert wh.read_snapshot(cfg.schema, table, 2).count() == 500
+
+    # C8: metrology now reports real manifest bytes
+    size = measure_sizes(wh, cfg.schema, table, "zstd", 3)
+    assert size.manifest_bytes == wh.snapshot_manifest_bytes(cfg.schema, table) > 0
+
+    # compaction rewrites files -> v1/v2 expire detectably; a fresh commit
+    # is readable again
+    wh.optimize(cfg.schema, table)
+    m3 = wh.commit_snapshot(cfg.schema, table, "optimize")
+    with pytest.raises(FileNotFoundError, match="expired"):
+        wh.read_snapshot(cfg.schema, table, 1)
+    assert wh.read_snapshot(cfg.schema, table, 3).count() == 500
+
+    # expiry drops manifests only, never data
+    removed = wh.expire_snapshots(cfg.schema, table, keep_last=1)
+    assert removed == 2
+    assert [m["version"] for m in wh.snapshots(cfg.schema, table)] == [3]
+    assert wh.read(cfg.schema, table).count() == 500
