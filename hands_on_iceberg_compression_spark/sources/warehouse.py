@@ -158,6 +158,11 @@ class ParquetWarehouse:
     ) -> TableMeta:
         if codec not in SUPPORTED_CODECS:
             raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
+        if partitioning and str((properties or {}).get("snapshots", "")).lower() == "true":
+            raise ValueError(
+                "snapshot log mode + partitioning is not supported yet "
+                "(manifest-driven reads bypass hive partition discovery)"
+            )
         self.create_schema(schema)
         os.makedirs(self._tdir(schema, table), exist_ok=True)
         meta = TableMeta(
@@ -232,9 +237,28 @@ class ParquetWarehouse:
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
         writer.parquet(target)
+        if self._log_mode(meta):
+            # auto-commit: live set = previous manifest + this batch's files
+            # (path-set union keeps a replayed batch id idempotent)
+            new = {
+                os.path.join(base, fn)
+                for base, _d, fns in os.walk(target)
+                for fn in fns
+                if fn.endswith(".parquet")
+            }
+            live = set(self._data_files(schema, table)) | new
+            self.commit_snapshot(schema, table, "append", file_paths=sorted(live))
 
     def read(self, schema: str, table: str) -> DataFrame:
         meta = self.table_meta(schema, table)
+        if self._log_mode(meta):
+            files = self._data_files(schema, table)
+            if not files:
+                raise ValueError(
+                    f"log-mode table {schema}.{table} has no committed "
+                    "snapshot yet (append() commits the first one)"
+                )
+            return self.spark.read.parquet(*files)
         data_root = self._live_data_dir(schema, table)
         if meta.partitioning:
             # hive partition discovery (enables partition pruning on the
@@ -256,7 +280,21 @@ class ParquetWarehouse:
             os.rename(old, data)
         return data
 
+    def _log_mode(self, meta: TableMeta) -> bool:
+        """snapshots=true tables are MANIFEST-driven (lakehouse log mode):
+        the live file set is the newest snapshot's list, never a directory
+        walk; writers add generations and commit, superseded files stay on
+        disk for time travel until expire_snapshots GCs them."""
+        return str(meta.properties.get("snapshots", "")).lower() == "true"
+
     def _data_files(self, schema: str, table: str) -> list[str]:
+        meta = self.table_meta(schema, table)
+        if self._log_mode(meta):
+            snaps = self.snapshots(schema, table)
+            if not snaps:
+                return []
+            tdir = self._tdir(schema, table)
+            return sorted(os.path.join(tdir, f["path"]) for f in snaps[-1]["files"])
         data_dir = self._live_data_dir(schema, table)
         if not os.path.isdir(data_dir):
             return []
@@ -295,6 +333,24 @@ class ParquetWarehouse:
         n_files = max(1, math.ceil(total / target_file_size_bytes))
         df = self.read(schema, table)
         data_dir = self._live_data_dir(schema, table)
+        if self._log_mode(meta):
+            # log mode: compaction is a NEW generation + a commit — the
+            # superseded generation stays on disk, so earlier snapshots keep
+            # time-traveling until expire_snapshots garbage-collects them
+            version = (self.snapshots(schema, table)[-1]["version"]) + 1
+            gen_dir = os.path.join(data_dir, f"compact_v{version:06d}")
+            writer = df.coalesce(n_files).write.mode("overwrite")
+            for k, v in self._write_options(meta).items():
+                writer = writer.option(k, v)
+            writer.parquet(gen_dir)
+            new = sorted(
+                os.path.join(base, fn)
+                for base, _d, fns in os.walk(gen_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            self.commit_snapshot(schema, table, "optimize", file_paths=new)
+            return len(new)
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
         if meta.sort_order:
             # range-partition + in-partition sort: files get disjoint
@@ -327,20 +383,43 @@ class ParquetWarehouse:
     def _snap_dir(self, schema: str, table: str) -> str:
         return os.path.join(self._tdir(schema, table), "snapshots")
 
-    def commit_snapshot(self, schema: str, table: str, operation: str) -> dict:
+    def commit_snapshot(
+        self,
+        schema: str,
+        table: str,
+        operation: str,
+        file_paths: list[str] | None = None,
+    ) -> dict:
         """Record the table's CURRENT file list as snapshot v{N} — a real
         manifest (file paths, per-file rows/bytes, parent pointer), the
         Iceberg-manifest analogue C8 wants.  Opt-in and additive: callers
         commit after each write they want replayable; nothing else changes.
 
-        Retention caveat, stated not hidden: append-only histories time-
-        travel exactly (appends never remove files), but optimize()/
-        merge_upsert() REWRITE files, so snapshots older than a rewrite
-        dangle — read_snapshot detects the missing files and raises (the
-        moral equivalent of reading an expired Iceberg snapshot)."""
+        Retention: on a LOG-MODE table (snapshots=true) writers commit
+        automatically, superseded generations stay on disk, and time
+        travel survives optimize()/merge_upsert() until expire_snapshots
+        garbage-collects.  On a dir-mode table this is a manual opt-in
+        record: append-only histories time-travel exactly, but a rewrite
+        leaves older snapshots dangling — read_snapshot detects the
+        missing files and raises (the moral equivalent of reading an
+        expired Iceberg snapshot)."""
+        import pyarrow.parquet as pq
+
         snaps = self.snapshots(schema, table)
         version = (snaps[-1]["version"] + 1) if snaps else 1
-        stats = self.files(schema, table)
+        if file_paths is None:
+            stats = self.files(schema, table)
+        else:
+            # explicit list (log-mode writers): stat exactly these files —
+            # self.files() would circularly consult the manifest being built
+            stats = [
+                FileStat(
+                    p,
+                    os.path.getsize(p),
+                    pq.ParquetFile(p).metadata.num_rows,
+                )
+                for p in sorted(file_paths)
+            ]
         manifest = {
             "version": version,
             "parent": snaps[-1]["version"] if snaps else None,
@@ -409,6 +488,22 @@ class ParquetWarehouse:
                     self._snap_dir(schema, table), f"v{m['version']:06d}.json"
                 )
             )
+        if victims and self._log_mode(self.table_meta(schema, table)):
+            # log mode owns its data files: garbage-collect generations no
+            # kept manifest references (dir mode shares files with the live
+            # directory listing, so expiry never touches data there)
+            tdir = self._tdir(schema, table)
+            kept = {
+                os.path.join(tdir, f["path"])
+                for m in self.snapshots(schema, table)
+                for f in m["files"]
+            }
+            data_dir = self._live_data_dir(schema, table)
+            for base, _d, fns in os.walk(data_dir):
+                for fn in fns:
+                    p = os.path.join(base, fn)
+                    if fn.endswith(".parquet") and p not in kept:
+                        os.remove(p)
         return len(victims)
 
     def snapshot_manifest_bytes(self, schema: str, table: str) -> int:
@@ -588,6 +683,23 @@ class ParquetWarehouse:
         merged = current.join(changed_keys, key_cols, "left_anti").select(
             *table_cols
         ).unionByName(upserts.select(*table_cols))
+        if self._log_mode(meta):
+            # log mode: the merged table is a new generation + commit (same
+            # retention story as optimize) — no swap, no deletion
+            version = (self.snapshots(schema, table)[-1]["version"]) + 1
+            gen_dir = os.path.join(data_dir, f"merge_v{version:06d}")
+            writer = merged.write.mode("overwrite")
+            for k, v in self._write_options(meta).items():
+                writer = writer.option(k, v)
+            writer.parquet(gen_dir)
+            new = sorted(
+                os.path.join(base, fn)
+                for base, _d, fns in os.walk(gen_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            self.commit_snapshot(schema, table, "merge_upsert", file_paths=new)
+            return result
         writer = merged.write.mode("overwrite")
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
@@ -629,6 +741,12 @@ class ParquetWarehouse:
         import pyarrow.parquet as pq
 
         meta = self.table_meta(schema, table)
+        if self._log_mode(meta):
+            raise NotImplementedError(
+                "rewrite_per_column_codec swaps the whole data/ dir, which "
+                "would destroy retained log-mode generations; compact via "
+                "optimize() (a new committed generation) instead"
+            )
         files = self._data_files(schema, table)
         if not files:
             return {"files": 0}

@@ -488,3 +488,65 @@ def test_snapshot_log_time_travel_and_expiry(spark, tmp_path):
     assert removed == 2
     assert [m["version"] for m in wh.snapshots(cfg.schema, table)] == [3]
     assert wh.read(cfg.schema, table).count() == 500
+
+
+def test_log_mode_lifecycle(spark, tmp_path):
+    """snapshots=true tables are manifest-driven: appends auto-commit,
+    compaction and merge add generations WITHOUT destroying time travel,
+    and expiry garbage-collects unreferenced generations."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "logtab"
+    wh.create_table(cfg.schema, table, "zstd", 3, properties={"snapshots": "true"})
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 300, seed=31, num_partitions=1), batch_id="b1")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=31, num_partitions=1), batch_id="b2")
+    snaps = wh.snapshots(cfg.schema, table)
+    assert [m["operation"] for m in snaps] == ["append", "append"]
+    assert wh.read(cfg.schema, table).count() == 500
+
+    # compaction: new generation, OLD SNAPSHOTS STILL READABLE (the log-mode
+    # upgrade over dir mode, where optimize expires them)
+    wh.optimize(cfg.schema, table)
+    assert wh.read(cfg.schema, table).count() == 500
+    assert wh.read_snapshot(cfg.schema, table, 1).count() == 300
+    assert wh.read_snapshot(cfg.schema, table, 2).count() == 500
+
+    # merge: update one row through the log path; history intact
+    before = wh.read(cfg.schema, table)
+    row = before.orderBy("id").limit(1).collect()[0].asDict()
+    cols = [f.name for f in before.schema.fields]
+    updates = spark.createDataFrame(
+        [tuple(dict(row, amount=-5.0)[c] for c in cols)], before.schema
+    )
+    wh.merge_upsert(cfg.schema, table, updates, ["id"])
+    assert wh.read(cfg.schema, table).count() == 500
+    assert wh.read(cfg.schema, table).filter(F.col("id") == row["id"]).collect()[0].amount == -5.0
+    assert wh.read_snapshot(cfg.schema, table, 2).count() == 500  # pre-merge
+
+    # expiry: keep only the newest manifest; superseded generations GC'd
+    n_files_before = len([p for p in _walk_parquet(wh, cfg.schema, table)])
+    wh.expire_snapshots(cfg.schema, table, keep_last=1)
+    live = wh._data_files(cfg.schema, table)
+    on_disk = [p for p in _walk_parquet(wh, cfg.schema, table)]
+    assert sorted(on_disk) == sorted(live), "expiry left unreferenced files"
+    assert len(on_disk) < n_files_before
+    assert wh.read(cfg.schema, table).count() == 500
+    with pytest.raises((FileNotFoundError, KeyError)):
+        wh.read_snapshot(cfg.schema, table, 1)
+
+    # per-column rewrite is dir-swap-based -> refused on log tables
+    with pytest.raises(NotImplementedError):
+        wh.rewrite_per_column_codec(cfg.schema, table, {"user_name": ("lz4", None)})
+
+
+def _walk_parquet(wh, schema, table):
+    import os as _os
+
+    data_dir = wh._live_data_dir(schema, table)
+    for base, _d, fns in _os.walk(data_dir):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                yield _os.path.join(base, fn)
