@@ -23,62 +23,17 @@ class Query:
 
 # The driver's correctness sweep grades the FIRST 50 registry entries only
 # (observed in CORRECTNESS_r01.json; VERDICT r1 headline finding).  This list
-# pins the window composition.  Round-3 rotation (VERDICT r2 #1): the nine
-# slots that were r02-green AND remain locally oracle-replicated every round
-# (session_stats, range_join_banded, scalar_funcs, string/math/datetime
-# batteries, cube_agg, gen_narrow_sample, gen_wide_sample) rotate out; the
-# eight round-2 additions with zero driver evidence rotate in, plus the new
-# sim_ann_recall (VERDICT r2 #6).  Driver evidence accumulates across rounds:
-# the r01+r02+r03 union covers every registered query.  Everything else
-# follows in stable module order and stays covered by
-# tests/test_oracle_parity.py every round.
+# pins the window composition.  Round-4 rotation (VERDICT r3 #1): every
+# r03-window slot is now driver-proven, so the 30 round-3 additions with zero
+# driver evidence rotate IN (28 oracle-bearing + 2 rows-only), displacing 30
+# r01/r02/r03-green slots.  Kept: SURVEY §2 workload core D1-D10, plus one
+# driver-proven anchor per family (dedup, similarity, text, multimodal,
+# pandas, temporal, batteries, pipeline flagships).  Driver evidence
+# accumulates across rounds: the r01+r02+r03+r04 union covers all 121
+# registered queries.  Rotated-out slots stay registered past the window and
+# are re-verified every round by tests/test_oracle_parity.py (all 121).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # dedup (7)
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_sizes",
-    "dedup_simhash_near_dup",
-    # similarity (9)
-    "sim_knn_bruteforce",
-    "sim_embedding_near_dup",
-    "sim_near_dup_lsh",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivf_kmeans",
-    "sim_knn_vectorized",
-    "sim_norm_stats",
-    "sim_ann_recall",
-    # text analysis (11)
-    "text_token_stats",
-    "text_token_count_bpe",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_word_freq_topk",
-    "text_sample_stratified",
-    "text_length_histogram",
-    "text_quality_filter_pipeline",
-    "text_chunk_documents",
-    "text_winnow_fingerprints",
-    # multimodal (4)
-    "mm_extract_features",
-    "mm_frame_sample",
-    "mm_meta_stats",
-    "mm_resize",
-    # pandas/Arrow paths (2)
-    "token_count_pandas_udf",
-    "zscore_per_user",
-    # temporal (2) — session_stats / range_join_banded rotated out (r02-green)
-    "asof_join",
-    "sessionize",
-    # function batteries (3 of 8; the rest rotated out r02-green)
-    "array_funcs_battery",
-    "window_funcs_battery",
-    "grouping_sets_agg",
-    # SURVEY §2 workload core D1-D10 (10)
+    # SURVEY §2 workload core D1-D10 (10, kept every round)
     "scan_limit",
     "count_star",
     "filter_eq_string",
@@ -89,9 +44,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_conjunction",
     "agg_ratio_nullif",
     "agg_coalesce",
-    # round-2 pipeline flagships (2)
+    # per-family driver-proven anchors (10)
+    "dedup_exact",
+    "sim_knn_bruteforce",
+    "text_token_stats",
+    "mm_meta_stats",
+    "token_count_pandas_udf",
+    "asof_join",
+    "sessionize",
+    "window_funcs_battery",
     "pipeline_curation_funnel",
     "text_contamination_check",
+    # round-3 TPC-H shapes (4, oracle-bearing, NEW to the window)
+    "tpch_q1_shape",
+    "tpch_q4_shape",
+    "tpch_q5_shape",
+    "tpch_q14_shape",
+    # round-3 analytics shapes (9, oracle-bearing)
+    "funnel_conversion",
+    "cohort_retention",
+    "customer_ltv_topk",
+    "user_activity_histogram",
+    "rolling_daily_value",
+    "value_outliers",
+    "profile_documents",
+    "ntile_deciles",
+    "agg_predicate_battery",
+    # round-3 CDC / dedup additions (4, oracle-bearing)
+    "dedup_keep_latest",
+    "dedup_materialize",
+    "dedup_levenshtein_blocked",
+    "scd2_history",
+    # round-3 embedding metrology (2 oracle-bearing + 1 rows-only)
+    "emb_quantize_int8",
+    "emb_dim_stats",
+    "emb_pca_topcomponent",
+    # round-3 text curation (9, oracle-bearing)
+    "text_unigram_logprob",
+    "text_repetition_ratio",
+    "text_pii_scrub_stats",
+    "text_pack_sequences",
+    "text_mixture_sample",
+    "text_length_percentiles",
+    "text_source_entropy",
+    "text_bigram_lm_topk",
+    "text_oov_rate",
+    # round-3 rows-only battery (1)
+    "approx_quantile_battery",
 )
 
 
