@@ -46,9 +46,62 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "text_quality_score",
     "text_word_freq_topk",
+    # round-4 additions (VERDICT r3 #3): track where the engine's work went
+    "dedup_keep_latest",
+    "tpch_q1_shape",
 ]
 
 RUNS = 3  # warm best-of-3 — the reference's published protocol (BASELINE.md)
+
+
+def _prep_percol_events(sf_dir: str) -> str:
+    """Rewrite events.parquet into the engine-RECOMMENDED per-column codec
+    layout (string columns zstd-1, everything else zstd-6 — the codec
+    advisor's round-3 pick, PERF.md) in a temp dir shaped like an sf dir so
+    ``load_table`` reads it unchanged.  Returns the temp dir.  Prep cost is
+    NOT timed: this measures the storage layout the engine tells users to
+    keep tables in, next to the default layout's number."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dst_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_percol_{os.path.basename(sf_dir.rstrip(os.sep))}",
+    )
+    dst = os.path.join(dst_dir, "events.parquet")
+    if os.path.isfile(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    pf = pq.ParquetFile(src)
+    schema = pf.schema_arrow
+    string_tops = {
+        f.name
+        for f in schema
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+    }
+    comp: dict[str, str] = {}
+    levels: dict[str, int] = {}
+    rg0 = pf.metadata.row_group(0)
+    for i in range(pf.metadata.num_columns):
+        leaf = rg0.column(i).path_in_schema
+        lvl = 1 if leaf.split(".", 1)[0] in string_tops else 6
+        comp[leaf] = "ZSTD"
+        levels[leaf] = lvl
+    tmp = dst + ".tmp"
+    writer = pq.ParquetWriter(
+        tmp, schema, compression=comp, compression_level=levels,
+        use_deprecated_int96_timestamps=False,
+    )
+    try:
+        for rg in range(pf.metadata.num_row_groups):
+            writer.write_table(pf.read_row_group(rg))
+    finally:
+        writer.close()
+    os.replace(tmp, dst)
+    return dst_dir
 
 
 def main() -> None:
@@ -69,6 +122,21 @@ def main() -> None:
             q.build(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+
+    # flagship under the engine-recommended per-column codec layout — the
+    # round-3 headline result (101.5M rows/s at 100M, 2.5x the reference's
+    # published number); prep (one-time rewrite) excluded from timing
+    try:
+        percol_dir = _prep_percol_events(sf_dir)
+        q = queries["flagship_conjunction"]
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.build(spark, percol_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings["flagship_conjunction_percol"] = round(best, 4)
+    except Exception as exc:  # never fail the whole bench on the variant
+        print(f"percol variant skipped: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -158,11 +158,6 @@ class ParquetWarehouse:
     ) -> TableMeta:
         if codec not in SUPPORTED_CODECS:
             raise ValueError(f"codec {codec!r} not in {SUPPORTED_CODECS}")
-        if partitioning and str((properties or {}).get("snapshots", "")).lower() == "true":
-            raise ValueError(
-                "snapshot log mode + partitioning is not supported yet "
-                "(manifest-driven reads bypass hive partition discovery)"
-            )
         self.create_schema(schema)
         os.makedirs(self._tdir(schema, table), exist_ok=True)
         meta = TableMeta(
@@ -218,14 +213,52 @@ class ParquetWarehouse:
         overwrites, never duplicates (Iceberg-snapshot analogue,
         bench.ts:69-74).
 
-        Partitioned (Iceberg hidden-partitioning fallback): partition
-        transform columns are derived and written hive-style
+        Partitioned dir mode (Iceberg hidden-partitioning fallback):
+        partition transform columns are derived and written hive-style
         (``<col>_day=...``); appends go to the shared data/ root, so they
         must be sequential on this backend — the Iceberg backend gets
-        snapshot-isolated concurrency instead."""
+        snapshot-isolated concurrency instead.
+
+        Log mode (snapshots=true): every append writes a UNIQUE generation
+        dir ``data/<batch_id>/g_<uuid>/`` — a path is never reused, so a
+        replayed batch id (streaming epoch restart) cannot delete files an
+        earlier snapshot references.  The commit is a DELTA against the
+        parent manifest with the replayed batch's prior generation dropped
+        (``drop_prefix``), making replay idempotent: the new snapshot holds
+        exactly one generation per batch id.  Concurrent appends are safe —
+        ``commit_snapshot`` CASes the version file and recomputes the union
+        against the winner's manifest on retry.  Partitioned log tables
+        write hive-style partition dirs INSIDE the generation dir, and the
+        manifest records each file's partition values (Iceberg-manifest
+        parity)."""
         meta = self.table_meta(schema, table)
         data_root = self._live_data_dir(schema, table)
         writer_df, part_cols = apply_partition_transforms(df, meta.partitioning)
+        if self._log_mode(meta):
+            if batch_id is None:
+                batch_id = f"batch_{uuid.uuid4().hex[:12]}"
+            batch_dir = os.path.join(data_root, batch_id)
+            target = os.path.join(batch_dir, f"g_{uuid.uuid4().hex[:8]}")
+            writer = writer_df.write.mode("error")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            for k, v in self._write_options(meta).items():
+                writer = writer.option(k, v)
+            writer.parquet(target)
+            new = sorted(
+                os.path.join(base, fn)
+                for base, _d, fns in os.walk(target)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            self.commit_snapshot(
+                schema,
+                table,
+                "append",
+                add_files=new,
+                drop_prefix=batch_dir + os.sep,
+            )
+            return
         if part_cols:
             writer = writer_df.write.mode("append").partitionBy(*part_cols)
             target = data_root
@@ -237,17 +270,6 @@ class ParquetWarehouse:
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
         writer.parquet(target)
-        if self._log_mode(meta):
-            # auto-commit: live set = previous manifest + this batch's files
-            # (path-set union keeps a replayed batch id idempotent)
-            new = {
-                os.path.join(base, fn)
-                for base, _d, fns in os.walk(target)
-                for fn in fns
-                if fn.endswith(".parquet")
-            }
-            live = set(self._data_files(schema, table)) | new
-            self.commit_snapshot(schema, table, "append", file_paths=sorted(live))
 
     def read(self, schema: str, table: str) -> DataFrame:
         meta = self.table_meta(schema, table)
@@ -258,7 +280,7 @@ class ParquetWarehouse:
                     f"log-mode table {schema}.{table} has no committed "
                     "snapshot yet (append() commits the first one)"
                 )
-            return self.spark.read.parquet(*files)
+            return self._read_file_list(meta, files)
         data_root = self._live_data_dir(schema, table)
         if meta.partitioning:
             # hive partition discovery (enables partition pruning on the
@@ -273,11 +295,27 @@ class ParquetWarehouse:
     def _live_data_dir(self, schema: str, table: str) -> str:
         """data/, healing first: if a crash during optimize()'s swap left only
         the pre-compaction data_old/, promote it back to data/ so every later
-        operation (read/append/optimize) sees one consistent directory."""
+        operation (read/append/optimize) sees one consistent directory.
+        Likewise for partitioned merge_upsert leftovers: a partition dir
+        stranded in _merge_old/ (crash between its two renames) is restored
+        if its data/ counterpart is missing, discarded if the swap finished."""
         data = os.path.join(self._tdir(schema, table), "data")
         old = os.path.join(self._tdir(schema, table), "data_old")
         if not os.path.isdir(data) and os.path.isdir(old):
             os.rename(old, data)
+        merge_old = os.path.join(self._tdir(schema, table), "_merge_old")
+        if os.path.isdir(merge_old):
+            stranded = [
+                base
+                for base, _dirs, files in os.walk(merge_old)
+                if any(fn.endswith(".parquet") for fn in files)
+            ]
+            for base in stranded:
+                dst = os.path.join(data, os.path.relpath(base, merge_old))
+                if not os.path.isdir(dst):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(base, dst)
+            shutil.rmtree(merge_old, ignore_errors=True)
         return data
 
     def _log_mode(self, meta: TableMeta) -> bool:
@@ -286,6 +324,35 @@ class ParquetWarehouse:
         walk; writers add generations and commit, superseded files stay on
         disk for time travel until expire_snapshots GCs them."""
         return str(meta.properties.get("snapshots", "")).lower() == "true"
+
+    @staticmethod
+    def _generation_root(path: str) -> str:
+        """Longest path prefix before the first hive ``k=v`` segment — the
+        generation dir a partitioned log-mode file was written under."""
+        parts = path.split(os.sep)
+        for i, seg in enumerate(parts[:-1]):
+            if "=" in seg:
+                return os.sep.join(parts[:i])
+        return os.sep.join(parts[:-1])
+
+    def _read_file_list(self, meta: TableMeta, files: list[str]) -> DataFrame:
+        """Read an explicit manifest file list.  Partitioned tables group
+        files by generation root and give each group its own ``basePath`` so
+        Spark parses the hive partition dirs (one flat read would hit
+        CONFLICTING_DIRECTORY_STRUCTURES across generations); the union's
+        per-branch scans keep real PartitionFilters pruning."""
+        if not meta.partitioning:
+            return self.spark.read.parquet(*files)
+        from functools import reduce
+
+        groups: dict[str, list[str]] = {}
+        for p in files:
+            groups.setdefault(self._generation_root(p), []).append(p)
+        branches = [
+            self.spark.read.option("basePath", root).parquet(*paths)
+            for root, paths in sorted(groups.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), branches)
 
     def _data_files(self, schema: str, table: str) -> list[str]:
         meta = self.table_meta(schema, table)
@@ -336,10 +403,24 @@ class ParquetWarehouse:
         if self._log_mode(meta):
             # log mode: compaction is a NEW generation + a commit — the
             # superseded generation stays on disk, so earlier snapshots keep
-            # time-traveling until expire_snapshots garbage-collects them
-            version = (self.snapshots(schema, table)[-1]["version"]) + 1
-            gen_dir = os.path.join(data_dir, f"compact_v{version:06d}")
-            writer = df.coalesce(n_files).write.mode("overwrite")
+            # time-traveling until expire_snapshots garbage-collects them.
+            # The gen dir name is a uuid, not a version: the version is
+            # allocated at commit time (CAS), so a concurrent writer can't
+            # collide on the path either.
+            gen_dir = os.path.join(data_dir, f"compact_{uuid.uuid4().hex[:8]}")
+            if meta.sort_order:
+                # same WRITE ORDERED BY contract as dir mode: disjoint
+                # per-file [min,max] on the sort keys for file skipping
+                sort_cols = [F.col(c) for c in meta.sort_order]
+                df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                    *sort_cols
+                )
+                writer = df.write.mode("error")
+            else:
+                writer = df.coalesce(n_files).write.mode("error")
+            if meta.partitioning:
+                part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
+                writer = writer.partitionBy(*part_names)
             for k, v in self._write_options(meta).items():
                 writer = writer.option(k, v)
             writer.parquet(gen_dir)
@@ -383,17 +464,47 @@ class ParquetWarehouse:
     def _snap_dir(self, schema: str, table: str) -> str:
         return os.path.join(self._tdir(schema, table), "snapshots")
 
+    @staticmethod
+    def _file_partitions(rel_path: str) -> dict[str, str]:
+        """Hive ``k=v`` segments of a manifest-relative file path — the
+        per-file partition tuple Iceberg manifests record (bench.ts:142-167
+        reads these off $manifests).  Values stay strings (the dir
+        encoding); Spark re-infers types at read time."""
+        from urllib.parse import unquote
+
+        out: dict[str, str] = {}
+        for seg in rel_path.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                out[k] = unquote(v)
+        return out
+
     def commit_snapshot(
         self,
         schema: str,
         table: str,
         operation: str,
         file_paths: list[str] | None = None,
+        add_files: list[str] | None = None,
+        drop_prefix: str | None = None,
     ) -> dict:
-        """Record the table's CURRENT file list as snapshot v{N} — a real
-        manifest (file paths, per-file rows/bytes, parent pointer), the
-        Iceberg-manifest analogue C8 wants.  Opt-in and additive: callers
-        commit after each write they want replayable; nothing else changes.
+        """Record a snapshot v{N} — a real manifest (file paths, per-file
+        rows/bytes/partition values, parent pointer), the Iceberg-manifest
+        analogue C8 wants.  Opt-in and additive: callers commit after each
+        write they want replayable; nothing else changes.
+
+        Concurrency: the version file is published with a hard-link CAS —
+        the manifest is fully written to a private tmp file, then
+        ``os.link``ed to ``v{N}.json``, which FAILS if another committer
+        took N first (os.rename would silently clobber it).  On a lost
+        race the loser re-reads the log tail and retries — Iceberg's
+        optimistic-commit loop.  ``add_files`` commits are a DELTA (parent
+        manifest ∪ new files), so the retry recomputes the union against
+        the winner's manifest and no writer's rows are lost;
+        ``drop_prefix`` removes the parent's entries under a path prefix
+        first (a replayed append batch supersedes its own prior
+        generation).  ``file_paths`` commits REPLACE the live set
+        (optimize/merge/rewrite).
 
         Retention: on a LOG-MODE table (snapshots=true) writers commit
         automatically, superseded generations stay on disk, and time
@@ -405,43 +516,63 @@ class ParquetWarehouse:
         expired Iceberg snapshot)."""
         import pyarrow.parquet as pq
 
-        snaps = self.snapshots(schema, table)
-        version = (snaps[-1]["version"] + 1) if snaps else 1
-        if file_paths is None:
-            stats = self.files(schema, table)
-        else:
-            # explicit list (log-mode writers): stat exactly these files —
-            # self.files() would circularly consult the manifest being built
-            stats = [
-                FileStat(
-                    p,
-                    os.path.getsize(p),
-                    pq.ParquetFile(p).metadata.num_rows,
-                )
-                for p in sorted(file_paths)
-            ]
-        manifest = {
-            "version": version,
-            "parent": snaps[-1]["version"] if snaps else None,
-            "operation": operation,
-            "files": [
-                {
-                    "path": os.path.relpath(s.file_path, self._tdir(schema, table)),
-                    "bytes": s.file_size_in_bytes,
-                    "rows": s.record_count,
-                }
-                for s in stats
-            ],
-            "total_rows": sum(s.record_count for s in stats),
-            "total_bytes": sum(s.file_size_in_bytes for s in stats),
-        }
+        if file_paths is not None and add_files is not None:
+            raise ValueError("pass file_paths (replace) OR add_files (delta)")
+        tdir = self._tdir(schema, table)
         os.makedirs(self._snap_dir(schema, table), exist_ok=True)
-        path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, path)  # atomic publish
-        return manifest
+        while True:
+            snaps = self.snapshots(schema, table)
+            version = (snaps[-1]["version"] + 1) if snaps else 1
+            if add_files is not None:
+                base = [
+                    os.path.join(tdir, f["path"])
+                    for f in (snaps[-1]["files"] if snaps else [])
+                ]
+                if drop_prefix is not None:
+                    base = [p for p in base if not p.startswith(drop_prefix)]
+                paths = sorted(set(base) | set(add_files))
+            elif file_paths is not None:
+                paths = sorted(file_paths)
+            else:
+                paths = None
+            if paths is None:
+                stats = self.files(schema, table)
+            else:
+                # explicit list: stat exactly these files — self.files()
+                # would circularly consult the manifest being built
+                stats = [
+                    FileStat(p, os.path.getsize(p), pq.ParquetFile(p).metadata.num_rows)
+                    for p in paths
+                ]
+            entries = []
+            for s in stats:
+                rel = os.path.relpath(s.file_path, tdir)
+                entry = {"path": rel, "bytes": s.file_size_in_bytes, "rows": s.record_count}
+                parts = self._file_partitions(rel)
+                if parts:
+                    entry["partitions"] = parts
+                entries.append(entry)
+            manifest = {
+                "version": version,
+                "parent": snaps[-1]["version"] if snaps else None,
+                "operation": operation,
+                "files": entries,
+                "total_rows": sum(s.record_count for s in stats),
+                "total_bytes": sum(s.file_size_in_bytes for s in stats),
+            }
+            path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
+            tmp = os.path.join(
+                self._snap_dir(schema, table), f".commit_{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, path)  # CAS publish: complete content, O_EXCL create
+                return manifest
+            except FileExistsError:
+                continue  # lost the race — recompute against the new tail
+            finally:
+                os.unlink(tmp)
 
     def snapshots(self, schema: str, table: str) -> list[dict]:
         """All committed snapshot manifests, oldest first."""
@@ -474,12 +605,22 @@ class ParquetWarehouse:
             )
         if not paths:
             return self.read(schema, table).limit(0)
-        return self.spark.read.parquet(*paths)
+        return self._read_file_list(self.table_meta(schema, table), paths)
 
     def expire_snapshots(self, schema: str, table: str, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` manifests; returns removed
-        count.  (Data files are shared with the live table on this backend,
-        so expiry only removes manifests, never data.)"""
+        count.  Log-mode tables require ``keep_last >= 1`` — expiring every
+        manifest would also GC every data file (manifest-driven reads would
+        then see an empty, unrecoverable table).  Dir-mode tables share
+        files with the live directory listing, so expiry only removes
+        manifests there and keep_last=0 is allowed."""
+        if keep_last < 1 and self._log_mode(self.table_meta(schema, table)):
+            raise ValueError(
+                "expire_snapshots(keep_last=0) on a log-mode table would "
+                "delete every manifest AND garbage-collect every data file "
+                "(permanent truncation); keep_last must be >= 1 — use "
+                "drop_table() to remove the table"
+            )
         snaps = self.snapshots(schema, table)
         victims = snaps[:-keep_last] if keep_last > 0 else snaps
         for m in victims:
@@ -596,6 +737,37 @@ class ParquetWarehouse:
         if n_updates == 0:
             return result
 
+        if self._log_mode(meta):
+            # log mode (partitioned or not): the merged table is a new
+            # generation + commit (same retention story as optimize) — no
+            # swap, no deletion, time travel to the pre-merge snapshot
+            # keeps working until expiry
+            part_names = [n for n, _ in part_specs]
+            kept = self.read(schema, table).join(changed_keys, key_cols, "left_anti")
+            ups = upserts
+            if part_specs:
+                ups, _ = apply_partition_transforms(ups, meta.partitioning)
+            merged = kept.select(*table_cols).unionByName(ups.select(*table_cols))
+            gen_dir = os.path.join(data_dir, f"merge_{uuid.uuid4().hex[:8]}")
+            writer = merged.write.mode("error")
+            if part_names:
+                writer = writer.partitionBy(*part_names)
+            for k, v in self._write_options(meta).items():
+                writer = writer.option(k, v)
+            writer.parquet(gen_dir)
+            new = sorted(
+                os.path.join(base, fn)
+                for base, _d, fns in os.walk(gen_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            self.commit_snapshot(schema, table, "merge_upsert", file_paths=new)
+            if part_names:
+                result["partitions_rewritten"] = len(
+                    {os.path.dirname(p) for p in new}
+                )
+            return result
+
         if part_specs:
             from functools import reduce
 
@@ -659,16 +831,23 @@ class ParquetWarehouse:
             for base, _dirs, files in os.walk(tmp_dir):
                 if any(fn.endswith(".parquet") for fn in files):
                     new_dirs.add(os.path.relpath(base, tmp_dir))
+            # staged OUTSIDE data/ (_merge_old/<rel>): a crash between the
+            # two renames must not leave an '_old'-suffixed dir inside
+            # data/ where hive discovery would parse it as a bogus
+            # partition value; _live_data_dir's healing sweep restores or
+            # discards _merge_old leftovers on the next access
+            merge_old_root = os.path.join(self._tdir(schema, table), "_merge_old")
+            shutil.rmtree(merge_old_root, ignore_errors=True)
             for rel in sorted(new_dirs):
                 src = os.path.join(tmp_dir, rel)
                 dst = os.path.join(data_dir, rel)
-                old = dst + "_old"
-                shutil.rmtree(old, ignore_errors=True)
+                old = os.path.join(merge_old_root, rel)
                 if os.path.isdir(dst):
+                    os.makedirs(os.path.dirname(old), exist_ok=True)
                     os.rename(dst, old)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(src, dst)
-                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(merge_old_root, ignore_errors=True)
             # ... and a changed key\'s old partition with NO surviving output
             # (every row deleted or moved away) is removed outright
             for rel in sorted(old_dirs - new_dirs):
@@ -683,23 +862,6 @@ class ParquetWarehouse:
         merged = current.join(changed_keys, key_cols, "left_anti").select(
             *table_cols
         ).unionByName(upserts.select(*table_cols))
-        if self._log_mode(meta):
-            # log mode: the merged table is a new generation + commit (same
-            # retention story as optimize) — no swap, no deletion
-            version = (self.snapshots(schema, table)[-1]["version"]) + 1
-            gen_dir = os.path.join(data_dir, f"merge_v{version:06d}")
-            writer = merged.write.mode("overwrite")
-            for k, v in self._write_options(meta).items():
-                writer = writer.option(k, v)
-            writer.parquet(gen_dir)
-            new = sorted(
-                os.path.join(base, fn)
-                for base, _d, fns in os.walk(gen_dir)
-                for fn in fns
-                if fn.endswith(".parquet")
-            )
-            self.commit_snapshot(schema, table, "merge_upsert", file_paths=new)
-            return result
         writer = merged.write.mode("overwrite")
         for k, v in self._write_options(meta).items():
             writer = writer.option(k, v)
@@ -741,18 +903,20 @@ class ParquetWarehouse:
         import pyarrow.parquet as pq
 
         meta = self.table_meta(schema, table)
-        if self._log_mode(meta):
-            raise NotImplementedError(
-                "rewrite_per_column_codec swaps the whole data/ dir, which "
-                "would destroy retained log-mode generations; compact via "
-                "optimize() (a new committed generation) instead"
-            )
         files = self._data_files(schema, table)
         if not files:
             return {"files": 0}
         data_dir = self._live_data_dir(schema, table)
-        tmp_dir = os.path.join(self._tdir(schema, table), "_percol_tmp")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if self._log_mode(meta):
+            # log mode: the rewrite is a NEW committed generation (operation
+            # 'rewrite'), not a dir swap — retained generations stay on
+            # disk, so time travel to pre-rewrite snapshots keeps working
+            # until expire_snapshots GCs them.  Relative paths (incl. hive
+            # partition segments) are preserved under the generation root.
+            tmp_dir = os.path.join(data_dir, f"percol_{uuid.uuid4().hex[:8]}")
+        else:
+            tmp_dir = os.path.join(self._tdir(schema, table), "_percol_tmp")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
         arrow_codec = {
             "zstd": "ZSTD", "gzip": "GZIP", "snappy": "SNAPPY",
@@ -797,11 +961,20 @@ class ParquetWarehouse:
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(rewrite_one, files))
 
-        old_dir = os.path.join(self._tdir(schema, table), "data_old")
-        shutil.rmtree(old_dir, ignore_errors=True)
-        os.rename(data_dir, old_dir)
-        os.rename(tmp_dir, data_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        if self._log_mode(meta):
+            new = sorted(
+                os.path.join(base, fn)
+                for base, _d, fns in os.walk(tmp_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            self.commit_snapshot(schema, table, "rewrite", file_paths=new)
+        else:
+            old_dir = os.path.join(self._tdir(schema, table), "data_old")
+            shutil.rmtree(old_dir, ignore_errors=True)
+            os.rename(data_dir, old_dir)
+            os.rename(tmp_dir, data_dir)
+            shutil.rmtree(old_dir, ignore_errors=True)
         self.alter_table_properties(
             schema, table,
             **{"per_column_codecs": json.dumps(

@@ -537,9 +537,25 @@ def test_log_mode_lifecycle(spark, tmp_path):
     with pytest.raises((FileNotFoundError, KeyError)):
         wh.read_snapshot(cfg.schema, table, 1)
 
-    # per-column rewrite is dir-swap-based -> refused on log tables
-    with pytest.raises(NotImplementedError):
-        wh.rewrite_per_column_codec(cfg.schema, table, {"user_name": ("lz4", None)})
+    # per-column rewrite lands as a committed 'rewrite' generation: codec
+    # tuning composes with time travel (VERDICT r3 #6)
+    pre_version = wh.snapshots(cfg.schema, table)[-1]["version"]
+    res = wh.rewrite_per_column_codec(cfg.schema, table, {"user_name": ("lz4", None)})
+    assert res["files"] >= 1
+    snaps = wh.snapshots(cfg.schema, table)
+    assert snaps[-1]["operation"] == "rewrite"
+    assert wh.read(cfg.schema, table).count() == 500
+    # the pre-rewrite generation stays readable until expiry
+    assert wh.read_snapshot(cfg.schema, table, pre_version).count() == 500
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(wh._data_files(cfg.schema, table)[0]).metadata
+    codecs = {
+        md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i).compression
+        for i in range(md.num_columns)
+    }
+    assert codecs["user_name"] == "LZ4"
+    assert all(c == "ZSTD" for leaf, c in codecs.items() if leaf != "user_name")
 
 
 def _walk_parquet(wh, schema, table):
@@ -550,3 +566,205 @@ def _walk_parquet(wh, schema, table):
         for fn in fns:
             if fn.endswith(".parquet"):
                 yield _os.path.join(base, fn)
+
+
+def test_log_mode_concurrent_appends_linearize(spark, tmp_path):
+    """The commit race VERDICT r3 'What's wrong' #1: concurrent log-mode
+    appends must linearize — versions dense, no manifest clobbered, every
+    writer's rows in the final snapshot (Iceberg optimistic-commit loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "race"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    N = 8
+    frames = [
+        generate_df(spark, cfg, 1 + i * 100, 100, seed=37, num_partitions=1)
+        for i in range(N)
+    ]
+
+    def do_append(i):
+        wh.append(cfg.schema, table, frames[i], batch_id=f"b{i}")
+
+    with ThreadPoolExecutor(max_workers=N) as ex:
+        list(ex.map(do_append, range(N)))
+
+    snaps = wh.snapshots(cfg.schema, table)
+    assert [m["version"] for m in snaps] == list(range(1, N + 1)), "versions not dense"
+    assert snaps[-1]["total_rows"] == N * 100, "a concurrent append's rows were lost"
+    assert wh.read(cfg.schema, table).count() == N * 100
+
+
+def test_log_mode_replayed_batch_is_idempotent(spark, tmp_path):
+    """ADVICE r3 medium: a streaming epoch replay (same batch_id) must not
+    duplicate rows, crash the commit, or dangle earlier snapshots.  Each
+    append writes a unique generation dir; the replay commit drops the
+    batch's prior generation from the manifest (delta + drop_prefix)."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "replay"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 300, seed=41, num_partitions=1), batch_id="epoch1")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=41, num_partitions=1), batch_id="epoch2")
+    assert wh.read(cfg.schema, table).count() == 500
+
+    # replay epoch2 (restart after a lost ack) — same batch id, same rows
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=41, num_partitions=1), batch_id="epoch2")
+    assert wh.read(cfg.schema, table).count() == 500, "replay duplicated rows"
+    snaps = wh.snapshots(cfg.schema, table)
+    assert [m["version"] for m in snaps] == [1, 2, 3]
+    # EVERY prior snapshot still time-travels: the replay deleted nothing
+    assert wh.read_snapshot(cfg.schema, table, 1).count() == 300
+    assert wh.read_snapshot(cfg.schema, table, 2).count() == 500
+    assert wh.read_snapshot(cfg.schema, table, 3).count() == 500
+    # exactly one epoch2 generation is live in the head manifest
+    live_batches = {f["path"].split(os.sep)[1] for f in snaps[-1]["files"]}
+    assert live_batches == {"epoch1", "epoch2"}
+
+
+def test_log_mode_partitioned_pruning_and_time_travel(spark, tmp_path):
+    """VERDICT r3 #5: snapshots=true + PARTITIONED BY compose.  Manifests
+    record per-file partition values; reads parse hive dirs per generation
+    (PartitionFilters pruning asserted) and time travel survives optimize."""
+    cfg = narrow_example_config()  # days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "logpart"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfg.partitioning,
+    )
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 400, seed=43, num_partitions=1), batch_id="b1")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 401, 300, seed=43, num_partitions=1), batch_id="b2")
+
+    df = wh.read(cfg.schema, table)
+    assert "created_at_day" in df.columns
+    assert df.count() == 700
+
+    # manifest-level parity: every file entry carries its partition tuple
+    head = wh.snapshots(cfg.schema, table)[-1]
+    assert all("partitions" in f and "created_at_day" in f["partitions"] for f in head["files"])
+
+    # partition pruning reaches the scan on BOTH generation branches
+    some_day = df.select("created_at_day").limit(1).collect()[0][0]
+    q = df.filter(F.col("created_at_day") == F.lit(some_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scans and all("created_at_day" in l for l in scans), plan
+    assert q.count() > 0
+
+    # compaction keeps partition layout AND history
+    wh.optimize(cfg.schema, table)
+    assert wh.read(cfg.schema, table).count() == 700
+    assert wh.read_snapshot(cfg.schema, table, 1).count() == 400
+    head = wh.snapshots(cfg.schema, table)[-1]
+    assert head["operation"] == "optimize"
+    assert all("partitions" in f for f in head["files"])
+
+    # merge through the log path keeps counts and history
+    before = wh.read(cfg.schema, table).drop("created_at_day")
+    row = before.orderBy("id").limit(1).collect()[0].asDict()
+    cols = [f.name for f in before.schema.fields]
+    updates = spark.createDataFrame(
+        [tuple(dict(row, amount=-7.0)[c] for c in cols)], before.schema
+    )
+    wh.merge_upsert(cfg.schema, table, updates, ["id"])
+    after = wh.read(cfg.schema, table)
+    assert after.count() == 700
+    assert after.filter(F.col("id") == row["id"]).collect()[0].amount == -7.0
+    assert wh.read_snapshot(cfg.schema, table, 2).count() == 700  # pre-merge
+
+    # expiry GC leaves exactly the live file set
+    wh.expire_snapshots(cfg.schema, table, keep_last=1)
+    live = wh._data_files(cfg.schema, table)
+    on_disk = list(_walk_parquet(wh, cfg.schema, table))
+    assert sorted(on_disk) == sorted(live)
+    assert wh.read(cfg.schema, table).count() == 700
+
+
+def test_log_mode_expire_all_refused(spark, tmp_path):
+    """ADVICE r3 low: keep_last=0 would brick a log table (every manifest
+    AND every data file gone) — must be refused."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "noexpire"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 100, seed=47, num_partitions=1))
+    with pytest.raises(ValueError, match="keep_last"):
+        wh.expire_snapshots(cfg.schema, table, keep_last=0)
+    assert wh.read(cfg.schema, table).count() == 100
+
+
+def test_log_mode_optimize_honors_sort_order(spark, tmp_path):
+    """ADVICE r3 low: log-mode compaction must apply the WRITE ORDERED BY
+    contract (disjoint per-file sort-key ranges), same as dir mode."""
+    import pyarrow.parquet as pq
+
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "logsorted"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, sort_order=["id"],
+    )
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    for i in range(3):
+        wh.append(cfg.schema, table, generate_df(spark, cfg, 1 + i * 500, 500, seed=53, num_partitions=2))
+    wh.optimize(cfg.schema, table, target_file_size_bytes=8 * 1024)
+    files = wh._data_files(cfg.schema, table)
+    assert len(files) >= 2, "need multiple output files to check disjointness"
+    ranges = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "id"
+        )
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping sort ranges after log-mode optimize: {ranges}"
+
+
+def test_merge_old_staging_heals(spark, tmp_path):
+    """ADVICE r3 low: partitioned merge stages displaced partition dirs in
+    _merge_old/ (outside data/, so hive discovery never parses them), and a
+    stranded dir (crash between the two renames) is restored on next access."""
+    cfg = narrow_example_config()  # days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "healmerge"
+    wh.create_table(cfg.schema, table, "zstd", 1, partitioning=cfg.partitioning)
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 500, seed=59, num_partitions=1))
+    n = wh.read(cfg.schema, table).count()
+    data_dir = wh._live_data_dir(cfg.schema, table)
+    part_dirs = [
+        d for d in os.listdir(data_dir)
+        if "=" in d and os.path.isdir(os.path.join(data_dir, d))
+    ]
+    assert part_dirs
+    # simulate the crash window: one partition renamed out, merge died
+    victim = part_dirs[0]
+    stranded = os.path.join(str(tmp_path / "wh"), cfg.schema, table, "_merge_old", victim)
+    os.makedirs(os.path.dirname(stranded), exist_ok=True)
+    os.rename(os.path.join(data_dir, victim), stranded)
+    # next access heals: the partition is back, row count intact
+    assert wh.read(cfg.schema, table).count() == n
+    assert os.path.isdir(os.path.join(data_dir, victim))
+    assert not os.path.isdir(os.path.dirname(stranded))
