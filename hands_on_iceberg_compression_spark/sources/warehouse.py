@@ -393,6 +393,13 @@ class ParquetWarehouse:
         resulting file count.  Iceberg twin: CALL system.rewrite_data_files
         (bench.ts:112-122)."""
         meta = self.table_meta(schema, table)
+        # head capture BEFORE resolving the file list: if a concurrent
+        # append commits after this point, the replace-commit below detects
+        # the moved head and aborts instead of erasing the append's rows
+        head_version = None
+        if self._log_mode(meta):
+            snaps = self.snapshots(schema, table)
+            head_version = snaps[-1]["version"] if snaps else None
         stats = self.files(schema, table)
         if not stats:
             return 0
@@ -430,7 +437,10 @@ class ParquetWarehouse:
                 for fn in fns
                 if fn.endswith(".parquet")
             )
-            self.commit_snapshot(schema, table, "optimize", file_paths=new)
+            self.commit_snapshot(
+                schema, table, "optimize", file_paths=new,
+                expected_parent=head_version,
+            )
             return len(new)
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
         if meta.sort_order:
@@ -487,6 +497,7 @@ class ParquetWarehouse:
         file_paths: list[str] | None = None,
         add_files: list[str] | None = None,
         drop_prefix: str | None = None,
+        expected_parent: int | None = None,
     ) -> dict:
         """Record a snapshot v{N} — a real manifest (file paths, per-file
         rows/bytes/partition values, parent pointer), the Iceberg-manifest
@@ -504,7 +515,12 @@ class ParquetWarehouse:
         ``drop_prefix`` removes the parent's entries under a path prefix
         first (a replayed append batch supersedes its own prior
         generation).  ``file_paths`` commits REPLACE the live set
-        (optimize/merge/rewrite).
+        (optimize/merge/rewrite) — those callers pass ``expected_parent``
+        (the head version their rewrite read from), and the commit RAISES
+        on a concurrent commit instead of retrying: a blind replace-retry
+        would erase the concurrent writer's rows, so the whole operation
+        must be redone from the new head (Iceberg's conflicting-rewrite
+        validation, vs the append fast-path's automatic merge).
 
         Retention: on a LOG-MODE table (snapshots=true) writers commit
         automatically, superseded generations stay on disk, and time
@@ -523,6 +539,12 @@ class ParquetWarehouse:
         while True:
             snaps = self.snapshots(schema, table)
             version = (snaps[-1]["version"] + 1) if snaps else 1
+            if expected_parent is not None and version != expected_parent + 1:
+                raise RuntimeError(
+                    f"concurrent commit conflict on {schema}.{table}: "
+                    f"expected head v{expected_parent}, found "
+                    f"v{version - 1} — redo the rewrite from the new head"
+                )
             if add_files is not None:
                 base = [
                     os.path.join(tdir, f["path"])
@@ -630,22 +652,69 @@ class ParquetWarehouse:
                 )
             )
         if victims and self._log_mode(self.table_meta(schema, table)):
-            # log mode owns its data files: garbage-collect generations no
-            # kept manifest references (dir mode shares files with the live
-            # directory listing, so expiry never touches data there)
+            # log mode owns its data files: garbage-collect files the
+            # EXPIRED manifests referenced that no kept manifest still
+            # references.  Scoped to the victims' lists — never a blind
+            # directory sweep, which would also delete a concurrent
+            # in-flight append's not-yet-committed generation (files exist
+            # on disk before their CAS commit).  Files from crashed,
+            # never-committed writes are orphans, as in Iceberg
+            # (remove_orphan_files territory, out of scope here).  Dir mode
+            # shares files with the live directory listing, so expiry never
+            # touches data there.
             tdir = self._tdir(schema, table)
             kept = {
                 os.path.join(tdir, f["path"])
                 for m in self.snapshots(schema, table)
                 for f in m["files"]
             }
-            data_dir = self._live_data_dir(schema, table)
-            for base, _d, fns in os.walk(data_dir):
-                for fn in fns:
-                    p = os.path.join(base, fn)
-                    if fn.endswith(".parquet") and p not in kept:
-                        os.remove(p)
+            dead = {
+                os.path.join(tdir, f["path"]) for m in victims for f in m["files"]
+            } - kept
+            for p in dead:
+                if os.path.isfile(p):
+                    os.remove(p)
         return len(victims)
+
+    def remove_orphan_files(
+        self, schema: str, table: str, older_than_s: float = 3600.0
+    ) -> int:
+        """Delete data files under data/ that NO snapshot manifest references
+        and whose mtime is older than ``older_than_s`` seconds.  The grace
+        window exists because a concurrent in-flight append's generation is
+        on disk BEFORE its CAS commit — exactly the reason expire_snapshots
+        GCs only expired-manifest files and leaves orphan cleanup to this
+        explicit, age-gated op.  Iceberg twin: CALL system.remove_orphan_files
+        (same default 'older than' semantics).  Log-mode only: dir mode's
+        live set IS the directory walk, so nothing can be orphaned there."""
+        import time
+
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "remove_orphan_files applies to log-mode (snapshots=true) "
+                "tables; dir-mode tables treat every data file as live"
+            )
+        tdir = self._tdir(schema, table)
+        referenced = {
+            os.path.join(tdir, f["path"])
+            for m in self.snapshots(schema, table)
+            for f in m["files"]
+        }
+        cutoff = time.time() - older_than_s
+        removed = 0
+        data_dir = self._live_data_dir(schema, table)
+        for base, _d, fns in os.walk(data_dir):
+            for fn in fns:
+                p = os.path.join(base, fn)
+                if (
+                    fn.endswith(".parquet")
+                    and p not in referenced
+                    and os.path.getmtime(p) < cutoff
+                ):
+                    os.remove(p)
+                    removed += 1
+        return removed
 
     def snapshot_manifest_bytes(self, schema: str, table: str) -> int:
         """Total on-disk bytes of snapshot manifests — REAL manifest bytes
@@ -742,6 +811,7 @@ class ParquetWarehouse:
             # generation + commit (same retention story as optimize) — no
             # swap, no deletion, time travel to the pre-merge snapshot
             # keeps working until expiry
+            head_version = self.snapshots(schema, table)[-1]["version"]
             part_names = [n for n, _ in part_specs]
             kept = self.read(schema, table).join(changed_keys, key_cols, "left_anti")
             ups = upserts
@@ -761,7 +831,10 @@ class ParquetWarehouse:
                 for fn in fns
                 if fn.endswith(".parquet")
             )
-            self.commit_snapshot(schema, table, "merge_upsert", file_paths=new)
+            self.commit_snapshot(
+                schema, table, "merge_upsert", file_paths=new,
+                expected_parent=head_version,
+            )
             if part_names:
                 result["partitions_rewritten"] = len(
                     {os.path.dirname(p) for p in new}
@@ -903,6 +976,10 @@ class ParquetWarehouse:
         import pyarrow.parquet as pq
 
         meta = self.table_meta(schema, table)
+        head_version = None
+        if self._log_mode(meta):
+            snaps = self.snapshots(schema, table)
+            head_version = snaps[-1]["version"] if snaps else None
         files = self._data_files(schema, table)
         if not files:
             return {"files": 0}
@@ -968,7 +1045,10 @@ class ParquetWarehouse:
                 for fn in fns
                 if fn.endswith(".parquet")
             )
-            self.commit_snapshot(schema, table, "rewrite", file_paths=new)
+            self.commit_snapshot(
+                schema, table, "rewrite", file_paths=new,
+                expected_parent=head_version,
+            )
         else:
             old_dir = os.path.join(self._tdir(schema, table), "data_old")
             shutil.rmtree(old_dir, ignore_errors=True)

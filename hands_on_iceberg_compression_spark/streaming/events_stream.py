@@ -173,13 +173,18 @@ def stream_into_warehouse(
     ids).  This is the ingest path: stream -> table, then every batch
     operator in operators/ runs over the table."""
 
-    if warehouse.table_meta(schema, table).partitioning:
-        # partitioned parquet tables ignore batch_id (shared data/ root), so
-        # a replayed epoch would duplicate rows — exactly-once needs the
-        # batch-dir layout here, or the Iceberg backend's snapshot commits
+    meta = warehouse.table_meta(schema, table)
+    if meta.partitioning and not warehouse._log_mode(meta):
+        # partitioned DIR-MODE parquet tables ignore batch_id (shared data/
+        # root), so a replayed epoch would duplicate rows.  Partitioned
+        # LOG-MODE tables (snapshots=true) ARE safe: each epoch commits a
+        # unique generation and a replayed epoch id supersedes its prior
+        # generation in the manifest (warehouse.append drop_prefix) — the
+        # Iceberg snapshot-commit shape.
         raise NotImplementedError(
-            "exactly-once streaming ingest into a partitioned parquet table "
-            "is not supported; use an unpartitioned table or Iceberg"
+            "exactly-once streaming ingest into a partitioned dir-mode "
+            "parquet table is not supported; use snapshots=true (log mode), "
+            "an unpartitioned table, or Iceberg"
         )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:

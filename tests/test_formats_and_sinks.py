@@ -105,3 +105,53 @@ def test_iceberg_ddl_emission():
     assert "'write.parquet.compression-level'='6'" in ddl
     assert "tags array<string>" in ddl
     assert "created_at timestamp" in ddl
+
+
+def test_stream_into_partitioned_log_table_exactly_once(spark, tmp_path):
+    """Round-4 composition: a partitioned snapshots=true destination is now a
+    legal streaming sink — each epoch commits a unique generation, and an
+    epoch REPLAY (fresh checkpoint, same epoch ids over the same source)
+    supersedes its prior generation instead of duplicating rows: the
+    Iceberg snapshot-commit shape without the jar."""
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        read_events_stream,
+        stream_into_warehouse,
+    )
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        cfg.schema, "events_log", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["days(ts)"],
+    )
+    want = load_table(spark, SF_SMALL, "events").count()
+    stream_into_warehouse(
+        read_events_stream(spark, SF_SMALL), wh, cfg.schema, "events_log",
+        str(tmp_path / "ckpt1"),
+    )
+    assert wh.read(cfg.schema, "events_log").count() == want
+    v_first = wh.snapshots(cfg.schema, "events_log")[-1]["version"]
+
+    # FULL replay: a fresh checkpoint re-delivers every epoch with the SAME
+    # epoch ids — the crash-recovery worst case for an idempotent sink
+    stream_into_warehouse(
+        read_events_stream(spark, SF_SMALL), wh, cfg.schema, "events_log",
+        str(tmp_path / "ckpt2"),
+    )
+    got = wh.read(cfg.schema, "events_log")
+    assert got.count() == want, "replayed epochs duplicated rows"
+    assert "ts_day" in got.columns
+    head = wh.snapshots(cfg.schema, "events_log")[-1]
+    assert head["version"] > v_first
+    assert head["total_rows"] == want
+    assert all("partitions" in f for f in head["files"])
+
+    # partitioned DIR-mode destination is still (correctly) refused
+    import pytest as _pytest
+
+    wh.create_table(cfg.schema, "events_dir", "zstd", 1, partitioning=["days(ts)"])
+    with _pytest.raises(NotImplementedError, match="log mode"):
+        stream_into_warehouse(
+            read_events_stream(spark, SF_SMALL), wh, cfg.schema, "events_dir",
+            str(tmp_path / "ckpt3"),
+        )

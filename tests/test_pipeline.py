@@ -768,3 +768,68 @@ def test_merge_old_staging_heals(spark, tmp_path):
     assert wh.read(cfg.schema, table).count() == n
     assert os.path.isdir(os.path.join(data_dir, victim))
     assert not os.path.isdir(os.path.dirname(stranded))
+
+
+def test_remove_orphan_files_age_gated(spark, tmp_path):
+    """Iceberg remove_orphan_files twin: unreferenced data files older than
+    the grace window are swept; YOUNG unreferenced files (a concurrent
+    in-flight append's not-yet-committed generation) are left alone, and the
+    live table is untouched."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "orphans"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 200, seed=61, num_partitions=1))
+    live_before = set(wh._data_files(cfg.schema, table))
+
+    # fabricate a crashed write: a generation dir with no manifest entry
+    data_dir = wh._live_data_dir(cfg.schema, table)
+    old_orphan = os.path.join(data_dir, "batch_crashed", "g_dead", "part-0.parquet")
+    young_orphan = os.path.join(data_dir, "batch_inflight", "g_new", "part-0.parquet")
+    src = next(iter(live_before))
+    for p in (old_orphan, young_orphan):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        import shutil as _sh
+
+        _sh.copyfile(src, p)
+    os.utime(old_orphan, (1, 1))  # ancient mtime
+
+    with pytest.raises(ValueError):
+        # dir-mode tables have no orphan concept
+        wh.create_table(cfg.schema, "plain", "zstd", 1)
+        wh.remove_orphan_files(cfg.schema, "plain")
+
+    removed = wh.remove_orphan_files(cfg.schema, table, older_than_s=3600)
+    assert removed == 1
+    assert not os.path.isfile(old_orphan)
+    assert os.path.isfile(young_orphan), "grace window violated"
+    assert set(wh._data_files(cfg.schema, table)) == live_before
+    assert wh.read(cfg.schema, table).count() == 200
+
+
+def test_replace_commit_conflict_detected(spark, tmp_path):
+    """A replace-commit (optimize/merge/rewrite) whose head moved since it
+    read the table must RAISE, not blindly retry — a blind replace would
+    erase the concurrent append's rows (Iceberg conflicting-rewrite
+    validation)."""
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "conflict"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 100, seed=67, num_partitions=1))
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 101, 100, seed=67, num_partitions=1))
+    live = wh._data_files(cfg.schema, table)
+    # a rewrite that read the table at v1 tries to publish after v2 landed
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        wh.commit_snapshot(
+            cfg.schema, table, "optimize", file_paths=live[:1], expected_parent=1
+        )
+    # nothing was committed; the table is unchanged
+    assert wh.snapshots(cfg.schema, table)[-1]["version"] == 2
+    assert wh.read(cfg.schema, table).count() == 200
