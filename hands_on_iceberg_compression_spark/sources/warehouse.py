@@ -489,6 +489,150 @@ class ParquetWarehouse:
                 out[k] = unquote(v)
         return out
 
+    _BOUNDS_MAX_STRLEN = 32  # Iceberg write.metadata.metrics truncate(32)
+
+    @staticmethod
+    def _json_bound(v):
+        """JSON-safe, order-preserving encoding of a column bound: numbers
+        and strings pass through; date/timestamp become ISO-8601 strings
+        (lexicographic == chronological for the fixed format); anything else
+        (bytes, decimals, nested) returns None — no bounds recorded, the
+        file is never pruned on that column."""
+        import datetime
+
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None
+
+    @classmethod
+    def _trunc_upper(cls, v):
+        """Truncate an UPPER string bound like Iceberg's UnicodeUtil
+        truncateStringMax: cut to the budget, then increment the last
+        incrementable code point so the truncation stays >= every value it
+        summarizes; if nothing is incrementable keep the full string."""
+        if not isinstance(v, str) or len(v) <= cls._BOUNDS_MAX_STRLEN:
+            return v
+        t = v[: cls._BOUNDS_MAX_STRLEN]
+        for i in range(len(t) - 1, -1, -1):
+            if ord(t[i]) < 0x10FFFF:
+                return t[:i] + chr(ord(t[i]) + 1)
+        return v
+
+    @classmethod
+    def _trunc_lower(cls, v):
+        """A truncated LOWER string bound is still a valid lower bound."""
+        if isinstance(v, str):
+            return v[: cls._BOUNDS_MAX_STRLEN]
+        return v
+
+    @classmethod
+    def _file_bounds(cls, pf) -> dict:
+        """Per-column ``[lower, upper]`` aggregated across the file's row
+        groups from the parquet footer — the Iceberg manifest
+        lower_bounds/upper_bounds analogue (the reference consumes these
+        via ``$files``/``$manifests``, bench.ts:131-167).  Only top-level
+        primitive columns with complete writer stats are recorded; a column
+        missing stats in ANY row group is omitted (pruning must stay
+        conservative)."""
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            return {}
+        out: dict = {}
+        rg0 = md.row_group(0)
+        for i in range(md.num_columns):
+            name = rg0.column(i).path_in_schema
+            if "." in name:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn = cls._json_bound(st.min)
+                mx = cls._json_bound(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                out[name] = [cls._trunc_lower(lo), cls._trunc_upper(hi)]
+        return out
+
+    def prune_files(
+        self,
+        schema: str,
+        table: str,
+        ranges: dict,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-level file pruning — Iceberg's planning-time data
+        skipping: drop every file whose recorded ``[lower, upper]`` bounds
+        cannot intersect the requested ranges, WITHOUT opening a single
+        parquet footer.  At 100 TB this is the difference between
+        scheduling a scan task per file and scheduling one per *qualifying*
+        file; parquet row-group skipping still applies inside survivors.
+
+        ``ranges`` maps column -> ``(lo, hi)`` (None = open end; equality is
+        ``(v, v)``), conjunctive across columns.  Files without bounds for a
+        column are conservatively kept.  Returns (kept absolute paths,
+        total files in the manifest)."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                f"{schema}.{table} is not a log-mode table (snapshots=true); "
+                "dir-mode reads already rely on parquet footer stats"
+            )
+        snaps = self.snapshots(schema, table)
+        if not snaps:
+            raise ValueError(f"log-mode table {schema}.{table} has no committed snapshot")
+        if version is None:
+            manifest = snaps[-1]
+        else:
+            manifest = next((m for m in snaps if m["version"] == version), None)
+            if manifest is None:
+                raise KeyError(f"no snapshot v{version} for {schema}.{table}")
+        norm = {
+            c: (self._json_bound(lo), self._json_bound(hi))
+            for c, (lo, hi) in ranges.items()
+        }
+        tdir = self._tdir(schema, table)
+        kept = []
+        for e in manifest["files"]:
+            keep = True
+            for col, (lo, hi) in norm.items():
+                b = e.get("bounds", {}).get(col)
+                if b is None:
+                    continue
+                if (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi):
+                    keep = False
+                    break
+            if keep:
+                kept.append(os.path.join(tdir, e["path"]))
+        return kept, len(manifest["files"])
+
+    def read_pruned(
+        self,
+        schema: str,
+        table: str,
+        ranges: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read a log-mode table through manifest bounds pruning.  Pruning
+        is an OPTIMIZATION, not a filter: the caller still applies the real
+        predicate, and because files lacking bounds are kept, the result of
+        ``read_pruned(...).filter(p)`` always equals ``read(...).filter(p)``."""
+        meta = self.table_meta(schema, table)
+        kept, total = self.prune_files(schema, table, ranges, version=version)
+        if not kept:
+            # schema-stable empty frame off the (non-empty) manifest list
+            return self.read(schema, table).limit(0)
+        return self._read_file_list(meta, kept)
+
     def commit_snapshot(
         self,
         schema: str,
@@ -500,9 +644,16 @@ class ParquetWarehouse:
         expected_parent: int | None = None,
     ) -> dict:
         """Record a snapshot v{N} — a real manifest (file paths, per-file
-        rows/bytes/partition values, parent pointer), the Iceberg-manifest
-        analogue C8 wants.  Opt-in and additive: callers commit after each
-        write they want replayable; nothing else changes.
+        rows/bytes/partition values/column bounds, parent pointer), the
+        Iceberg-manifest analogue C8 wants.  Opt-in and additive: callers
+        commit after each write they want replayable; nothing else changes.
+
+        Each entry carries per-column ``[lower, upper]`` bounds lifted from
+        the parquet footer (Iceberg lower_bounds/upper_bounds; see
+        ``_file_bounds``) feeding ``prune_files``/``read_pruned`` planning-
+        time data skipping.  Entries for files already described by the
+        parent manifest (same path, size, mtime) are reused verbatim, so an
+        append commit stats only its new files — O(new), not O(table).
 
         Concurrency: the version file is published with a hard-link CAS —
         the manifest is fully written to a private tmp file, then
@@ -556,20 +707,40 @@ class ParquetWarehouse:
             elif file_paths is not None:
                 paths = sorted(file_paths)
             else:
-                paths = None
-            if paths is None:
-                stats = self.files(schema, table)
-            else:
-                # explicit list: stat exactly these files — self.files()
-                # would circularly consult the manifest being built
-                stats = [
-                    FileStat(p, os.path.getsize(p), pq.ParquetFile(p).metadata.num_rows)
-                    for p in paths
-                ]
+                # dir-mode manual record: walk the live directory (log-mode
+                # callers always pass explicit lists — self._data_files would
+                # circularly consult the manifest being built)
+                paths = self._data_files(schema, table)
+            # Manifest-entry reuse (the Iceberg posture: unchanged manifests
+            # carry over between snapshots): a path already described by the
+            # parent whose size+mtime are unchanged keeps its entry verbatim,
+            # so an append commit stats only its NEW files — O(new), not
+            # O(table) — and column bounds come along for free.
+            parent_by_path = {
+                e["path"]: e for e in (snaps[-1]["files"] if snaps else [])
+            }
             entries = []
-            for s in stats:
-                rel = os.path.relpath(s.file_path, tdir)
-                entry = {"path": rel, "bytes": s.file_size_in_bytes, "rows": s.record_count}
+            for p in sorted(paths):
+                rel = os.path.relpath(p, tdir)
+                st = os.stat(p)
+                prev = parent_by_path.get(rel)
+                if (
+                    prev is not None
+                    and prev["bytes"] == st.st_size
+                    and prev.get("mtime_ns") == st.st_mtime_ns
+                ):
+                    entries.append(prev)
+                    continue
+                pf = pq.ParquetFile(p)
+                entry = {
+                    "path": rel,
+                    "bytes": st.st_size,
+                    "rows": pf.metadata.num_rows,
+                    "mtime_ns": st.st_mtime_ns,
+                }
+                bounds = self._file_bounds(pf)
+                if bounds:
+                    entry["bounds"] = bounds
                 parts = self._file_partitions(rel)
                 if parts:
                     entry["partitions"] = parts
@@ -579,8 +750,8 @@ class ParquetWarehouse:
                 "parent": snaps[-1]["version"] if snaps else None,
                 "operation": operation,
                 "files": entries,
-                "total_rows": sum(s.record_count for s in stats),
-                "total_bytes": sum(s.file_size_in_bytes for s in stats),
+                "total_rows": sum(e["rows"] for e in entries),
+                "total_bytes": sum(e["bytes"] for e in entries),
             }
             path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
             tmp = os.path.join(

@@ -1,0 +1,143 @@
+"""Manifest column bounds + planning-time file pruning (round-4 C8
+deepening): snapshot manifests record per-file ``[lower, upper]`` column
+bounds lifted from parquet footers — Iceberg's lower_bounds/upper_bounds —
+and ``prune_files``/``read_pruned`` skip non-qualifying files WITHOUT
+opening a footer, the way Iceberg plans a scan from manifests alone.
+Append commits reuse the parent manifest's entries for unchanged files, so
+commit cost is O(new files), not O(table).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.functions.generators import generate_df
+from hands_on_iceberg_compression_spark.schema.reference_schemas import (
+    narrow_example_config,
+)
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+@pytest.fixture()
+def log_table(spark, tmp_path):
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "boundstab"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    # disjoint id ranges per batch -> non-overlapping bounds to prune on
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 300, seed=7, num_partitions=1), batch_id="b1")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=7, num_partitions=1), batch_id="b2")
+    return cfg, wh, table
+
+
+def test_manifest_records_column_bounds(log_table):
+    cfg, wh, table = log_table
+    head = wh.snapshots(cfg.schema, table)[-1]
+    assert len(head["files"]) == 2
+    by_batch = {e["path"].split("/")[1]: e for e in head["files"]}
+    b1, b2 = by_batch["b1"], by_batch["b2"]
+    assert b1["bounds"]["id"] == [1, 300]
+    assert b2["bounds"]["id"] == [301, 500]
+    # strings and timestamps carry bounds too; arrays (nested leaves) don't
+    assert "status" in b1["bounds"] and "created_at" in b1["bounds"]
+    assert isinstance(b1["bounds"]["created_at"][0], str)  # ISO-8601
+    assert "tags" not in b1["bounds"]
+    lo, hi = b1["bounds"]["amount"]
+    assert 0 <= lo <= hi <= 10000
+
+
+def test_append_commit_reuses_parent_entries(log_table, monkeypatch):
+    """The third append must stat only ITS files: the b1/b2 entries carry
+    over verbatim (Iceberg manifest reuse) and no footer of theirs is
+    re-opened."""
+    import pyarrow.parquet as pq_mod
+
+    cfg, wh, table = log_table
+    v2 = wh.snapshots(cfg.schema, table)[-1]
+    real = pq_mod.ParquetFile
+    opened: list[str] = []
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", counting)
+    wh.append(
+        cfg.schema,
+        table,
+        generate_df(wh.spark, cfg, 501, 100, seed=7, num_partitions=1),
+        batch_id="b3",
+    )
+    v3 = wh.snapshots(cfg.schema, table)[-1]
+    assert len(v3["files"]) == 3
+    assert all("/b3/" in p for p in opened), opened  # only the new generation
+    carried = {e["path"]: e for e in v3["files"] if "/b3/" not in e["path"]}
+    assert carried == {e["path"]: e for e in v2["files"]}
+
+
+def test_prune_files_skips_non_qualifying(log_table):
+    cfg, wh, table = log_table
+    kept, total = wh.prune_files(cfg.schema, table, {"id": (1, 100)})
+    assert total == 2 and len(kept) == 1 and "/b1/" in kept[0]
+    kept, _ = wh.prune_files(cfg.schema, table, {"id": (350, 350)})  # equality
+    assert len(kept) == 1 and "/b2/" in kept[0]
+    kept, _ = wh.prune_files(cfg.schema, table, {"id": (None, 250)})  # open end
+    assert len(kept) == 1
+    kept, _ = wh.prune_files(cfg.schema, table, {"id": (250, 350)})  # straddles
+    assert len(kept) == 2
+    # a column without recorded bounds never prunes (conservative)
+    kept, _ = wh.prune_files(cfg.schema, table, {"tags": (0, 0)})
+    assert len(kept) == 2
+
+
+def test_read_pruned_equals_full_read_plus_filter(log_table):
+    cfg, wh, table = log_table
+    pred = F.col("id").between(1, 100)
+    full = {r.id for r in wh.read(cfg.schema, table).filter(pred).collect()}
+    pruned = {
+        r.id
+        for r in wh.read_pruned(cfg.schema, table, {"id": (1, 100)})
+        .filter(pred)
+        .collect()
+    }
+    assert pruned == full and len(full) == 100
+    # out-of-domain range: zero files survive, schema-stable empty frame
+    empty = wh.read_pruned(cfg.schema, table, {"id": (10_000, 20_000)})
+    assert empty.count() == 0
+    assert empty.schema == wh.read(cfg.schema, table).schema
+
+
+def test_pruning_survives_optimize_and_merge(log_table):
+    """Replace commits recompute bounds for rewritten files; pruning keeps
+    working against the new generation."""
+    cfg, wh, table = log_table
+    wh.optimize(cfg.schema, table)
+    head = wh.snapshots(cfg.schema, table)[-1]
+    assert head["operation"] == "optimize"
+    assert all("bounds" in e and "id" in e["bounds"] for e in head["files"])
+    kept, total = wh.prune_files(cfg.schema, table, {"id": (1, 100)})
+    assert kept  # compacted layout may merge ranges, but never loses rows
+    pred = F.col("id") <= 100
+    full = {r.id for r in wh.read(cfg.schema, table).filter(pred).collect()}
+    got = {
+        r.id
+        for r in wh.read_pruned(cfg.schema, table, {"id": (None, 100)})
+        .filter(pred)
+        .collect()
+    }
+    assert got == full
+
+
+def test_string_bound_truncation_is_order_safe():
+    """Iceberg truncate(32) semantics: lower truncates, upper truncates AND
+    increments so it stays an upper bound for everything it summarizes."""
+    t_lo = ParquetWarehouse._trunc_lower
+    t_up = ParquetWarehouse._trunc_upper
+    long_v = "m" * 40
+    assert t_lo(long_v) == "m" * 32 and t_lo(long_v) <= long_v
+    up = t_up(long_v)
+    assert len(up) == 32 and up > long_v
+    assert t_up("short") == "short" and t_lo("short") == "short"
+    assert t_up(123) == 123 and t_lo(1.5) == 1.5
