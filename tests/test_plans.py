@@ -198,3 +198,119 @@ def test_pack_and_mixture_single_exchange(spark):
         text = q(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
         n = text.count("Exchange hashpartitioning")
         assert n == 1, f"{q.__name__}: expected 1 exchange, plan has {n}"
+
+
+# --- round-4 window additions: plan gates for the round-3 query cohort -----
+
+
+def test_tpch_q1_partial_agg_and_pushdown(spark):
+    """Q1 shape at 100 TB = one scan + 6-row shuffle: the shipdate filter
+    must reach parquet, the wide aggregate must combine map-side, and the
+    scan must read only the 7 referenced columns."""
+    import re
+
+    from hands_on_iceberg_compression_spark.operators.advanced import q_tpch_q1_shape
+
+    df = q_tpch_q1_shape(spark, SF_SMALL)
+    assert_filter_pushdown(df, "l_shipdate")
+    assert_scan_pruned(df, 7)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2  # partial+final
+
+
+def test_tpch_q4_semi_join_no_row_multiplication(spark):
+    """The EXISTS decorrelation must stay a semi join (no inner-join +
+    distinct rewrite that could widen rows) with both filters pushed."""
+    from hands_on_iceberg_compression_spark.operators.advanced import q_tpch_q4_shape
+
+    df = q_tpch_q4_shape(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert_filter_pushdown(df, "o_orderdate")
+    assert_filter_pushdown(df, "l_quantity")
+
+
+def test_tpch_q5_broadcasts_region_nation_only(spark):
+    """nation+region ride broadcasts; the date range reaches the orders
+    scan.  The big fact joins may shuffle — that's their 100 TB shape."""
+    from hands_on_iceberg_compression_spark.operators.workload import q_tpch_q5_shape
+
+    df = q_tpch_q5_shape(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    assert_filter_pushdown(df, "o_orderdate")
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_tpch_q14_broadcast_dim_and_pruned_fact(spark):
+    from hands_on_iceberg_compression_spark.operators.advanced import q_tpch_q14_shape
+
+    df = q_tpch_q14_shape(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    assert_filter_pushdown(df, "l_shipdate")
+    # lineitem: shipdate/partkey/extendedprice/discount + part: partkey/type
+    assert_scan_pruned(df, 6)
+
+
+def test_keep_latest_and_scd2_single_shuffle(spark):
+    """Both CDC twins are one row_number/lead window over one exchange on
+    the dedup key — no join, no second shuffle.  keep_latest additionally
+    gets Spark's rank-limit pushdown: a PARTIAL WindowGroupLimit keeps one
+    row per key per map task BEFORE the exchange, so the shuffle moves
+    ~|keys| rows, not |events| — exactly the pre-reduction you want at
+    100 TB."""
+    import re
+
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        q_dedup_keep_latest,
+        q_scd2_history,
+    )
+
+    for q in (q_dedup_keep_latest, q_scd2_history):
+        plan = formatted_plan(q(spark, SF_SMALL))
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, q.__name__
+        assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1, q.__name__
+        assert "Join" not in plan, q.__name__
+    plan = formatted_plan(q_dedup_keep_latest(spark, SF_SMALL))
+    assert re.search(r"WindowGroupLimit[\s\S]*?row_number\(\), 1, Partial", plan)
+
+
+def test_customer_ltv_topk_broadcast_dims_take_ordered(spark):
+    """Aggregate-then-join order: both dimension joins broadcast AFTER the
+    fact shrinks to the customer domain, and the top-k is TakeOrdered (no
+    global sort exchange)."""
+    import re
+
+    from hands_on_iceberg_compression_spark.operators.advanced import (
+        q_customer_ltv_topk,
+    )
+
+    df = q_customer_ltv_topk(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_value_outliers_broadcast_stats(spark):
+    """The two-pass z-score census must broadcast the per-type stats back
+    onto the scan (the stats side is bounded by the type domain)."""
+    from hands_on_iceberg_compression_spark.operators.advanced import q_value_outliers
+
+    df = q_value_outliers(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_conversion_no_join_two_aggregates(spark):
+    """The funnel is conditional mins on one user_id shuffle plus a global
+    fold — never a per-stage self-join."""
+    import re
+
+    from hands_on_iceberg_compression_spark.operators.advanced import (
+        q_funnel_conversion,
+    )
+
+    plan = formatted_plan(q_funnel_conversion(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
