@@ -141,3 +141,54 @@ def test_string_bound_truncation_is_order_safe():
     assert len(up) == 32 and up > long_v
     assert t_up("short") == "short" and t_lo("short") == "short"
     assert t_up(123) == 123 and t_lo(1.5) == 1.5
+
+
+def test_bounds_compose_with_partitioned_log_tables(spark, tmp_path):
+    """Partitioned log tables carry BOTH the partition tuple and column
+    bounds per file, and read_pruned's per-generation basePath union still
+    parses the hive dirs of surviving files."""
+    cfg = narrow_example_config()  # days(created_at) partitioning
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "boundspart"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfg.partitioning,
+    )
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 300, seed=11, num_partitions=1), batch_id="b1")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=11, num_partitions=1), batch_id="b2")
+    head = wh.snapshots(cfg.schema, table)[-1]
+    assert all(
+        "partitions" in e and "bounds" in e and "id" in e["bounds"]
+        for e in head["files"]
+    )
+    pred = F.col("id") <= 300
+    full = {r.id for r in wh.read(cfg.schema, table).filter(pred).collect()}
+    pruned_df = wh.read_pruned(cfg.schema, table, {"id": (None, 300)})
+    assert "created_at_day" in pruned_df.columns  # hive dirs still parsed
+    got = {r.id for r in pruned_df.filter(pred).collect()}
+    assert got == full and len(full) == 300
+    kept, total = wh.prune_files(cfg.schema, table, {"id": (None, 300)})
+    assert len(kept) < total  # the b2-only files were skipped
+
+
+def test_timestamp_range_pruning_via_iso_bounds(log_table):
+    """Timestamp bounds are stored as ISO-8601 strings; a datetime range
+    passed to prune_files compares correctly against them and pruned+filter
+    equals full+filter."""
+    import datetime
+
+    cfg, wh, table = log_table
+    head = wh.snapshots(cfg.schema, table)[-1]
+    los = sorted(e["bounds"]["created_at"][0] for e in head["files"])
+    mid = datetime.datetime.fromisoformat(los[-1])  # below: prunes earlier-only files iff disjoint
+    kept, total = wh.prune_files(cfg.schema, table, {"created_at": (mid, None)})
+    assert 1 <= len(kept) <= total
+    pred = F.col("created_at") >= F.lit(mid)
+    full = {r.id for r in wh.read(cfg.schema, table).filter(pred).collect()}
+    got = {
+        r.id
+        for r in wh.read_pruned(cfg.schema, table, {"created_at": (mid, None)})
+        .filter(pred)
+        .collect()
+    }
+    assert got == full
