@@ -575,3 +575,42 @@ def test_ann_recall_recompute(spark, units, expected_exact_topk):
     assert [g[:3] for g in got] == [e[:3] for e in expected_rows]
     for g, e in zip(got, expected_rows):
         assert abs(g[3] - e[3]) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (Python decode path)
+# ---------------------------------------------------------------------------
+
+
+def test_mm_features_recompute(spark, docs_pdf):
+    """The mapInPandas feature extractor is rows-only for the driver (the
+    decode is a Python path, not SQL) — pin it here instead: payload bytes,
+    crc32, head_hex, and the 8-d byte-histogram moments are all recomputed
+    from the raw text with zlib + plain loops, no Spark."""
+    import zlib
+
+    from hands_on_iceberg_compression_spark.operators.multimodal import q_mm_features
+
+    got = {r.doc_id: r for r in q_mm_features(spark, SF_SMALL).collect()}
+    assert set(got) == {int(r.doc_id) for r in docs_pdf.itertuples()}
+    for r in docs_pdf.itertuples():
+        payload = r.text.encode("utf-8")
+        g = got[int(r.doc_id)]
+        assert g.n_bytes == len(payload)
+        assert g.crc32 == (zlib.crc32(payload) & 0xFFFFFFFF)
+        assert g.head_hex == payload[:8].hex()
+        if payload:
+            arr = list(payload[:1024])
+            n = len(arr)
+            mean = sum(arr) / n
+            var = sum((x - mean) ** 2 for x in arr) / n
+            exp = [
+                float(n), round(mean, 4), round(var, 4), float(min(arr)),
+                float(max(arr)), float(arr[0]), float(arr[-1]),
+                float(sum(arr) % 997),
+            ]
+        else:
+            exp = [0.0] * 8
+        feat = [float(x) for x in g.feature.split(",")]
+        assert len(feat) == 8
+        assert all(abs(a - b) <= 1e-9 for a, b in zip(feat, exp)), (g.doc_id, feat, exp)
