@@ -614,3 +614,78 @@ def test_mm_features_recompute(spark, docs_pdf):
         feat = [float(x) for x in g.feature.split(",")]
         assert len(feat) == 8
         assert all(abs(a - b) <= 1e-9 for a, b in zip(feat, exp)), (g.doc_id, feat, exp)
+
+
+def test_knn_vectorized_recompute(spark, expected_exact_topk):
+    """The numpy-matmul kNN must agree with the recomputed exact baseline:
+    same ids and ranks, sims within BLAS-vs-fold noise (their gap is
+    ~1e-16; neighbor sim gaps are ~1e-3, so ranks cannot legitimately
+    differ)."""
+    from hands_on_iceberg_compression_spark.operators.similarity import (
+        q_knn_vectorized,
+    )
+
+    exp = {
+        (q, rank): (nid, sim)
+        for q, rows in expected_exact_topk.items()
+        for rank, nid, sim in rows
+    }
+    got = q_knn_vectorized(spark, SF_SMALL).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        nid, sim = exp[(r.q_id, r.rank)]
+        assert r.n_id == nid
+        assert abs(r.sim - sim) <= 1e-6
+
+
+def test_near_dup_lsh_recompute(spark, units):
+    """The sub-quadratic near-dup pair query: recompute the LSH candidate
+    pair space (TARGET_BUCKET_PAIRS-derived bits) and the exact rerank,
+    then pin the top-NEAR_DUP_TOPK rows."""
+    from hands_on_iceberg_compression_spark.operators.similarity import (
+        LSH_SEED,
+        LSH_TABLES,
+        NEAR_DUP_TOPK,
+        TARGET_BUCKET_PAIRS,
+        _adaptive_bits,
+        q_near_dup_lsh,
+    )
+
+    n = len(units)
+    bits = _adaptive_bits(n, TARGET_BUCKET_PAIRS)
+    dim = len(next(iter(units.values())))
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.standard_normal((LSH_TABLES, bits, dim)).reshape(
+        LSH_TABLES * bits, dim
+    ).T
+    ids = sorted(units)
+    mat = np.array([units[i] for i in ids])
+    hyp = (mat @ planes) > 0
+    weights = (2 ** np.arange(bits)).astype(np.int64)
+    sigs = hyp.reshape(len(ids), LSH_TABLES, bits) @ weights
+
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for row, vid in enumerate(ids):
+        for t in range(LSH_TABLES):
+            buckets[(t, int(sigs[row, t]))].append(vid)
+    cands = set()
+    for members in buckets.values():
+        members = sorted(set(members))
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cands.add((a, b))
+    ranked = sorted(
+        (
+            (a, b, round(_fold_dot(units[a], units[b]), 6))
+            for a, b in cands
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:NEAR_DUP_TOPK]
+
+    got = [
+        (r.id_a, r.id_b, r.sim)
+        for r in q_near_dup_lsh(spark, SF_SMALL).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in ranked]
+    for (_, _, gs), (_, _, es) in zip(got, ranked):
+        assert abs(gs - es) <= 1e-6
