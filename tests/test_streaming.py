@@ -164,3 +164,67 @@ def test_streaming_upsert_matches_batch_keep_latest(spark, tmp_path):
         .sort_values(["user_id", "event_type"], ignore_index=True)
     )
     assert got.equals(want)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics, directly: an event older than the watermark
+    arriving in a later micro-batch must be DROPPED from the windowed
+    aggregation (its window already emitted/evicted), and a window whose
+    end the watermark never passes must not emit in append mode.
+
+    Three single-file micro-batches (maxFilesPerTrigger=1): batch 1 puts
+    two events in the 10:00 window and one at 11:00 (raising the watermark
+    to 10:50); batch 2 is an on-time spacer (the late filter applies the
+    watermark with one batch of lag — empirically, batch N filters with
+    the threshold committed after batch N-2); batch 3 replays the past —
+    10:00:30 (inside the already-closed window) and 10:05 (a whole late
+    window) — plus an on-time 11:00:30 whose window never closes.
+    Expected append output: exactly one row, the 10:00 window with count
+    2, and the state operator reports 2 rows dropped by the watermark."""
+    import datetime as dt
+    import os
+    import time as _t
+
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        windowed_counts,
+    )
+
+    def ts(h, m, s):
+        return dt.datetime(2024, 3, 1, h, m, s)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, ts(10, 0, 10), 1, "view", 1.0), (2, ts(10, 0, 20), 1, "view", 1.0),
+         (3, ts(11, 0, 0), 1, "view", 1.0)],
+        [(4, ts(11, 0, 5), 1, "view", 1.0)],      # on-time spacer
+        [(5, ts(10, 0, 30), 1, "view", 1.0),      # late into the closed 10:00 window
+         (6, ts(10, 5, 0), 1, "view", 1.0),       # late, whole window below watermark
+         (7, ts(11, 0, 30), 1, "view", 1.0)],     # on time; window never closes
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)  # distinct mtimes -> deterministic file->batch order
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        windowed_counts(stream, "1 minute", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p.get("stateOperators", [{}])[0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    out = spark.table("late_drop").toPandas()
+    assert dropped == 2
+    assert len(out) == 1, out
+    row = out.iloc[0]
+    assert row["minute"] == ts(10, 0, 0) and row["cnt"] == 2
