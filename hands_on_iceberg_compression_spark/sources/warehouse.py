@@ -578,9 +578,14 @@ class ParquetWarehouse:
         file; parquet row-group skipping still applies inside survivors.
 
         ``ranges`` maps column -> ``(lo, hi)`` (None = open end; equality is
-        ``(v, v)``), conjunctive across columns.  Files without bounds for a
-        column are conservatively kept.  Returns (kept absolute paths,
-        total files in the manifest)."""
+        ``(v, v)``), conjunctive across columns.  A column naming a
+        PARTITION of the file (hive ``k=v`` tuple in the manifest) prunes
+        on the recorded partition value — Iceberg's partition pruning,
+        which fires before any bounds comparison; partition values are the
+        dir-encoding strings, so pass string endpoints for those (ISO day
+        strings order correctly).  Files without bounds or partition info
+        for a column are conservatively kept.  Returns (kept absolute
+        paths, total files in the manifest)."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -605,6 +610,12 @@ class ParquetWarehouse:
         for e in manifest["files"]:
             keep = True
             for col, (lo, hi) in norm.items():
+                pv = e.get("partitions", {}).get(col)
+                if pv is not None:
+                    if (lo is not None and pv < lo) or (hi is not None and pv > hi):
+                        keep = False
+                        break
+                    continue
                 b = e.get("bounds", {}).get(col)
                 if b is None:
                     continue

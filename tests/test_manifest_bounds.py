@@ -192,3 +192,36 @@ def test_timestamp_range_pruning_via_iso_bounds(log_table):
         .collect()
     }
     assert got == full
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    """A range on a PARTITION column prunes on the manifest's recorded
+    partition tuple (Iceberg partition pruning from manifests) — exact
+    equality and ISO-day string ranges both work, and results equal the
+    full read + filter."""
+    cfg = narrow_example_config()  # days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "partprune"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfg.partitioning,
+    )
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 400, seed=19, num_partitions=1), batch_id="b1")
+    full = wh.read(cfg.schema, table)
+    days = sorted(r[0] for r in full.select("created_at_day").distinct().collect())
+    assert len(days) >= 3
+    target = str(days[0])
+    kept, total = wh.prune_files(cfg.schema, table, {"created_at_day": (target, target)})
+    assert 1 <= len(kept) < total
+    expect = {r.id for r in full.filter(F.col("created_at_day") == target).collect()}
+    got = {
+        r.id
+        for r in wh.read_pruned(cfg.schema, table, {"created_at_day": (target, target)})
+        .filter(F.col("created_at_day") == target)
+        .collect()
+    }
+    assert got == expect and expect
+    # ISO-day strings order lexicographically == chronologically
+    lo, hi = str(days[0]), str(days[1])
+    kept2, _ = wh.prune_files(cfg.schema, table, {"created_at_day": (lo, hi)})
+    assert len(kept) <= len(kept2) < total
