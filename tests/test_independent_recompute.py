@@ -689,3 +689,62 @@ def test_near_dup_lsh_recompute(spark, units):
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in ranked]
     for (_, _, gs), (_, _, es) in zip(got, ranked):
         assert abs(gs - es) <= 1e-6
+
+
+def test_ann_ivf_kmeans_recompute(spark, units):
+    """Lloyd-refined IVF pinned against a pure-Python k-means replica.
+    Distributed per-dimension means differ from the sequential fold at
+    ~1e-16, which only matters if an assignment or probe ranking is
+    near-tied at that scale — on the fixture the gaps are ~1e-3, so ids
+    and ranks must match exactly (sims compare on the raw unit vectors and
+    replicate bitwise)."""
+    from hands_on_iceberg_compression_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_PROBES,
+        KMEANS_ITERS,
+        N_QUERIES,
+        TOPK,
+        q_ann_ivf_kmeans,
+    )
+
+    dim = len(next(iter(units.values())))
+    centroids = {c: list(units[c]) for c in range(IVF_CENTROIDS)}
+    for _ in range(KMEANS_ITERS):
+        assign = {
+            vid: max(centroids, key=lambda c: (_fold_dot(u, centroids[c]), -c))
+            for vid, u in units.items()
+        }
+        sums = {c: [0.0] * dim for c in centroids}
+        counts = {c: 0 for c in centroids}
+        for vid, c in assign.items():
+            counts[c] += 1
+            for p, x in enumerate(units[vid]):
+                sums[c][p] += x
+        for c in centroids:
+            if counts[c]:
+                centroids[c] = [s / counts[c] for s in sums[c]]
+
+    assign = {
+        vid: max(centroids, key=lambda c: (_fold_dot(u, centroids[c]), -c))
+        for vid, u in units.items()
+    }
+    lists = defaultdict(list)
+    for vid, c in assign.items():
+        lists[c].append(vid)
+
+    expected = {}
+    for q in range(N_QUERIES):
+        probed = sorted(
+            centroids, key=lambda c: (-_fold_dot(units[q], centroids[c]), c)
+        )[:IVF_PROBES]
+        cands = [vid for c in probed for vid in lists[c] if vid != q]
+        sims = [(nid, _fold_dot(units[q], units[nid])) for nid in cands]
+        for rank, nid, sim in _topk(sims, TOPK):
+            expected[(q, rank)] = (nid, sim)
+
+    got = q_ann_ivf_kmeans(spark, SF_SMALL).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        nid, sim = expected[(r.q_id, r.rank)]
+        assert r.n_id == nid
+        assert abs(r.sim - sim) <= 1e-6

@@ -225,3 +225,23 @@ def test_partition_value_pruning(spark, tmp_path):
     lo, hi = str(days[0]), str(days[1])
     kept2, _ = wh.prune_files(cfg.schema, table, {"created_at_day": (lo, hi)})
     assert len(kept) <= len(kept2) < total
+
+
+def test_prune_files_at_pinned_version(log_table):
+    """version= prunes against a historical manifest: after optimize
+    rewrites the layout, pruning at the pre-optimize version still sees the
+    original per-batch bounds."""
+    cfg, wh, table = log_table
+    v_before = wh.snapshots(cfg.schema, table)[-1]["version"]
+    wh.optimize(cfg.schema, table)
+    kept, total = wh.prune_files(
+        cfg.schema, table, {"id": (1, 100)}, version=v_before
+    )
+    assert total == 2 and len(kept) == 1 and "/b1/" in kept[0]
+    got = {
+        r.id
+        for r in wh.read_pruned(cfg.schema, table, {"id": (1, 100)}, version=v_before)
+        .filter(F.col("id") <= 100)
+        .collect()
+    }
+    assert got == set(range(1, 101))
