@@ -583,8 +583,12 @@ class ParquetWarehouse:
         on the recorded partition value — Iceberg's partition pruning,
         which fires before any bounds comparison; partition values are the
         dir-encoding strings, so pass string endpoints for those (ISO day
-        strings order correctly).  Files without bounds or partition info
-        for a column are conservatively kept.  Returns (kept absolute
+        strings order correctly).  Endpoints must match the column's type
+        (datetime for timestamp columns, date for date columns): ISO
+        strings of different granularities compare lexicographically, so a
+        bare date against timestamp bounds would sort before that day's
+        midnight and could over-prune.  Files without bounds or partition
+        info for a column are conservatively kept.  Returns (kept absolute
         paths, total files in the manifest)."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
