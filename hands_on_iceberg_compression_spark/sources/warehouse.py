@@ -615,17 +615,23 @@ class ParquetWarehouse:
             keep = True
             for col, (lo, hi) in norm.items():
                 pv = e.get("partitions", {}).get(col)
-                if pv is not None:
-                    if (lo is not None and pv < lo) or (hi is not None and pv > hi):
+                try:
+                    if pv is not None:
+                        if (lo is not None and pv < lo) or (hi is not None and pv > hi):
+                            keep = False
+                            break
+                        continue
+                    b = e.get("bounds", {}).get(col)
+                    if b is None:
+                        continue
+                    if (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi):
                         keep = False
                         break
+                except TypeError:
+                    # endpoint type doesn't match the recorded value (e.g.
+                    # int range against a string partition value) — pruning
+                    # must stay conservative, never crash or over-prune
                     continue
-                b = e.get("bounds", {}).get(col)
-                if b is None:
-                    continue
-                if (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi):
-                    keep = False
-                    break
             if keep:
                 kept.append(os.path.join(tdir, e["path"]))
         return kept, len(manifest["files"])

@@ -245,3 +245,21 @@ def test_prune_files_at_pinned_version(log_table):
         .collect()
     }
     assert got == set(range(1, 101))
+
+
+def test_type_mismatched_range_is_conservative(log_table, spark, tmp_path):
+    """An endpoint whose type doesn't match the recorded value (int range
+    against a string partition value, string range against long bounds)
+    keeps every file instead of raising or over-pruning."""
+    cfg, wh, table = log_table
+    kept, total = wh.prune_files(cfg.schema, table, {"id": ("a", "z")})
+    assert len(kept) == total
+    cfgp = narrow_example_config()
+    whp = ParquetWarehouse(spark, str(tmp_path / "whp"))
+    whp.create_table(
+        cfgp.schema, "pmix", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfgp.partitioning,
+    )
+    whp.append(cfgp.schema, "pmix", generate_df(spark, cfgp, 1, 50, seed=3, num_partitions=1), batch_id="b1")
+    kept, total = whp.prune_files(cfgp.schema, "pmix", {"created_at_day": (0, 99)})
+    assert len(kept) == total
