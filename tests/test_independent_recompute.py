@@ -748,3 +748,97 @@ def test_ann_ivf_kmeans_recompute(spark, units):
         nid, sim = expected[(r.q_id, r.rank)]
         assert r.n_id == nid
         assert abs(r.sim - sim) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Generator DSL (A1-A9 through the driver surface)
+# ---------------------------------------------------------------------------
+
+
+def test_gen_narrow_sample_recompute(spark):
+    """The deterministic data generator, replicated row-for-row in pure
+    Python: every draw is xxhash64(id, column, salt, seed[, slot]) -> pmod
+    2^40 -> double, so the same public-spec hash plus IEEE double ops
+    reproduce ints, doubles, md5-block strings, enums, timestamps, array
+    lengths/slots, and the nullable gates exactly."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from hands_on_iceberg_compression_spark.operators.advanced import (
+        q_gen_narrow_sample,
+    )
+
+    DEN = 1 << 40
+    SEED = 42
+
+    def uni(rid, name, salt, *extra):
+        h = xxh64_spark(rid, name, salt, ("i", SEED), *extra)
+        return (h % DEN) / float(DEN)
+
+    def md5str(rid, name, length, *extra):
+        out = ""
+        for b in range((length + 31) // 32):
+            parts = [str(rid), name, f"str{b}", str(SEED)] + [str(e) for e in extra]
+            out += hashlib.md5("|".join(parts).encode()).hexdigest()
+        return out[:length]
+
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    t1 = int(dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    STATUS = ("new", "paid", "delivered", "canceled")
+    COUNTRY = ("KZ", "US", "DE", "TR", "PL")
+    TAGS = ("alpha", "beta", "gamma", "delta")
+
+    def expected_row(rid):
+        amount = None
+        if not uni(rid, "amount", "null") < 0.05:
+            amount = round(0 + uni(rid, "amount", "val") * 10000, 6)
+        country = None
+        if not uni(rid, "country", "null") < 0.02:
+            u = uni(rid, "country", "val")
+            country = COUNTRY[math.floor(u * len(COUNTRY))]
+        age = None
+        if not uni(rid, "age", "null") < 0.03:
+            age = 18 + math.floor(uni(rid, "age", "val") * 61)
+        note = None
+        if not uni(rid, "note", "null") < 0.1:
+            note = md5str(rid, "note", 8)
+        tags = None
+        if not uni(rid, "tags", "null") < 0.1:
+            n = 1 + math.floor(uni(rid, "tags", "len") * 3)
+            tags = ",".join(
+                TAGS[math.floor(uni(rid, "tags", "val", ("i", i)) * len(TAGS))]
+                for i in range(1, n + 1)
+            )
+        ts = dt.datetime.fromtimestamp(
+            t0 + math.floor(uni(rid, "created_at", "val") * (t1 - t0)),
+            tz=dt.timezone.utc,
+        ).replace(tzinfo=None)
+        return {
+            "id": rid,
+            "user_name": md5str(rid, "user_name", 16),
+            "amount": amount,
+            "created_at": ts,
+            "status": STATUS[math.floor(uni(rid, "status", "val") * len(STATUS))],
+            "country": country,
+            "age": age,
+            "note": note,
+            "tags": tags,
+        }
+
+    got = {r.id: r for r in q_gen_narrow_sample(spark, SF_SMALL).collect()}
+    assert len(got) == 1000
+    n_null = 0
+    for rid in range(1, 1001):
+        e = expected_row(rid)
+        g = got[rid]
+        for k, v in e.items():
+            gv = getattr(g, k)
+            if v is None:
+                assert gv is None, (rid, k, gv)
+                n_null += 1
+            elif k == "amount":
+                assert abs(gv - v) <= 1e-6, (rid, k, gv, v)
+            else:
+                assert gv == v, (rid, k, gv, v)
+    assert n_null > 100  # the nullable gates actually fire
