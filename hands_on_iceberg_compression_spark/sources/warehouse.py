@@ -357,11 +357,11 @@ class ParquetWarehouse:
     def _data_files(self, schema: str, table: str) -> list[str]:
         meta = self.table_meta(schema, table)
         if self._log_mode(meta):
-            snaps = self.snapshots(schema, table)
-            if not snaps:
+            head = self.head_snapshot(schema, table)
+            if head is None:
                 return []
             tdir = self._tdir(schema, table)
-            return sorted(os.path.join(tdir, f["path"]) for f in snaps[-1]["files"])
+            return sorted(os.path.join(tdir, f["path"]) for f in head["files"])
         data_dir = self._live_data_dir(schema, table)
         if not os.path.isdir(data_dir):
             return []
@@ -398,8 +398,8 @@ class ParquetWarehouse:
         # the moved head and aborts instead of erasing the append's rows
         head_version = None
         if self._log_mode(meta):
-            snaps = self.snapshots(schema, table)
-            head_version = snaps[-1]["version"] if snaps else None
+            head = self.head_snapshot(schema, table)
+            head_version = head["version"] if head else None
         stats = self.files(schema, table)
         if not stats:
             return 0
@@ -497,12 +497,27 @@ class ParquetWarehouse:
         and strings pass through; date/timestamp become ISO-8601 strings
         (lexicographic == chronological for the fixed format); anything else
         (bytes, decimals, nested) returns None — no bounds recorded, the
-        file is never pruned on that column."""
+        file is never pruned on that column.
+
+        Timezone contract: ALL datetimes normalize to naive UTC before
+        isoformat.  Spark writes TIMESTAMP_MICROS as isAdjustedToUTC, so
+        pyarrow footer stats arrive tz-aware and would isoformat with a
+        '+00:00' suffix, while a caller's naive query endpoint would not —
+        and '...T10:00:10+00:00' > '...T10:00:10' lexicographically, so at
+        exact boundary equality the file holding rows equal to the endpoint
+        would be WRONGLY pruned.  One convention on both sides (recorded
+        bounds and prune_files endpoints both pass through here) keeps
+        read_pruned's pruned+filter == full+filter invariant; naive
+        endpoints are treated as UTC, matching the repo's UTC session pin."""
         import datetime
 
         if isinstance(v, bool) or isinstance(v, (int, float, str)):
             return v
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, datetime.date):
             return v.isoformat()
         return None
 
@@ -516,8 +531,12 @@ class ParquetWarehouse:
             return v
         t = v[: cls._BOUNDS_MAX_STRLEN]
         for i in range(len(t) - 1, -1, -1):
-            if ord(t[i]) < 0x10FFFF:
-                return t[:i] + chr(ord(t[i]) + 1)
+            o = ord(t[i])
+            # Iceberg UnicodeUtil: U+D7FF is non-incrementable too — the
+            # next code point is a lone surrogate, invalid Unicode that any
+            # later UTF-8 encode of the manifest would reject
+            if o < 0x10FFFF and o != 0xD7FF:
+                return t[:i] + chr(o + 1)
         return v
 
     @classmethod
@@ -582,8 +601,11 @@ class ParquetWarehouse:
         PARTITION of the file (hive ``k=v`` tuple in the manifest) prunes
         on the recorded partition value — Iceberg's partition pruning,
         which fires before any bounds comparison; partition values are the
-        dir-encoding strings, so pass string endpoints for those (ISO day
-        strings order correctly).  Endpoints must match the column's type
+        dir-encoding strings — all-digit encodings (bucket/int transforms)
+        compare NUMERICALLY (lexicographic '10' < '2' would over-prune),
+        everything else compares as strings, so pass ISO-day strings for
+        day partitions and int endpoints for bucket/int partitions.
+        Endpoints must match the column's type
         (datetime for timestamp columns, date for date columns): ISO
         strings of different granularities compare lexicographically, so a
         bare date against timestamp bounds would sort before that day's
@@ -596,15 +618,14 @@ class ParquetWarehouse:
                 f"{schema}.{table} is not a log-mode table (snapshots=true); "
                 "dir-mode reads already rely on parquet footer stats"
             )
-        snaps = self.snapshots(schema, table)
-        if not snaps:
-            raise ValueError(f"log-mode table {schema}.{table} has no committed snapshot")
         if version is None:
-            manifest = snaps[-1]
-        else:
-            manifest = next((m for m in snaps if m["version"] == version), None)
+            manifest = self.head_snapshot(schema, table)
             if manifest is None:
-                raise KeyError(f"no snapshot v{version} for {schema}.{table}")
+                raise ValueError(
+                    f"log-mode table {schema}.{table} has no committed snapshot"
+                )
+        else:
+            manifest = self._load_snapshot(schema, table, version)
         norm = {
             c: (self._json_bound(lo), self._json_bound(hi))
             for c, (lo, hi) in ranges.items()
@@ -617,6 +638,22 @@ class ParquetWarehouse:
                 pv = e.get("partitions", {}).get(col)
                 try:
                     if pv is not None:
+                        if pv.lstrip("-").isdigit():
+                            # numeric dir encodings ('2', '10' from
+                            # bucket/int partitions) are NOT lexicographic-
+                            # order-preserving ('10' < '2'); compare as ints,
+                            # coercing digit-string endpoints.  Non-numeric
+                            # endpoints against a numeric value → the
+                            # ValueError path keeps the file (conservative).
+                            pvn = int(pv)
+                            nlo = int(lo) if lo is not None else None
+                            nhi = int(hi) if hi is not None else None
+                            if (nlo is not None and pvn < nlo) or (
+                                nhi is not None and pvn > nhi
+                            ):
+                                keep = False
+                                break
+                            continue
                         if (lo is not None and pv < lo) or (hi is not None and pv > hi):
                             keep = False
                             break
@@ -627,10 +664,12 @@ class ParquetWarehouse:
                     if (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi):
                         keep = False
                         break
-                except TypeError:
-                    # endpoint type doesn't match the recorded value (e.g.
-                    # int range against a string partition value) — pruning
-                    # must stay conservative, never crash or over-prune
+                except (TypeError, ValueError):
+                    # endpoint type doesn't match the recorded value (int
+                    # range against a non-numeric string partition value,
+                    # non-integer endpoint against a bucket dir, ...) —
+                    # pruning must stay conservative, never crash or
+                    # over-prune
                     continue
             if keep:
                 kept.append(os.path.join(tdir, e["path"]))
@@ -709,8 +748,10 @@ class ParquetWarehouse:
         tdir = self._tdir(schema, table)
         os.makedirs(self._snap_dir(schema, table), exist_ok=True)
         while True:
-            snaps = self.snapshots(schema, table)
-            version = (snaps[-1]["version"] + 1) if snaps else 1
+            # head-only read: a commit needs its PARENT manifest, never the
+            # history — O(1) manifest parse per attempt (and per CAS retry)
+            head = self.head_snapshot(schema, table)
+            version = (head["version"] + 1) if head else 1
             if expected_parent is not None and version != expected_parent + 1:
                 raise RuntimeError(
                     f"concurrent commit conflict on {schema}.{table}: "
@@ -720,7 +761,7 @@ class ParquetWarehouse:
             if add_files is not None:
                 base = [
                     os.path.join(tdir, f["path"])
-                    for f in (snaps[-1]["files"] if snaps else [])
+                    for f in (head["files"] if head else [])
                 ]
                 if drop_prefix is not None:
                     base = [p for p in base if not p.startswith(drop_prefix)]
@@ -738,7 +779,7 @@ class ParquetWarehouse:
             # so an append commit stats only its NEW files — O(new), not
             # O(table) — and column bounds come along for free.
             parent_by_path = {
-                e["path"]: e for e in (snaps[-1]["files"] if snaps else [])
+                e["path"]: e for e in (head["files"] if head else [])
             }
             entries = []
             for p in sorted(paths):
@@ -768,7 +809,7 @@ class ParquetWarehouse:
                 entries.append(entry)
             manifest = {
                 "version": version,
-                "parent": snaps[-1]["version"] if snaps else None,
+                "parent": head["version"] if head else None,
                 "operation": operation,
                 "files": entries,
                 "total_rows": sum(e["rows"] for e in entries),
@@ -788,27 +829,57 @@ class ParquetWarehouse:
             finally:
                 os.unlink(tmp)
 
-    def snapshots(self, schema: str, table: str) -> list[dict]:
-        """All committed snapshot manifests, oldest first."""
+    def _snapshot_versions(self, schema: str, table: str) -> list[int]:
+        """Committed snapshot version numbers, ascending, from FILENAMES
+        only — no manifest is opened.  This is the Iceberg version-hint
+        posture: head discovery is a directory listing, manifest parsing
+        happens per needed version."""
         d = self._snap_dir(schema, table)
         if not os.path.isdir(d):
             return []
-        out = []
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".json"):
-                with open(os.path.join(d, fn)) as f:
-                    out.append(json.load(f))
-        return out
+        return sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(d)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+
+    def _load_snapshot(self, schema: str, table: str, version: int) -> dict:
+        """Parse exactly ONE manifest file.  Every manifest read in the
+        class routes through here so tests can count opens (the
+        O(1)-head-read contract of ``test_manifest_bounds.py``)."""
+        path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(f"no snapshot v{version} for {schema}.{table}")
+
+    def head_snapshot(self, schema: str, table: str) -> dict | None:
+        """The newest committed manifest, or None — parses ONE file.
+
+        Reads and append commits need only the head, and a table with V
+        commits of F files each would pay O(V*F) JSON parse per operation
+        if they went through ``snapshots()`` (at streaming-ingest commit
+        rates that swamps the O(new-files) stat cost of the commit
+        itself).  Full-history parses are reserved for time travel,
+        expiry, and the orphan sweep."""
+        versions = self._snapshot_versions(schema, table)
+        if not versions:
+            return None
+        return self._load_snapshot(schema, table, versions[-1])
+
+    def snapshots(self, schema: str, table: str) -> list[dict]:
+        """All committed snapshot manifests, oldest first — O(history) by
+        definition; use ``head_snapshot`` when only the newest is needed."""
+        return [
+            self._load_snapshot(schema, table, v)
+            for v in self._snapshot_versions(schema, table)
+        ]
 
     def read_snapshot(self, schema: str, table: str, version: int) -> DataFrame:
         """Time travel: read exactly the files snapshot ``version`` listed.
         Raises if a later rewrite removed any of them (expired snapshot)."""
-        manifest = next(
-            (m for m in self.snapshots(schema, table) if m["version"] == version),
-            None,
-        )
-        if manifest is None:
-            raise KeyError(f"no snapshot v{version} for {schema}.{table}")
+        manifest = self._load_snapshot(schema, table, version)
         tdir = self._tdir(schema, table)
         paths = [os.path.join(tdir, f["path"]) for f in manifest["files"]]
         missing = [p for p in paths if not os.path.isfile(p)]
@@ -1003,7 +1074,7 @@ class ParquetWarehouse:
             # generation + commit (same retention story as optimize) — no
             # swap, no deletion, time travel to the pre-merge snapshot
             # keeps working until expiry
-            head_version = self.snapshots(schema, table)[-1]["version"]
+            head_version = self.head_snapshot(schema, table)["version"]
             part_names = [n for n, _ in part_specs]
             kept = self.read(schema, table).join(changed_keys, key_cols, "left_anti")
             ups = upserts
@@ -1170,8 +1241,8 @@ class ParquetWarehouse:
         meta = self.table_meta(schema, table)
         head_version = None
         if self._log_mode(meta):
-            snaps = self.snapshots(schema, table)
-            head_version = snaps[-1]["version"] if snaps else None
+            head = self.head_snapshot(schema, table)
+            head_version = head["version"] if head else None
         files = self._data_files(schema, table)
         if not files:
             return {"files": 0}

