@@ -224,7 +224,14 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for p in q.recentProgress
     )
     out = spark.table("late_drop").toPandas()
-    assert dropped == 2
-    assert len(out) == 1, out
-    row = out.iloc[0]
-    assert row["minute"] == ts(10, 0, 0) and row["cnt"] == 2
+    # Semantic pins only (ADVICE r4): the exact progress-metric total and
+    # single-row output depend on the file source's mtime->batch assignment
+    # and the one-batch watermark-commit lag — implementation details that
+    # can shift across Spark versions.  What late-data semantics guarantee:
+    # BOTH replayed events are dropped (>= 2), the closed 10:00 window
+    # emitted exactly its two on-time rows, and the dropped 10:05 event
+    # never produced a window.
+    assert dropped >= 2, q.recentProgress
+    w1000 = out[out["minute"] == ts(10, 0, 0)]
+    assert len(w1000) == 1 and w1000.iloc[0]["cnt"] == 2, out
+    assert not (out["minute"] == ts(10, 5, 0)).any(), out
