@@ -335,12 +335,44 @@ class ParquetWarehouse:
                 return os.sep.join(parts[:i])
         return os.sep.join(parts[:-1])
 
+    # Above this many generation roots the per-basePath union is collapsed
+    # into one flat scan: plan width (and planning time) would otherwise
+    # grow linearly with appends-since-compaction — the streaming
+    # foreachBatch ingest commits one generation per micro-batch, which is
+    # the same unbounded-plan family as an unrolled iterative loop.
+    MAX_BASEPATH_BRANCHES = 16
+
+    @staticmethod
+    def _infer_partition_type(v: str) -> str:
+        """The subset of Spark's hive partition type inference our
+        transforms can produce: int/bigint (bucket, years), date (days),
+        string (months 'yyyy-MM', hours 'yyyy-MM-dd-HH', identity) — so the
+        collapsed read's column types match the basePath branches'."""
+        import re as _re
+
+        if _re.fullmatch(r"-?\d+", v):
+            return "int" if -(2**31) <= int(v) < 2**31 else "bigint"
+        if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+            return "date"
+        return "string"
+
     def _read_file_list(self, meta: TableMeta, files: list[str]) -> DataFrame:
         """Read an explicit manifest file list.  Partitioned tables group
         files by generation root and give each group its own ``basePath`` so
         Spark parses the hive partition dirs (one flat read would hit
         CONFLICTING_DIRECTORY_STRUCTURES across generations); the union's
-        per-branch scans keep real PartitionFilters pruning."""
+        per-branch scans keep real PartitionFilters pruning.
+
+        Bounded plan width: past ``MAX_BASEPATH_BRANCHES`` generation roots
+        the union is collapsed to ONE scan (``recursiveFileLookup`` disables
+        hive discovery) and the partition columns are re-attached by parsing
+        ``input_file_name()`` — constant plan size however many un-compacted
+        generations exist.  The trade: Spark-side PartitionFilters pruning
+        doesn't fire in the collapsed shape, so high-generation-count reads
+        should prune via the manifest (``read_pruned``, which skips files
+        before Spark ever sees them) or compact; partition VALUES, names,
+        order, and types are identical in both shapes (asserted by
+        test_manifest_bounds)."""
         if not meta.partitioning:
             return self.spark.read.parquet(*files)
         from functools import reduce
@@ -348,11 +380,33 @@ class ParquetWarehouse:
         groups: dict[str, list[str]] = {}
         for p in files:
             groups.setdefault(self._generation_root(p), []).append(p)
-        branches = [
-            self.spark.read.option("basePath", root).parquet(*paths)
-            for root, paths in sorted(groups.items())
-        ]
-        return reduce(lambda a, b: a.unionByName(b), branches)
+        if len(groups) <= self.MAX_BASEPATH_BRANCHES:
+            branches = [
+                self.spark.read.option("basePath", root).parquet(*paths)
+                for root, paths in sorted(groups.items())
+            ]
+            return reduce(lambda a, b: a.unionByName(b), branches)
+        import re as _re
+
+        part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
+        sample: dict[str, str] = {}
+        for p in files:
+            for name in part_names:
+                if name not in sample:
+                    m = _re.search(f"/{_re.escape(name)}=([^/]+)/", p)
+                    if m:
+                        from urllib.parse import unquote
+
+                        sample[name] = unquote(m.group(1))
+            if len(sample) == len(part_names):
+                break
+        df = self.spark.read.option("recursiveFileLookup", "true").parquet(*files)
+        path = F.input_file_name()
+        for name in part_names:
+            raw = F.url_decode(F.regexp_extract(path, f"/{name}=([^/]+)/", 1))
+            dt = self._infer_partition_type(sample.get(name, ""))
+            df = df.withColumn(name, raw.cast(dt))
+        return df
 
     def _data_files(self, schema: str, table: str) -> list[str]:
         meta = self.table_meta(schema, table)
