@@ -35,6 +35,91 @@ from hands_on_iceberg_compression_spark.session import make_session
 from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
 
 
+def _auto_driver_mem(n_rows: int) -> None:
+    """Size the driver heap from the row count BEFORE the JVM starts
+    (VERDICT r4 #7): the 100M probe died mid-optimize at the default 8g
+    (JVM OOM -> py4j connection refused) and ran green at 24g.  An explicit
+    SPARK_GRAFT_DRIVER_MEM always wins; otherwise scale ~0.25 KB/row with
+    an 8g floor (100M -> 25g, within the 128 GiB box), so a clean shell
+    needs no tribal knowledge."""
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        return
+    import math
+
+    gb = max(8, min(48, math.ceil(n_rows * 0.25e-6)))
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{gb}g"
+    print(f"driver heap auto-sized to {gb}g for {n_rows} rows "
+          "(override with SPARK_GRAFT_DRIVER_MEM)", file=sys.stderr)
+
+
+def prune_probe(n_rows: int, workdir: str) -> None:
+    """Quantify manifest pruning (VERDICT r4 #6): load a months(row_1)-
+    partitioned LOG-MODE table (appends commit manifests with per-file
+    partition values + column bounds), then time a bounded-range count
+    through the full read vs ``read_pruned`` — the $files-metrology
+    analogue of bench.ts:124-141.  Reports files kept/total and the
+    wall-clock delta; prints one JSON line."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="prune-probe")
+    cfg = wide_events_config()
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    table = "events_log_part"
+    wh.create_table(
+        cfg.schema, table, "zstd", 6,
+        properties={"snapshots": "true"}, partitioning=["months(row_1)"],
+    )
+    plan = LoadPlan(
+        total_rows=n_rows,
+        batch_rows=max(250_000, n_rows // 8),
+        concurrency=4,
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        compact_after_load=False,
+        partitions_per_batch=32,
+        progress=False,
+    )
+    t0 = time.perf_counter()
+    load_table(spark, wh, cfg, table, plan)
+    load_s = time.perf_counter() - t0
+
+    head = wh.head_snapshot(cfg.schema, table)
+    months = sorted({e["partitions"]["row_1_month"] for e in head["files"]})
+    target = months[len(months) // 2]
+    ranges = {"row_1_month": (target, target)}
+    kept, total = wh.prune_files(cfg.schema, table, ranges)
+    pred = F.col("row_1_month") == target
+
+    def best_of(build):
+        best, rows = float("inf"), 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = build().filter(pred).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), rows
+
+    t_full, rows_full = best_of(lambda: wh.read(cfg.schema, table))
+    t_pruned, rows_pruned = best_of(
+        lambda: wh.read_pruned(cfg.schema, table, ranges)
+    )
+    assert rows_full == rows_pruned, (rows_full, rows_pruned)
+    print(json.dumps({
+        "probe": "prune_files",
+        "n_rows": n_rows,
+        "partitioning": "months(row_1)",
+        "generations": len({e["path"].split("/")[1] for e in head["files"]}),
+        "load_sec": round(load_s, 1),
+        "target_month": target,
+        "files_total": total,
+        "files_kept": len(kept),
+        "skip_pct": round(100 * (1 - len(kept) / total), 1),
+        "rows_selected": rows_full,
+        "full_read_sec": t_full,
+        "pruned_read_sec": t_pruned,
+        "speedup": round(t_full / t_pruned, 2) if t_pruned else None,
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sorted_by_ts = "--sorted" in sys.argv
@@ -44,6 +129,10 @@ def main() -> None:
     percol = "--percol" in sys.argv
     n_rows = int(args[0]) if args else 2_000_000
     workdir = args[1] if len(args) > 1 else "/tmp/throughput_probe"
+    _auto_driver_mem(n_rows)
+    if "--prune" in sys.argv:
+        prune_probe(n_rows, workdir)
+        return
     shutil.rmtree(workdir, ignore_errors=True)
 
     spark = make_session(app_name="throughput-probe")
