@@ -427,10 +427,27 @@ class ParquetWarehouse:
         return sorted(out)
 
     def files(self, schema: str, table: str) -> list[FileStat]:
-        """Per-file stats from parquet footers — the columns the reference
-        aggregated from Iceberg's ``$files`` (bench.ts:131-140)."""
+        """Per-file stats — the columns the reference aggregated from
+        Iceberg's ``$files`` (bench.ts:131-140).  LOG-MODE tables serve
+        them straight from the head manifest (it records bytes/rows per
+        file at commit time), opening ZERO parquet footers — Iceberg's
+        posture, and the difference between O(1) and O(files) footer IO
+        per metrology call on a 100k-file table.  ``footer_bytes`` is 0 on
+        that path; its only consumer (measure_sizes' manifest-equivalent
+        fallback) uses REAL snapshot-manifest bytes for log tables anyway.
+        Dir-mode tables keep the footer walk."""
         import pyarrow.parquet as pq
 
+        meta = self.table_meta(schema, table)
+        if self._log_mode(meta):
+            head = self.head_snapshot(schema, table)
+            if head is None:
+                return []
+            tdir = self._tdir(schema, table)
+            return [
+                FileStat(os.path.join(tdir, e["path"]), e["bytes"], e["rows"])
+                for e in head["files"]
+            ]
         stats = []
         for path in self._data_files(schema, table):
             md = pq.ParquetFile(path).metadata

@@ -324,6 +324,23 @@ def test_head_reads_parse_one_manifest_on_deep_history(spark, tmp_path, monkeypa
     assert wh.read_snapshot(cfg.schema, table, 10).count() == 10
     assert len(loads) == 1 and loads == [10]
 
+    # $files metrology serves from the manifest: one parse, ZERO footers
+    import pyarrow.parquet as pq_mod
+
+    real_pf = pq_mod.ParquetFile
+    footers: list[str] = []
+
+    def counting_pf(path, *a, **kw):
+        footers.append(str(path))
+        return real_pf(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", counting_pf)
+    loads.clear()
+    stats = wh.files(cfg.schema, table)
+    assert len(stats) == 51 and sum(s.record_count for s in stats) == 51
+    assert all(s.file_size_in_bytes > 0 for s in stats)
+    assert footers == [] and len(loads) == 1
+
 
 def test_timestamp_bounds_naive_utc_contract(log_table):
     """ADVICE r4 (medium): recorded timestamp bounds and query endpoints
