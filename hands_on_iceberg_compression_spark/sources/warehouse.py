@@ -785,6 +785,15 @@ class ParquetWarehouse:
         time data skipping.  Entries for files already described by the
         parent manifest (same path, size, mtime) are reused verbatim, so an
         append commit stats only its new files — O(new), not O(table).
+        Known trade vs real Iceberg: each manifest still SERIALIZES the
+        full live file set (~150 bytes/entry), so commit IO is O(live
+        files) even though stat cost is O(new) — Iceberg amortizes this
+        with manifest *lists* reusing unchanged manifest files.  Bounded
+        here by compaction (optimize() collapses the file count) and
+        expiry; at 100k live files a commit writes ~15 MB of JSON, which
+        streaming ingest should budget for via periodic optimize().
+        Head READS are O(1) regardless (``head_snapshot`` parses one
+        manifest).
 
         Concurrency: the version file is published with a hard-link CAS —
         the manifest is fully written to a private tmp file, then
