@@ -132,6 +132,16 @@ def _canary_inflation(*samples: dict[str, float]) -> float:
     return round(worst, 3)
 
 
+def _canary_ratios(*samples: dict[str, float]) -> dict[str, float]:
+    """Per-dimension worst ratio vs floor — so a reader can tell a CPU-
+    contended day (inflates everything) from a disturbed page cache
+    (io_read spikes; mostly hits cold first-runs, which best-of-3 absorbs)."""
+    return {
+        k: round(max(s[k] / floor for s in samples), 3)
+        for k, floor in CANARY_FLOORS.items()
+    }
+
+
 def _prep_percol_events(sf_dir: str) -> str:
     """Rewrite events.parquet into the engine-RECOMMENDED per-column codec
     layout (string columns zstd-1, everything else zstd-6 — the codec
@@ -233,6 +243,7 @@ def main() -> None:
                     "post": canary_post,
                     "floors": CANARY_FLOORS,
                     "inflation": _canary_inflation(canary_pre, canary_post),
+                    "ratios": _canary_ratios(canary_pre, canary_post),
                 },
             }
         )
