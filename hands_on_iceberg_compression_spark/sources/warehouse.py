@@ -403,7 +403,14 @@ class ParquetWarehouse:
         df = self.spark.read.option("recursiveFileLookup", "true").parquet(*files)
         path = F.input_file_name()
         for name in part_names:
-            raw = F.url_decode(F.regexp_extract(path, f"/{name}=([^/]+)/", 1))
+            # TWO decode layers, both percent-encodings: input_file_name()
+            # URI-encodes the filesystem path, and the dir name itself is
+            # hive-escaped by Spark's writer (value 'x:y' -> dir 'k=x%3Ay'
+            # -> input_file_name 'k=x%253Ay').  Hive always escapes a
+            # literal '%', so double-decoding can never over-decode.
+            raw = F.url_decode(
+                F.url_decode(F.regexp_extract(path, f"/{name}=([^/]+)/", 1))
+            )
             dt = self._infer_partition_type(sample.get(name, ""))
             df = df.withColumn(name, raw.cast(dt))
         return df

@@ -501,3 +501,29 @@ def test_plan_width_bounded_at_100_generations(spark, tmp_path):
         cfg.schema, table, {"created_at_day": ("2024-03-02", "2024-03-02")}
     )
     assert total == 100 and len(kept) == 20
+
+
+def test_collapsed_read_decodes_hive_escaped_partition_values(
+    spark, tmp_path, monkeypatch
+):
+    """Identity string partition values with hive-escaped characters
+    (':' -> %3A, '%' -> %25, plus a raw space) must round-trip identically
+    through both read shapes: input_file_name() URI-encodes the path ON TOP
+    of the writer's hive escaping, so the collapsed shape decodes twice."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "esc", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["k"],
+    )
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x:y"), (3, "p%q"), (4, "plain")], "id int, k string"
+    )
+    for i in range(3):
+        wh.append("lab", "esc", df.withColumn("id", F.col("id") + 10 * i), batch_id=f"b{i}")
+    want = sorted((r.id, r.k) for r in wh.read("lab", "esc").collect())
+    assert ("x:y" in {k for _, k in want}) and ("p%q" in {k for _, k in want})
+    monkeypatch.setattr(ParquetWarehouse, "MAX_BASEPATH_BRANCHES", 0)
+    flat_df = wh.read("lab", "esc")
+    assert "Union" not in flat_df._jdf.queryExecution().optimizedPlan().toString()
+    got = sorted((r.id, r.k) for r in flat_df.collect())
+    assert got == want
