@@ -9,9 +9,11 @@ no Spark session needed — pruning is pure manifest logic).
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import json
 import os
+import shutil
 import tempfile
 
 from hypothesis import given, settings
@@ -22,9 +24,12 @@ from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehous
 UTC = dt.timezone.utc
 
 
-def _mk_log_table(entries: list[dict]) -> tuple[ParquetWarehouse, str]:
+@contextlib.contextmanager
+def _mk_log_table(entries: list[dict]):
     """A throwaway log-mode table whose head manifest lists ``entries``
-    verbatim — prune_files never opens data files, so none exist."""
+    verbatim — prune_files never opens data files, so none exist.
+    Context-managed so hypothesis's hundreds of examples don't litter
+    /tmp with a dir each."""
     root = tempfile.mkdtemp(prefix="prune_prop_")
     wh = ParquetWarehouse(None, root)  # spark unused by pruning paths
     wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
@@ -40,7 +45,10 @@ def _mk_log_table(entries: list[dict]) -> tuple[ParquetWarehouse, str]:
     }
     with open(os.path.join(snap_dir, "v000001.json"), "w") as f:
         json.dump(manifest, f)
-    return wh, root
+    try:
+        yield wh
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _norm(v):
@@ -118,16 +126,16 @@ def test_bounds_pruning_never_drops_an_intersecting_file(case):
         }
         for p, blo, bhi in files
     ]
-    wh, root = _mk_log_table(entries)
-    kept, total = wh.prune_files("lab", "t", {"c": (qlo, qhi)})
-    assert total == len(files)
-    kept_rel = {os.path.relpath(k, wh._tdir("lab", "t")) for k in kept}
-    for p, blo, bhi in files:
-        if _intersects(blo, bhi, qlo, qhi):
-            assert p in kept_rel, (
-                f"over-pruned {kind}: bounds [{blo!r}, {bhi!r}] "
-                f"intersects range [{qlo!r}, {qhi!r}]"
-            )
+    with _mk_log_table(entries) as wh:
+        kept, total = wh.prune_files("lab", "t", {"c": (qlo, qhi)})
+        assert total == len(files)
+        kept_rel = {os.path.relpath(k, wh._tdir("lab", "t")) for k in kept}
+        for p, blo, bhi in files:
+            if _intersects(blo, bhi, qlo, qhi):
+                assert p in kept_rel, (
+                    f"over-pruned {kind}: bounds [{blo!r}, {bhi!r}] "
+                    f"intersects range [{qlo!r}, {qhi!r}]"
+                )
 
 
 @st.composite
@@ -159,22 +167,22 @@ def test_partition_pruning_never_drops_a_matching_file(case):
          "partitions": {"k": pv}}
         for i, pv in enumerate(pvs)
     ]
-    wh, root = _mk_log_table(entries)
-    kept, total = wh.prune_files("lab", "t", {"k": (lo, hi)})
-    kept_rel = {os.path.relpath(k, wh._tdir("lab", "t")) for k in kept}
-    for e, pv in zip(entries, pvs):
-        if kind == "bucket":
-            matches = int(lo) <= int(pv) <= int(hi)
-        else:
-            matches = lo <= pv <= hi
-        if matches:
-            assert e["path"] in kept_rel, (
-                f"over-pruned {kind} partition {pv!r} for range "
-                f"[{lo!r}, {hi!r}]"
-            )
-    # and a type-mismatched range must keep EVERYTHING (conservative)
-    kept2, _ = wh.prune_files("lab", "t", {"k": (object(), object())})
-    assert len(kept2) == total
+    with _mk_log_table(entries) as wh:
+        kept, total = wh.prune_files("lab", "t", {"k": (lo, hi)})
+        kept_rel = {os.path.relpath(k, wh._tdir("lab", "t")) for k in kept}
+        for e, pv in zip(entries, pvs):
+            if kind == "bucket":
+                matches = int(lo) <= int(pv) <= int(hi)
+            else:
+                matches = lo <= pv <= hi
+            if matches:
+                assert e["path"] in kept_rel, (
+                    f"over-pruned {kind} partition {pv!r} for range "
+                    f"[{lo!r}, {hi!r}]"
+                )
+        # and a type-mismatched range must keep EVERYTHING (conservative)
+        kept2, _ = wh.prune_files("lab", "t", {"k": (object(), object())})
+        assert len(kept2) == total
 
 
 @settings(max_examples=300, deadline=None)
