@@ -527,3 +527,43 @@ def test_collapsed_read_decodes_hive_escaped_partition_values(
     assert "Union" not in flat_df._jdf.queryExecution().optimizedPlan().toString()
     got = sorted((r.id, r.k) for r in flat_df.collect())
     assert got == want
+
+
+def test_cas_commit_stress_with_head_only_retries(spark, tmp_path):
+    """80 contended commits from 16 threads through the r05 head-only CAS
+    loop (each attempt re-reads ONE manifest, not the history): versions
+    must come out dense, every thread's files present in the head, and
+    per-version totals monotonically increasing — no lost update, no
+    clobbered manifest, under far more contention than the Spark-write
+    race test can generate."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "casstress"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+
+    def one_commit(i: int) -> None:
+        d = os.path.join(tdir, "data", f"t{i:03d}", "g_s")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), p)
+        wh.commit_snapshot(cfg.schema, table, "append", add_files=[p])
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(one_commit, range(80)))
+
+    versions = wh._snapshot_versions(cfg.schema, table)
+    assert versions == list(range(1, 81)), "versions not dense"
+    head = wh.head_snapshot(cfg.schema, table)
+    assert len(head["files"]) == 80  # every thread's file survived the races
+    assert head["total_rows"] == 80
+    totals = [
+        wh._load_snapshot(cfg.schema, table, v)["total_rows"] for v in versions
+    ]
+    assert totals == sorted(totals) and totals[0] == 1  # monotone growth
