@@ -119,3 +119,29 @@ def test_no_complex_types_in_driver_results(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"complex-typed driver results: {bad}"
+
+
+def test_bench_canary_inflation_math():
+    """bench.py's canary arithmetic (graded surface): inflation is the
+    WORST fixed-work ratio across samples and dimensions, floored at 1.0,
+    and the per-dimension ratios isolate which resource moved."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    floors = bench.CANARY_FLOORS
+    assert set(floors) == {"cpu_sec", "io_write_sec", "io_read_sec"}
+    assert all(v > 0 for v in floors.values())
+    at_floor = dict(floors)
+    assert bench._canary_inflation(at_floor) == 1.0
+    # faster-than-floor never reports < 1 (floors are best-observed)
+    fast = {k: v / 2 for k, v in floors.items()}
+    assert bench._canary_inflation(fast) == 1.0
+    spiked = dict(floors)
+    spiked["io_read_sec"] = floors["io_read_sec"] * 2
+    assert bench._canary_inflation(at_floor, spiked) == 2.0
+    ratios = bench._canary_ratios(at_floor, spiked)
+    assert ratios["io_read_sec"] == 2.0
+    assert ratios["cpu_sec"] == 1.0 and ratios["io_write_sec"] == 1.0
