@@ -343,18 +343,53 @@ class ParquetWarehouse:
     MAX_BASEPATH_BRANCHES = 16
 
     @staticmethod
-    def _infer_partition_type(v: str) -> str:
-        """The subset of Spark's hive partition type inference our
-        transforms can produce: int/bigint (bucket, years), date (days),
-        string (months 'yyyy-MM', hours 'yyyy-MM-dd-HH', identity) — so the
-        collapsed read's column types match the basePath branches'."""
+    def _partition_static_types(partitioning: list[str]) -> dict[str, str | None]:
+        """Partition column -> read dtype derived STATICALLY from the
+        transform spec (VERDICT r5 #5 — don't sniff what the transform
+        already tells you): bucket/years produce ints, days produces dates,
+        months/hours produce fixed-format strings.  Identity columns map to
+        None — their dir values echo the source column, whose type the spec
+        can't name, so the collapsed read resolves them by sampling ALL
+        values (``_infer_identity_type``)."""
+        out: dict[str, str | None] = {}
+        for name, _build in partition_transform_exprs(partitioning or []):
+            if name.endswith("_bucket") or name.endswith("_year"):
+                out[name] = "int"
+            elif name.endswith("_day"):
+                out[name] = "date"
+            elif name.endswith("_month") or name.endswith("_hour"):
+                out[name] = "string"
+            else:
+                out[name] = None
+        return out
+
+    @staticmethod
+    def _infer_identity_type(values: list[str]) -> str:
+        """Type an IDENTITY partition column from every distinct dir value
+        (ADVICE r5 medium: a single sampled value mis-types mixed columns —
+        first value '007' with later 'abc' would cast('int') and NULL the
+        non-numeric ones).  Mirrors the subset of Spark's hive inference the
+        basePath-branch shape applies: int/bigint iff EVERY value is an
+        integer literal, date iff EVERY value is yyyy-MM-dd, else string."""
         import re as _re
 
-        if _re.fullmatch(r"-?\d+", v):
-            return "int" if -(2**31) <= int(v) < 2**31 else "bigint"
-        if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+        if values and all(_re.fullmatch(r"-?\d+", v) for v in values):
+            if all(-(2**31) <= int(v) < 2**31 for v in values):
+                return "int"
+            return "bigint"
+        if values and all(_re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in values):
             return "date"
         return "string"
+
+    @staticmethod
+    def _pct_decode(col):
+        """Percent-decode ONLY (ADVICE r5 low): ``F.url_decode`` works in
+        x-www-form-urlencoded mode and also maps '+' -> ' ', but hive's
+        escapePathName never escapes '+' and ``input_file_name`` leaves it
+        raw — so a literal '+' is first protected as %2B, making url_decode
+        a pure %XX decoder (the Python-side sampler uses urllib's unquote,
+        which is already percent-only)."""
+        return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
 
     def _read_file_list(self, meta: TableMeta, files: list[str]) -> DataFrame:
         """Read an explicit manifest file list.  Partitioned tables group
@@ -388,18 +423,22 @@ class ParquetWarehouse:
             return reduce(lambda a, b: a.unionByName(b), branches)
         import re as _re
 
-        part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
-        sample: dict[str, str] = {}
-        for p in files:
-            for name in part_names:
-                if name not in sample:
+        static_types = self._partition_static_types(meta.partitioning)
+        part_names = list(static_types)
+        # identity columns have no statically-derivable type: collect EVERY
+        # distinct dir value from the file paths (they're already in hand —
+        # no IO) and infer over all of them, never a single sample
+        ident_vals: dict[str, set[str]] = {
+            n: set() for n, t in static_types.items() if t is None
+        }
+        if ident_vals:
+            from urllib.parse import unquote
+
+            for p in files:
+                for name, vals in ident_vals.items():
                     m = _re.search(f"/{_re.escape(name)}=([^/]+)/", p)
                     if m:
-                        from urllib.parse import unquote
-
-                        sample[name] = unquote(m.group(1))
-            if len(sample) == len(part_names):
-                break
+                        vals.add(unquote(m.group(1)))
         df = self.spark.read.option("recursiveFileLookup", "true").parquet(*files)
         path = F.input_file_name()
         for name in part_names:
@@ -408,10 +447,12 @@ class ParquetWarehouse:
             # hive-escaped by Spark's writer (value 'x:y' -> dir 'k=x%3Ay'
             # -> input_file_name 'k=x%253Ay').  Hive always escapes a
             # literal '%', so double-decoding can never over-decode.
-            raw = F.url_decode(
-                F.url_decode(F.regexp_extract(path, f"/{name}=([^/]+)/", 1))
+            raw = self._pct_decode(
+                self._pct_decode(F.regexp_extract(path, f"/{name}=([^/]+)/", 1))
             )
-            dt = self._infer_partition_type(sample.get(name, ""))
+            dt = static_types[name] or self._infer_identity_type(
+                sorted(ident_vals[name])
+            )
             df = df.withColumn(name, raw.cast(dt))
         return df
 
@@ -660,6 +701,66 @@ class ParquetWarehouse:
                 out[name] = [cls._trunc_lower(lo), cls._trunc_upper(hi)]
         return out
 
+    @staticmethod
+    def _pv_disjoint(pv: str, lo, hi, static_type: str | None) -> bool:
+        """True iff a file's recorded partition VALUE (dir-encoding string)
+        is provably outside ``[lo, hi]`` under the comparison semantics
+        Spark will actually apply (ADVICE r5: pruning under the wrong order
+        over-prunes — '2' is lexicographically inside ('10','30') on a
+        string column but numerically outside it):
+
+        - bucket/years columns (statically int): numeric comparison;
+          digit-string endpoints coerce, anything else keeps the file.
+        - every other column: the dir value echoes a source column whose
+          runtime type the manifest doesn't record.  NUMERIC endpoints make
+          Spark cast the column, so numeric order is faithful; STRING
+          endpoints are ambiguous (lexicographic on a string column,
+          numeric after literal-cast on a numeric one), so the file is
+          pruned only when BOTH orders agree it's disjoint.  Under a
+          numeric interpretation a non-numeric side casts to NULL and the
+          row can never match, so that interpretation never rescues a file.
+        Raises on incomparable inputs — the caller keeps the file."""
+
+        def _num(x):
+            if isinstance(x, bool):
+                raise TypeError("bool endpoint")
+            if isinstance(x, (int, float)):
+                return x
+            if isinstance(x, str) and re.fullmatch(r"-?\d+", x):
+                return int(x)
+            raise ValueError(f"not numeric: {x!r}")
+
+        def _num_disjoint() -> bool:
+            v = _num(pv)
+            nlo = _num(lo) if lo is not None else None
+            nhi = _num(hi) if hi is not None else None
+            return (nlo is not None and v < nlo) or (nhi is not None and v > nhi)
+
+        if static_type == "int":
+            return _num_disjoint()
+        endpoints = [x for x in (lo, hi) if x is not None]
+        if not endpoints:
+            return False
+        if all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in endpoints
+        ):
+            try:
+                return _num_disjoint()
+            except ValueError:
+                return False  # non-numeric value under a numeric filter: keep
+        if not all(isinstance(x, str) for x in endpoints):
+            return False  # mixed/unknown endpoint types: keep
+        lex = (lo is not None and pv < lo) or (hi is not None and pv > hi)
+        try:
+            num = _num_disjoint()
+        except ValueError:
+            # a non-numeric side casts to NULL under the numeric
+            # interpretation — no row survives it, so lexicographic order
+            # decides alone
+            return lex
+        return lex and num
+
     def prune_files(
         self,
         schema: str,
@@ -679,10 +780,14 @@ class ParquetWarehouse:
         PARTITION of the file (hive ``k=v`` tuple in the manifest) prunes
         on the recorded partition value — Iceberg's partition pruning,
         which fires before any bounds comparison; partition values are the
-        dir-encoding strings — all-digit encodings (bucket/int transforms)
-        compare NUMERICALLY (lexicographic '10' < '2' would over-prune),
-        everything else compares as strings, so pass ISO-day strings for
-        day partitions and int endpoints for bucket/int partitions.
+        dir-encoding strings.  Columns whose TRANSFORM is statically
+        numeric (bucket, years) compare numerically (lexicographic
+        '10' < '2' would over-prune); identity/date/month/hour columns
+        follow the endpoint types — numeric endpoints compare numerically
+        (Spark casts the column), string endpoints prune only when BOTH
+        lexicographic and numeric orders agree (``_pv_disjoint``) — so pass
+        ISO-day strings for day partitions and int endpoints for
+        bucket/int partitions.
         Endpoints must match the column's type
         (datetime for timestamp columns, date for date columns): ISO
         strings of different granularities compare lexicographically, so a
@@ -709,6 +814,7 @@ class ParquetWarehouse:
             for c, (lo, hi) in ranges.items()
         }
         tdir = self._tdir(schema, table)
+        static_types = self._partition_static_types(meta.partitioning)
         kept = []
         for e in manifest["files"]:
             keep = True
@@ -716,23 +822,7 @@ class ParquetWarehouse:
                 pv = e.get("partitions", {}).get(col)
                 try:
                     if pv is not None:
-                        if pv.lstrip("-").isdigit():
-                            # numeric dir encodings ('2', '10' from
-                            # bucket/int partitions) are NOT lexicographic-
-                            # order-preserving ('10' < '2'); compare as ints,
-                            # coercing digit-string endpoints.  Non-numeric
-                            # endpoints against a numeric value → the
-                            # ValueError path keeps the file (conservative).
-                            pvn = int(pv)
-                            nlo = int(lo) if lo is not None else None
-                            nhi = int(hi) if hi is not None else None
-                            if (nlo is not None and pvn < nlo) or (
-                                nhi is not None and pvn > nhi
-                            ):
-                                keep = False
-                                break
-                            continue
-                        if (lo is not None and pv < lo) or (hi is not None and pv > hi):
+                        if self._pv_disjoint(pv, lo, hi, static_types.get(col)):
                             keep = False
                             break
                         continue

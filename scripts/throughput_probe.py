@@ -105,7 +105,10 @@ def prune_probe(n_rows: int, workdir: str) -> None:
         "probe": "prune_files",
         "n_rows": n_rows,
         "partitioning": "months(row_1)",
-        "generations": len({e["path"].split("/")[1] for e in head["files"]}),
+        # a generation is data/<batch>/g_<uuid> — key on BOTH components
+        # (ADVICE r5: batch-only counting undercounts replayed batches),
+        # matching ParquetWarehouse._generation_root
+        "generations": len({tuple(e["path"].split("/")[1:3]) for e in head["files"]}),
         "load_sec": round(load_s, 1),
         "target_month": target,
         "files_total": total,

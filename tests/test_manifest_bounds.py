@@ -516,17 +516,104 @@ def test_collapsed_read_decodes_hive_escaped_partition_values(
         properties={"snapshots": "true"}, partitioning=["k"],
     )
     df = spark.createDataFrame(
-        [(1, "a b"), (2, "x:y"), (3, "p%q"), (4, "plain")], "id int, k string"
+        [(1, "a b"), (2, "x:y"), (3, "p%q"), (4, "plain"), (5, "a+b")],
+        "id int, k string",
     )
     for i in range(3):
         wh.append("lab", "esc", df.withColumn("id", F.col("id") + 10 * i), batch_id=f"b{i}")
     want = sorted((r.id, r.k) for r in wh.read("lab", "esc").collect())
-    assert ("x:y" in {k for _, k in want}) and ("p%q" in {k for _, k in want})
+    ks = {k for _, k in want}
+    # '+' is NOT hive-escaped and input_file_name leaves it raw — a
+    # form-urlencoded decode would corrupt 'a+b' to 'a b' (ADVICE r5)
+    assert {"x:y", "p%q", "a+b"} <= ks
     monkeypatch.setattr(ParquetWarehouse, "MAX_BASEPATH_BRANCHES", 0)
     flat_df = wh.read("lab", "esc")
     assert "Union" not in flat_df._jdf.queryExecution().optimizedPlan().toString()
     got = sorted((r.id, r.k) for r in flat_df.collect())
     assert got == want
+
+
+def test_identity_digit_string_partition_lex_pruning(spark, tmp_path):
+    """ADVICE r5: an identity partition on a STRING column holding digit
+    strings must prune by the order Spark's filter actually uses — for
+    string endpoints that's lexicographic ('2' IS between '10' and '30'),
+    so numeric-only pruning would drop a file whose rows the filter keeps.
+    Files are pruned only when both orders agree (``_pv_disjoint``)."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "digits", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["k"],
+    )
+    df = spark.createDataFrame(
+        [(1, "2"), (2, "10"), (3, "30"), (4, "9")], "id int, k string"
+    )
+    wh.append("lab", "digits", df, batch_id="b1")
+    full = wh.read("lab", "digits")
+    # NOTE: Spark's own hive inference types all-digit dirs as int in the
+    # branch read — pin the STRING-column semantics via the manifest's
+    # recorded values and the oracle predicate on the string form
+    head = wh.head_snapshot("lab", "digits")
+    pvs = {e["partitions"]["k"] for e in head["files"]}
+    assert pvs == {"2", "10", "30", "9"}
+    kept, total = wh.prune_files("lab", "digits", {"k": ("10", "30")})
+    assert total == 4
+    kept_vals = {p.split("k=")[1].split("/")[0] for p in kept}
+    # lexicographic keeps '2' (in-range) and numeric keeps '10','30';
+    # '9' is outside BOTH orders ('9' > '30' lex, 9 < 10 num) -> pruned
+    assert kept_vals == {"2", "10", "30"}
+    # int endpoints force numeric comparison (Spark casts the column)
+    kept_num, _ = wh.prune_files("lab", "digits", {"k": (10, 30)})
+    vals_num = {p.split("k=")[1].split("/")[0] for p in kept_num}
+    assert vals_num == {"10", "30"}
+    # equivalence under the real filter, both endpoint styles
+    for lo, hi in [("10", "30"), (10, 30)]:
+        pred = F.col("k").between(F.lit(lo), F.lit(hi))
+        want = {r.id for r in full.filter(pred).collect()}
+        got = {
+            r.id
+            for r in wh.read_pruned("lab", "digits", {"k": (lo, hi)})
+            .filter(pred)
+            .collect()
+        }
+        assert got == want, (lo, hi)
+
+
+def test_collapsed_read_identity_partition_dtypes(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #5: collapsed-read partition types derive from the
+    transform spec, with identity columns inferred over ALL values.  A
+    mixed identity column whose FIRST value is all-digit ('007') must come
+    back string — a single-sample inference would cast('int') and NULL the
+    non-numeric values — and an all-digit identity column still types int,
+    matching the branch shape."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "mixed", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["k"],
+    )
+    df = spark.createDataFrame([(1, "007"), (2, "abc")], "id int, k string")
+    wh.append("lab", "mixed", df, batch_id="b1")
+    monkeypatch.setattr(ParquetWarehouse, "MAX_BASEPATH_BRANCHES", 0)
+    flat = wh.read("lab", "mixed")
+    assert dict(flat.dtypes)["k"] == "string"
+    assert {(r.id, r.k) for r in flat.collect()} == {(1, "007"), (2, "abc")}
+
+    wh.create_table(
+        "lab", "ints", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["k"],
+    )
+    dfi = spark.createDataFrame([(1, 7), (2, 12)], "id int, k int")
+    wh.append("lab", "ints", dfi, batch_id="b1")
+    flati = wh.read("lab", "ints")
+    assert dict(flati.dtypes)["k"] == "int"
+    assert {(r.id, r.k) for r in flati.collect()} == {(1, 7), (2, 12)}
+    # static transform types never consult values at all
+    st = ParquetWarehouse._partition_static_types(
+        ["bucket(16, id)", "years(ts)", "days(ts)", "months(ts)", "k"]
+    )
+    assert st == {
+        "id_bucket": "int", "ts_year": "int", "ts_day": "date",
+        "ts_month": "string", "k": None,
+    }
 
 
 def test_cas_commit_stress_with_head_only_retries(spark, tmp_path):
