@@ -136,6 +136,113 @@ def console_table(rows: list[SizeRow]) -> str:
     return "\n".join(lines)
 
 
+@dataclass
+class LogStatsRow:
+    """Metadata-layer metrology for a snapshot-log table (VERDICT r5 #7):
+    the engine's own 'measure it' posture applied to its manifests, the way
+    the reference's report covers ``$manifests`` (bench.ts:124-168).
+
+    ``head_bytes`` is the serialized size of the NEWEST head file — with
+    the r6 manifest-list layer this is the per-commit serialization bound
+    (O(segment refs)), independent of live file count; ``segment_bytes``
+    is the immutable entry storage amortized across commits.  The prune
+    columns record planning-time skipping for a caller-supplied range
+    (zero parquet footers opened for skipped files)."""
+
+    table: str
+    snapshots: int
+    live_files: int
+    live_rows: int
+    head_bytes: int
+    segment_count: int
+    segment_bytes: int
+    manifest_bytes: int
+    pruned_kept: int | None = None
+    pruned_total: int | None = None
+
+    @property
+    def prune_skip_pct(self) -> float | None:
+        if self.pruned_total in (None, 0):
+            return None
+        return round(100 * (1 - self.pruned_kept / self.pruned_total), 1)
+
+
+def measure_log_table(
+    warehouse: ParquetWarehouse,
+    schema: str,
+    table: str,
+    prune_ranges: dict | None = None,
+) -> LogStatsRow:
+    """Manifest-cost + prune-effectiveness metrology for a log-mode table.
+    Reads the head (one head parse + its merge-bounded segments) and the
+    snapshots dir listing — never a data-file footer."""
+    head = warehouse.head_snapshot(schema, table)
+    if head is None:
+        raise ValueError(f"{schema}.{table} has no committed snapshot")
+    snap_dir = warehouse._snap_dir(schema, table)
+    versions = warehouse._snapshot_versions(schema, table)
+    head_bytes = os.path.getsize(
+        os.path.join(snap_dir, f"v{head['version']:06d}.json")
+    )
+    seg_files = [
+        fn for fn in os.listdir(snap_dir)
+        if fn.startswith("seg_") and fn.endswith(".json")
+    ]
+    seg_bytes = sum(os.path.getsize(os.path.join(snap_dir, fn)) for fn in seg_files)
+    kept = total = None
+    if prune_ranges:
+        kept_paths, total = warehouse.prune_files(schema, table, prune_ranges)
+        kept = len(kept_paths)
+    return LogStatsRow(
+        table=table,
+        snapshots=len(versions),
+        live_files=len(head["files"]),
+        live_rows=head["total_rows"],
+        head_bytes=head_bytes,
+        segment_count=len(seg_files),
+        segment_bytes=seg_bytes,
+        manifest_bytes=warehouse.snapshot_manifest_bytes(schema, table),
+        pruned_kept=kept,
+        pruned_total=total,
+    )
+
+
+def log_console_table(rows: list[LogStatsRow]) -> str:
+    """Console report for the metadata layer — same rendering stage as the
+    reference's console.table (bench.ts:269-287), covering the engine's
+    manifests instead of its data files."""
+    headers = [
+        "table", "snapshots", "files", "rows", "head", "segments",
+        "seg bytes", "manifest", "prune skip",
+    ]
+    cells = [
+        [
+            r.table,
+            str(r.snapshots),
+            str(r.live_files),
+            human_number(r.live_rows),
+            human_size(r.head_bytes),
+            str(r.segment_count),
+            human_size(r.segment_bytes),
+            human_size(r.manifest_bytes),
+            f"{r.prune_skip_pct:.1f}%" if r.prune_skip_pct is not None else "-",
+        ]
+        for r in rows
+    ]
+    widths = [
+        max(len(h), *(len(c[i]) for c in cells)) if cells else len(h)
+        for i, h in enumerate(headers)
+    ]
+    lines = [
+        "  ".join(h.ljust(widths[i]) for i, h in enumerate(headers)),
+        "  ".join("-" * widths[i] for i in range(len(headers))),
+    ]
+    lines += [
+        "  ".join(c[i].ljust(widths[i]) for i in range(len(headers))) for c in cells
+    ]
+    return "\n".join(lines)
+
+
 def write_csv(rows: list[SizeRow], path: str) -> str:
     """C12 CSV sink (bench.ts:289-323; results_sizes.csv)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

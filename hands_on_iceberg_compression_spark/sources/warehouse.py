@@ -134,6 +134,9 @@ class ParquetWarehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # memoized segment-file entries (segments are immutable once
+        # written, so caching is always safe); bounded in _load_segment
+        self._seg_cache: dict[str, list] = {}
 
     # --- B1: schema/namespace ------------------------------------------
     def create_schema(self, schema: str) -> None:
@@ -861,6 +864,139 @@ class ParquetWarehouse:
             return self.read(schema, table).limit(0)
         return self._read_file_list(meta, kept)
 
+    # --- manifest-list layer (VERDICT r5 #1) -----------------------------
+    # A snapshot head v{N}.json is SMALL: it lists immutable segment files
+    # (seg_<uuid>.json), each holding file entries — Iceberg's snapshot ->
+    # manifest-list -> manifest chain.  Append commits write ONE new
+    # segment (O(new files) bytes) and re-reference the parent's segments
+    # verbatim, so per-commit serialization no longer rewrites the live
+    # file set.  Unmerged, the ref list would grow one per append; past
+    # SEG_MERGE_MIN_COUNT refs the smallest segments merge down to
+    # SEG_MERGE_KEEP survivors — LSM-style tiering that bounds head size
+    # and read fan-out while keeping total merge IO O(N log N) over N
+    # commits (Iceberg's manifest-min-count-to-merge posture).  Merged-away
+    # and superseded segment files stay on disk — older heads still
+    # reference them for time travel — and are GC'd by expire_snapshots.
+    SEG_MERGE_MIN_COUNT = 32
+    SEG_MERGE_KEEP = 8
+
+    @staticmethod
+    def _entry_root(rel_path: str) -> str:
+        """data/<batch> prefix of a manifest-relative file path — the
+        granularity ``drop_prefix`` supersedes at."""
+        parts = rel_path.split(os.sep)
+        if len(parts) > 2:
+            return os.sep.join(parts[:2])
+        return os.sep.join(parts[:-1])
+
+    def _load_segment(self, schema: str, table: str, seg_name: str) -> list[dict]:
+        """Entries of one immutable segment file, memoized per warehouse
+        instance (a segment's content never changes once written)."""
+        key = os.path.join(self._snap_dir(schema, table), seg_name)
+        hit = self._seg_cache.get(key)
+        if hit is None:
+            with open(key) as f:
+                hit = json.load(f)["files"]
+            if len(self._seg_cache) > 256:
+                self._seg_cache.clear()
+            self._seg_cache[key] = hit
+        return hit
+
+    # Ref records stay O(1): a segment covering more than this many
+    # generation roots omits its root list (treated as may-contain-anything
+    # by drop_prefix).  Without the cap a merged segment's ref would list
+    # one root per batch — the head would grow O(live batches) per commit,
+    # re-importing the exact cost the manifest-list layer removes.  The
+    # trade: a replay commit whose batch landed in a big merged segment
+    # opens that segment to check (rare — replays target RECENT batches,
+    # which live in small unmerged segments).
+    SEG_ROOTS_MAX = 8
+
+    def _write_segment(self, schema: str, table: str, entries: list[dict]) -> dict:
+        """Write one immutable segment file; returns its head-ref record.
+        The ref carries counts/totals (head totals sum refs, never entries)
+        and — when few — the generation ROOTS the segment covers, so
+        ``drop_prefix`` commits skip segments that cannot contain a
+        superseded generation without opening them."""
+        name = f"seg_{uuid.uuid4().hex[:12]}.json"
+        path = os.path.join(self._snap_dir(schema, table), name)
+        with open(path, "w") as f:
+            json.dump({"files": entries}, f)
+        self._seg_cache[path] = entries
+        ref = {
+            "path": name,
+            "count": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "bytes": sum(e["bytes"] for e in entries),
+        }
+        roots = sorted({self._entry_root(e["path"]) for e in entries})
+        if len(roots) <= self.SEG_ROOTS_MAX:
+            ref["roots"] = roots
+        return ref
+
+    def _head_segment_refs(self, schema: str, table: str, head: dict) -> list[dict]:
+        """Segment refs of a head; a legacy inline-files head (pre-segment
+        format) is converted by writing its entries as one real segment."""
+        if "segments" in head:
+            return list(head["segments"])
+        return [self._write_segment(schema, table, head["files"])]
+
+    def _apply_drop_prefix(
+        self, schema: str, table: str, refs: list[dict], rel_prefix: str
+    ) -> tuple[list[dict], list[str]]:
+        """Drop entries under ``rel_prefix`` (a superseded replayed batch).
+        Only segments whose recorded roots intersect the prefix are opened;
+        an affected segment is rewritten without the dropped entries (or
+        dropped outright if fully superseded).  Returns (refs, names of
+        newly written segments)."""
+        out: list[dict] = []
+        new_names: list[str] = []
+        for ref in refs:
+            roots = ref.get("roots")
+            may_hit = roots is None or any(
+                r == rel_prefix
+                or r.startswith(rel_prefix + os.sep)
+                or rel_prefix.startswith(r + os.sep)
+                for r in roots
+            )
+            if not may_hit:
+                out.append(ref)
+                continue
+            entries = self._load_segment(schema, table, ref["path"])
+            keep = [
+                e for e in entries if not e["path"].startswith(rel_prefix + os.sep)
+            ]
+            if len(keep) == len(entries):
+                out.append(ref)
+            elif keep:
+                nref = self._write_segment(schema, table, keep)
+                out.append(nref)
+                new_names.append(nref["path"])
+            # else: every entry superseded — the ref disappears
+        return out, new_names
+
+    def _maybe_merge_segments(
+        self, schema: str, table: str, refs: list[dict]
+    ) -> tuple[list[dict], list[str]]:
+        """Tiered segment merge: past SEG_MERGE_MIN_COUNT refs, concatenate
+        the smallest segments into one, keeping the SEG_MERGE_KEEP-1
+        largest untouched.  Small append segments merge cheaply and often;
+        large merged/compacted segments rarely rewrite — amortized commit
+        IO stays O(new) for streaming-append workloads.  Source segment
+        files are NOT deleted (older heads reference them)."""
+        if len(refs) <= self.SEG_MERGE_MIN_COUNT:
+            return refs, []
+        by_count = sorted(refs, key=lambda r: (r["count"], r["path"]))
+        n_small = len(refs) - (self.SEG_MERGE_KEEP - 1)
+        small, big = by_count[:n_small], by_count[n_small:]
+        entries = [
+            e
+            for ref in small
+            for e in self._load_segment(schema, table, ref["path"])
+        ]
+        merged = self._write_segment(schema, table, entries)
+        return [merged] + big, [merged["path"]]
+
     def commit_snapshot(
         self,
         schema: str,
@@ -871,140 +1007,201 @@ class ParquetWarehouse:
         drop_prefix: str | None = None,
         expected_parent: int | None = None,
     ) -> dict:
-        """Record a snapshot v{N} — a real manifest (file paths, per-file
-        rows/bytes/partition values/column bounds, parent pointer), the
-        Iceberg-manifest analogue C8 wants.  Opt-in and additive: callers
-        commit after each write they want replayable; nothing else changes.
+        """Record a snapshot v{N} — a small HEAD file listing immutable
+        segment files that together hold the per-file entries (paths,
+        rows/bytes, partition values, column bounds), the Iceberg
+        snapshot -> manifest-list -> manifest chain C8 wants.  Opt-in and
+        additive: callers commit after each write they want replayable.
 
         Each entry carries per-column ``[lower, upper]`` bounds lifted from
         the parquet footer (Iceberg lower_bounds/upper_bounds; see
         ``_file_bounds``) feeding ``prune_files``/``read_pruned`` planning-
-        time data skipping.  Entries for files already described by the
-        parent manifest (same path, size, mtime) are reused verbatim, so an
-        append commit stats only its new files — O(new), not O(table).
-        Known trade vs real Iceberg: each manifest still SERIALIZES the
-        full live file set (~150 bytes/entry), so commit IO is O(live
-        files) even though stat cost is O(new) — Iceberg amortizes this
-        with manifest *lists* reusing unchanged manifest files.  Bounded
-        here by compaction (optimize() collapses the file count) and
-        expiry; at 100k live files a commit writes ~15 MB of JSON, which
-        streaming ingest should budget for via periodic optimize().
-        Head READS are O(1) regardless (``head_snapshot`` parses one
-        manifest).
+        time data skipping.  An ``add_files`` commit stats only its new
+        files AND serializes only them (one new segment) plus an
+        O(segment-count) head — commit IO is O(new files), not O(live
+        files); the r5 design's full-list rewrite (~150 B/entry per commit,
+        ~15 MB at 100k files) is gone.  ``drop_prefix`` rewrites only the
+        segments whose recorded generation roots intersect the prefix.
+        Segment count is bounded by tiered merging
+        (``_maybe_merge_segments``), so head reads stay O(head), never
+        O(history).
 
         Concurrency: the version file is published with a hard-link CAS —
-        the manifest is fully written to a private tmp file, then
-        ``os.link``ed to ``v{N}.json``, which FAILS if another committer
-        took N first (os.rename would silently clobber it).  On a lost
-        race the loser re-reads the log tail and retries — Iceberg's
-        optimistic-commit loop.  ``add_files`` commits are a DELTA (parent
-        manifest ∪ new files), so the retry recomputes the union against
-        the winner's manifest and no writer's rows are lost;
-        ``drop_prefix`` removes the parent's entries under a path prefix
-        first (a replayed append batch supersedes its own prior
-        generation).  ``file_paths`` commits REPLACE the live set
-        (optimize/merge/rewrite) — those callers pass ``expected_parent``
-        (the head version their rewrite read from), and the commit RAISES
-        on a concurrent commit instead of retrying: a blind replace-retry
-        would erase the concurrent writer's rows, so the whole operation
-        must be redone from the new head (Iceberg's conflicting-rewrite
-        validation, vs the append fast-path's automatic merge).
+        the head is fully written to a private tmp file, then ``os.link``ed
+        to ``v{N}.json``, which FAILS if another committer took N first
+        (os.rename would silently clobber it).  On a lost race the loser
+        re-reads the new head and retries — Iceberg's optimistic-commit
+        loop.  The new segment is composed ONCE outside the retry loop
+        (its content doesn't depend on the version number); only
+        parent-derived segments (drop_prefix rewrites, merges) are
+        recomputed per attempt, and a commit that aborts garbage-collects
+        every segment it wrote.  ``add_files`` commits are a DELTA — the
+        retry re-references the winner's segments and no writer's rows are
+        lost.  ``file_paths`` commits REPLACE the live set (optimize/
+        merge/rewrite) — those callers pass ``expected_parent`` (the head
+        version their rewrite read from), and the commit RAISES on a
+        concurrent commit instead of retrying: a blind replace-retry would
+        erase the concurrent writer's rows (Iceberg's conflicting-rewrite
+        validation).  ``add_files`` paths must be NEW files (every caller
+        writes unique generation dirs), so segments never hold duplicate
+        paths; materialization still de-duplicates by path defensively.
 
         Retention: on a LOG-MODE table (snapshots=true) writers commit
         automatically, superseded generations stay on disk, and time
         travel survives optimize()/merge_upsert() until expire_snapshots
-        garbage-collects.  On a dir-mode table this is a manual opt-in
-        record: append-only histories time-travel exactly, but a rewrite
-        leaves older snapshots dangling — read_snapshot detects the
-        missing files and raises (the moral equivalent of reading an
-        expired Iceberg snapshot)."""
+        garbage-collects (data files AND unreferenced segments).  On a
+        dir-mode table this is a manual opt-in record: append-only
+        histories time-travel exactly, but a rewrite leaves older
+        snapshots dangling — read_snapshot detects the missing files and
+        raises (the moral equivalent of reading an expired Iceberg
+        snapshot)."""
         import pyarrow.parquet as pq
 
         if file_paths is not None and add_files is not None:
             raise ValueError("pass file_paths (replace) OR add_files (delta)")
         tdir = self._tdir(schema, table)
-        os.makedirs(self._snap_dir(schema, table), exist_ok=True)
-        while True:
-            # head-only read: a commit needs its PARENT manifest, never the
-            # history — O(1) manifest parse per attempt (and per CAS retry)
-            head = self.head_snapshot(schema, table)
-            version = (head["version"] + 1) if head else 1
-            if expected_parent is not None and version != expected_parent + 1:
-                raise RuntimeError(
-                    f"concurrent commit conflict on {schema}.{table}: "
-                    f"expected head v{expected_parent}, found "
-                    f"v{version - 1} — redo the rewrite from the new head"
-                )
+        snap_dir = self._snap_dir(schema, table)
+        os.makedirs(snap_dir, exist_ok=True)
+
+        def fresh_entry(p: str, parent_by_path: dict) -> dict:
+            rel = os.path.relpath(p, tdir)
+            st = os.stat(p)
+            prev = parent_by_path.get(rel)
+            if (
+                prev is not None
+                and prev["bytes"] == st.st_size
+                and prev.get("mtime_ns") == st.st_mtime_ns
+            ):
+                # entry reuse keys on the FILE's identity (size+mtime), so
+                # a parent that goes stale across a CAS retry stays valid
+                return prev
+            pf = pq.ParquetFile(p)
+            entry = {
+                "path": rel,
+                "bytes": st.st_size,
+                "rows": pf.metadata.num_rows,
+                "mtime_ns": st.st_mtime_ns,
+            }
+            bounds = self._file_bounds(pf)
+            if bounds:
+                entry["bounds"] = bounds
+            parts = self._file_partitions(rel)
+            if parts:
+                entry["partitions"] = parts
+            return entry
+
+        created: list[str] = []  # segments this commit wrote, GC'd on abort
+        derived: list[str] = []  # subset derived from the current attempt's parent
+
+        def _gc(names: list[str]) -> None:
+            for name in names:
+                p = os.path.join(snap_dir, name)
+                self._seg_cache.pop(p, None)
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+
+        try:
             if add_files is not None:
-                base = [
-                    os.path.join(tdir, f["path"])
-                    for f in (head["files"] if head else [])
-                ]
-                if drop_prefix is not None:
-                    base = [p for p in base if not p.startswith(drop_prefix)]
-                paths = sorted(set(base) | set(add_files))
-            elif file_paths is not None:
-                paths = sorted(file_paths)
+                # O(new): stat and serialize ONLY the added files, once —
+                # the segment is version-independent and survives retries
+                entries = [fresh_entry(p, {}) for p in sorted(set(add_files))]
+                new_ref = (
+                    self._write_segment(schema, table, entries) if entries else None
+                )
+                if new_ref is not None:
+                    created.append(new_ref["path"])
             else:
-                # dir-mode manual record: walk the live directory (log-mode
-                # callers always pass explicit lists — self._data_files would
-                # circularly consult the manifest being built)
-                paths = self._data_files(schema, table)
-            # Manifest-entry reuse (the Iceberg posture: unchanged manifests
-            # carry over between snapshots): a path already described by the
-            # parent whose size+mtime are unchanged keeps its entry verbatim,
-            # so an append commit stats only its NEW files — O(new), not
-            # O(table) — and column bounds come along for free.
-            parent_by_path = {
-                e["path"]: e for e in (head["files"] if head else [])
-            }
-            entries = []
-            for p in sorted(paths):
-                rel = os.path.relpath(p, tdir)
-                st = os.stat(p)
-                prev = parent_by_path.get(rel)
-                if (
-                    prev is not None
-                    and prev["bytes"] == st.st_size
-                    and prev.get("mtime_ns") == st.st_mtime_ns
-                ):
-                    entries.append(prev)
-                    continue
-                pf = pq.ParquetFile(p)
-                entry = {
-                    "path": rel,
-                    "bytes": st.st_size,
-                    "rows": pf.metadata.num_rows,
-                    "mtime_ns": st.st_mtime_ns,
+                # replace (optimize/merge/rewrite) or dir-mode manual
+                # record: the new live set IS the new segment; parent
+                # entries are reused by size+mtime so only changed files
+                # open a footer
+                head0 = self.head_snapshot(schema, table)
+                parent_by_path = {
+                    e["path"]: e for e in (head0["files"] if head0 else [])
                 }
-                bounds = self._file_bounds(pf)
-                if bounds:
-                    entry["bounds"] = bounds
-                parts = self._file_partitions(rel)
-                if parts:
-                    entry["partitions"] = parts
-                entries.append(entry)
-            manifest = {
-                "version": version,
-                "parent": head["version"] if head else None,
-                "operation": operation,
-                "files": entries,
-                "total_rows": sum(e["rows"] for e in entries),
-                "total_bytes": sum(e["bytes"] for e in entries),
-            }
-            path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
-            tmp = os.path.join(
-                self._snap_dir(schema, table), f".commit_{uuid.uuid4().hex[:8]}.tmp"
-            )
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            try:
-                os.link(tmp, path)  # CAS publish: complete content, O_EXCL create
-                return manifest
-            except FileExistsError:
-                continue  # lost the race — recompute against the new tail
-            finally:
-                os.unlink(tmp)
+                if file_paths is not None:
+                    paths = sorted(file_paths)
+                else:
+                    # dir-mode manual record: walk the live directory
+                    # (log-mode callers always pass explicit lists —
+                    # _data_files would circularly consult the manifest
+                    # being built)
+                    paths = self._data_files(schema, table)
+                entries = [fresh_entry(p, parent_by_path) for p in paths]
+                full_ref = self._write_segment(schema, table, entries)
+                created.append(full_ref["path"])
+
+            while True:
+                # a lost race invalidates parent-derived segments: GC them
+                # and recompute against the winner's head
+                _gc(derived)
+                created[:] = [n for n in created if n not in derived]
+                derived = []
+                head = self._head_light(schema, table)
+                version = (head["version"] + 1) if head else 1
+                if expected_parent is not None and version != expected_parent + 1:
+                    raise RuntimeError(
+                        f"concurrent commit conflict on {schema}.{table}: "
+                        f"expected head v{expected_parent}, found "
+                        f"v{version - 1} — redo the rewrite from the new head"
+                    )
+                if add_files is not None:
+                    if head is not None:
+                        refs = self._head_segment_refs(schema, table, head)
+                        if "segments" not in head:
+                            # legacy head converted: the migration segment is
+                            # parent-derived
+                            created.append(refs[0]["path"])
+                            derived.append(refs[0]["path"])
+                    else:
+                        refs = []
+                    if drop_prefix is not None:
+                        rel_prefix = os.path.relpath(
+                            drop_prefix.rstrip(os.sep), tdir
+                        )
+                        refs, names = self._apply_drop_prefix(
+                            schema, table, refs, rel_prefix
+                        )
+                        created.extend(names)
+                        derived.extend(names)
+                    if new_ref is not None:
+                        refs = refs + [new_ref]
+                    refs, names = self._maybe_merge_segments(schema, table, refs)
+                    created.extend(names)
+                    derived.extend(names)
+                else:
+                    refs = [full_ref]
+                manifest = {
+                    "version": version,
+                    "parent": head["version"] if head else None,
+                    "operation": operation,
+                    "segments": refs,
+                    "total_rows": sum(r["rows"] for r in refs),
+                    "total_bytes": sum(r["bytes"] for r in refs),
+                }
+                path = os.path.join(snap_dir, f"v{version:06d}.json")
+                tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                try:
+                    os.link(tmp, path)  # CAS publish: O_EXCL create
+                    self._write_version_hint(schema, table, version)
+                    # a segment this commit wrote but did NOT publish (e.g.
+                    # the new append segment when the same commit merged it
+                    # away) is referenced by no head ever — GC it now
+                    published = {r["path"] for r in refs}
+                    _gc([n for n in created if n not in published])
+                    created.clear()
+                    return manifest
+                except FileExistsError:
+                    continue  # lost the race — recompute against the new head
+                finally:
+                    os.unlink(tmp)
+        except BaseException:
+            _gc(created)
+            raise
 
     def _snapshot_versions(self, schema: str, table: str) -> list[int]:
         """Committed snapshot version numbers, ascending, from FILENAMES
@@ -1020,10 +1217,11 @@ class ParquetWarehouse:
             if fn.startswith("v") and fn.endswith(".json")
         )
 
-    def _load_snapshot(self, schema: str, table: str, version: int) -> dict:
-        """Parse exactly ONE manifest file.  Every manifest read in the
-        class routes through here so tests can count opens (the
-        O(1)-head-read contract of ``test_manifest_bounds.py``)."""
+    def _load_head_light(self, schema: str, table: str, version: int) -> dict:
+        """Parse exactly ONE head file — segment refs and totals, no
+        entries.  Every head-file read routes through here so tests can
+        count parses (the O(head)-read contract of
+        ``test_manifest_bounds.py``)."""
         path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
         try:
             with open(path) as f:
@@ -1031,19 +1229,97 @@ class ParquetWarehouse:
         except FileNotFoundError:
             raise KeyError(f"no snapshot v{version} for {schema}.{table}")
 
-    def head_snapshot(self, schema: str, table: str) -> dict | None:
-        """The newest committed manifest, or None — parses ONE file.
+    def _hint_path(self, schema: str, table: str) -> str:
+        return os.path.join(self._snap_dir(schema, table), "version-hint.txt")
 
-        Reads and append commits need only the head, and a table with V
-        commits of F files each would pay O(V*F) JSON parse per operation
-        if they went through ``snapshots()`` (at streaming-ingest commit
-        rates that swamps the O(new-files) stat cost of the commit
-        itself).  Full-history parses are reserved for time travel,
-        expiry, and the orphan sweep."""
-        versions = self._snapshot_versions(schema, table)
-        if not versions:
+    def _write_version_hint(self, schema: str, table: str, version: int) -> None:
+        """Best-effort head pointer, written after each successful CAS
+        publish (Iceberg's version-hint.text posture).  Atomic via
+        tmp+rename; racing writers may land an OLDER value — harmless,
+        ``_latest_version`` probes forward from whatever it reads."""
+        tmp = self._hint_path(schema, table) + f".{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, self._hint_path(schema, table))
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _latest_version(self, schema: str, table: str) -> int | None:
+        """Newest committed version WITHOUT listing the snapshots dir.
+        The 1000-commit latency probe showed head discovery via
+        ``os.listdir`` growing O(history) (0.35 -> 3.5 ms across
+        100 -> 1000 commits: one head file accumulates per commit until
+        expiry) — the last O(history) term in the commit/read hot path.
+        Read the hint, verify it, probe forward until the next version is
+        absent; a stale hint costs probe steps, never a wrong answer, and
+        a missing/expired hint falls back to the listing."""
+        d = self._snap_dir(schema, table)
+        v: int | None = None
+        try:
+            with open(self._hint_path(schema, table)) as f:
+                v = int(f.read().strip())
+            if not os.path.isfile(os.path.join(d, f"v{v:06d}.json")):
+                v = None  # hint outlived expiry or belongs elsewhere
+        except (OSError, ValueError):
+            v = None
+        if v is None:
+            versions = self._snapshot_versions(schema, table)
+            if not versions:
+                return None
+            v = versions[-1]
+        while os.path.isfile(os.path.join(d, f"v{v + 1:06d}.json")):
+            v += 1
+        return v
+
+    def _head_light(self, schema: str, table: str) -> dict | None:
+        """Newest head WITHOUT materialized entries — what append commits
+        read: O(segment-refs) bytes however many files are live."""
+        v = self._latest_version(schema, table)
+        if v is None:
             return None
-        return self._load_snapshot(schema, table, versions[-1])
+        return self._load_head_light(schema, table, v)
+
+    def _materialize(self, schema: str, table: str, head: dict) -> dict:
+        """Head + resolved ``files`` entries (the shape every consumer
+        reads): concatenated from the head's segments, de-duplicated by
+        path (defensive; appends never re-add a path) and sorted for
+        determinism.  Legacy pre-segment heads already carry inline
+        files."""
+        if "files" in head:
+            return head
+        by_path: dict[str, dict] = {}
+        for ref in head["segments"]:
+            for e in self._load_segment(schema, table, ref["path"]):
+                by_path[e["path"]] = e
+        out = dict(head)
+        out["files"] = [by_path[p] for p in sorted(by_path)]
+        return out
+
+    def _load_snapshot(self, schema: str, table: str, version: int) -> dict:
+        """One head parse + that head's segment parses, materialized into
+        the ``files`` shape — O(this snapshot), never O(history)."""
+        return self._materialize(
+            schema, table, self._load_head_light(schema, table, version)
+        )
+
+    def head_snapshot(self, schema: str, table: str) -> dict | None:
+        """The newest committed manifest, materialized, or None — parses
+        one head plus its (merge-bounded) segment list.
+
+        Reads need only the head, and a table with V commits of F files
+        each would pay O(V*F) JSON parse per operation if they went
+        through ``snapshots()``.  Append commits are lighter still — they
+        go through ``_head_light`` and never materialize entries at all.
+        Full-history parses are reserved for time travel, expiry, and the
+        orphan sweep."""
+        v = self._latest_version(schema, table)
+        if v is None:
+            return None
+        return self._load_snapshot(schema, table, v)
 
     def snapshots(self, schema: str, table: str) -> list[dict]:
         """All committed snapshot manifests, oldest first — O(history) by
@@ -1114,6 +1390,31 @@ class ParquetWarehouse:
             for p in dead:
                 if os.path.isfile(p):
                     os.remove(p)
+        if victims:
+            # GC segment files the EXPIRED heads referenced that no
+            # surviving head still references (merged-away and superseded
+            # segments stay on disk until every head that listed them
+            # expires — time travel depends on it).  Scoped to the victims'
+            # ref lists, never a blind seg_* sweep — a concurrent in-flight
+            # commit's segment exists on disk before its head is linked
+            # (same posture as the data-file GC above; crashed-commit
+            # leftovers belong to remove_orphan_files).
+            snap_dir = self._snap_dir(schema, table)
+            kept_segs = {
+                ref["path"]
+                for v in self._snapshot_versions(schema, table)
+                for ref in self._load_head_light(schema, table, v).get(
+                    "segments", []
+                )
+            }
+            dead_segs = {
+                ref["path"] for m in victims for ref in m.get("segments", [])
+            } - kept_segs
+            for fn in dead_segs:
+                p = os.path.join(snap_dir, fn)
+                self._seg_cache.pop(p, None)
+                if os.path.isfile(p):
+                    os.unlink(p)
         return len(victims)
 
     def remove_orphan_files(
@@ -1152,6 +1453,29 @@ class ParquetWarehouse:
                     and p not in referenced
                     and os.path.getmtime(p) < cutoff
                 ):
+                    os.remove(p)
+                    removed += 1
+        # segment files no head references are the same orphan class
+        # (written before a CAS commit that crashed or lost its race and
+        # aborted) — age-gated for the identical reason
+        snap_dir = self._snap_dir(schema, table)
+        if os.path.isdir(snap_dir):
+            ref_segs = {
+                ref["path"]
+                for v in self._snapshot_versions(schema, table)
+                for ref in self._load_head_light(schema, table, v).get(
+                    "segments", []
+                )
+            }
+            for fn in os.listdir(snap_dir):
+                p = os.path.join(snap_dir, fn)
+                if (
+                    fn.startswith("seg_")
+                    and fn.endswith(".json")
+                    and fn not in ref_segs
+                    and os.path.getmtime(p) < cutoff
+                ):
+                    self._seg_cache.pop(p, None)
                     os.remove(p)
                     removed += 1
         return removed

@@ -245,6 +245,99 @@ def percol_ab_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def commit_latency_probe(n_commits: int, workdir: str) -> None:
+    """Commit-cost curve at streaming ingest rates (VERDICT r5 #6): drive a
+    partitioned log-mode table to ``n_commits`` single-file generations —
+    the foreachBatch micro-batch shape, including each append's
+    ``drop_prefix`` supersession check — and record, per milestone window
+    (last 100 commits before 100/500/1000): commit latency p50/p95/max,
+    manifest bytes written per commit, head-read time, and full-read
+    wall time (collapsed single-scan shape past 16 generations).  With the
+    r6 manifest-list layer all of these must be FLAT in commit count; the
+    r5 monolithic manifest grew every one of them linearly.  Expiry and
+    the orphan sweep are allowed O(history) — their wall time is reported,
+    not bounded.  Prints one JSON line."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="commit-latency")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    wh.create_table(
+        "lab", "ingest", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["days(ts)"],
+    )
+    tdir = wh._tdir("lab", "ingest")
+    snap = wh._snap_dir("lab", "ingest")
+    days = [f"2024-03-{d:02d}" for d in range(1, 31)]
+
+    def snap_bytes() -> int:
+        if not os.path.isdir(snap):
+            return 0
+        return sum(os.path.getsize(os.path.join(snap, fn)) for fn in os.listdir(snap))
+
+    milestones = sorted({m for m in (100, 500, 1000) if m <= n_commits} | {n_commits})
+    lat: list[float] = []
+    bytes_at: dict[int, int] = {0: 0}
+    windows: list[dict] = []
+    for i in range(n_commits):
+        d = os.path.join(
+            tdir, "data", f"b{i:05d}", "g_p", f"ts_day={days[i % len(days)]}"
+        )
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), p)
+        t0 = time.perf_counter()
+        wh.commit_snapshot(
+            "lab", "ingest", "append", add_files=[p],
+            drop_prefix=os.path.join(tdir, "data", f"b{i:05d}") + os.sep,
+        )
+        lat.append(time.perf_counter() - t0)
+        v = i + 1
+        if v in milestones:
+            bytes_at[v] = snap_bytes()
+            window = sorted(lat[-100:])
+            t0 = time.perf_counter()
+            head = wh.head_snapshot("lab", "ingest")
+            head_ms = (time.perf_counter() - t0) * 1e3
+            t0 = time.perf_counter()
+            n_read = wh.read("lab", "ingest").count()
+            read_s = time.perf_counter() - t0
+            assert n_read == v, (n_read, v)
+            prev = max(m for m in bytes_at if m < v)
+            windows.append({
+                "commits": v,
+                "lat_p50_ms": round(window[len(window) // 2] * 1e3, 2),
+                "lat_p95_ms": round(window[int(len(window) * 0.95) - 1] * 1e3, 2),
+                "lat_max_ms": round(window[-1] * 1e3, 2),
+                "manifest_bytes_per_commit": round(
+                    (bytes_at[v] - bytes_at[prev]) / (v - prev)
+                ),
+                "head_refs": len(head["segments"]),
+                "head_read_ms": round(head_ms, 2),
+                "full_read_sec": round(read_s, 2),
+            })
+    t0 = time.perf_counter()
+    expired = wh.expire_snapshots("lab", "ingest", keep_last=1)
+    expire_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    orphans = wh.remove_orphan_files("lab", "ingest", older_than_s=0)
+    orphan_s = time.perf_counter() - t0
+    assert wh.read("lab", "ingest").count() == n_commits
+    print(json.dumps({
+        "probe": "commit_latency",
+        "n_commits": n_commits,
+        "windows": windows,
+        "total_manifest_bytes": snap_bytes(),
+        "expired": expired,
+        "expire_sec": round(expire_s, 2),
+        "orphans_removed": orphans,
+        "orphan_sweep_sec": round(orphan_s, 2),
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sorted_by_ts = "--sorted" in sys.argv
@@ -255,6 +348,10 @@ def main() -> None:
     n_rows = int(args[0]) if args else 2_000_000
     workdir = args[1] if len(args) > 1 else "/tmp/throughput_probe"
     _auto_driver_mem(n_rows)
+    if "--commit-latency" in sys.argv:
+        # positional arg means COMMITS here, not rows; tiny default
+        commit_latency_probe(n_rows if args else 1000, workdir)
+        return
     if "--prune" in sys.argv:
         prune_probe(n_rows, workdir)
         return

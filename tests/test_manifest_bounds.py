@@ -294,35 +294,49 @@ def test_head_reads_parse_one_manifest_on_deep_history(spark, tmp_path, monkeypa
     assert wh.head_snapshot(cfg.schema, table)["version"] == 50
 
     loads: list[int] = []
-    orig = ParquetWarehouse._load_snapshot
+    seg_loads: list[str] = []
+    orig = ParquetWarehouse._load_head_light
+    orig_seg = ParquetWarehouse._load_segment
 
     def counting(self, schema, table_, version):
         loads.append(version)
         return orig(self, schema, table_, version)
 
-    monkeypatch.setattr(ParquetWarehouse, "_load_snapshot", counting)
+    def counting_seg(self, schema, table_, seg_name):
+        seg_loads.append(seg_name)
+        return orig_seg(self, schema, table_, seg_name)
 
-    # an append commit: head parse only (once; CAS is uncontended here)
+    monkeypatch.setattr(ParquetWarehouse, "_load_head_light", counting)
+    monkeypatch.setattr(ParquetWarehouse, "_load_segment", counting_seg)
+    seg_bound = ParquetWarehouse.SEG_MERGE_MIN_COUNT + 1  # merge-bounded fan-out
+
+    # an append commit: ONE head parse and — r6 manifest-list contract —
+    # ZERO segment parses: the new segment is written, the parent's refs
+    # carry over unopened (no drop_prefix, no merge due at this count)
     wh.commit_snapshot(cfg.schema, table, "append", add_files=[tiny_file(50)])
-    assert len(loads) <= 2, f"commit parsed {len(loads)} manifests: {loads}"
+    assert len(loads) <= 2, f"commit parsed {len(loads)} heads: {loads}"
     assert set(loads) == {50}
+    assert seg_loads == [], f"append commit opened segments: {seg_loads}"
 
-    # a head read: one manifest parse, then straight to the file list
-    loads.clear()
+    # a head read: one head parse + the head's (merge-bounded) segments
+    loads.clear(), seg_loads.clear()
     assert wh.read(cfg.schema, table).count() == 51
-    assert len(loads) <= 2, f"read parsed {len(loads)} manifests: {loads}"
+    assert len(loads) <= 2, f"read parsed {len(loads)} heads: {loads}"
     assert set(loads) == {51}
+    assert len(seg_loads) <= seg_bound
 
-    # planning-time pruning at head: also one parse
-    loads.clear()
+    # planning-time pruning at head: same O(head) shape
+    loads.clear(), seg_loads.clear()
     kept, total = wh.prune_files(cfg.schema, table, {"id": (0, 4)})
     assert total == 51 and len(kept) == 5
     assert len(loads) <= 2 and set(loads) == {51}
+    assert len(seg_loads) <= seg_bound
 
-    # time travel is the sanctioned O(specific-version) path: one parse too
-    loads.clear()
+    # time travel is the sanctioned O(specific-version) path: one head too
+    loads.clear(), seg_loads.clear()
     assert wh.read_snapshot(cfg.schema, table, 10).count() == 10
     assert len(loads) == 1 and loads == [10]
+    assert len(seg_loads) <= seg_bound
 
     # $files metrology serves from the manifest: one parse, ZERO footers
     import pyarrow.parquet as pq_mod
@@ -614,6 +628,217 @@ def test_collapsed_read_identity_partition_dtypes(spark, tmp_path, monkeypatch):
         "id_bucket": "int", "ts_year": "int", "ts_day": "date",
         "ts_month": "string", "k": None,
     }
+
+
+def _tiny_parquet(tdir: str, batch: str, i: int, gen: str = "g_test") -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tdir, "data", batch, gen)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"part-{i}.parquet")
+    pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), p)
+    return p
+
+
+def test_append_commit_bytes_are_o_new_files(spark, tmp_path):
+    """R6 manifest-list contract (VERDICT r5 #1): an append commit's
+    serialized bytes are O(new files) + O(segment refs), NOT O(live
+    files).  400 single-file commits: non-merge commits write a bounded,
+    flat number of bytes however many files are live (the monolithic
+    design wrote ~entry_size x live_files per commit — ~48 KB by commit
+    400), the head file stays small, total manifest IO over the run is a
+    fraction of the monolithic design's, and time travel still works
+    across segment merges."""
+    import os
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "bytecost"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    snap_dir = wh._snap_dir(cfg.schema, table)
+
+    def snap_sizes() -> dict[str, int]:
+        if not os.path.isdir(snap_dir):
+            return {}
+        return {
+            fn: os.path.getsize(os.path.join(snap_dir, fn))
+            for fn in os.listdir(snap_dir)
+        }
+
+    n = 400
+    per_commit: list[tuple[int, int, int]] = []  # (version, bytes_written, refs)
+    before = snap_sizes()
+    for i in range(n):
+        wh.commit_snapshot(
+            cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, f"b{i:04d}", i)]
+        )
+        after = snap_sizes()
+        written = sum(sz for fn, sz in after.items() if fn not in before)
+        refs = len(wh._head_light(cfg.schema, table)["segments"])
+        per_commit.append((i + 1, written, refs))
+        before = after
+
+    # entry cost measured from a real single-entry segment (commit 1)
+    one_entry_seg = per_commit[0][1]
+    assert one_entry_seg > 0
+
+    # (a) non-merge commits write bounded, FLAT bytes: late non-merge
+    # commits cost no more than early ones (x1.5 noise margin) and far
+    # less than a monolithic rewrite of the live list would
+    merges = {v for (v, _w, r), (pv, _pw, pr) in zip(per_commit[1:], per_commit) if r < pr}
+    nonmerge = [(v, w) for v, w, _r in per_commit if v not in merges and v > 1]
+    early = [w for v, w in nonmerge if 10 <= v <= 80]
+    late = [w for v, w in nonmerge if v > n - 80]
+    assert early and late
+    assert max(late) <= max(early) * 1.5 + 512
+    monolithic_at_tail = (n - 80) * one_entry_seg * 0.5  # conservative floor
+    assert max(late) < monolithic_at_tail, (max(late), monolithic_at_tail)
+
+    # (b) the head file itself stays small: O(refs), refs merge-bounded
+    head_bytes = os.path.getsize(os.path.join(snap_dir, f"v{n:06d}.json"))
+    assert head_bytes < 16_384
+    assert all(r <= ParquetWarehouse.SEG_MERGE_MIN_COUNT + 1 for _v, _w, r in per_commit)
+
+    # (c) total manifest IO across the run beats the monolithic design by
+    # a wide margin (sum_i i*entry_bytes, conservatively halved)
+    total_written = sum(w for _v, w, _r in per_commit)
+    monolithic_total = sum(range(1, n + 1)) * one_entry_seg * 0.5
+    assert total_written < monolithic_total / 3, (total_written, monolithic_total)
+
+    # (d) merges happened (the bound is LIVE, not vacuous) and reads see
+    # every row; time travel works across merged-away segments
+    assert merges
+    assert wh.head_snapshot(cfg.schema, table)["total_rows"] == n
+    assert wh.read(cfg.schema, table).count() == n
+    assert wh.read_snapshot(cfg.schema, table, 5).count() == 5
+    assert wh.read_snapshot(cfg.schema, table, n - 1).count() == n - 1
+
+    # (e) expiry GCs merged-away/superseded segments: afterwards the only
+    # segment files on disk are the kept heads' refs
+    removed = wh.expire_snapshots(cfg.schema, table, keep_last=2)
+    assert removed == n - 2
+    kept_refs = {
+        ref["path"]
+        for v in wh._snapshot_versions(cfg.schema, table)
+        for ref in wh._load_head_light(cfg.schema, table, v)["segments"]
+    }
+    on_disk = {fn for fn in os.listdir(snap_dir) if fn.startswith("seg_")}
+    assert on_disk == kept_refs
+    assert wh.read(cfg.schema, table).count() == n
+
+
+def test_drop_prefix_rewrites_only_intersecting_segments(spark, tmp_path):
+    """A replayed batch supersedes its own prior generation by rewriting
+    ONLY the segment(s) whose recorded roots intersect the dropped batch
+    dir — every other parent segment ref carries over byte-identical."""
+    import os
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "dropseg"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    for i in range(5):
+        wh.commit_snapshot(
+            cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, f"b{i}", i)]
+        )
+    refs_before = {
+        r["path"]: r for r in wh._head_light(cfg.schema, table)["segments"]
+    }
+    # replay batch b2: new generation file + drop of the old b2 generation
+    newf = _tiny_parquet(tdir, "b2", 99, gen="g_test2")
+    wh.commit_snapshot(
+        cfg.schema,
+        table,
+        "append",
+        add_files=[newf],
+        drop_prefix=os.path.join(tdir, "data", "b2") + os.sep,
+    )
+    head = wh.head_snapshot(cfg.schema, table)
+    paths = {e["path"] for e in head["files"]}
+    assert "data/b2/g_test/part-2.parquet" not in paths  # superseded
+    assert "data/b2/g_test2/part-99.parquet" in paths
+    assert {f"data/b{i}/g_test/part-{i}.parquet" for i in (0, 1, 3, 4)} <= paths
+    refs_after = {r["path"]: r for r in wh._head_light(cfg.schema, table)["segments"]}
+    untouched_before = {
+        p for p, r in refs_before.items() if "data/b2" not in r["roots"]
+    }
+    assert untouched_before <= set(refs_after)  # carried over by reference
+
+
+def test_version_hint_head_discovery(spark, tmp_path):
+    """Head discovery goes through the version hint (written after each
+    CAS publish) + forward probing — no O(history) dir listing on the hot
+    path.  A stale, corrupt, or missing hint degrades to the right answer,
+    never a wrong one."""
+    import os
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "hinted"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    for i in range(5):
+        wh.commit_snapshot(
+            cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, f"b{i}", i)]
+        )
+    hint = wh._hint_path(cfg.schema, table)
+    with open(hint) as f:
+        assert f.read().strip() == "5"
+    # stale hint: probe forward
+    with open(hint, "w") as f:
+        f.write("2")
+    assert wh._latest_version(cfg.schema, table) == 5
+    # corrupt hint: listing fallback
+    with open(hint, "w") as f:
+        f.write("nonsense")
+    assert wh._latest_version(cfg.schema, table) == 5
+    # missing hint: listing fallback, and the next commit restores it
+    os.unlink(hint)
+    assert wh._latest_version(cfg.schema, table) == 5
+    wh.commit_snapshot(
+        cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, "b9", 9)]
+    )
+    with open(hint) as f:
+        assert f.read().strip() == "6"
+    # expiry keeps the hint valid (it points at the newest, kept head)
+    wh.expire_snapshots(cfg.schema, table, keep_last=1)
+    assert wh.head_snapshot(cfg.schema, table)["version"] == 6
+    assert wh.read(cfg.schema, table).count() == 6
+
+
+def test_orphaned_segment_files_age_gated_sweep(spark, tmp_path):
+    """A segment written by a crashed/aborted commit is an orphan: the
+    age-gated sweep removes it, a fresh one (possibly an in-flight
+    commit's) survives, and referenced segments are never touched."""
+    import json as _json
+    import os
+    import time
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "orphseg"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    wh.commit_snapshot(
+        cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, "b0", 0)]
+    )
+    snap_dir = wh._snap_dir(cfg.schema, table)
+    old_orphan = os.path.join(snap_dir, "seg_deadbeef0000.json")
+    new_orphan = os.path.join(snap_dir, "seg_deadbeef0001.json")
+    for p in (old_orphan, new_orphan):
+        with open(p, "w") as f:
+            _json.dump({"files": []}, f)
+    past = time.time() - 7200
+    os.utime(old_orphan, (past, past))
+    removed = wh.remove_orphan_files(cfg.schema, table, older_than_s=3600)
+    assert removed == 1
+    assert not os.path.exists(old_orphan) and os.path.exists(new_orphan)
+    assert wh.read(cfg.schema, table).count() == 1
 
 
 def test_cas_commit_stress_with_head_only_retries(spark, tmp_path):

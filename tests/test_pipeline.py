@@ -490,6 +490,38 @@ def test_snapshot_log_time_travel_and_expiry(spark, tmp_path):
     assert wh.read(cfg.schema, table).count() == 500
 
 
+def test_log_table_metrology_report(spark, tmp_path):
+    """VERDICT r5 #7: the metrology stage covers the engine's own metadata
+    layer — manifest cost (head vs segment bytes) and prune effectiveness
+    render in the same console-table/CSV posture as the data-file report."""
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+    from hands_on_iceberg_compression_spark.pipeline.metrology import (
+        log_console_table,
+        measure_log_table,
+    )
+
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "logmet"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 1, 300, seed=43, num_partitions=1), batch_id="b1")
+    wh.append(cfg.schema, table, generate_df(spark, cfg, 301, 200, seed=43, num_partitions=1), batch_id="b2")
+    row = measure_log_table(
+        wh, cfg.schema, table, prune_ranges={"id": (1, 100)}
+    )
+    assert row.snapshots == 2 and row.live_files == 2 and row.live_rows == 500
+    assert row.pruned_total == 2 and row.pruned_kept == 1
+    assert row.prune_skip_pct == 50.0
+    # the head is the per-commit serialization bound: a fraction of total
+    # manifest bytes (which include the immutable entry segments)
+    assert 0 < row.head_bytes < row.segment_bytes
+    assert row.manifest_bytes == wh.snapshot_manifest_bytes(cfg.schema, table)
+    assert row.segment_count >= 2
+    out = log_console_table([row])
+    assert "prune skip" in out and "50.0%" in out and table in out
+
+
 def test_log_mode_lifecycle(spark, tmp_path):
     """snapshots=true tables are manifest-driven: appends auto-commit,
     compaction and merge add generations WITHOUT destroying time travel,
