@@ -1329,6 +1329,83 @@ class ParquetWarehouse:
             for v in self._snapshot_versions(schema, table)
         ]
 
+    def history(self, schema: str, table: str) -> list[dict]:
+        """Iceberg ``$history``/``$snapshots``-style lineage summary —
+        version, parent, operation, totals, segment count — parsed from
+        HEAD FILES ONLY: O(V) small parses, zero segment/entry reads, so
+        inspecting a 10k-commit table's lineage never touches the live
+        file set (``snapshots()`` is the materializing, O(V*F) cousin)."""
+        out = []
+        for v in self._snapshot_versions(schema, table):
+            h = self._load_head_light(schema, table, v)
+            out.append(
+                {
+                    "version": h["version"],
+                    "parent": h.get("parent"),
+                    "operation": h.get("operation"),
+                    "total_rows": h.get("total_rows"),
+                    "total_bytes": h.get("total_bytes"),
+                    "segments": len(h["segments"])
+                    if "segments" in h
+                    else None,  # legacy inline-files head
+                }
+            )
+        return out
+
+    def rewrite_manifests(self, schema: str, table: str) -> dict:
+        """Compact the head's segment list into ONE segment — Iceberg's
+        ``CALL system.rewrite_manifests``, metadata-only: no data file is
+        opened, statted, or moved; entries carry over verbatim.  Use after
+        bursty ingest to reset read fan-out ahead of the automatic tiered
+        merge.  Concurrent-append-safe via the same CAS loop as commits;
+        superseded segments stay on disk for older heads until expiry."""
+        snap_dir = self._snap_dir(schema, table)
+        while True:
+            head = self._head_light(schema, table)
+            if head is None:
+                raise ValueError(
+                    f"{schema}.{table} has no committed snapshot to rewrite"
+                )
+            refs = self._head_segment_refs(schema, table, head)
+            if len(refs) <= 1:
+                return {"segments_before": len(refs), "segments_after": len(refs)}
+            by_path: dict[str, dict] = {}
+            for ref in refs:
+                for e in self._load_segment(schema, table, ref["path"]):
+                    by_path[e["path"]] = e
+            merged = self._write_segment(
+                schema, table, [by_path[p] for p in sorted(by_path)]
+            )
+            version = head["version"] + 1
+            manifest = {
+                "version": version,
+                "parent": head["version"],
+                "operation": "rewrite_manifests",
+                "segments": [merged],
+                "total_rows": merged["rows"],
+                "total_bytes": merged["bytes"],
+            }
+            path = os.path.join(snap_dir, f"v{version:06d}.json")
+            tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, path)
+                self._write_version_hint(schema, table, version)
+                return {
+                    "segments_before": len(refs),
+                    "segments_after": 1,
+                    "version": version,
+                }
+            except FileExistsError:
+                # lost the race: GC our merged segment and redo against the
+                # winner's head
+                self._seg_cache.pop(os.path.join(snap_dir, merged["path"]), None)
+                os.unlink(os.path.join(snap_dir, merged["path"]))
+                continue
+            finally:
+                os.unlink(tmp)
+
     def read_snapshot(self, schema: str, table: str, version: int) -> DataFrame:
         """Time travel: read exactly the files snapshot ``version`` listed.
         Raises if a later rewrite removed any of them (expired snapshot)."""

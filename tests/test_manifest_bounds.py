@@ -811,6 +811,71 @@ def test_version_hint_head_discovery(spark, tmp_path):
     assert wh.read(cfg.schema, table).count() == 6
 
 
+def test_rewrite_manifests_and_history(spark, tmp_path):
+    """``rewrite_manifests`` is a metadata-only commit collapsing the
+    segment list to one (Iceberg CALL system.rewrite_manifests): no data
+    footer opens, rows unchanged, time travel to pre-rewrite heads intact.
+    ``history()`` summarizes lineage from head files alone — zero segment
+    parses."""
+    import pyarrow.parquet as pq_mod
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "rewman"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    for i in range(6):
+        wh.commit_snapshot(
+            cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, f"b{i}", i)]
+        )
+    assert len(wh._head_light(cfg.schema, table)["segments"]) == 6
+
+    opened: list[str] = []
+    real = pq_mod.ParquetFile
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(pq_mod, "ParquetFile", counting)
+        res = wh.rewrite_manifests(cfg.schema, table)
+    finally:
+        mp.undo()
+    assert res == {"segments_before": 6, "segments_after": 1, "version": 7}
+    assert opened == []  # metadata-only: zero footer opens
+    head = wh.head_snapshot(cfg.schema, table)
+    assert len(head["segments"]) == 1 and head["total_rows"] == 6
+    assert wh.read(cfg.schema, table).count() == 6
+    assert wh.read_snapshot(cfg.schema, table, 3).count() == 3  # time travel
+    # idempotent on a single-segment head (no new version)
+    assert wh.rewrite_manifests(cfg.schema, table) == {
+        "segments_before": 1, "segments_after": 1,
+    }
+
+    seg_loads: list[str] = []
+    orig_seg = ParquetWarehouse._load_segment
+
+    def counting_seg(self, schema, table_, seg_name):
+        seg_loads.append(seg_name)
+        return orig_seg(self, schema, table_, seg_name)
+
+    mp2 = _pytest.MonkeyPatch()
+    try:
+        mp2.setattr(ParquetWarehouse, "_load_segment", counting_seg)
+        hist = wh.history(cfg.schema, table)
+    finally:
+        mp2.undo()
+    assert seg_loads == []  # lineage from heads only
+    assert [h["version"] for h in hist] == list(range(1, 8))
+    assert hist[-1]["operation"] == "rewrite_manifests"
+    assert hist[-1]["segments"] == 1 and hist[-1]["total_rows"] == 6
+    assert [h["total_rows"] for h in hist] == [1, 2, 3, 4, 5, 6, 6]
+
+
 def test_orphaned_segment_files_age_gated_sweep(spark, tmp_path):
     """A segment written by a crashed/aborted commit is an orphan: the
     age-gated sweep removes it, a fresh one (possibly an in-flight
