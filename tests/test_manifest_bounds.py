@@ -876,6 +876,56 @@ def test_rewrite_manifests_and_history(spark, tmp_path):
     assert [h["total_rows"] for h in hist] == [1, 2, 3, 4, 5, 6, 6]
 
 
+def test_legacy_inline_files_head_migrates(spark, tmp_path):
+    """A pre-segment head (inline ``files`` list, the r4/r5 on-disk format)
+    still reads, prunes, and time-travels; the NEXT commit converts it into
+    a real segment and the lineage stays consistent."""
+    import json as _json
+    import os
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "legacy"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    p1 = _tiny_parquet(tdir, "b0", 0)
+    snap_dir = wh._snap_dir(cfg.schema, table)
+    os.makedirs(snap_dir, exist_ok=True)
+    st = os.stat(p1)
+    legacy = {
+        "version": 1,
+        "parent": None,
+        "operation": "append",
+        "files": [
+            {
+                "path": os.path.relpath(p1, tdir),
+                "bytes": st.st_size,
+                "rows": 1,
+                "mtime_ns": st.st_mtime_ns,
+                "bounds": {"id": [0, 0]},
+            }
+        ],
+        "total_rows": 1,
+        "total_bytes": st.st_size,
+    }
+    with open(os.path.join(snap_dir, "v000001.json"), "w") as f:
+        _json.dump(legacy, f)
+
+    assert wh.read(cfg.schema, table).count() == 1
+    kept, total = wh.prune_files(cfg.schema, table, {"id": (0, 0)})
+    assert (len(kept), total) == (1, 1)
+    assert wh.history(cfg.schema, table)[0]["segments"] is None  # legacy marker
+
+    wh.commit_snapshot(
+        cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, "b1", 1)]
+    )
+    head = wh._head_light(cfg.schema, table)
+    assert head["version"] == 2 and len(head["segments"]) == 2  # migrated + new
+    assert head["total_rows"] == 2
+    assert wh.read(cfg.schema, table).count() == 2
+    assert wh.read_snapshot(cfg.schema, table, 1).count() == 1
+
+
 def test_orphaned_segment_files_age_gated_sweep(spark, tmp_path):
     """A segment written by a crashed/aborted commit is an orphan: the
     age-gated sweep removes it, a fresh one (possibly an in-flight
