@@ -1409,7 +1409,16 @@ class ParquetWarehouse:
     def read_snapshot(self, schema: str, table: str, version: int) -> DataFrame:
         """Time travel: read exactly the files snapshot ``version`` listed.
         Raises if a later rewrite removed any of them (expired snapshot)."""
-        manifest = self._load_snapshot(schema, table, version)
+        try:
+            manifest = self._load_snapshot(schema, table, version)
+        except FileNotFoundError as exc:
+            # the head survives but a concurrent expiry GC'd one of its
+            # segments mid-read — same user-visible condition as expired
+            # data files
+            raise FileNotFoundError(
+                f"snapshot v{version} is expired: a manifest segment it "
+                f"references was garbage-collected ({exc})"
+            )
         tdir = self._tdir(schema, table)
         paths = [os.path.join(tdir, f["path"]) for f in manifest["files"]]
         missing = [p for p in paths if not os.path.isfile(p)]
