@@ -60,7 +60,9 @@ RUNS = 3  # warm best-of-3 — the reference's published protocol (BASELINE.md)
 # number carry its own host evidence: inflation = max(measured/floor) across
 # the three fixed works, and the guardrail reads canary-relative
 # (total <= solo_floor * inflation * 1.1, PERF.md).
-CANARY_FLOORS = {"cpu_sec": 0.324, "io_write_sec": 0.391, "io_read_sec": 0.152}
+# cpu floor tightened r6: the 100M A/B's post-run canary beat the r5 floor
+# (0.3223 vs 0.324) on a second host day — floors always track best-observed
+CANARY_FLOORS = {"cpu_sec": 0.3223, "io_write_sec": 0.391, "io_read_sec": 0.152}
 
 
 def _host_canary() -> dict[str, float]:
