@@ -796,8 +796,12 @@ class ParquetWarehouse:
         strings of different granularities compare lexicographically, so a
         bare date against timestamp bounds would sort before that day's
         midnight and could over-prune.  Files without bounds or partition
-        info for a column are conservatively kept.  Returns (kept absolute
-        paths, total files in the manifest)."""
+        info for a column are conservatively kept.  Whole SEGMENTS whose
+        ref-level partition summary is disjoint from the ranges are
+        skipped without parsing one entry (Iceberg's manifest-list
+        partition summaries) — planning cost tracks qualifying segments,
+        not live files.  Returns (kept absolute paths, total files in the
+        manifest)."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -805,46 +809,86 @@ class ParquetWarehouse:
                 "dir-mode reads already rely on parquet footer stats"
             )
         if version is None:
-            manifest = self.head_snapshot(schema, table)
-            if manifest is None:
+            version = self._latest_version(schema, table)
+            if version is None:
                 raise ValueError(
                     f"log-mode table {schema}.{table} has no committed snapshot"
                 )
-        else:
-            manifest = self._load_snapshot(schema, table, version)
+        head = self._load_head_light(schema, table, version)
         norm = {
             c: (self._json_bound(lo), self._json_bound(hi))
             for c, (lo, hi) in ranges.items()
         }
         tdir = self._tdir(schema, table)
         static_types = self._partition_static_types(meta.partitioning)
-        kept = []
-        for e in manifest["files"]:
-            keep = True
-            for col, (lo, hi) in norm.items():
-                pv = e.get("partitions", {}).get(col)
-                try:
-                    if pv is not None:
-                        if self._pv_disjoint(pv, lo, hi, static_types.get(col)):
+        kept: list[str] = []
+
+        def file_pass(entries: list[dict]) -> None:
+            for e in entries:
+                keep = True
+                for col, (lo, hi) in norm.items():
+                    pv = e.get("partitions", {}).get(col)
+                    try:
+                        if pv is not None:
+                            if self._pv_disjoint(pv, lo, hi, static_types.get(col)):
+                                keep = False
+                                break
+                            continue
+                        b = e.get("bounds", {}).get(col)
+                        if b is None:
+                            continue
+                        if (lo is not None and b[1] < lo) or (
+                            hi is not None and b[0] > hi
+                        ):
                             keep = False
                             break
+                    except (TypeError, ValueError):
+                        # endpoint type doesn't match the recorded value
+                        # (int range against a non-numeric string partition
+                        # value, non-integer endpoint against a bucket dir,
+                        # ...) — pruning must stay conservative, never
+                        # crash or over-prune
                         continue
-                    b = e.get("bounds", {}).get(col)
-                    if b is None:
-                        continue
-                    if (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi):
-                        keep = False
-                        break
-                except (TypeError, ValueError):
-                    # endpoint type doesn't match the recorded value (int
-                    # range against a non-numeric string partition value,
-                    # non-integer endpoint against a bucket dir, ...) —
-                    # pruning must stay conservative, never crash or
-                    # over-prune
-                    continue
-            if keep:
-                kept.append(os.path.join(tdir, e["path"]))
-        return kept, len(manifest["files"])
+                if keep:
+                    kept.append(os.path.join(tdir, e["path"]))
+
+        if "files" in head:  # legacy inline-files head
+            file_pass(head["files"])
+            return kept, len(head["files"])
+        total = 0
+        for ref in head["segments"]:
+            total += ref["count"]
+            if self._segment_skippable(ref, norm, static_types):
+                continue  # whole segment skipped — its entries never parsed
+            file_pass(self._load_segment(schema, table, ref["path"]))
+        return kept, total
+
+    @classmethod
+    def _segment_skippable(
+        cls, ref: dict, norm: dict, static_types: dict
+    ) -> bool:
+        """Iceberg manifest-list partition-summary skipping: a segment is
+        skipped iff, for some query column, EVERY partition value the
+        segment's ref recorded is disjoint from the range — the exact
+        per-file test (``_pv_disjoint``) applied to the summary, so the
+        skip can never disagree with the per-entry pass it replaces.
+        Segments without a summary for the column are opened."""
+        pv_summary = ref.get("pv")
+        if not pv_summary:
+            return False
+        for col, (lo, hi) in norm.items():
+            vals = pv_summary.get(col)
+            if not vals:
+                continue
+            try:
+                if all(
+                    cls._pv_disjoint(v, lo, hi, static_types.get(col))
+                    for v in vals
+                ):
+                    return True
+            except (TypeError, ValueError):
+                continue  # incomparable: open the segment
+        return False
 
     def read_pruned(
         self,
@@ -932,7 +976,38 @@ class ParquetWarehouse:
         roots = sorted({self._entry_root(e["path"]) for e in entries})
         if len(roots) <= self.SEG_ROOTS_MAX:
             ref["roots"] = roots
+        pv = self._partition_summary(entries)
+        if pv:
+            ref["pv"] = pv
         return ref
+
+    # Iceberg manifest-list partition summaries: a ref records the distinct
+    # dir-encoded values per partition column, so prune_files can skip a
+    # WHOLE segment without parsing its entries — planning cost tracks
+    # qualifying segments, not live files.  Values (not [min,max]
+    # envelopes) keep the skip decision an exact reuse of the per-file
+    # comparison (_pv_disjoint), with no second ordering semantics to get
+    # wrong; the cap bounds ref size — a merged segment spanning more
+    # partitions omits the column and is conservatively opened.
+    SEG_PV_SUMMARY_MAX = 16
+
+    @classmethod
+    def _partition_summary(cls, entries: list[dict]) -> dict[str, list[str]]:
+        """{partition col: sorted distinct values} across entries — only
+        for columns EVERY entry carries (a file without the value can
+        never be skipped on it) with at most SEG_PV_SUMMARY_MAX distinct
+        values."""
+        if not entries or any("partitions" not in e for e in entries):
+            return {}
+        cols = set(entries[0]["partitions"])
+        for e in entries[1:]:
+            cols &= set(e["partitions"])
+        out: dict[str, list[str]] = {}
+        for c in cols:
+            vals = {e["partitions"][c] for e in entries}
+            if len(vals) <= cls.SEG_PV_SUMMARY_MAX:
+                out[c] = sorted(vals)
+        return out
 
     def _head_segment_refs(self, schema: str, table: str, head: dict) -> list[dict]:
         """Segment refs of a head; a legacy inline-files head (pre-segment

@@ -876,6 +876,75 @@ def test_rewrite_manifests_and_history(spark, tmp_path):
     assert [h["total_rows"] for h in hist] == [1, 2, 3, 4, 5, 6, 6]
 
 
+def test_partition_summary_skips_whole_segments(spark, tmp_path, monkeypatch):
+    """Iceberg manifest-list partition summaries: each segment ref records
+    its distinct partition values (capped), and prune_files skips whole
+    segments WITHOUT parsing their entries when the summary is disjoint —
+    planning cost tracks qualifying segments.  Results stay identical to
+    the per-entry pass, and a summary-less (wide merged) segment is
+    conservatively opened."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "segskip"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["days(ts)"],
+    )
+    tdir = wh._tdir(cfg.schema, table)
+    days = [f"2024-03-{d:02d}" for d in range(1, 11)]
+    # one generation per day -> one single-day segment per commit
+    for i, day in enumerate(days):
+        d = os.path.join(tdir, "data", f"b{i:03d}", "g_t", f"ts_day={day}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), p)
+        wh.commit_snapshot(cfg.schema, table, "append", add_files=[p])
+    refs = wh._head_light(cfg.schema, table)["segments"]
+    assert all(r["pv"] == {"ts_day": [days[i]]} for i, r in enumerate(refs))
+
+    seg_loads: list[str] = []
+    orig_seg = ParquetWarehouse._load_segment
+
+    def counting_seg(self, schema, table_, seg_name):
+        seg_loads.append(seg_name)
+        return orig_seg(self, schema, table_, seg_name)
+
+    monkeypatch.setattr(ParquetWarehouse, "_load_segment", counting_seg)
+    kept, total = wh.prune_files(
+        cfg.schema, table, {"ts_day": ("2024-03-03", "2024-03-04")}
+    )
+    assert total == 10 and len(kept) == 2
+    assert len(seg_loads) == 2  # 8 of 10 segments never parsed
+    monkeypatch.undo()
+
+    # rewrite_manifests merges all 10 days into one segment: > the summary
+    # cap would drop the column, but 10 <= 16 keeps it; equivalence holds
+    wh.rewrite_manifests(cfg.schema, table)
+    ref = wh._head_light(cfg.schema, table)["segments"][0]
+    assert ref["pv"]["ts_day"] == days
+    kept2, total2 = wh.prune_files(
+        cfg.schema, table, {"ts_day": ("2024-03-03", "2024-03-04")}
+    )
+    assert total2 == 10 and sorted(kept2) == sorted(kept)
+    # a disjoint query skips even the merged segment via its summary
+    kept3, _ = wh.prune_files(
+        cfg.schema, table, {"ts_day": ("2025-01-01", "2025-12-31")}
+    )
+    assert kept3 == []
+    # cap respected: >16 distinct values -> column omitted, segment opened
+    entries = [
+        {"path": f"data/x/g/ts_day=2024-04-{d:02d}/f.parquet", "bytes": 1,
+         "rows": 1, "partitions": {"ts_day": f"2024-04-{d:02d}"}}
+        for d in range(1, 20)
+    ]
+    assert ParquetWarehouse._partition_summary(entries) == {}
+
+
 def test_legacy_inline_files_head_migrates(spark, tmp_path):
     """A pre-segment head (inline ``files`` list, the r4/r5 on-disk format)
     still reads, prunes, and time-travels; the NEXT commit converts it into
