@@ -509,12 +509,36 @@ class ParquetWarehouse:
 
     # --- C6: compaction (ALTER TABLE ... EXECUTE optimize) ---------------
     def optimize(
-        self, schema: str, table: str, target_file_size_bytes: int = 128 * 1024 * 1024
+        self,
+        schema: str,
+        table: str,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        partition_filter: dict | None = None,
     ) -> int:
         """Rewrite the table's data files toward the target size; returns the
         resulting file count.  Iceberg twin: CALL system.rewrite_data_files
-        (bench.ts:112-122)."""
+        (bench.ts:112-122).
+
+        ``partition_filter`` (log-mode only) scopes the rewrite to files
+        whose recorded partition values intersect the given ranges (same
+        shape as ``prune_files``) — Iceberg's ``rewrite_data_files(where)``.
+        At 100 TB nobody full-rewrites: streaming ingest fragments the HOT
+        partitions, so compaction targets them and leaves cold data
+        untouched.  Victims are selected from the manifest (no footer
+        opens), rewritten into one new generation, and committed as a
+        DELTA (add + drop_files): concurrent appends retry-merge, while a
+        concurrent rewrite of the same files raises."""
         meta = self.table_meta(schema, table)
+        if partition_filter:
+            if not self._log_mode(meta):
+                raise ValueError(
+                    "partition-scoped optimize requires a log-mode "
+                    "(snapshots=true) table — dir mode has no manifest to "
+                    "select victims from"
+                )
+            return self._optimize_scoped(
+                schema, table, meta, partition_filter, target_file_size_bytes
+            )
         # head capture BEFORE resolving the file list: if a concurrent
         # append commits after this point, the replace-commit below detects
         # the moved head and aborts instead of erasing the append's rows
@@ -591,6 +615,88 @@ class ParquetWarehouse:
         os.rename(tmp_dir, data_dir)
         shutil.rmtree(old_dir, ignore_errors=True)
         return len(self._data_files(schema, table))
+
+    def _optimize_scoped(
+        self,
+        schema: str,
+        table: str,
+        meta: TableMeta,
+        partition_filter: dict,
+        target_file_size_bytes: int,
+    ) -> int:
+        """Partition-scoped compaction body: manifest-selected victims ->
+        one new generation -> delta commit (add + drop_files).  A file is a
+        victim iff EVERY filter column has a recorded partition value that
+        intersects its range (``_pv_disjoint`` semantics); files without
+        the value are left alone — scoping selects work, it never affects
+        correctness, since rewriting preserves rows."""
+        version = self._latest_version(schema, table)
+        if version is None:
+            return 0
+        head = self._load_head_light(schema, table, version)
+        static_types = self._partition_static_types(meta.partitioning)
+        norm = {
+            c: (self._json_bound(lo), self._json_bound(hi))
+            for c, (lo, hi) in partition_filter.items()
+        }
+
+        def is_victim(e: dict) -> bool:
+            for col, (lo, hi) in norm.items():
+                pv = e.get("partitions", {}).get(col)
+                if pv is None:
+                    return False
+                try:
+                    if self._pv_disjoint(pv, lo, hi, static_types.get(col)):
+                        return False
+                except (TypeError, ValueError):
+                    return False
+            return True
+
+        victims: list[dict] = []
+        if "files" in head:  # legacy inline head
+            victims = [e for e in head["files"] if is_victim(e)]
+        else:
+            for ref in head["segments"]:
+                if self._segment_skippable(ref, norm, static_types):
+                    continue  # summary disjoint — contains no victims
+                victims.extend(
+                    e
+                    for e in self._load_segment(schema, table, ref["path"])
+                    if is_victim(e)
+                )
+        if not victims:
+            return 0
+        tdir = self._tdir(schema, table)
+        victim_paths = [os.path.join(tdir, e["path"]) for e in victims]
+        total = sum(e["bytes"] for e in victims)
+        n_files = max(1, math.ceil(total / target_file_size_bytes))
+        df = self._read_file_list(meta, victim_paths)
+        data_dir = self._live_data_dir(schema, table)
+        gen_dir = os.path.join(data_dir, f"compact_{uuid.uuid4().hex[:8]}")
+        if meta.sort_order:
+            sort_cols = [F.col(c) for c in meta.sort_order]
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            writer = df.write.mode("error")
+        else:
+            writer = df.coalesce(n_files).write.mode("error")
+        if meta.partitioning:
+            part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
+            writer = writer.partitionBy(*part_names)
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(gen_dir)
+        new = sorted(
+            os.path.join(base, fn)
+            for base, _d, fns in os.walk(gen_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        self.commit_snapshot(
+            schema, table, "optimize", add_files=new, drop_files=victim_paths
+        )
+        return len(new)
 
     # --- snapshot/manifest log (opt-in; Iceberg-manifest analogue) -------
     def _snap_dir(self, schema: str, table: str) -> str:
@@ -1050,6 +1156,37 @@ class ParquetWarehouse:
             # else: every entry superseded — the ref disappears
         return out, new_names
 
+    def _apply_drop_paths(
+        self, schema: str, table: str, refs: list[dict], rel_paths: set[str]
+    ) -> tuple[list[dict], list[str], int]:
+        """Drop an explicit set of entries (a scoped rewrite's victims).
+        Segments whose recorded roots can't contain any victim carry over
+        unopened; affected segments are rewritten without the dropped
+        entries.  Returns (refs, new segment names, entries dropped) — the
+        caller compares the drop count against its victim list to detect a
+        concurrent rewrite of the same files."""
+        victim_roots = {self._entry_root(p) for p in rel_paths}
+        out: list[dict] = []
+        new_names: list[str] = []
+        dropped = 0
+        for ref in refs:
+            roots = ref.get("roots")
+            if roots is not None and not (set(roots) & victim_roots):
+                out.append(ref)
+                continue
+            entries = self._load_segment(schema, table, ref["path"])
+            keep = [e for e in entries if e["path"] not in rel_paths]
+            n_drop = len(entries) - len(keep)
+            if n_drop == 0:
+                out.append(ref)
+                continue
+            dropped += n_drop
+            if keep:
+                nref = self._write_segment(schema, table, keep)
+                out.append(nref)
+                new_names.append(nref["path"])
+        return out, new_names, dropped
+
     def _maybe_merge_segments(
         self, schema: str, table: str, refs: list[dict]
     ) -> tuple[list[dict], list[str]]:
@@ -1080,6 +1217,7 @@ class ParquetWarehouse:
         file_paths: list[str] | None = None,
         add_files: list[str] | None = None,
         drop_prefix: str | None = None,
+        drop_files: list[str] | None = None,
         expected_parent: int | None = None,
     ) -> dict:
         """Record a snapshot v{N} — a small HEAD file listing immutable
@@ -1108,11 +1246,14 @@ class ParquetWarehouse:
         re-reads the new head and retries — Iceberg's optimistic-commit
         loop.  The new segment is composed ONCE outside the retry loop
         (its content doesn't depend on the version number); only
-        parent-derived segments (drop_prefix rewrites, merges) are
-        recomputed per attempt, and a commit that aborts garbage-collects
-        every segment it wrote.  ``add_files`` commits are a DELTA — the
-        retry re-references the winner's segments and no writer's rows are
-        lost.  ``file_paths`` commits REPLACE the live set (optimize/
+        parent-derived segments (drop_prefix/drop_files rewrites, merges)
+        are recomputed per attempt, and a commit that aborts
+        garbage-collects every segment it wrote.  ``add_files`` commits
+        are a DELTA — the retry re-references the winner's segments and no
+        writer's rows are lost.  ``drop_files`` removes an explicit victim
+        set (a scoped rewrite): concurrent APPENDS retry-merge like any
+        delta, but if a concurrent commit already removed one of the
+        victims the commit RAISES — the rewrite's inputs changed under it.  ``file_paths`` commits REPLACE the live set (optimize/
         merge/rewrite) — those callers pass ``expected_parent`` (the head
         version their rewrite read from), and the commit RAISES on a
         concurrent commit instead of retrying: a blind replace-retry would
@@ -1132,8 +1273,11 @@ class ParquetWarehouse:
         snapshot)."""
         import pyarrow.parquet as pq
 
-        if file_paths is not None and add_files is not None:
-            raise ValueError("pass file_paths (replace) OR add_files (delta)")
+        is_delta = add_files is not None or drop_files is not None
+        if file_paths is not None and is_delta:
+            raise ValueError(
+                "pass file_paths (replace) OR add_files/drop_files (delta)"
+            )
         tdir = self._tdir(schema, table)
         snap_dir = self._snap_dir(schema, table)
         os.makedirs(snap_dir, exist_ok=True)
@@ -1178,10 +1322,12 @@ class ParquetWarehouse:
                     pass
 
         try:
-            if add_files is not None:
+            if is_delta:
                 # O(new): stat and serialize ONLY the added files, once —
                 # the segment is version-independent and survives retries
-                entries = [fresh_entry(p, {}) for p in sorted(set(add_files))]
+                entries = [
+                    fresh_entry(p, {}) for p in sorted(set(add_files or []))
+                ]
                 new_ref = (
                     self._write_segment(schema, table, entries) if entries else None
                 )
@@ -1222,7 +1368,7 @@ class ParquetWarehouse:
                         f"expected head v{expected_parent}, found "
                         f"v{version - 1} — redo the rewrite from the new head"
                     )
-                if add_files is not None:
+                if is_delta:
                     if head is not None:
                         refs = self._head_segment_refs(schema, table, head)
                         if "segments" not in head:
@@ -1241,6 +1387,28 @@ class ParquetWarehouse:
                         )
                         created.extend(names)
                         derived.extend(names)
+                    if drop_files is not None:
+                        rel_victims = {
+                            os.path.relpath(p, tdir) for p in drop_files
+                        }
+                        refs, names, dropped = self._apply_drop_paths(
+                            schema, table, refs, rel_victims
+                        )
+                        created.extend(names)
+                        derived.extend(names)
+                        if dropped != len(rel_victims):
+                            # a concurrent commit already replaced some of
+                            # this rewrite's victims — merging blindly would
+                            # erase its work (Iceberg conflicting-rewrite
+                            # validation, delta flavor)
+                            raise RuntimeError(
+                                f"concurrent commit conflict on "
+                                f"{schema}.{table}: "
+                                f"{len(rel_victims) - dropped} of "
+                                f"{len(rel_victims)} files this rewrite "
+                                "replaces are no longer in the head — redo "
+                                "from the new head"
+                            )
                     if new_ref is not None:
                         refs = refs + [new_ref]
                     refs, names = self._maybe_merge_segments(schema, table, refs)

@@ -945,6 +945,95 @@ def test_partition_summary_skips_whole_segments(spark, tmp_path, monkeypatch):
     assert ParquetWarehouse._partition_summary(entries) == {}
 
 
+def test_partition_scoped_optimize(spark, tmp_path):
+    """Iceberg rewrite_data_files(where): compaction scoped to hot
+    partitions rewrites ONLY files whose recorded partition values
+    intersect the filter — cold partitions' entries carry over verbatim,
+    rows are preserved, time travel to the pre-compaction head works, and
+    a concurrent removal of a victim raises instead of merging blindly."""
+    cfg = narrow_example_config()  # days(created_at)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "scopedopt"
+    wh.create_table(
+        cfg.schema, table, "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfg.partitioning,
+    )
+    # three generations over the SAME id span (created_at derives from id,
+    # so identical day coverage) -> every day is fragmented across 3 files
+    for i in range(3):
+        wh.append(
+            cfg.schema, table,
+            generate_df(wh.spark, cfg, 1, 150, seed=51, num_partitions=1),
+            batch_id=f"b{i}",
+        )
+    head = wh.head_snapshot(cfg.schema, table)
+    v_before = head["version"]
+    days = sorted({e["partitions"]["created_at_day"] for e in head["files"]})
+    target = days[0]
+    victims_before = [
+        e["path"] for e in head["files"]
+        if e["partitions"]["created_at_day"] == target
+    ]
+    cold_before = {
+        e["path"]: e for e in head["files"]
+        if e["partitions"]["created_at_day"] != target
+    }
+    assert len(victims_before) == 3  # fragmented across the generations
+    rows_total = wh.read(cfg.schema, table).count()
+    rows_target = (
+        wh.read(cfg.schema, table)
+        .filter(F.col("created_at_day") == target)
+        .count()
+    )
+
+    n_new = wh.optimize(
+        cfg.schema, table,
+        partition_filter={"created_at_day": (target, target)},
+    )
+    assert n_new == 1  # 3 fragments -> 1 compacted file
+    head2 = wh.head_snapshot(cfg.schema, table)
+    assert head2["operation"] == "optimize"
+    paths2 = {e["path"]: e for e in head2["files"]}
+    assert not (set(victims_before) & set(paths2))  # victims replaced
+    for p, e in cold_before.items():  # cold partitions untouched, verbatim
+        assert paths2[p] == e
+    new_target_files = [
+        p for p, e in paths2.items()
+        if e["partitions"]["created_at_day"] == target
+    ]
+    assert len(new_target_files) == 1 and "/compact_" in new_target_files[0]
+    # rows preserved, globally and in the compacted partition
+    assert wh.read(cfg.schema, table).count() == rows_total
+    assert (
+        wh.read(cfg.schema, table)
+        .filter(F.col("created_at_day") == target)
+        .count()
+        == rows_target
+    )
+    # time travel to the pre-compaction head still sees the old layout
+    assert wh.read_snapshot(cfg.schema, table, v_before).count() == rows_total
+    # no-op scope: a range matching nothing rewrites nothing
+    assert wh.optimize(
+        cfg.schema, table,
+        partition_filter={"created_at_day": ("2099-01-01", "2099-01-02")},
+    ) == 0
+    # conflicting rewrite: dropping an already-replaced victim raises
+    import os as _os
+
+    with pytest.raises(RuntimeError, match="no longer in the head"):
+        wh.commit_snapshot(
+            cfg.schema, table, "optimize",
+            drop_files=[_os.path.join(wh._tdir(cfg.schema, table), victims_before[0])],
+        )
+    # dir-mode tables have no manifest to scope from
+    wh.create_table(cfg.schema, "plaindir", "zstd", 1, partitioning=cfg.partitioning)
+    with pytest.raises(ValueError, match="log-mode"):
+        wh.optimize(
+            cfg.schema, "plaindir",
+            partition_filter={"created_at_day": (target, target)},
+        )
+
+
 def test_legacy_inline_files_head_migrates(spark, tmp_path):
     """A pre-segment head (inline ``files`` list, the r4/r5 on-disk format)
     still reads, prunes, and time-travels; the NEXT commit converts it into
