@@ -166,12 +166,32 @@ def stream_into_warehouse(
     schema: str,
     table: str,
     checkpoint_dir: str,
+    maintenance_every: int | None = None,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    expire_keep_last: int | None = None,
 ) -> None:
     """Streaming sink into a warehouse table via foreachBatch: each
     micro-batch appends as its own batch directory (committer-isolated,
     exactly-once per epoch via the streaming checkpoint + idempotent batch
     ids).  This is the ingest path: stream -> table, then every batch
-    operator in operators/ runs over the table."""
+    operator in operators/ runs over the table.
+
+    ``maintenance_every=N`` (log-mode tables) co-locates Iceberg's table
+    maintenance with the ingest: every N epochs, compact the PARTITIONS
+    TOUCHED since the last tick (``optimize(partition_filter=...)`` — the
+    scoped rewrite, so cold partitions are never rewritten) and, when
+    ``expire_keep_last`` is set, expire old snapshots.  At 100 TB a
+    streaming table fragments exactly as fast as it ingests; running the
+    compactor on the ingest cadence keeps file counts bounded without a
+    separate scheduler.  Touched-partition tracking costs one tiny
+    distinct-collect per micro-batch (bounded by partitions/batch).
+    Crash-safety: maintenance runs after the epoch's append commit; a
+    crash mid-maintenance replays the epoch (idempotent) and simply
+    re-compacts."""
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        apply_partition_transforms,
+        partition_transform_exprs,
+    )
 
     meta = warehouse.table_meta(schema, table)
     if meta.partitioning and not warehouse._log_mode(meta):
@@ -186,9 +206,43 @@ def stream_into_warehouse(
             "parquet table is not supported; use snapshots=true (log mode), "
             "an unpartitioned table, or Iceberg"
         )
+    if maintenance_every is not None and not warehouse._log_mode(meta):
+        raise ValueError(
+            "maintenance_every requires a log-mode (snapshots=true) table — "
+            "compaction and expiry are snapshot operations"
+        )
+    part_names = [
+        n for n, _ in partition_transform_exprs(meta.partitioning or [])
+    ]
+    state: dict = {"since_tick": 0, "touched": {n: set() for n in part_names}}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         warehouse.append(schema, table, batch_df, batch_id=f"epoch_{epoch_id:08d}")
+        if not maintenance_every:
+            return
+        if part_names:
+            pb, _ = apply_partition_transforms(batch_df, meta.partitioning)
+            for r in pb.select(*part_names).distinct().collect():
+                for n in part_names:
+                    if r[n] is not None:
+                        state["touched"][n].add(r[n])
+        state["since_tick"] += 1
+        if state["since_tick"] < maintenance_every:
+            return
+        scope = {
+            n: (min(vs), max(vs)) for n, vs in state["touched"].items() if vs
+        }
+        if part_names and scope:
+            warehouse.optimize(
+                schema, table, target_file_size_bytes, partition_filter=scope
+            )
+        elif not part_names:
+            warehouse.optimize(schema, table, target_file_size_bytes)
+        if expire_keep_last is not None:
+            warehouse.expire_snapshots(schema, table, keep_last=expire_keep_last)
+        state["since_tick"] = 0
+        for vs in state["touched"].values():
+            vs.clear()
 
     q = (
         events.writeStream.foreachBatch(_sink)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hands_on_iceberg_compression_spark.schema.reference_schemas import (
@@ -70,6 +71,63 @@ def test_stream_into_warehouse(spark, tmp_path):
     stream2 = read_events_stream(spark, SF_SMALL)
     stream_into_warehouse(stream2, wh, cfg.schema, "events_ingest", str(tmp_path / "ckpt"))
     assert wh.read(cfg.schema, "events_ingest").count() == want.count()
+
+
+def test_streaming_ingest_with_maintenance_policy(spark, tmp_path):
+    """Ingest-co-located table maintenance: every N epochs the sink
+    compacts the partitions touched since the last tick (scoped rewrite)
+    and expires old snapshots — file counts stay bounded at streaming
+    cadence, rows and partition values stay intact."""
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_into_warehouse,
+    )
+
+    cfg = narrow_example_config()  # days(created_at)
+    src = generate_df(spark, cfg, 1, 200, seed=61, num_partitions=1)
+    src_dir = str(tmp_path / "src")
+    src.repartition(4).write.parquet(src_dir)  # 4 files -> 4 epochs
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        cfg.schema, "maint", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=cfg.partitioning,
+    )
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_into_warehouse(
+        stream, wh, cfg.schema, "maint", str(tmp_path / "ckpt"),
+        maintenance_every=2, expire_keep_last=3,
+    )
+    got = wh.read(cfg.schema, "maint")
+    assert got.count() == 200
+    assert {r.id for r in got.select("id").collect()} == set(range(1, 201))
+    ops = [h["operation"] for h in wh.history(cfg.schema, "maint")]
+    assert "optimize" in ops  # maintenance ticked
+    assert len(ops) <= 3  # expiry kept the log bounded
+    # fragmentation bounded: every day landed in >=2 epochs but was
+    # compacted — fewer files than epoch-appends would have left behind
+    head = wh.head_snapshot(cfg.schema, "maint")
+    per_day: dict[str, int] = {}
+    for e in head["files"]:
+        d = e["partitions"]["created_at_day"]
+        per_day[d] = per_day.get(d, 0) + 1
+    assert max(per_day.values()) <= 2
+    # maintenance on a dir-mode table is refused
+    wh.create_table(cfg.schema, "maintdir", "zstd", 1)
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with pytest.raises(ValueError, match="log-mode"):
+        stream_into_warehouse(
+            stream2, wh, cfg.schema, "maintdir", str(tmp_path / "ckpt2"),
+            maintenance_every=2,
+        )
 
 
 def test_alter_properties_and_show_create(spark, tmp_path):
