@@ -245,7 +245,9 @@ def percol_ab_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
-def commit_latency_probe(n_commits: int, workdir: str) -> None:
+def commit_latency_probe(
+    n_commits: int, workdir: str, maintain_every: int | None = None
+) -> None:
     """Commit-cost curve at streaming ingest rates (VERDICT r5 #6): drive a
     partitioned log-mode table to ``n_commits`` single-file generations —
     the foreachBatch micro-batch shape, including each append's
@@ -280,6 +282,7 @@ def commit_latency_probe(n_commits: int, workdir: str) -> None:
     lat: list[float] = []
     bytes_at: dict[int, int] = {0: 0}
     windows: list[dict] = []
+    maintain_s = 0.0
     for i in range(n_commits):
         d = os.path.join(
             tdir, "data", f"b{i:05d}", "g_p", f"ts_day={days[i % len(days)]}"
@@ -293,6 +296,15 @@ def commit_latency_probe(n_commits: int, workdir: str) -> None:
             drop_prefix=os.path.join(tdir, "data", f"b{i:05d}") + os.sep,
         )
         lat.append(time.perf_counter() - t0)
+        if maintain_every and (i + 1) % maintain_every == 0:
+            # the ingest-cadence maintenance shape: scoped compaction of
+            # the touched day range (here: all cycled days)
+            t0 = time.perf_counter()
+            wh.optimize(
+                "lab", "ingest", 128 * 1024 * 1024,
+                partition_filter={"ts_day": (days[0], days[-1])},
+            )
+            maintain_s += time.perf_counter() - t0
         v = i + 1
         if v in milestones:
             bytes_at[v] = snap_bytes()
@@ -314,6 +326,7 @@ def commit_latency_probe(n_commits: int, workdir: str) -> None:
                     (bytes_at[v] - bytes_at[prev]) / (v - prev)
                 ),
                 "head_refs": len(head["segments"]),
+                "live_files": len(head["files"]),
                 "head_read_ms": round(head_ms, 2),
                 "full_read_sec": round(read_s, 2),
             })
@@ -327,6 +340,8 @@ def commit_latency_probe(n_commits: int, workdir: str) -> None:
     print(json.dumps({
         "probe": "commit_latency",
         "n_commits": n_commits,
+        "maintain_every": maintain_every,
+        "maintain_total_sec": round(maintain_s, 2) if maintain_every else None,
         "windows": windows,
         "total_manifest_bytes": snap_bytes(),
         "expired": expired,
@@ -349,8 +364,12 @@ def main() -> None:
     workdir = args[1] if len(args) > 1 else "/tmp/throughput_probe"
     _auto_driver_mem(n_rows)
     if "--commit-latency" in sys.argv:
-        # positional arg means COMMITS here, not rows; tiny default
-        commit_latency_probe(n_rows if args else 1000, workdir)
+        # positional arg means COMMITS here, not rows; tiny default;
+        # --maintain adds the ingest-cadence scoped compaction every 100
+        commit_latency_probe(
+            n_rows if args else 1000, workdir,
+            maintain_every=100 if "--maintain" in sys.argv else None,
+        )
         return
     if "--prune" in sys.argv:
         prune_probe(n_rows, workdir)
