@@ -58,6 +58,39 @@ def _cmd_plot(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_log_report(args: argparse.Namespace) -> int:
+    """Metadata-layer metrology for a snapshot-log table (VERDICT r5 #7) —
+    manifest cost (head vs segment bytes) and optional prune
+    effectiveness, rendered in the same console-table posture as the
+    codec bench's size report."""
+    from hands_on_iceberg_compression_spark.pipeline.metrology import (
+        log_console_table,
+        measure_log_table,
+    )
+    from hands_on_iceberg_compression_spark.session import make_session
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    ranges = None
+    if args.prune:
+        col, lo, hi = args.prune.split(":", 2)
+
+        def conv(x: str):
+            if x == "":
+                return None
+            try:
+                return int(x)
+            except ValueError:
+                return x
+
+        ranges = {col: (conv(lo), conv(hi))}
+    spark = make_session(app_name="log-report")
+    wh = ParquetWarehouse(spark, args.warehouse)
+    row = measure_log_table(wh, args.schema_name, args.table, prune_ranges=ranges)
+    print(log_console_table([row]))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hands_on_iceberg_compression_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -81,6 +114,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--csv", default="results_sizes.csv")
     p.add_argument("--assets", default="assets")
     p.set_defaults(fn=_cmd_plot)
+
+    lr = sub.add_parser(
+        "log-report", help="manifest-cost + prune metrology for a log table"
+    )
+    lr.add_argument("--warehouse", default="warehouse")
+    lr.add_argument("--schema", dest="schema_name", required=True)
+    lr.add_argument("--table", required=True)
+    lr.add_argument(
+        "--prune",
+        default=None,
+        help="col:lo:hi range to report planning-time skip for "
+        "(empty endpoint = open; ints auto-coerced)",
+    )
+    lr.set_defaults(fn=_cmd_log_report)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -522,6 +522,27 @@ def test_log_table_metrology_report(spark, tmp_path):
     assert "prune skip" in out and "50.0%" in out and table in out
 
 
+def test_cli_log_report(spark, tmp_path, capsys):
+    """`python -m ... log-report` renders the metadata metrology table."""
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+    from hands_on_iceberg_compression_spark.functions.generators import generate_df
+
+    cfg = narrow_example_config()
+    cfg.partitioning = []
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(cfg.schema, "clilog", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(cfg.schema, "clilog", generate_df(spark, cfg, 1, 300, seed=67, num_partitions=1), batch_id="b1")
+    wh.append(cfg.schema, "clilog", generate_df(spark, cfg, 301, 200, seed=67, num_partitions=1), batch_id="b2")
+    rc = cli_main([
+        "log-report", "--warehouse", str(tmp_path / "wh"),
+        "--schema", cfg.schema, "--table", "clilog",
+        "--prune", "id:1:100",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "prune skip" in out and "clilog" in out and "50.0%" in out
+
+
 def test_log_mode_lifecycle(spark, tmp_path):
     """snapshots=true tables are manifest-driven: appends auto-commit,
     compaction and merge add generations WITHOUT destroying time travel,
