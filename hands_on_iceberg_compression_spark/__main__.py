@@ -83,11 +83,18 @@ def _cmd_log_report(args: argparse.Namespace) -> int:
                 return x
 
         ranges = {col: (conv(lo), conv(hi))}
+    from pyspark.sql import SparkSession
+
+    # make_session is getOrCreate: only stop a session THIS command
+    # created — stopping a pre-existing one (in-process callers, tests)
+    # would kill the caller's SparkContext
+    owns_session = SparkSession.getActiveSession() is None
     spark = make_session(app_name="log-report")
     wh = ParquetWarehouse(spark, args.warehouse)
     row = measure_log_table(wh, args.schema_name, args.table, prune_ranges=ranges)
     print(log_console_table([row]))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

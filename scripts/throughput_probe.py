@@ -264,6 +264,9 @@ def commit_latency_probe(
 
     shutil.rmtree(workdir, ignore_errors=True)
     spark = make_session(app_name="commit-latency")
+    # JVM/session warmup so the first milestone's full_read_sec measures
+    # the read, not Spark startup (same posture as bench.py)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
     wh.create_table(
         "lab", "ingest", "zstd", 1,
