@@ -1416,10 +1416,15 @@ class ParquetWarehouse:
                     derived.extend(names)
                 else:
                     refs = [full_ref]
+                import time as _time
+
                 manifest = {
                     "version": version,
                     "parent": head["version"] if head else None,
                     "operation": operation,
+                    # commit wall time — Iceberg's committed_at, feeding
+                    # age-based expiry and $history
+                    "ts": round(_time.time(), 3),
                     "segments": refs,
                     "total_rows": sum(r["rows"] for r in refs),
                     "total_bytes": sum(r["bytes"] for r in refs),
@@ -1586,6 +1591,7 @@ class ParquetWarehouse:
                     "version": h["version"],
                     "parent": h.get("parent"),
                     "operation": h.get("operation"),
+                    "ts": h.get("ts"),  # committed_at (None on legacy heads)
                     "total_rows": h.get("total_rows"),
                     "total_bytes": h.get("total_bytes"),
                     "segments": len(h["segments"])
@@ -1619,11 +1625,14 @@ class ParquetWarehouse:
             merged = self._write_segment(
                 schema, table, [by_path[p] for p in sorted(by_path)]
             )
+            import time as _time
+
             version = head["version"] + 1
             manifest = {
                 "version": version,
                 "parent": head["version"],
                 "operation": "rewrite_manifests",
+                "ts": round(_time.time(), 3),
                 "segments": [merged],
                 "total_rows": merged["rows"],
                 "total_bytes": merged["bytes"],
@@ -1674,13 +1683,26 @@ class ParquetWarehouse:
             return self.read(schema, table).limit(0)
         return self._read_file_list(self.table_meta(schema, table), paths)
 
-    def expire_snapshots(self, schema: str, table: str, keep_last: int = 1) -> int:
-        """Drop all but the newest ``keep_last`` manifests; returns removed
-        count.  Log-mode tables require ``keep_last >= 1`` — expiring every
-        manifest would also GC every data file (manifest-driven reads would
-        then see an empty, unrecoverable table).  Dir-mode tables share
-        files with the live directory listing, so expiry only removes
-        manifests there and keep_last=0 is allowed."""
+    def expire_snapshots(
+        self,
+        schema: str,
+        table: str,
+        keep_last: int = 1,
+        older_than_s: float | None = None,
+    ) -> int:
+        """Drop old manifests; returns removed count.  Without
+        ``older_than_s``, all but the newest ``keep_last`` expire; with it,
+        only candidates COMMITTED more than that many seconds ago expire
+        (Iceberg's ``expire_snapshots(older_than)`` — the newest
+        ``keep_last`` are always retained regardless of age, and legacy
+        heads without a recorded commit time are conservatively kept).
+        Log-mode tables require ``keep_last >= 1`` — expiring every
+        manifest would also GC every data file (manifest-driven reads
+        would then see an empty, unrecoverable table).  Dir-mode tables
+        share files with the live directory listing, so expiry only
+        removes manifests there and keep_last=0 is allowed."""
+        import time
+
         if keep_last < 1 and self._log_mode(self.table_meta(schema, table)):
             raise ValueError(
                 "expire_snapshots(keep_last=0) on a log-mode table would "
@@ -1690,6 +1712,11 @@ class ParquetWarehouse:
             )
         snaps = self.snapshots(schema, table)
         victims = snaps[:-keep_last] if keep_last > 0 else snaps
+        if older_than_s is not None:
+            cutoff = time.time() - older_than_s
+            victims = [
+                m for m in victims if m.get("ts") is not None and m["ts"] < cutoff
+            ]
         for m in victims:
             os.remove(
                 os.path.join(

@@ -1034,6 +1034,57 @@ def test_partition_scoped_optimize(spark, tmp_path):
         )
 
 
+def test_age_based_snapshot_expiry(spark, tmp_path):
+    """Iceberg expire_snapshots(older_than): only candidates committed
+    before the cutoff expire, the newest keep_last survive regardless of
+    age, heads without a commit time are conservatively kept, and the
+    expiry may leave a non-contiguous history that still reads and
+    time-travels."""
+    import json as _json
+    import os
+    import time
+
+    cfg = narrow_example_config()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    table = "aged"
+    wh.create_table(cfg.schema, table, "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir(cfg.schema, table)
+    for i in range(5):
+        wh.commit_snapshot(
+            cfg.schema, table, "append", add_files=[_tiny_parquet(tdir, f"b{i}", i)]
+        )
+    hist = wh.history(cfg.schema, table)
+    assert all(h["ts"] is not None for h in hist)
+    snap_dir = wh._snap_dir(cfg.schema, table)
+
+    def set_ts(version, ts):
+        p = os.path.join(snap_dir, f"v{version:06d}.json")
+        with open(p) as f:
+            h = _json.load(f)
+        if ts is None:
+            h.pop("ts", None)
+        else:
+            h["ts"] = ts
+        with open(p, "w") as f:
+            _json.dump(h, f)
+
+    old = time.time() - 7200
+    set_ts(1, old)
+    set_ts(2, old)
+    set_ts(3, None)  # legacy head: no commit time -> conservatively kept
+    # v4 recent, v5 head
+    removed = wh.expire_snapshots(cfg.schema, table, keep_last=1, older_than_s=3600)
+    assert removed == 2  # v1, v2 only
+    assert wh._snapshot_versions(cfg.schema, table) == [3, 4, 5]
+    assert wh.read(cfg.schema, table).count() == 5
+    assert wh.read_snapshot(cfg.schema, table, 4).count() == 4
+    # keep_last floor: even ancient heads survive inside it
+    set_ts(5, old)
+    removed = wh.expire_snapshots(cfg.schema, table, keep_last=1, older_than_s=3600)
+    assert removed == 0  # v3 has no ts, v4 recent, v5 is the kept head
+    assert wh._snapshot_versions(cfg.schema, table) == [3, 4, 5]
+
+
 def test_legacy_inline_files_head_migrates(spark, tmp_path):
     """A pre-segment head (inline ``files`` list, the r4/r5 on-disk format)
     still reads, prunes, and time-travels; the NEXT commit converts it into
