@@ -1683,6 +1683,31 @@ class ParquetWarehouse:
             return self.read(schema, table).limit(0)
         return self._read_file_list(self.table_meta(schema, table), paths)
 
+    def read_snapshot_as_of(self, schema: str, table: str, ts) -> DataFrame:
+        """``FOR TIMESTAMP AS OF`` time travel (Iceberg SQL parity): read
+        the newest snapshot whose commit time is <= ``ts`` (a unix-seconds
+        float or a datetime; naive datetimes are treated as UTC, matching
+        the repo's session pin).  Head-light scan — one small parse per
+        version, no entries; legacy heads without a recorded commit time
+        are skipped.  Raises if no snapshot is old enough."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        best: int | None = None
+        for v in self._snapshot_versions(schema, table):
+            t = self._load_head_light(schema, table, v).get("ts")
+            if t is not None and t <= ts:
+                best = v if best is None or v > best else best
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {schema}.{table} committed at or before "
+                f"timestamp {ts}"
+            )
+        return self.read_snapshot(schema, table, best)
+
     def expire_snapshots(
         self,
         schema: str,
