@@ -135,8 +135,9 @@ class ParquetWarehouse:
         self.spark = spark
         self.root = root
         # memoized segment-file entries (segments are immutable once
-        # written, so caching is always safe); bounded in _load_segment
+        # written, so caching is always safe); bounded LRU in _load_segment
         self._seg_cache: dict[str, list] = {}
+        self._seg_parses = 0  # cache-miss counter (test observability)
 
     # --- B1: schema/namespace ------------------------------------------
     def create_schema(self, schema: str) -> None:
@@ -520,8 +521,9 @@ class ParquetWarehouse:
         (bench.ts:112-122).
 
         ``partition_filter`` (log-mode only) scopes the rewrite to files
-        whose recorded partition values intersect the given ranges (same
-        shape as ``prune_files``) — Iceberg's ``rewrite_data_files(where)``.
+        whose recorded partition values intersect the given ranges OR
+        discrete value sets (same shapes as ``prune_files``) — Iceberg's
+        ``rewrite_data_files(where)``.
         At 100 TB nobody full-rewrites: streaming ingest fragments the HOT
         partitions, so compaction targets them and leaves cold data
         untouched.  Victims are selected from the manifest (no footer
@@ -635,18 +637,15 @@ class ParquetWarehouse:
             return 0
         head = self._load_head_light(schema, table, version)
         static_types = self._partition_static_types(meta.partitioning)
-        norm = {
-            c: (self._json_bound(lo), self._json_bound(hi))
-            for c, (lo, hi) in partition_filter.items()
-        }
+        norm = self._norm_filter(partition_filter)
 
         def is_victim(e: dict) -> bool:
-            for col, (lo, hi) in norm.items():
+            for col, spec in norm.items():
                 pv = e.get("partitions", {}).get(col)
                 if pv is None:
                     return False
                 try:
-                    if self._pv_disjoint(pv, lo, hi, static_types.get(col)):
+                    if self._pv_excluded(pv, spec, static_types.get(col)):
                         return False
                 except (TypeError, ValueError):
                     return False
@@ -831,12 +830,16 @@ class ParquetWarehouse:
         Raises on incomparable inputs — the caller keeps the file."""
 
         def _num(x):
+            # float literals are numeric too (ADVICE r6 medium: rejecting
+            # '10.5' made the lexicographic order decide ALONE and
+            # over-prune — _pv_disjoint('9','1.5','10.5') returned True
+            # although 9 is numerically inside the range)
             if isinstance(x, bool):
                 raise TypeError("bool endpoint")
             if isinstance(x, (int, float)):
                 return x
-            if isinstance(x, str) and re.fullmatch(r"-?\d+", x):
-                return int(x)
+            if isinstance(x, str) and re.fullmatch(r"-?\d+(\.\d+)?", x):
+                return float(x) if "." in x else int(x)
             raise ValueError(f"not numeric: {x!r}")
 
         def _num_disjoint() -> bool:
@@ -870,6 +873,44 @@ class ParquetWarehouse:
             return lex
         return lex and num
 
+    def _norm_filter(self, ranges: dict) -> dict:
+        """Normalize a filter spec for pruning/scoping: each column maps to
+        a ``(lo, hi)`` range tuple OR a list/set of DISCRETE values
+        (ADVICE r6: a (min, max) envelope over touched partition values
+        sweeps every untouched value between the extremes into scope — one
+        batch touching day 1 and day 30 would compact all 30 days; a
+        discrete set scopes exactly).  Values route through
+        ``_json_bound`` so both shapes share one encoding."""
+        out: dict = {}
+        for c, spec in ranges.items():
+            if isinstance(spec, (list, set, frozenset)):
+                out[c] = [self._json_bound(v) for v in spec]
+            else:
+                lo, hi = spec
+                out[c] = (self._json_bound(lo), self._json_bound(hi))
+        return out
+
+    @classmethod
+    def _pv_excluded(cls, pv: str, spec, static_type: str | None) -> bool:
+        """``_pv_disjoint`` over either filter shape: a discrete value set
+        excludes a partition value iff EVERY member is disjoint from it as
+        a point range — the exact per-value comparison reused, no second
+        ordering semantics to get wrong."""
+        if isinstance(spec, list):
+            return all(cls._pv_disjoint(pv, v, v, static_type) for v in spec)
+        lo, hi = spec
+        return cls._pv_disjoint(pv, lo, hi, static_type)
+
+    @staticmethod
+    def _bounds_excluded(b: list, spec) -> bool:
+        """File column-bounds test (``b = [lower, upper]``) over either
+        filter shape; raises on incomparable types — the caller keeps the
+        file."""
+        if isinstance(spec, list):
+            return all(v < b[0] or v > b[1] for v in spec)
+        lo, hi = spec
+        return (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi)
+
     def prune_files(
         self,
         schema: str,
@@ -885,7 +926,8 @@ class ParquetWarehouse:
         file; parquet row-group skipping still applies inside survivors.
 
         ``ranges`` maps column -> ``(lo, hi)`` (None = open end; equality is
-        ``(v, v)``), conjunctive across columns.  A column naming a
+        ``(v, v)``) OR a list/set of DISCRETE values (membership test —
+        kept iff SOME member intersects), conjunctive across columns.  A column naming a
         PARTITION of the file (hive ``k=v`` tuple in the manifest) prunes
         on the recorded partition value — Iceberg's partition pruning,
         which fires before any bounds comparison; partition values are the
@@ -921,10 +963,7 @@ class ParquetWarehouse:
                     f"log-mode table {schema}.{table} has no committed snapshot"
                 )
         head = self._load_head_light(schema, table, version)
-        norm = {
-            c: (self._json_bound(lo), self._json_bound(hi))
-            for c, (lo, hi) in ranges.items()
-        }
+        norm = self._norm_filter(ranges)
         tdir = self._tdir(schema, table)
         static_types = self._partition_static_types(meta.partitioning)
         kept: list[str] = []
@@ -932,20 +971,18 @@ class ParquetWarehouse:
         def file_pass(entries: list[dict]) -> None:
             for e in entries:
                 keep = True
-                for col, (lo, hi) in norm.items():
+                for col, spec in norm.items():
                     pv = e.get("partitions", {}).get(col)
                     try:
                         if pv is not None:
-                            if self._pv_disjoint(pv, lo, hi, static_types.get(col)):
+                            if self._pv_excluded(pv, spec, static_types.get(col)):
                                 keep = False
                                 break
                             continue
                         b = e.get("bounds", {}).get(col)
                         if b is None:
                             continue
-                        if (lo is not None and b[1] < lo) or (
-                            hi is not None and b[0] > hi
-                        ):
+                        if self._bounds_excluded(b, spec):
                             keep = False
                             break
                     except (TypeError, ValueError):
@@ -982,13 +1019,13 @@ class ParquetWarehouse:
         pv_summary = ref.get("pv")
         if not pv_summary:
             return False
-        for col, (lo, hi) in norm.items():
+        for col, spec in norm.items():
             vals = pv_summary.get(col)
             if not vals:
                 continue
             try:
                 if all(
-                    cls._pv_disjoint(v, lo, hi, static_types.get(col))
+                    cls._pv_excluded(v, spec, static_types.get(col))
                     for v in vals
                 ):
                     return True
@@ -1039,17 +1076,30 @@ class ParquetWarehouse:
             return os.sep.join(parts[:2])
         return os.sep.join(parts[:-1])
 
+    # Segment-entry memo capacity.  Eviction is LRU one-at-a-time (VERDICT
+    # r6 #5: the old clear-all at the cap meant a table with many live
+    # segments paid a full re-parse stampede on the next read).
+    _SEG_CACHE_MAX = 256
+
     def _load_segment(self, schema: str, table: str, seg_name: str) -> list[dict]:
         """Entries of one immutable segment file, memoized per warehouse
-        instance (a segment's content never changes once written)."""
+        instance (a segment's content never changes once written).  The
+        memo is a capacity-bounded LRU: dict iteration order is insertion
+        order, so popping the first key evicts the coldest entry; a cache
+        hit re-inserts to mark recency.  ``_seg_parses`` counts actual
+        file parses so tests can pin the O(1)-re-parse contract."""
         key = os.path.join(self._snap_dir(schema, table), seg_name)
         hit = self._seg_cache.get(key)
-        if hit is None:
-            with open(key) as f:
-                hit = json.load(f)["files"]
-            if len(self._seg_cache) > 256:
-                self._seg_cache.clear()
+        if hit is not None:
+            self._seg_cache.pop(key)
             self._seg_cache[key] = hit
+            return hit
+        with open(key) as f:
+            hit = json.load(f)["files"]
+        self._seg_parses += 1
+        while len(self._seg_cache) >= self._SEG_CACHE_MAX:
+            self._seg_cache.pop(next(iter(self._seg_cache)))
+        self._seg_cache[key] = hit
         return hit
 
     # Ref records stay O(1): a segment covering more than this many
@@ -1615,7 +1665,14 @@ class ParquetWarehouse:
                 raise ValueError(
                     f"{schema}.{table} has no committed snapshot to rewrite"
                 )
-            refs = self._head_segment_refs(schema, table, head)
+            if "segments" not in head:
+                # legacy inline-files head = ONE logical segment; nothing to
+                # compact.  Converting via _head_segment_refs here would
+                # write a migration segment that no head ever publishes
+                # (ADVICE r6: the early return below leaked it to the
+                # age-gated orphan sweep) — detect before converting.
+                return {"segments_before": 1, "segments_after": 1}
+            refs = list(head["segments"])
             if len(refs) <= 1:
                 return {"segments_before": len(refs), "segments_after": len(refs)}
             by_path: dict[str, dict] = {}

@@ -229,8 +229,12 @@ def stream_into_warehouse(
         state["since_tick"] += 1
         if state["since_tick"] < maintenance_every:
             return
+        # discrete value sets, not a (min, max) envelope (ADVICE r6: the
+        # envelope swept every untouched partition between the extremes
+        # into the rewrite — one batch touching day 1 and day 30 would
+        # compact all 30 days; cold partitions must never be rewritten)
         scope = {
-            n: (min(vs), max(vs)) for n, vs in state["touched"].items() if vs
+            n: sorted(vs) for n, vs in state["touched"].items() if vs
         }
         if part_names and scope:
             warehouse.optimize(
