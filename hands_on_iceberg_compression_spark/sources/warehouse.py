@@ -697,6 +697,121 @@ class ParquetWarehouse:
         )
         return len(new)
 
+    # --- row-level DELETE (VERDICT r6 #3) --------------------------------
+    def delete_where(
+        self,
+        schema: str,
+        table: str,
+        condition: str,
+        ranges: dict | None = None,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Row-level DELETE — Iceberg ``DELETE FROM ... WHERE`` parity,
+        copy-on-write flavor: rewrite ONLY the files that may hold matching
+        rows, drop the originals, and commit the swap as a DELTA
+        (add + drop_files).  Untouched files are never opened, statted, or
+        moved (their manifest entries carry over verbatim), and earlier
+        snapshots keep time-traveling to the pre-delete data until
+        ``expire_snapshots`` garbage-collects.  Completes the DML triad
+        next to ``merge_upsert`` and partition-scoped ``optimize``.
+
+        ``condition`` is a SQL boolean expression over the table's columns;
+        rows where it evaluates TRUE are deleted (SQL semantics: NULL
+        keeps the row).  ``ranges`` (same shapes as ``prune_files``:
+        column -> (lo, hi) range or discrete value set) selects victim
+        files from the manifest's partition values and column bounds
+        WITHOUT opening a footer; at 100 TB this is the difference between
+        rewriting one day's partition and rewriting the table.  The caller
+        owns coverage: ``ranges`` must be implied by ``condition`` (every
+        file that could match must intersect), the same contract
+        ``read_pruned`` documents.  Omitted, every live file is a
+        candidate — still correct, full rewrite cost.
+
+        Concurrency (Iceberg optimistic-commit semantics, as in scoped
+        optimize): concurrent APPENDS retry-merge — their rows are not
+        subject to this delete (snapshot isolation, the delete evaluated
+        against the head it read); a concurrent rewrite of a victim file
+        RAISES instead of merging blindly (conflicting-rewrite
+        validation)."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "delete_where requires a log-mode (snapshots=true) table — "
+                "copy-on-write deletes are snapshot commits"
+            )
+        import pyarrow.parquet as pq
+
+        version = self._latest_version(schema, table)
+        if version is None:
+            return {"files_rewritten": 0, "files_kept": 0, "rows_deleted": 0}
+        head = self._load_snapshot(schema, table, version)
+        tdir = self._tdir(schema, table)
+        entries_by_path = {e["path"]: e for e in head["files"]}
+        if ranges is not None:
+            kept_abs, _total = self.prune_files(
+                schema, table, ranges, version=version
+            )
+            victim_rel = [os.path.relpath(p, tdir) for p in kept_abs]
+        else:
+            victim_rel = sorted(entries_by_path)
+        victims = [entries_by_path[p] for p in victim_rel]
+        n_cold = len(entries_by_path) - len(victims)
+        if not victims:
+            return {
+                "files_rewritten": 0,
+                "files_kept": n_cold,
+                "rows_deleted": 0,
+                "version": version,
+            }
+        victim_paths = [os.path.join(tdir, p) for p in victim_rel]
+        rows_before = sum(e["rows"] for e in victims)
+        total_bytes = sum(e["bytes"] for e in victims)
+        n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
+        cond = F.expr(condition)
+        # NULL predicate keeps the row: survivors are NOT(cond IS TRUE)
+        df = self._read_file_list(meta, victim_paths).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        data_dir = self._live_data_dir(schema, table)
+        gen_dir = os.path.join(data_dir, f"delete_{uuid.uuid4().hex[:8]}")
+        if meta.sort_order:
+            sort_cols = [F.col(c) for c in meta.sort_order]
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            writer = df.write.mode("error")
+        else:
+            writer = df.coalesce(n_files).write.mode("error")
+        if meta.partitioning:
+            part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
+            writer = writer.partitionBy(*part_names)
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(gen_dir)
+        new, rows_after = [], 0
+        for base, _d, fns in os.walk(gen_dir):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(base, fn)
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n == 0:
+                    os.unlink(p)  # a fully-emptied unpartitioned rewrite
+                    continue
+                new.append(p)
+                rows_after += n
+        manifest = self.commit_snapshot(
+            schema, table, "delete", add_files=sorted(new),
+            drop_files=victim_paths,
+        )
+        return {
+            "files_rewritten": len(victims),
+            "files_kept": n_cold,
+            "files_added": len(new),
+            "rows_deleted": rows_before - rows_after,
+            "version": manifest["version"],
+        }
+
     # --- snapshot/manifest log (opt-in; Iceberg-manifest analogue) -------
     def _snap_dir(self, schema: str, table: str) -> str:
         return os.path.join(self._tdir(schema, table), "snapshots")

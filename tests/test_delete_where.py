@@ -1,0 +1,189 @@
+"""Row-level DELETE (VERDICT r6 #3): copy-on-write ``delete_where`` as a
+pruned DELTA commit — completes the DML triad next to ``merge_upsert``
+and partition-scoped ``optimize``.  Contracts pinned here:
+
+- untouched files are byte-identical after the delete (mtime + entry
+  carried verbatim) and their footers are NEVER opened when ``ranges``
+  excludes them;
+- time travel still reads the pre-delete snapshot;
+- SQL NULL semantics: rows where the predicate is NULL are KEPT;
+- a fully-emptied victim set commits a pure drop (no 0-row files);
+- concurrent removal of a victim raises (conflicting-rewrite validation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+@pytest.fixture()
+def day_table(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "deltab", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["day"],
+    )
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    for i in range(2):  # two generations -> every day fragmented
+        df = spark.createDataFrame(
+            [(d, i * 100 + j) for d in days for j in range(5)],
+            "day string, v int",
+        ).coalesce(1)  # one file per day per generation
+        wh.append("lab", "deltab", df, batch_id=f"b{i}")
+    return wh
+
+
+def test_delete_where_basic(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "flat", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "flat",
+        spark.createDataFrame([(i, i % 3) for i in range(100)], "id int, k int"),
+        batch_id="b0",
+    )
+    out = wh.delete_where("lab", "flat", "k = 1")
+    assert out["rows_deleted"] == 33  # ids 1,4,...,97
+    left = wh.read("lab", "flat")
+    assert left.count() == 67
+    assert left.filter(F.col("k") == 1).count() == 0
+    assert wh.head_snapshot("lab", "flat")["operation"] == "delete"
+
+
+def test_delete_pruned_skips_cold_files_unopened(day_table, monkeypatch):
+    """With ``ranges`` scoping to one day, files of other days keep their
+    manifest entries verbatim, keep their bytes on disk untouched, and no
+    parquet footer of theirs is opened during the delete."""
+    import pyarrow.parquet as pq_mod
+
+    wh = day_table
+    head = wh.head_snapshot("lab", "deltab")
+    v_before = head["version"]
+    cold_before = {
+        e["path"]: e for e in head["files"]
+        if e["partitions"]["day"] != "2024-01-02"
+    }
+    assert len(cold_before) == 4
+    cold_mtimes = {
+        p: os.stat(os.path.join(wh._tdir("lab", "deltab"), p)).st_mtime_ns
+        for p in cold_before
+    }
+    rows_total = wh.read("lab", "deltab").count()
+
+    real = pq_mod.ParquetFile
+    opened: list[str] = []
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", counting)
+    out = wh.delete_where(
+        "lab", "deltab",
+        "day = '2024-01-02' AND v >= 100",
+        ranges={"day": ("2024-01-02", "2024-01-02")},
+    )
+    assert out["files_rewritten"] == 2 and out["files_kept"] == 4
+    assert out["rows_deleted"] == 5  # generation b1's five rows of that day
+    # cold files: never opened, entries verbatim, bytes untouched
+    assert not [p for p in opened if any(c in p for c in cold_before)]
+    head2 = wh.head_snapshot("lab", "deltab")
+    paths2 = {e["path"]: e for e in head2["files"]}
+    for p, e in cold_before.items():
+        assert paths2[p] == e
+        assert (
+            os.stat(os.path.join(wh._tdir("lab", "deltab"), p)).st_mtime_ns
+            == cold_mtimes[p]
+        )
+    # result rows correct
+    assert wh.read("lab", "deltab").count() == rows_total - 5
+    assert (
+        wh.read("lab", "deltab")
+        .filter((F.col("day") == "2024-01-02") & (F.col("v") >= 100))
+        .count()
+        == 0
+    )
+    # time travel: the pre-delete snapshot still serves the deleted rows
+    assert wh.read_snapshot("lab", "deltab", v_before).count() == rows_total
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "nulls", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "nulls",
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id int, v int"
+        ),
+        batch_id="b0",
+    )
+    out = wh.delete_where("lab", "nulls", "v > 15")
+    assert out["rows_deleted"] == 1  # only id=3; id=2 (NULL) is kept
+    assert sorted(r.id for r in wh.read("lab", "nulls").collect()) == [1, 2]
+
+
+def test_delete_everything_commits_pure_drop(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "allgone", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "allgone",
+        spark.createDataFrame([(i,) for i in range(10)], "id int"),
+        batch_id="b0",
+    )
+    out = wh.delete_where("lab", "allgone", "id >= 0")
+    assert out["rows_deleted"] == 10 and out["files_added"] == 0
+    head = wh.head_snapshot("lab", "allgone")
+    assert head["files"] == [] and head["total_rows"] == 0
+    # the pre-delete snapshot still time-travels to the full data
+    assert wh.read_snapshot("lab", "allgone", head["parent"]).count() == 10
+
+
+def test_delete_conflicting_rewrite_raises(day_table, monkeypatch):
+    """A victim removed by a concurrent commit between victim selection
+    and publish makes the delete raise instead of merging blindly."""
+    wh = day_table
+    head = wh.head_snapshot("lab", "deltab")
+    victim = next(
+        e["path"] for e in head["files"]
+        if e["partitions"]["day"] == "2024-01-02"
+    )
+    real = ParquetWarehouse._read_file_list
+    fired: list = []
+
+    def racing(self, meta, files, *a, **kw):
+        if not fired:  # inject the race after victim selection, once
+            fired.append(True)
+            self.commit_snapshot(
+                "lab", "deltab", "optimize",
+                drop_files=[os.path.join(self._tdir("lab", "deltab"), victim)],
+            )
+        return real(self, meta, files, *a, **kw)
+
+    monkeypatch.setattr(ParquetWarehouse, "_read_file_list", racing)
+    with pytest.raises(RuntimeError, match="no longer in the head"):
+        wh.delete_where(
+            "lab", "deltab", "day = '2024-01-02'",
+            ranges={"day": ("2024-01-02", "2024-01-02")},
+        )
+
+
+def test_delete_requires_log_mode(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "plain", "zstd", 1)
+    with pytest.raises(ValueError, match="log-mode"):
+        wh.delete_where("lab", "plain", "1 = 1")
+
+
+def test_delete_no_matching_files_is_noop(day_table):
+    wh = day_table
+    v = wh.head_snapshot("lab", "deltab")["version"]
+    out = wh.delete_where(
+        "lab", "deltab", "day = '2099-01-01'",
+        ranges={"day": ("2099-01-01", "2099-01-01")},
+    )
+    assert out["files_rewritten"] == 0 and out["rows_deleted"] == 0
+    assert wh.head_snapshot("lab", "deltab")["version"] == v  # no commit
