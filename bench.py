@@ -194,16 +194,18 @@ def _prep_percol_events(sf_dir: str) -> str:
     return dst_dir
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    canary_pre = _host_canary()  # before the JVM exists: host state, solo
-    spark = make_session(app_name="bench")
-    queries = all_queries()
+# VERDICT r6 #6: when the canary lands in the noisy tier (> 1.5x floors)
+# the run is re-measured ONCE after a cooldown and the better-canary
+# attempt becomes the official line — BOTH attempts stay in the JSON for
+# honesty.  r6 committed a 1.661-inflation artifact while a same-day
+# 1.388 run existed; the protocol now prefers the cleanest window itself.
+RETRY_INFLATION = 1.5
+RETRY_COOLDOWN_S = 45.0
 
-    # JVM/session warmup so fixed startup cost isn't billed to the first query
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+def _measure(spark, queries, sf_dir: str) -> dict[str, float]:
+    """One full measured pass: warm best-of-RUNS per headline query plus
+    the per-column flagship variant."""
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
@@ -228,25 +230,78 @@ def main() -> None:
         timings["flagship_conjunction_percol"] = round(best, 4)
     except Exception as exc:  # never fail the whole bench on the variant
         print(f"percol variant skipped: {exc}", file=sys.stderr)
+    return timings
 
-    total = round(sum(timings.values()), 4)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    canary_pre = _host_canary()  # before the JVM exists: host state, solo
+    spark = make_session(app_name="bench")
+    queries = all_queries()
+
+    # JVM/session warmup so fixed startup cost isn't billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    attempts: list[dict] = []
+    timings = _measure(spark, queries, sf_dir)
+    canary_post = _host_canary()
+    attempts.append(
+        {
+            "queries": timings,
+            "total": round(sum(timings.values()), 4),
+            "canary_pre": canary_pre,
+            "canary_post": canary_post,
+            "inflation": _canary_inflation(canary_pre, canary_post),
+            "ratios": _canary_ratios(canary_pre, canary_post),
+        }
+    )
+    if attempts[0]["inflation"] > RETRY_INFLATION:
+        print(
+            f"canary inflation {attempts[0]['inflation']} > {RETRY_INFLATION}:"
+            f" cooling down {RETRY_COOLDOWN_S:.0f}s and re-measuring once",
+            file=sys.stderr,
+        )
+        time.sleep(RETRY_COOLDOWN_S)
+        pre2 = _host_canary()  # JVM idle: the fixed work is unaffected
+        timings2 = _measure(spark, queries, sf_dir)
+        post2 = _host_canary()
+        attempts.append(
+            {
+                "queries": timings2,
+                "total": round(sum(timings2.values()), 4),
+                "canary_pre": pre2,
+                "canary_post": post2,
+                "inflation": _canary_inflation(pre2, post2),
+                "ratios": _canary_ratios(pre2, post2),
+            }
+        )
     spark.stop()
-    canary_post = _host_canary()  # after: catches load arriving mid-run
+    official_ix = min(
+        range(len(attempts)),
+        key=lambda i: (attempts[i]["inflation"], attempts[i]["total"]),
+    )
+    official = attempts[official_ix]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": official["total"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": official["queries"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "canary": {
-                    "pre": canary_pre,
-                    "post": canary_post,
+                    "pre": official["canary_pre"],
+                    "post": official["canary_post"],
                     "floors": CANARY_FLOORS,
-                    "inflation": _canary_inflation(canary_pre, canary_post),
-                    "ratios": _canary_ratios(canary_pre, canary_post),
+                    "inflation": official["inflation"],
+                    "ratios": official["ratios"],
                 },
+                "official_attempt": official_ix,
+                "attempts": [
+                    {"total": a["total"], "inflation": a["inflation"]}
+                    for a in attempts
+                ],
             }
         )
     )

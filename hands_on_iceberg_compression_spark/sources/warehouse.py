@@ -91,6 +91,21 @@ def apply_partition_transforms(df: DataFrame, partitioning: list[str]):
     return df, names
 
 
+def partition_source_columns(partitioning: list[str]) -> set[str]:
+    """Source column of each partition transform — the columns schema
+    evolution must refuse to rename/drop (partition dir names and manifest
+    partition keys embed them; Iceberg handles this through field-ids in
+    the partition spec, which the hive dir layout cannot express)."""
+    out: set[str] = set()
+    for spec in partitioning or []:
+        m = _TRANSFORM_RE.match(spec.strip())
+        if not m:
+            raise ValueError(f"unsupported partition transform {spec!r}")
+        fn_col, n_col, ident = m.group(2), m.group(4), m.group(5)
+        out.add(fn_col or n_col or ident)
+    return out
+
+
 @dataclass
 class FileStat:
     """One data file — mirrors Iceberg ``$files`` columns we consume
@@ -239,6 +254,12 @@ class ParquetWarehouse:
         data_root = self._live_data_dir(schema, table)
         writer_df, part_cols = apply_partition_transforms(df, meta.partitioning)
         if self._log_mode(meta):
+            # validate/conform against the recorded schema (schema
+            # evolution): unknown columns error, omitted columns NULL-fill,
+            # the first commit adopts this write's schema as schema 0
+            writer_df, schema_fields = self._conform_log_schema(
+                schema, table, writer_df
+            )
             if batch_id is None:
                 batch_id = f"batch_{uuid.uuid4().hex[:12]}"
             batch_dir = os.path.join(data_root, batch_id)
@@ -261,6 +282,7 @@ class ParquetWarehouse:
                 "append",
                 add_files=new,
                 drop_prefix=batch_dir + os.sep,
+                schema_fields=schema_fields,
             )
             return
         if part_cols:
@@ -278,13 +300,24 @@ class ParquetWarehouse:
     def read(self, schema: str, table: str) -> DataFrame:
         meta = self.table_meta(schema, table)
         if self._log_mode(meta):
-            files = self._data_files(schema, table)
-            if not files:
+            head = self.head_snapshot(schema, table)
+            if head is None:
                 raise ValueError(
                     f"log-mode table {schema}.{table} has no committed "
                     "snapshot yet (append() commits the first one)"
                 )
-            return self._read_file_list(meta, files)
+            if not head["files"]:
+                if "schemas" in head:
+                    # fully-emptied table (delete_where of everything):
+                    # schema-stable empty frame off the recorded schema
+                    return self._empty_frame(
+                        head["schemas"][str(head["schema_id"])]
+                    )
+                raise ValueError(
+                    f"log-mode table {schema}.{table} has no live files "
+                    "and no recorded schema"
+                )
+            return self._read_entries(schema, table, meta, head, head["files"])
         data_root = self._live_data_dir(schema, table)
         if meta.partitioning:
             # hive partition discovery (enables partition pruning on the
@@ -395,12 +428,29 @@ class ParquetWarehouse:
         which is already percent-only)."""
         return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
 
-    def _read_file_list(self, meta: TableMeta, files: list[str]) -> DataFrame:
+    def _read_file_list(
+        self,
+        meta: TableMeta,
+        files: list[str],
+        fields: list[dict] | None = None,
+    ) -> DataFrame:
         """Read an explicit manifest file list.  Partitioned tables group
         files by generation root and give each group its own ``basePath`` so
         Spark parses the hive partition dirs (one flat read would hit
         CONFLICTING_DIRECTORY_STRUCTURES across generations); the union's
         per-branch scans keep real PartitionFilters pruning.
+
+        ``fields`` is the files' recorded write-time schema ([{name, type},
+        ...]).  Branch reads take it as an EXPLICIT read schema, so
+        Spark's per-branch partition-type inference never runs (it would
+        parse identity dir value '007' into int 7, and could type the
+        same column differently between a pruned and a full read — ADVICE
+        r6) and the footer schema-merge sampling is skipped (a planning
+        win on wide tables); the collapsed shape casts its path-parsed
+        partition values to the same recorded types, and both shapes
+        present the recorded column order.  Without ``fields`` (legacy
+        pre-schema heads) behavior is unchanged: hive inference per
+        branch, all-values sampling collapsed.
 
         Bounded plan width: past ``MAX_BASEPATH_BRANCHES`` generation roots
         the union is collapsed to ONE scan (``recursiveFileLookup`` disables
@@ -420,20 +470,37 @@ class ParquetWarehouse:
         for p in files:
             groups.setdefault(self._generation_root(p), []).append(p)
         if len(groups) <= self.MAX_BASEPATH_BRANCHES:
-            branches = [
-                self.spark.read.option("basePath", root).parquet(*paths)
-                for root, paths in sorted(groups.items())
-            ]
+            if fields is not None:
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromDDL(
+                    ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
+                )
+                branches = [
+                    self.spark.read.schema(st)
+                    .option("basePath", root)
+                    .parquet(*paths)
+                    for root, paths in sorted(groups.items())
+                ]
+            else:
+                branches = [
+                    self.spark.read.option("basePath", root).parquet(*paths)
+                    for root, paths in sorted(groups.items())
+                ]
             return reduce(lambda a, b: a.unionByName(b), branches)
         import re as _re
 
+        rec_types = {f["name"]: f["type"] for f in (fields or [])}
         static_types = self._partition_static_types(meta.partitioning)
         part_names = list(static_types)
-        # identity columns have no statically-derivable type: collect EVERY
-        # distinct dir value from the file paths (they're already in hand —
-        # no IO) and infer over all of them, never a single sample
+        # identity columns without a recorded type have no statically-
+        # derivable one: collect EVERY distinct dir value from the file
+        # paths (they're already in hand — no IO) and infer over all of
+        # them, never a single sample
         ident_vals: dict[str, set[str]] = {
-            n: set() for n, t in static_types.items() if t is None
+            n: set()
+            for n, t in static_types.items()
+            if t is None and n not in rec_types
         }
         if ident_vals:
             from urllib.parse import unquote
@@ -454,10 +521,20 @@ class ParquetWarehouse:
             raw = self._pct_decode(
                 self._pct_decode(F.regexp_extract(path, f"/{name}=([^/]+)/", 1))
             )
-            dt = static_types[name] or self._infer_identity_type(
-                sorted(ident_vals[name])
+            # recorded type wins (matches the branch shape's explicit
+            # schema — e.g. bucket transforms are bigint there, not the
+            # static int); static, then all-values inference, as fallback
+            dt = (
+                rec_types.get(name)
+                or static_types[name]
+                or self._infer_identity_type(sorted(ident_vals[name]))
             )
             df = df.withColumn(name, raw.cast(dt))
+        if fields is not None:
+            # both shapes present the RECORDED column order (the collapsed
+            # scan appends partition columns; the branch schema inlines
+            # them at their declared position)
+            df = df.select(*[f["name"] for f in fields])
         return df
 
     def _data_files(self, schema: str, table: str) -> list[str]:
@@ -669,7 +746,9 @@ class ParquetWarehouse:
         victim_paths = [os.path.join(tdir, e["path"]) for e in victims]
         total = sum(e["bytes"] for e in victims)
         n_files = max(1, math.ceil(total / target_file_size_bytes))
-        df = self._read_file_list(meta, victim_paths)
+        # schema-aware read: victims written under older schemas project
+        # to the current one, so the rewrite emits current-schema files
+        df = self._read_entries(schema, table, meta, head, victims)
         data_dir = self._live_data_dir(schema, table)
         gen_dir = os.path.join(data_dir, f"compact_{uuid.uuid4().hex[:8]}")
         if meta.sort_order:
@@ -768,8 +847,10 @@ class ParquetWarehouse:
         total_bytes = sum(e["bytes"] for e in victims)
         n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
         cond = F.expr(condition)
-        # NULL predicate keeps the row: survivors are NOT(cond IS TRUE)
-        df = self._read_file_list(meta, victim_paths).filter(
+        # NULL predicate keeps the row: survivors are NOT(cond IS TRUE).
+        # Schema-aware read: the condition names CURRENT columns, and the
+        # rewrite emits current-schema files whatever sid the victims had.
+        df = self._read_entries(schema, table, meta, head, victims).filter(
             ~F.coalesce(cond, F.lit(False))
         )
         data_dir = self._live_data_dir(schema, table)
@@ -811,6 +892,299 @@ class ParquetWarehouse:
             "rows_deleted": rows_before - rows_after,
             "version": manifest["version"],
         }
+
+    # --- schema evolution on log-mode tables (VERDICT r6 #1) -------------
+    # Iceberg's field-id model, applied to the snapshot log: every head
+    # carries ALL schemas the table has ever had ({schema_id: [{id, name,
+    # type}, ...]}) plus the current ``schema_id``; every manifest entry
+    # records the schema id its file was written under (``sid``).  DDL
+    # (add/rename/drop column) is a METADATA-ONLY commit — segment refs
+    # carry over verbatim, no data file is touched.  Reads group live
+    # files by their write-time schema and project each group to the
+    # target schema through the FIELD-ID mapping (renames resolve, added
+    # columns NULL-fill, dropped columns disappear), so a table evolved
+    # N times still reads in one pass; time travel presents each snapshot
+    # under ITS OWN schema.  The reference's platform gets all of this
+    # from Iceberg (SURVEY §1.1: evolution "exists only implicitly via
+    # Iceberg"; sqlHelpers.ts:104-158 assumes the catalog can do it).
+
+    @staticmethod
+    def _schema_fields_of(df: DataFrame) -> list[dict]:
+        return [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+
+    def _conform_log_schema(
+        self, schema: str, table: str, df: DataFrame
+    ) -> tuple[DataFrame, list[dict]]:
+        """Validate + conform a log-mode write against the table's CURRENT
+        schema (Iceberg write posture): unknown columns are an error
+        (``add_column`` first), type changes are an error (no implicit
+        type evolution), columns the write omits are NULL-filled at their
+        recorded type, and the projection pins the recorded column order
+        so every file of one schema id is physically identical in shape.
+        A table without a recorded schema yet (first commit, or a legacy
+        pre-r07 head) adopts the write's schema as schema 0."""
+        fields_now = self._schema_fields_of(df)
+        head = self._head_light(schema, table)
+        if head is None or "schemas" not in head:
+            return df, fields_now
+        cur = head["schemas"][str(head["schema_id"])]
+        cur_types = {f["name"]: f["type"] for f in cur}
+        extra = [f["name"] for f in fields_now if f["name"] not in cur_types]
+        if extra:
+            raise ValueError(
+                f"append to {schema}.{table} carries columns {extra} not in "
+                "the table schema — add_column first"
+            )
+        mismatched = [
+            (f["name"], f["type"], cur_types[f["name"]])
+            for f in fields_now
+            if f["type"] != cur_types[f["name"]]
+        ]
+        if mismatched:
+            raise ValueError(
+                f"append to {schema}.{table} has column type mismatches "
+                f"(name, write type, table type): {mismatched} — type "
+                "evolution is not supported"
+            )
+        cols = [
+            F.col(f["name"])
+            if f["name"] in df.columns
+            else F.lit(None).cast(f["type"]).alias(f["name"])
+            for f in cur
+        ]
+        return df.select(*cols), [
+            {"name": f["name"], "type": f["type"]} for f in cur
+        ]
+
+    @staticmethod
+    def _project_to_schema(
+        df: DataFrame, src_fields: list[dict], dst_fields: list[dict]
+    ) -> DataFrame:
+        """Project a frame read under ``src_fields`` to ``dst_fields``
+        through the field-id mapping: same id -> select (rename resolves),
+        id absent in src -> NULL at the target type, src-only ids (later
+        dropped) are not selected."""
+        src_by_id = {f["id"]: f for f in src_fields}
+        cols = []
+        for f in dst_fields:
+            s = src_by_id.get(f["id"])
+            if s is None:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            else:
+                c = F.col(s["name"])
+                if s["type"] != f["type"]:
+                    c = c.cast(f["type"])
+                cols.append(c.alias(f["name"]))
+        return df.select(*cols)
+
+    def _empty_frame(self, fields: list[dict]) -> DataFrame:
+        """Schema-stable empty frame straight off the recorded schema —
+        how a fully-emptied (all rows deleted) log table still reads."""
+        return self.spark.range(0).select(
+            *[F.lit(None).cast(f["type"]).alias(f["name"]) for f in fields]
+        )
+
+    def _read_entries(
+        self,
+        schema: str,
+        table: str,
+        meta: TableMeta,
+        head: dict,
+        entries: list[dict],
+        ) -> DataFrame:
+        """Read manifest entries under ``head``'s schema (the snapshot's
+        own schema — time travel passes an old head and gets the old
+        shape).  Entries written under other schema ids are read in
+        per-sid groups and projected through the field-id mapping; the
+        single-schema table takes one straight ``_read_file_list`` with
+        zero projection overhead."""
+        tdir = self._tdir(schema, table)
+        schemas = head.get("schemas")
+        if not schemas:
+            return self._read_file_list(
+                meta, [os.path.join(tdir, e["path"]) for e in entries]
+            )
+        target_sid = head["schema_id"]
+        tgt = schemas[str(target_sid)]
+        sids = {int(e.get("sid", 0)) for e in entries}
+        if sids <= {int(target_sid)}:
+            return self._read_file_list(
+                meta,
+                [os.path.join(tdir, e["path"]) for e in entries],
+                fields=tgt,
+            )
+        groups: dict[int, list[str]] = {}
+        for e in entries:
+            groups.setdefault(int(e.get("sid", 0)), []).append(
+                os.path.join(tdir, e["path"])
+            )
+        from functools import reduce
+
+        frames = []
+        for sid in sorted(groups):
+            src = schemas[str(sid)]
+            df = self._read_file_list(meta, groups[sid], fields=src)
+            frames.append(self._project_to_schema(df, src, tgt))
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def table_schema(
+        self, schema: str, table: str, version: int | None = None
+    ) -> list[dict]:
+        """The table's recorded schema (``[{id, name, type}, ...]``) at
+        the head or at snapshot ``version`` — Iceberg ``$schema``."""
+        head = (
+            self._head_light(schema, table)
+            if version is None
+            else self._load_head_light(schema, table, version)
+        )
+        if head is None or "schemas" not in head:
+            raise ValueError(
+                f"{schema}.{table} has no recorded schema (no commit yet, "
+                "or a legacy pre-schema head — append once to record one)"
+            )
+        return [dict(f) for f in head["schemas"][str(head["schema_id"])]]
+
+    def _commit_schema_change(
+        self, schema: str, table: str, operation: str, mutate
+    ) -> dict:
+        """CAS-commit a METADATA-ONLY schema change: the new head carries
+        the parent's segment refs verbatim (no entry is parsed, no data
+        file touched — O(refs) bytes), the schema list grows by one, and
+        ``schema_id`` moves.  Old schema ids are never removed or reused:
+        live files written under them resolve through the mapping
+        forever, and time travel needs them."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "schema evolution requires a log-mode (snapshots=true) "
+                "table — dir-mode parquet has no metadata log to version "
+                "schemas in"
+            )
+        snap_dir = self._snap_dir(schema, table)
+        import time as _time
+
+        while True:
+            head = self._head_light(schema, table)
+            if head is None or "schemas" not in head:
+                raise ValueError(
+                    f"{schema}.{table} has no recorded schema to evolve — "
+                    "schemas are recorded at the first commit; append first"
+                )
+            schemas = {k: [dict(f) for f in v] for k, v in head["schemas"].items()}
+            cur = [dict(f) for f in schemas[str(head["schema_id"])]]
+            new_fields = mutate(cur, schemas, meta)
+            new_sid = max(int(k) for k in schemas) + 1
+            schemas[str(new_sid)] = new_fields
+            version = head["version"] + 1
+            manifest = {
+                "version": version,
+                "parent": head["version"],
+                "operation": operation,
+                "ts": round(_time.time(), 3),
+                "segments": head["segments"],
+                "total_rows": head.get("total_rows"),
+                "total_bytes": head.get("total_bytes"),
+                "schemas": schemas,
+                "schema_id": new_sid,
+            }
+            path = os.path.join(snap_dir, f"v{version:06d}.json")
+            tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, path)
+                self._write_version_hint(schema, table, version)
+                return manifest
+            except FileExistsError:
+                continue  # lost the race — re-derive from the winner's head
+            finally:
+                os.unlink(tmp)
+
+    def _schema_change_guard(self, meta: TableMeta, name: str, verb: str) -> None:
+        """Columns the hive dir layout or sort contract embeds by NAME
+        cannot be renamed/dropped (Iceberg carries partition specs by
+        field id; dir-encoded paths cannot)."""
+        guarded = partition_source_columns(meta.partitioning) | {
+            n for n, _ in partition_transform_exprs(meta.partitioning or [])
+        }
+        if name in guarded:
+            raise ValueError(
+                f"cannot {verb} column {name!r}: it is referenced by the "
+                f"partitioning spec {meta.partitioning} (partition dir "
+                "names embed it)"
+            )
+        if name in (meta.sort_order or []):
+            raise ValueError(
+                f"cannot {verb} column {name!r}: it is referenced by the "
+                f"table sort order {meta.sort_order}"
+            )
+
+    def add_column(self, schema: str, table: str, name: str, dtype: str) -> dict:
+        """ALTER TABLE ... ADD COLUMN (metadata-only commit): existing
+        files never carry the column and read NULL for it; appends may
+        populate it from the next write on.  The field id is allocated
+        above every id ANY schema ever used, so a dropped-then-re-added
+        name is a NEW field (old files' values do not resurface —
+        Iceberg's field-id discipline)."""
+        if self.spark is not None:
+            from pyspark.sql.types import DataType
+
+            try:
+                DataType.fromDDL(dtype)
+            except Exception as exc:
+                raise ValueError(f"invalid column type {dtype!r}") from exc
+
+        def mutate(cur: list[dict], schemas: dict, meta: TableMeta) -> list[dict]:
+            if any(f["name"] == name for f in cur):
+                raise ValueError(
+                    f"column {name!r} already exists in {schema}.{table}"
+                )
+            next_id = (
+                max(
+                    (f["id"] for flds in schemas.values() for f in flds),
+                    default=0,
+                )
+                + 1
+            )
+            return cur + [{"id": next_id, "name": name, "type": dtype}]
+
+        return self._commit_schema_change(schema, table, "add_column", mutate)
+
+    def rename_column(self, schema: str, table: str, old: str, new: str) -> dict:
+        """ALTER TABLE ... RENAME COLUMN (metadata-only commit): the field
+        id is unchanged, so files written under the old name keep
+        resolving — reads alias through the id mapping, no rewrite."""
+
+        def mutate(cur: list[dict], schemas: dict, meta: TableMeta) -> list[dict]:
+            names = {f["name"] for f in cur}
+            if old not in names:
+                raise ValueError(f"no column {old!r} in {schema}.{table}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists in {schema}.{table}")
+            self._schema_change_guard(meta, old, "rename")
+            return [
+                {**f, "name": new} if f["name"] == old else f for f in cur
+            ]
+
+        return self._commit_schema_change(schema, table, "rename_column", mutate)
+
+    def drop_column(self, schema: str, table: str, name: str) -> dict:
+        """ALTER TABLE ... DROP COLUMN (metadata-only commit): data stays
+        in the files (old snapshots still present it); the current schema
+        simply stops selecting the field."""
+
+        def mutate(cur: list[dict], schemas: dict, meta: TableMeta) -> list[dict]:
+            if not any(f["name"] == name for f in cur):
+                raise ValueError(f"no column {name!r} in {schema}.{table}")
+            if len(cur) == 1:
+                raise ValueError("cannot drop the only column")
+            self._schema_change_guard(meta, name, "drop")
+            return [f for f in cur if f["name"] != name]
+
+        return self._commit_schema_change(schema, table, "drop_column", mutate)
 
     # --- snapshot/manifest log (opt-in; Iceberg-manifest analogue) -------
     def _snap_dir(self, schema: str, table: str) -> str:
@@ -1063,8 +1437,26 @@ class ParquetWarehouse:
         ref-level partition summary is disjoint from the ranges are
         skipped without parsing one entry (Iceberg's manifest-list
         partition summaries) — planning cost tracks qualifying segments,
-        not live files.  Returns (kept absolute paths, total files in the
-        manifest)."""
+        not live files.  Columns RENAMED by schema evolution resolve to
+        each file's write-time name through the field-id mapping, so
+        bounds recorded under the old name keep pruning.  Returns (kept
+        absolute paths, total files in the manifest)."""
+        tdir = self._tdir(schema, table)
+        entries, total, _head = self._prune_entries(
+            schema, table, ranges, version=version
+        )
+        return [os.path.join(tdir, e["path"]) for e in entries], total
+
+    def _prune_entries(
+        self,
+        schema: str,
+        table: str,
+        ranges: dict,
+        version: int | None = None,
+    ) -> tuple[list[dict], int, dict]:
+        """``prune_files`` body returning the kept ENTRIES plus the head —
+        what schema-aware readers need (each entry's ``sid`` picks its
+        projection group)."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -1079,13 +1471,31 @@ class ParquetWarehouse:
                 )
         head = self._load_head_light(schema, table, version)
         norm = self._norm_filter(ranges)
-        tdir = self._tdir(schema, table)
         static_types = self._partition_static_types(meta.partitioning)
-        kept: list[str] = []
+        # per-sid {query column -> write-time bounds key}: ranges are keyed
+        # by THIS head's schema names; files written before a rename
+        # recorded their bounds under the old name.  None = the field
+        # didn't exist under that sid (bounds lookup misses, file kept).
+        bmaps: dict[int, dict[str, str | None]] | None = None
+        schemas = head.get("schemas")
+        if schemas:
+            tgt = schemas[str(head["schema_id"])]
+            bmaps = {}
+            for sid_str, flds in schemas.items():
+                by_id = {f["id"]: f["name"] for f in flds}
+                bmaps[int(sid_str)] = {
+                    f["name"]: by_id.get(f["id"]) for f in tgt
+                }
+        kept: list[dict] = []
 
         def file_pass(entries: list[dict]) -> None:
             for e in entries:
                 keep = True
+                emap = (
+                    bmaps.get(int(e.get("sid", 0)))
+                    if bmaps is not None
+                    else None
+                )
                 for col, spec in norm.items():
                     pv = e.get("partitions", {}).get(col)
                     try:
@@ -1094,7 +1504,12 @@ class ParquetWarehouse:
                                 keep = False
                                 break
                             continue
-                        b = e.get("bounds", {}).get(col)
+                        bcol = col if emap is None else emap.get(col, col)
+                        b = (
+                            e.get("bounds", {}).get(bcol)
+                            if bcol is not None
+                            else None
+                        )
                         if b is None:
                             continue
                         if self._bounds_excluded(b, spec):
@@ -1108,18 +1523,18 @@ class ParquetWarehouse:
                         # crash or over-prune
                         continue
                 if keep:
-                    kept.append(os.path.join(tdir, e["path"]))
+                    kept.append(e)
 
         if "files" in head:  # legacy inline-files head
             file_pass(head["files"])
-            return kept, len(head["files"])
+            return kept, len(head["files"]), head
         total = 0
         for ref in head["segments"]:
             total += ref["count"]
             if self._segment_skippable(ref, norm, static_types):
                 continue  # whole segment skipped — its entries never parsed
             file_pass(self._load_segment(schema, table, ref["path"]))
-        return kept, total
+        return kept, total, head
 
     @classmethod
     def _segment_skippable(
@@ -1160,11 +1575,15 @@ class ParquetWarehouse:
         predicate, and because files lacking bounds are kept, the result of
         ``read_pruned(...).filter(p)`` always equals ``read(...).filter(p)``."""
         meta = self.table_meta(schema, table)
-        kept, total = self.prune_files(schema, table, ranges, version=version)
-        if not kept:
+        entries, _total, head = self._prune_entries(
+            schema, table, ranges, version=version
+        )
+        if not entries:
             # schema-stable empty frame off the (non-empty) manifest list
+            if "schemas" in head:
+                return self._empty_frame(head["schemas"][str(head["schema_id"])])
             return self.read(schema, table).limit(0)
-        return self._read_file_list(meta, kept)
+        return self._read_entries(schema, table, meta, head, entries)
 
     # --- manifest-list layer (VERDICT r5 #1) -----------------------------
     # A snapshot head v{N}.json is SMALL: it lists immutable segment files
@@ -1384,6 +1803,7 @@ class ParquetWarehouse:
         drop_prefix: str | None = None,
         drop_files: list[str] | None = None,
         expected_parent: int | None = None,
+        schema_fields: list[dict] | None = None,
     ) -> dict:
         """Record a snapshot v{N} — a small HEAD file listing immutable
         segment files that together hold the per-file entries (paths,
@@ -1447,6 +1867,26 @@ class ParquetWarehouse:
         snap_dir = self._snap_dir(schema, table)
         os.makedirs(snap_dir, exist_ok=True)
 
+        # schema-id resolution (schema evolution): fresh entries stamp the
+        # schema their data was written under.  ``schema_fields`` callers
+        # (append) were validated by _conform_log_schema against this same
+        # head; replace/rewrite callers (optimize/merge) write read()'s
+        # output, which IS the current schema.  The head loaded here also
+        # serves the first commit attempt — one parse per commit.
+        head = self._head_light(schema, table)
+        sid: int | None = None
+        new_schema0: list[dict] | None = None
+        if schema_fields is not None:
+            if head is not None and "schemas" in head:
+                sid = head["schema_id"]
+            else:
+                new_schema0 = [
+                    {"id": i + 1, **f} for i, f in enumerate(schema_fields)
+                ]
+                sid = 0
+        elif head is not None and "schemas" in head:
+            sid = head["schema_id"]
+
         def fresh_entry(p: str, parent_by_path: dict) -> dict:
             rel = os.path.relpath(p, tdir)
             st = os.stat(p)
@@ -1466,6 +1906,8 @@ class ParquetWarehouse:
                 "rows": pf.metadata.num_rows,
                 "mtime_ns": st.st_mtime_ns,
             }
+            if sid is not None:
+                entry["sid"] = sid
             bounds = self._file_bounds(pf)
             if bounds:
                 entry["bounds"] = bounds
@@ -1503,7 +1945,11 @@ class ParquetWarehouse:
                 # record: the new live set IS the new segment; parent
                 # entries are reused by size+mtime so only changed files
                 # open a footer
-                head0 = self.head_snapshot(schema, table)
+                head0 = (
+                    self._materialize(schema, table, head)
+                    if head is not None
+                    else None
+                )
                 parent_by_path = {
                     e["path"]: e for e in (head0["files"] if head0 else [])
                 }
@@ -1521,11 +1967,12 @@ class ParquetWarehouse:
 
             while True:
                 # a lost race invalidates parent-derived segments: GC them
-                # and recompute against the winner's head
+                # and recompute against the winner's head (re-read in the
+                # FileExistsError handler; the first attempt reuses the
+                # head already parsed for schema-id resolution)
                 _gc(derived)
                 created[:] = [n for n in created if n not in derived]
                 derived = []
-                head = self._head_light(schema, table)
                 version = (head["version"] + 1) if head else 1
                 if expected_parent is not None and version != expected_parent + 1:
                     raise RuntimeError(
@@ -1594,6 +2041,31 @@ class ParquetWarehouse:
                     "total_rows": sum(r["rows"] for r in refs),
                     "total_bytes": sum(r["bytes"] for r in refs),
                 }
+                # schema carry-forward: the winner's schema list is the
+                # superset (schemas only ever grow), so entries stamped
+                # with an older sid keep resolving.  A RETRY that finds
+                # the current schema no longer matching this write's
+                # fields (concurrent DDL) must abort, not publish files
+                # under a schema id that misdescribes them.
+                schemas_out = head.get("schemas") if head else None
+                schema_id_out = head.get("schema_id") if head else None
+                if schema_fields is not None and schemas_out is not None:
+                    curw = schemas_out[str(schema_id_out)]
+                    if {(f["name"], f["type"]) for f in curw} != {
+                        (f["name"], f["type"]) for f in schema_fields
+                    }:
+                        raise RuntimeError(
+                            f"concurrent schema change on {schema}.{table}: "
+                            "the table schema moved between write and "
+                            "commit — re-validate against the new schema "
+                            "and retry"
+                        )
+                if schemas_out is None and new_schema0 is not None:
+                    schemas_out = {"0": new_schema0}
+                    schema_id_out = 0
+                if schemas_out is not None:
+                    manifest["schemas"] = schemas_out
+                    manifest["schema_id"] = schema_id_out
                 path = os.path.join(snap_dir, f"v{version:06d}.json")
                 tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
                 with open(tmp, "w") as f:
@@ -1609,7 +2081,9 @@ class ParquetWarehouse:
                     created.clear()
                     return manifest
                 except FileExistsError:
-                    continue  # lost the race — recompute against the new head
+                    # lost the race — recompute against the new head
+                    head = self._head_light(schema, table)
+                    continue
                 finally:
                     os.unlink(tmp)
         except BaseException:
@@ -1762,6 +2236,8 @@ class ParquetWarehouse:
                     "segments": len(h["segments"])
                     if "segments" in h
                     else None,  # legacy inline-files head
+                    # schema lineage (None before schema recording existed)
+                    "schema_id": h.get("schema_id"),
                 }
             )
         return out
@@ -1852,8 +2328,17 @@ class ParquetWarehouse:
                 f"{len(paths)} files were rewritten (e.g. {missing[0]})"
             )
         if not paths:
+            if "schemas" in manifest:
+                return self._empty_frame(
+                    manifest["schemas"][str(manifest["schema_id"])]
+                )
             return self.read(schema, table).limit(0)
-        return self._read_file_list(self.table_meta(schema, table), paths)
+        # the snapshot presents itself under ITS OWN schema (_read_entries
+        # targets the head we pass — schema evolution time-travel contract)
+        return self._read_entries(
+            schema, table, self.table_meta(schema, table), manifest,
+            manifest["files"],
+        )
 
     def read_snapshot_as_of(self, schema: str, table: str, ts) -> DataFrame:
         """``FOR TIMESTAMP AS OF`` time travel (Iceberg SQL parity): read
