@@ -91,6 +91,128 @@ def apply_partition_transforms(df: DataFrame, partitioning: list[str]):
     return df, names
 
 
+# Strict tokenizer for the conjunctive-comparison subset of SQL predicates
+# that can be translated into manifest prune ranges.  Anything outside the
+# grammar (OR, NOT, functions, subqueries, qualified names, casts, ...)
+# must fail the WHOLE parse — a partial translation of "a = 1 OR b = 2"
+# to {a: (1, 1)} would OVER-prune and silently lose rows.
+_PRED_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<str>'(?:[^'])*')"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<op><=|>=|==|=|<|>)"
+    r"|(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*)"
+    r")"
+)
+
+
+def ranges_from_condition(condition: str) -> dict | None:
+    """Translate a SQL predicate into ``prune_files`` ranges, or None when
+    it cannot be done SAFELY.  Supported grammar (the Iceberg
+    residual-evaluation subset a manifest can serve): a conjunction of
+    ``col <op> literal`` / ``literal <op> col`` (op in = == < <= > >=),
+    ``col BETWEEN a AND b``, ``col IN (v, ...)`` with number or
+    single-quoted-string literals.  The result is deliberately LOOSE:
+    strict < and > become inclusive endpoints (pruning keeps more files,
+    the caller's real predicate decides rows), and a column constrained
+    twice keeps only its first constraint — both directions only ever
+    KEEP extra files, never drop a matching one.  Any token outside the
+    grammar fails the whole parse (returns None): partial translation of
+    a disjunction would over-prune."""
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(condition):
+        if not condition[pos:].strip():
+            break  # trailing whitespace
+        m = _PRED_TOKEN_RE.match(condition, pos)
+        if m is None or m.end() == pos:
+            return None  # token outside the grammar
+        pos = m.end()
+        for kind in ("str", "num", "op", "lpar", "rpar", "comma", "word"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v))
+                break
+    i = 0
+
+    def lit(tok):
+        kind, v = tok
+        if kind == "str":
+            return v[1:-1]
+        if kind == "num":
+            return float(v) if "." in v else int(v)
+        return None
+
+    out: dict = {}
+
+    def constrain(col, spec):
+        out.setdefault(col, spec)  # first constraint wins (conservative)
+
+    _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+    while i < len(toks):
+        # one term: ident op literal | literal op ident | BETWEEN | IN
+        if toks[i][0] in ("str", "num") and i + 2 < len(toks):
+            # literal op ident — normalize to ident flipped-op literal
+            if toks[i + 1][0] == "op" and toks[i + 2][0] == "word":
+                toks[i], toks[i + 2] = toks[i + 2], toks[i]
+                toks[i + 1] = ("op", _FLIP[toks[i + 1][1]])
+        if toks[i][0] != "word":
+            return None
+        col = toks[i][1]
+        if col.upper() in ("AND", "OR", "NOT", "BETWEEN", "IN", "NULL", "TRUE", "FALSE"):
+            return None
+        i += 1
+        if i >= len(toks):
+            return None
+        kind, v = toks[i]
+        if kind == "op":
+            if i + 1 >= len(toks) or toks[i + 1][0] not in ("str", "num"):
+                return None
+            val = lit(toks[i + 1])
+            i += 2
+            if v in ("=", "=="):
+                constrain(col, (val, val))
+            elif v in ("<", "<="):
+                constrain(col, (None, val))
+            else:  # > >=
+                constrain(col, (val, None))
+        elif kind == "word" and v.upper() == "BETWEEN":
+            if (
+                i + 3 >= len(toks)
+                or toks[i + 1][0] not in ("str", "num")
+                or toks[i + 2][0] != "word"
+                or toks[i + 2][1].upper() != "AND"
+                or toks[i + 3][0] not in ("str", "num")
+            ):
+                return None
+            constrain(col, (lit(toks[i + 1]), lit(toks[i + 3])))
+            i += 4
+        elif kind == "word" and v.upper() == "IN":
+            if i + 1 >= len(toks) or toks[i + 1][0] != "lpar":
+                return None
+            i += 2
+            vals = []
+            while i < len(toks) and toks[i][0] in ("str", "num"):
+                vals.append(lit(toks[i]))
+                i += 1
+                if i < len(toks) and toks[i][0] == "comma":
+                    i += 1
+            if not vals or i >= len(toks) or toks[i][0] != "rpar":
+                return None
+            i += 1
+            constrain(col, vals)
+        else:
+            return None
+        if i < len(toks):
+            if toks[i][0] != "word" or toks[i][1].upper() != "AND":
+                return None
+            i += 1
+            if i >= len(toks):
+                return None  # trailing AND
+    return out or None
+
+
 def partition_source_columns(partitioning: list[str]) -> set[str]:
     """Source column of each partition transform — the columns schema
     evolution must refuse to rename/drop (partition dir names and manifest
@@ -803,8 +925,11 @@ class ParquetWarehouse:
         rewriting one day's partition and rewriting the table.  The caller
         owns coverage: ``ranges`` must be implied by ``condition`` (every
         file that could match must intersect), the same contract
-        ``read_pruned`` documents.  Omitted, every live file is a
-        candidate — still correct, full rewrite cost.
+        ``read_pruned`` documents.  When omitted, ranges are DERIVED from
+        the condition for the safe conjunctive-comparison subset
+        (``ranges_from_condition`` — Iceberg's DELETE derives its scan
+        filter the same way); conditions outside that subset make every
+        live file a candidate — still correct, full rewrite cost.
 
         Concurrency (Iceberg optimistic-commit semantics, as in scoped
         optimize): concurrent APPENDS retry-merge — their rows are not
@@ -826,6 +951,8 @@ class ParquetWarehouse:
         head = self._load_snapshot(schema, table, version)
         tdir = self._tdir(schema, table)
         entries_by_path = {e["path"]: e for e in head["files"]}
+        if ranges is None:
+            ranges = self._auto_ranges(condition, head)
         if ranges is not None:
             kept_abs, _total = self.prune_files(
                 schema, table, ranges, version=version
@@ -892,6 +1019,51 @@ class ParquetWarehouse:
             "rows_deleted": rows_before - rows_after,
             "version": manifest["version"],
         }
+
+    @classmethod
+    def _auto_ranges(cls, condition: str, head: dict) -> dict | None:
+        """Derive prune ranges from a DELETE condition, keeping ONLY the
+        constraints whose literal type is safely comparable with the
+        column's RECORDED type: string literals against string columns,
+        ISO-date literals against date columns, numbers against numeric
+        columns.  A string literal against a TIMESTAMP column is dropped —
+        Spark accepts '2024-01-01 00:00:00' but recorded bounds are ISO-T
+        ('2024-01-01T00:00:00'), and ' ' < 'T' would over-prune the exact
+        boundary file.  Dropping a constraint only ever KEEPS extra
+        candidate files — never loses a matching row."""
+        derived = ranges_from_condition(condition)
+        if derived is None or head is None or "schemas" not in head:
+            return None
+        types = {
+            f["name"]: f["type"]
+            for f in head["schemas"][str(head["schema_id"])]
+        }
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+        iso_date = re.compile(r"\d{4}-\d{2}-\d{2}")
+
+        def safe(col: str, spec) -> bool:
+            t = types.get(col)
+            if t is None:
+                return False
+            vals = spec if isinstance(spec, list) else [v for v in spec if v is not None]
+            for v in vals:
+                if isinstance(v, str):
+                    if not (
+                        t == "string"
+                        or (t == "date" and iso_date.fullmatch(v))
+                    ):
+                        return False
+                elif isinstance(v, (int, float)):
+                    if not (t in numeric or t.startswith("decimal")):
+                        return False
+                else:
+                    return False
+            return True
+
+        out = {c: s for c, s in derived.items() if safe(c, s)}
+        return out or None
 
     # --- schema evolution on log-mode tables (VERDICT r6 #1) -------------
     # Iceberg's field-id model, applied to the snapshot log: every head
