@@ -1110,23 +1110,29 @@ class ParquetWarehouse:
                 f"append to {schema}.{table} carries columns {extra} not in "
                 "the table schema — add_column first"
             )
+        now_types = {f["name"]: f["type"] for f in fields_now}
         mismatched = [
             (f["name"], f["type"], cur_types[f["name"]])
             for f in fields_now
             if f["type"] != cur_types[f["name"]]
+            and (f["type"], cur_types[f["name"]]) not in self._TYPE_WIDENINGS
         ]
         if mismatched:
             raise ValueError(
                 f"append to {schema}.{table} has column type mismatches "
-                f"(name, write type, table type): {mismatched} — type "
-                "evolution is not supported"
+                f"(name, write type, table type): {mismatched} — only "
+                "value-preserving widenings are accepted (see "
+                "update_column_type)"
             )
-        cols = [
-            F.col(f["name"])
-            if f["name"] in df.columns
-            else F.lit(None).cast(f["type"]).alias(f["name"])
-            for f in cur
-        ]
+        cols = []
+        for f in cur:
+            if f["name"] not in df.columns:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            elif now_types[f["name"]] != f["type"]:
+                # legal widening: upcast the narrow write to the table type
+                cols.append(F.col(f["name"]).cast(f["type"]).alias(f["name"]))
+            else:
+                cols.append(F.col(f["name"]))
         return df.select(*cols), [
             {"name": f["name"], "type": f["type"]} for f in cur
         ]
@@ -1342,6 +1348,55 @@ class ParquetWarehouse:
             ]
 
         return self._commit_schema_change(schema, table, "rename_column", mutate)
+
+    # Iceberg's legal primitive type promotions (Spec "Schema Evolution"):
+    # widening only, value-preserving, so files written at the narrow type
+    # read correctly through a cast and new files at the wide type never
+    # truncate.  (int -> long and float -> double in Iceberg terms.)
+    _TYPE_WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def update_column_type(
+        self, schema: str, table: str, name: str, new_type: str
+    ) -> dict:
+        """ALTER TABLE ... ALTER COLUMN ... TYPE (metadata-only commit):
+        only Iceberg's value-preserving WIDENINGS are legal (int family
+        upward, float -> double).  The field id is unchanged; files
+        written at the narrower type read through a cast in the field-id
+        projection, and appends at the old narrow type keep working
+        (``_conform_log_schema`` upcasts them)."""
+        if self.spark is not None:
+            from pyspark.sql.types import DataType
+
+            try:
+                DataType.fromDDL(new_type)
+            except Exception as exc:
+                raise ValueError(f"invalid column type {new_type!r}") from exc
+
+        def mutate(cur: list[dict], schemas: dict, meta: TableMeta) -> list[dict]:
+            old = next((f for f in cur if f["name"] == name), None)
+            if old is None:
+                raise ValueError(f"no column {name!r} in {schema}.{table}")
+            if old["type"] == new_type:
+                raise ValueError(f"column {name!r} is already {new_type}")
+            if (old["type"], new_type) not in self._TYPE_WIDENINGS:
+                raise ValueError(
+                    f"cannot change column {name!r} from {old['type']!r} to "
+                    f"{new_type!r}: only value-preserving widenings "
+                    f"{sorted(self._TYPE_WIDENINGS)} are supported"
+                )
+            return [
+                {**f, "type": new_type} if f["name"] == name else f
+                for f in cur
+            ]
+
+        return self._commit_schema_change(
+            schema, table, "update_column_type", mutate
+        )
 
     def drop_column(self, schema: str, table: str, name: str) -> dict:
         """ALTER TABLE ... DROP COLUMN (metadata-only commit): data stays

@@ -369,6 +369,48 @@ def test_delete_and_optimize_on_evolved_table(spark, tmp_path):
     assert got2 == got
 
 
+def test_update_column_type_widening(spark, tmp_path):
+    """Iceberg-legal promotions only: int -> bigint widens via a
+    metadata-only commit; old narrow files read through the field-id
+    cast; appends at the old narrow type upcast automatically; anything
+    non-widening is refused."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "wide", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "wide",
+        spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1),
+        batch_id="g1",
+    )
+    wh.update_column_type("lab", "wide", "v", "bigint")
+    assert dict(wh.read("lab", "wide").dtypes)["v"] == "bigint"
+    # append at the WIDE type
+    wh.append(
+        "lab", "wide",
+        spark.createDataFrame([(2, 2**40)], "id int, v bigint").coalesce(1),
+        batch_id="g2",
+    )
+    # append still at the old NARROW type upcasts silently
+    wh.append(
+        "lab", "wide",
+        spark.createDataFrame([(3, 30)], "id int, v int").coalesce(1),
+        batch_id="g3",
+    )
+    got = sorted((r.id, r.v) for r in wh.read("lab", "wide").collect())
+    assert got == [(1, 10), (2, 2**40), (3, 30)]
+    # pruning on the widened column still sees the narrow files' bounds
+    kept, total = wh.prune_files("lab", "wide", {"v": (0, 100)})
+    assert total == 3 and len(kept) == 2  # g1 + g3, not the 2**40 file
+    # narrowing and cross-family changes are refused
+    with pytest.raises(ValueError, match="widenings"):
+        wh.update_column_type("lab", "wide", "v", "int")
+    with pytest.raises(ValueError, match="widenings"):
+        wh.update_column_type("lab", "wide", "id", "string")
+    with pytest.raises(ValueError, match="already"):
+        wh.update_column_type("lab", "wide", "v", "bigint")
+    # time travel: the pre-widening snapshot is still int-typed
+    assert dict(wh.read_snapshot("lab", "wide", 1).dtypes)["v"] == "int"
+
+
 def test_delete_everything_leaves_schema_stable_empty_read(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     wh.create_table("lab", "empty", "zstd", 1, properties={"snapshots": "true"})
