@@ -1812,6 +1812,25 @@ class ParquetWarehouse:
             return self.read(schema, table).limit(0)
         return self._read_entries(schema, table, meta, head, entries)
 
+    def read_where(self, schema: str, table: str, condition: str) -> DataFrame:
+        """Read + filter with AUTOMATIC manifest pruning: the safe
+        conjunctive subset of ``condition`` (``ranges_from_condition``,
+        type-gated against the recorded schema) feeds planning-time file
+        skipping, and the FULL condition is applied as the real filter —
+        so the result always equals ``read(...).filter(condition)``, with
+        qualifying files the only ones Spark ever schedules.  Conditions
+        outside the safe subset (or dir-mode tables) fall back to the
+        plain filtered read."""
+        meta = self.table_meta(schema, table)
+        if self._log_mode(meta):
+            head = self._head_light(schema, table)
+            ranges = self._auto_ranges(condition, head) if head else None
+            if ranges:
+                return self.read_pruned(schema, table, ranges).filter(
+                    F.expr(condition)
+                )
+        return self.read(schema, table).filter(F.expr(condition))
+
     # --- manifest-list layer (VERDICT r5 #1) -----------------------------
     # A snapshot head v{N}.json is SMALL: it lists immutable segment files
     # (seg_<uuid>.json), each holding file entries — Iceberg's snapshot ->

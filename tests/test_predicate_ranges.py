@@ -131,6 +131,39 @@ def test_auto_ranges_drop_type_unsafe_constraints(spark, tmp_path):
     assert [r.id for r in wh.read("lab", "ts").collect()] == [2]
 
 
+def test_read_where_equals_read_filter(spark, tmp_path):
+    """read_where == read().filter() for conditions inside AND outside
+    the safe subset — pruning is invisible to results."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "rw", "zstd", 1, properties={"snapshots": "true"})
+    for b in range(3):
+        wh.append(
+            "lab", "rw",
+            spark.createDataFrame(
+                [(b * 100 + j, f"s{j % 3}") for j in range(10)],
+                "v int, s string",
+            ).coalesce(1),
+            batch_id=f"b{b}",
+        )
+    for cond in [
+        "v BETWEEN 100 AND 105",          # prunes to one file
+        "v >= 200",                        # prunes to one file
+        "s = 's1' AND v < 50",             # mixed string + int
+        "v % 2 = 0",                       # outside the grammar: no pruning
+        "v > 90 OR v < 5",                 # disjunction: no pruning
+    ]:
+        want = sorted(
+            (r.v, r.s) for r in wh.read("lab", "rw").filter(F.expr(cond)).collect()
+        )
+        got = sorted((r.v, r.s) for r in wh.read_where("lab", "rw", cond).collect())
+        assert got == want, cond
+    # and the pruning actually fires: a scoped condition schedules 1 file
+    head = wh._head_light("lab", "rw")
+    assert wh._auto_ranges("v >= 200", head) == {"v": (200, None)}
+    kept, total = wh.prune_files("lab", "rw", {"v": (200, None)})
+    assert total == 3 and len(kept) == 1
+
+
 def test_auto_ranges_respect_recorded_types(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     wh.create_table("lab", "tp", "zstd", 1, properties={"snapshots": "true"})
