@@ -49,11 +49,19 @@ def _write_file(tdir: str, batch: str, gen: str, name: str) -> str:
 
 OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "replay", "drop_add", "rewrite", "expire"]),
+        st.sampled_from(
+            [
+                "append", "replay", "drop_add", "rewrite", "expire",
+                # schema evolution interleaves with every other op:
+                # metadata-only commits must never perturb the file set,
+                # and the schema must track its own model exactly
+                "add_col", "rename_col", "drop_col", "widen_col",
+            ]
+        ),
         st.integers(0, 10),
     ),
     min_size=1,
-    max_size=12,
+    max_size=14,
 )
 
 
@@ -63,17 +71,26 @@ def test_random_op_sequences_match_model(ops):
     with _mk_wh() as wh:
         tdir = wh._tdir("lab", "t")
         model: set[str] = set()  # rel paths the head must list
+        schema_model: list[dict] = []  # (name, type) the schema must match
         batches: list[str] = []
         counter = 0
+
+        def cur_fields():
+            return [{"name": f["name"], "type": f["type"]} for f in schema_model]
 
         def check():
             head = wh.head_snapshot("lab", "t")
             if not model:
                 assert head is None or len(head["files"]) == 0
-                return
-            got = {e["path"] for e in head["files"]}
-            assert got == model, (got ^ model)
-            assert head["total_rows"] == len(model)  # 1 row per file
+            else:
+                got = {e["path"] for e in head["files"]}
+                assert got == model, (got ^ model)
+                assert head["total_rows"] == len(model)  # 1 row per file
+            if schema_model:
+                assert [
+                    {"name": f["name"], "type": f["type"]}
+                    for f in wh.table_schema("lab", "t")
+                ] == cur_fields()
 
         for op, pick in ops:
             counter += 1
@@ -83,9 +100,12 @@ def test_random_op_sequences_match_model(ops):
                 files = [
                     _write_file(tdir, batch, "g_0", f"f{j}") for j in range(n)
                 ]
+                if not schema_model:
+                    schema_model.append({"name": "id", "type": "bigint"})
                 wh.commit_snapshot(
                     "lab", "t", "append", add_files=files,
                     drop_prefix=os.path.join(tdir, "data", batch) + os.sep,
+                    schema_fields=cur_fields(),
                 )
                 batches.append(batch)
                 model |= {os.path.relpath(p, tdir) for p in files}
@@ -95,12 +115,45 @@ def test_random_op_sequences_match_model(ops):
                 wh.commit_snapshot(
                     "lab", "t", "append", add_files=[newf],
                     drop_prefix=os.path.join(tdir, "data", batch) + os.sep,
+                    schema_fields=cur_fields(),
                 )
                 model = {
                     p for p in model
                     if not p.startswith(os.path.join("data", batch) + os.sep)
                 }
                 model.add(os.path.relpath(newf, tdir))
+            elif op in ("add_col", "rename_col", "drop_col", "widen_col"):
+                if not wh._snapshot_versions("lab", "t") or not schema_model:
+                    continue  # DDL needs a recorded schema
+                head_before = wh._head_light("lab", "t")
+                if op == "add_col":
+                    name = f"c{counter:03d}"
+                    wh.add_column("lab", "t", name, "int")
+                    schema_model.append({"name": name, "type": "int"})
+                elif op == "rename_col":
+                    f = schema_model[pick % len(schema_model)]
+                    new = f"r{counter:03d}"
+                    wh.rename_column("lab", "t", f["name"], new)
+                    f["name"] = new
+                elif op == "drop_col":
+                    if len(schema_model) < 2:
+                        continue
+                    f = schema_model[pick % len(schema_model)]
+                    wh.drop_column("lab", "t", f["name"])
+                    schema_model.remove(f)
+                else:  # widen_col
+                    cands = [f for f in schema_model if f["type"] == "int"]
+                    if not cands:
+                        continue
+                    f = cands[pick % len(cands)]
+                    wh.update_column_type("lab", "t", f["name"], "bigint")
+                    f["type"] = "bigint"
+                head_after = wh._head_light("lab", "t")
+                # metadata-only: segment refs carried over VERBATIM
+                assert head_after["segments"] == head_before.get(
+                    "segments", head_after["segments"]
+                )
+                assert head_after["version"] == head_before["version"] + 1
             elif op == "drop_add" and model:
                 victims_rel = sorted(model)[:: (pick % 3) + 1][:3]
                 newf = _write_file(tdir, f"compact_{counter}", "g_0", "f0")
