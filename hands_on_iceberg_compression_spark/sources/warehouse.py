@@ -1205,7 +1205,13 @@ class ParquetWarehouse:
         for sid in sorted(groups):
             src = schemas[str(sid)]
             df = self._read_file_list(meta, groups[sid], fields=src)
-            frames.append(self._project_to_schema(df, src, tgt))
+            if sid == int(target_sid):
+                # current-schema group: no projection — keeps parquet
+                # metadata-only count and the narrowest possible plan for
+                # the files that dominate a maintained table
+                frames.append(df)
+            else:
+                frames.append(self._project_to_schema(df, src, tgt))
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     def table_schema(

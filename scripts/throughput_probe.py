@@ -356,6 +356,127 @@ def commit_latency_probe(
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def evolution_probe(n_rows: int, workdir: str) -> None:
+    """Schema-evolution read overhead at scale (r07): the same rows in a
+    UNIFORM table (one schema, flat single scan) vs an EVOLVED table
+    whose four generations were written under four different schema ids
+    (add + rename + widen between appends), so the read takes the
+    sid-grouped path — four scans projected through the field-id mapping
+    and unioned.  Scan volume is identical; the probe measures what the
+    extra plan shape costs on full reads and aggregates (warm best-of-3).
+    Prints one JSON line."""
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="evolution-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    per_gen = n_rows // 4
+
+    def gen(i: int, cols: dict) -> "object":
+        df = spark.range(i * per_gen, (i + 1) * per_gen).toDF("id")
+        for name, expr in cols.items():
+            df = df.withColumn(name, expr)
+        return df.coalesce(4)
+
+    base_cols = {
+        "v": (F.col("id") % 1000).cast("double"),
+        "s": F.concat(F.lit("u"), (F.col("id") % 97).cast("string")),
+        "n": (F.col("id") % 7).cast("int"),
+    }
+    for name in ("uniform", "evolved"):
+        wh.create_table("lab", name, "zstd", 1, properties={"snapshots": "true"})
+    # uniform: four generations, one schema
+    final_cols = dict(base_cols)
+    final_cols["label"] = final_cols.pop("s")
+    final_cols["n"] = (F.col("id") % 7).cast("bigint")
+    final_cols["extra"] = (F.col("id") % 3).cast("int")
+    for i in range(4):
+        wh.append("lab", "uniform", gen(i, final_cols), batch_id=f"g{i}")
+    # evolved: DDL between every pair of generations -> four schema ids
+    wh.append("lab", "evolved", gen(0, base_cols), batch_id="g0")
+    wh.add_column("lab", "evolved", "extra", "int")
+    g1_cols = dict(base_cols)
+    g1_cols["extra"] = (F.col("id") % 3).cast("int")
+    wh.append("lab", "evolved", gen(1, g1_cols), batch_id="g1")
+    wh.rename_column("lab", "evolved", "s", "label")
+    g2_cols = dict(g1_cols)
+    g2_cols["label"] = g2_cols.pop("s")
+    wh.append("lab", "evolved", gen(2, g2_cols), batch_id="g2")
+    wh.update_column_type("lab", "evolved", "n", "bigint")
+    g3_cols = dict(g2_cols)
+    g3_cols["n"] = (F.col("id") % 7).cast("bigint")
+    wh.append("lab", "evolved", gen(3, g3_cols), batch_id="g3")
+    head = wh.head_snapshot("lab", "evolved")
+    sids = sorted({e.get("sid", 0) for e in head["files"]})
+
+    def best(fn) -> float:
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    out = {"probe": "evolution_read", "rows": n_rows, "sids": sids}
+    for name in ("uniform", "evolved"):
+        df = wh.read("lab", name)
+        assert df.count() == per_gen * 4
+        assert set(df.columns) == {"id", "v", "label", "n", "extra"}
+        out[f"{name}_read_sec"] = best(
+            lambda: wh.read("lab", name).count()
+        )
+        out[f"{name}_agg_sec"] = best(
+            lambda: wh.read("lab", name)
+            .groupBy("label")
+            .agg(F.sum("v"), F.sum("n"), F.count("*"))
+            .collect()
+        )
+        out[f"{name}_filter_sec"] = best(
+            lambda: wh.read_where("lab", name, "v BETWEEN 10 AND 20").count()
+        )
+    # cross-check: identical results on the always-present columns, and
+    # exactly generation 0 (written before add_column) NULL in 'extra'
+    u = wh.read("lab", "uniform").groupBy().agg(
+        F.sum("v"), F.sum("n"), F.count("*")
+    ).collect()[0]
+    e = wh.read("lab", "evolved").groupBy().agg(
+        F.sum("v"), F.sum("n"), F.count("*")
+    ).collect()[0]
+    assert tuple(u) == tuple(e), (u, e)
+    assert (
+        wh.read("lab", "evolved").filter(F.col("extra").isNull()).count()
+        == per_gen
+    )
+    out["read_ratio"] = round(out["evolved_read_sec"] / out["uniform_read_sec"], 3)
+    out["agg_ratio"] = round(out["evolved_agg_sec"] / out["uniform_agg_sec"], 3)
+    # the remediation: compaction rewrites every file under the CURRENT
+    # schema (optimize reads through the projection), so a maintained
+    # table pays the mixed-schema plan shape only between compactions
+    for name in ("uniform", "evolved"):
+        wh.optimize("lab", name, target_file_size_bytes=16 * 1024 * 1024)
+    head2 = wh.head_snapshot("lab", "evolved")
+    out["compacted_sids"] = sorted({e.get("sid", 0) for e in head2["files"]})
+    out["evolved_compacted_agg_sec"] = best(
+        lambda: wh.read("lab", "evolved")
+        .groupBy("label")
+        .agg(F.sum("v"), F.sum("n"), F.count("*"))
+        .collect()
+    )
+    out["uniform_compacted_agg_sec"] = best(
+        lambda: wh.read("lab", "uniform")
+        .groupBy("label")
+        .agg(F.sum("v"), F.sum("n"), F.count("*"))
+        .collect()
+    )
+    out["compacted_agg_ratio"] = round(
+        out["evolved_compacted_agg_sec"] / out["uniform_compacted_agg_sec"], 3
+    )
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sorted_by_ts = "--sorted" in sys.argv
@@ -376,6 +497,9 @@ def main() -> None:
         return
     if "--prune" in sys.argv:
         prune_probe(n_rows, workdir)
+        return
+    if "--evolution" in sys.argv:
+        evolution_probe(n_rows if args else 1_000_000, workdir)
         return
     if "--percol-ab" in sys.argv:
         percol_ab_probe(n_rows, workdir)

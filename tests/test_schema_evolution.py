@@ -411,6 +411,64 @@ def test_update_column_type_widening(spark, tmp_path):
     assert dict(wh.read_snapshot("lab", "wide", 1).dtypes)["v"] == "int"
 
 
+def test_streaming_ingest_across_schema_evolution(spark, tmp_path):
+    """Streaming ingest survives a schema change between restarts: after
+    add_column, epochs from the (older, narrower) source schema NULL-fill
+    the new column through the append conformance, exactly-once ingest is
+    untouched, and mixed-schema generations read together.  Renaming an
+    ingested column, by contrast, must FAIL the next epoch loudly —
+    writer schemas don't silently re-route."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_into_warehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "ev", "zstd", 1, properties={"snapshots": "true"})
+    src_dir = str(tmp_path / "src")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    df1.coalesce(1).write.parquet(src_dir)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(df1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        stream_into_warehouse(stream, wh, "lab", "ev", str(tmp_path / "ckpt"))
+
+    run_stream()
+    assert wh.read("lab", "ev").count() == 2
+
+    wh.add_column("lab", "ev", "score", "double")
+    # more source files arrive, still at the PRE-evolution schema
+    spark.createDataFrame([(3, "c"), (4, "d")], "id int, s string").coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+    run_stream()  # same checkpoint: only the new files are new epochs
+    got = wh.read("lab", "ev")
+    assert got.columns == ["id", "s", "score"]
+    assert got.count() == 4
+    assert got.filter(F.col("score").isNull()).count() == 4
+    # a batch append CAN now carry the evolved column
+    wh.append(
+        "lab", "ev",
+        spark.createDataFrame([(5, "e", 0.5)], "id int, s string, score double"),
+        batch_id="manual",
+    )
+    rows = {(r.id, r.score) for r in wh.read("lab", "ev").collect()}
+    assert (5, 0.5) in rows and len(rows) == 5
+
+    # renaming the column the stream still writes -> next epoch fails loudly
+    wh.rename_column("lab", "ev", "s", "label")
+    spark.createDataFrame([(6, "f")], "id int, s string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    with pytest.raises(StreamingQueryException, match="add_column first"):
+        run_stream()
+
+
 def test_delete_everything_leaves_schema_stable_empty_read(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     wh.create_table("lab", "empty", "zstd", 1, properties={"snapshots": "true"})
