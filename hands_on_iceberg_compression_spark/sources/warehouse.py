@@ -107,19 +107,15 @@ _PRED_TOKEN_RE = re.compile(
 )
 
 
-def ranges_from_condition(condition: str) -> dict | None:
-    """Translate a SQL predicate into ``prune_files`` ranges, or None when
-    it cannot be done SAFELY.  Supported grammar (the Iceberg
-    residual-evaluation subset a manifest can serve): a conjunction of
-    ``col <op> literal`` / ``literal <op> col`` (op in = == < <= > >=),
-    ``col BETWEEN a AND b``, ``col IN (v, ...)`` with number or
-    single-quoted-string literals.  The result is deliberately LOOSE:
-    strict < and > become inclusive endpoints (pruning keeps more files,
-    the caller's real predicate decides rows), and a column constrained
-    twice keeps only its first constraint — both directions only ever
-    KEEP extra files, never drop a matching one.  Any token outside the
-    grammar fails the whole parse (returns None): partial translation of
-    a disjunction would over-prune."""
+def conjuncts_from_condition(condition: str) -> list[tuple[str, object]] | None:
+    """Parse a SQL predicate into its FULL conjunct list
+    ``[(col, spec), ...]`` — spec is a ``(lo, hi)`` range tuple (strict
+    < / > loosened to inclusive) or a list of discrete values — or None
+    when any token falls outside the strict grammar (a partial parse of
+    a disjunction would misdescribe the predicate).  Unlike
+    ``ranges_from_condition`` this keeps EVERY term, including repeated
+    constraints on one column: consumers that need exactness (the
+    metadata-only delete's full-match proof) must see all of them."""
     toks: list[tuple[str, str]] = []
     pos = 0
     while pos < len(condition):
@@ -144,10 +140,10 @@ def ranges_from_condition(condition: str) -> dict | None:
             return float(v) if "." in v else int(v)
         return None
 
-    out: dict = {}
+    terms: list[tuple[str, object]] = []
 
     def constrain(col, spec):
-        out.setdefault(col, spec)  # first constraint wins (conservative)
+        terms.append((col, spec))
 
     _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
     while i < len(toks):
@@ -210,6 +206,28 @@ def ranges_from_condition(condition: str) -> dict | None:
             i += 1
             if i >= len(toks):
                 return None  # trailing AND
+    return terms or None
+
+
+def ranges_from_condition(condition: str) -> dict | None:
+    """Translate a SQL predicate into ``prune_files`` ranges, or None when
+    it cannot be done SAFELY.  Supported grammar (the Iceberg
+    residual-evaluation subset a manifest can serve): a conjunction of
+    ``col <op> literal`` / ``literal <op> col`` (op in = == < <= > >=),
+    ``col BETWEEN a AND b``, ``col IN (v, ...)`` with number or
+    single-quoted-string literals.  The result is deliberately LOOSE:
+    strict < and > become inclusive endpoints (pruning keeps more files,
+    the caller's real predicate decides rows), and a column constrained
+    twice keeps only its first constraint — both directions only ever
+    KEEP extra files, never drop a matching one.  Any token outside the
+    grammar fails the whole parse (returns None): partial translation of
+    a disjunction would over-prune."""
+    terms = conjuncts_from_condition(condition)
+    if terms is None:
+        return None
+    out: dict = {}
+    for col, spec in terms:
+        out.setdefault(col, spec)  # first constraint wins (conservative)
     return out or None
 
 
@@ -971,54 +989,109 @@ class ParquetWarehouse:
             }
         victim_paths = [os.path.join(tdir, p) for p in victim_rel]
         rows_before = sum(e["rows"] for e in victims)
-        total_bytes = sum(e["bytes"] for e in victims)
-        n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
-        cond = F.expr(condition)
-        # NULL predicate keeps the row: survivors are NOT(cond IS TRUE).
-        # Schema-aware read: the condition names CURRENT columns, and the
-        # rewrite emits current-schema files whatever sid the victims had.
-        df = self._read_entries(schema, table, meta, head, victims).filter(
-            ~F.coalesce(cond, F.lit(False))
-        )
-        data_dir = self._live_data_dir(schema, table)
-        gen_dir = os.path.join(data_dir, f"delete_{uuid.uuid4().hex[:8]}")
-        if meta.sort_order:
-            sort_cols = [F.col(c) for c in meta.sort_order]
-            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-                *sort_cols
+        # METADATA-ONLY fast path (Iceberg's partition-aligned DELETE): a
+        # file whose PARTITION VALUES alone prove that every row matches
+        # the condition is dropped outright — no read, no write, no footer
+        # open.  ``DELETE WHERE day = '2024-01-02'`` on a day-partitioned
+        # table touches zero data bytes however large the partition is.
+        conj = conjuncts_from_condition(condition)
+
+        def fully_matched(e: dict) -> bool:
+            if conj is None:
+                return False
+            parts = e.get("partitions")
+            if not parts:
+                return False
+            return all(
+                parts.get(col) is not None
+                and self._pv_definitely_satisfies(parts[col], spec)
+                for col, spec in conj
             )
-            writer = df.write.mode("error")
-        else:
-            writer = df.coalesce(n_files).write.mode("error")
-        if meta.partitioning:
-            part_names = [n for n, _ in partition_transform_exprs(meta.partitioning)]
-            writer = writer.partitionBy(*part_names)
-        for k, v in self._write_options(meta).items():
-            writer = writer.option(k, v)
-        writer.parquet(gen_dir)
+
+        rewrite = [e for e in victims if not fully_matched(e)]
+        dropped_outright = len(victims) - len(rewrite)
         new, rows_after = [], 0
-        for base, _d, fns in os.walk(gen_dir):
-            for fn in fns:
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(base, fn)
-                n = pq.ParquetFile(p).metadata.num_rows
-                if n == 0:
-                    os.unlink(p)  # a fully-emptied unpartitioned rewrite
-                    continue
-                new.append(p)
-                rows_after += n
+        if rewrite:
+            total_bytes = sum(e["bytes"] for e in rewrite)
+            n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
+            cond = F.expr(condition)
+            # NULL predicate keeps the row: survivors are NOT(cond IS
+            # TRUE).  Schema-aware read: the condition names CURRENT
+            # columns, and the rewrite emits current-schema files
+            # whatever sid the victims had.
+            df = self._read_entries(schema, table, meta, head, rewrite).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            data_dir = self._live_data_dir(schema, table)
+            gen_dir = os.path.join(data_dir, f"delete_{uuid.uuid4().hex[:8]}")
+            if meta.sort_order:
+                sort_cols = [F.col(c) for c in meta.sort_order]
+                df = df.repartitionByRange(
+                    n_files, *sort_cols
+                ).sortWithinPartitions(*sort_cols)
+                writer = df.write.mode("error")
+            else:
+                writer = df.coalesce(n_files).write.mode("error")
+            if meta.partitioning:
+                part_names = [
+                    n for n, _ in partition_transform_exprs(meta.partitioning)
+                ]
+                writer = writer.partitionBy(*part_names)
+            for k, v in self._write_options(meta).items():
+                writer = writer.option(k, v)
+            writer.parquet(gen_dir)
+            for base, _d, fns in os.walk(gen_dir):
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(base, fn)
+                    n = pq.ParquetFile(p).metadata.num_rows
+                    if n == 0:
+                        os.unlink(p)  # a fully-emptied unpartitioned rewrite
+                        continue
+                    new.append(p)
+                    rows_after += n
         manifest = self.commit_snapshot(
             schema, table, "delete", add_files=sorted(new),
             drop_files=victim_paths,
         )
         return {
-            "files_rewritten": len(victims),
+            "files_rewritten": len(rewrite),
+            "files_dropped_outright": dropped_outright,
             "files_kept": n_cold,
             "files_added": len(new),
             "rows_deleted": rows_before - rows_after,
             "version": manifest["version"],
         }
+
+    @staticmethod
+    def _pv_definitely_satisfies(pv: str, spec) -> bool:
+        """Proof that EVERY row of a file satisfies one conjunct from the
+        file's partition value alone: a partition column is constant per
+        file, so an exact dir-encoding match against a POINT literal (or
+        an IN-set member) is a row-level guarantee.  Only int and string
+        literals qualify — their hive dir encoding is the unambiguous
+        ``str()`` form; floats, ranges, and the hive NULL sentinel stay on
+        the rewrite path (a NULL partition value means the rows are NULL,
+        and a NULL never satisfies an equality)."""
+        if pv == "__HIVE_DEFAULT_PARTITION__":
+            return False
+
+        def enc(v):
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return str(v)
+            if isinstance(v, str):
+                return v
+            return None
+
+        if isinstance(spec, list):
+            return any(enc(v) == pv for v in spec if enc(v) is not None)
+        lo, hi = spec
+        if lo is None or hi is None or lo != hi:
+            return False
+        return enc(lo) == pv
 
     @classmethod
     def _auto_ranges(cls, condition: str, head: dict) -> dict | None:

@@ -165,10 +165,76 @@ def test_delete_conflicting_rewrite_raises(day_table, monkeypatch):
 
     monkeypatch.setattr(ParquetWarehouse, "_read_file_list", racing)
     with pytest.raises(RuntimeError, match="no longer in the head"):
+        # v >= 0 blocks the metadata-only path, forcing the rewrite read
+        # where the race is injected
         wh.delete_where(
-            "lab", "deltab", "day = '2024-01-02'",
+            "lab", "deltab", "day = '2024-01-02' AND v >= 0",
             ranges={"day": ("2024-01-02", "2024-01-02")},
         )
+
+
+def test_partition_aligned_delete_is_metadata_only(day_table, monkeypatch):
+    """Iceberg metadata-delete parity: when the predicate is exactly a
+    partition-value match, every file of that partition is dropped
+    outright — ZERO parquet footers opened, zero files written, no Spark
+    job — and time travel still reads the pre-delete rows."""
+    import pyarrow.parquet as pq_mod
+
+    wh = day_table
+    head = wh.head_snapshot("lab", "deltab")
+    v_before = head["version"]
+    rows_total = wh.read("lab", "deltab").count()
+
+    real = pq_mod.ParquetFile
+    opened: list[str] = []
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", counting)
+    out = wh.delete_where("lab", "deltab", "day = '2024-01-02'")
+    assert out["files_dropped_outright"] == 2 and out["files_rewritten"] == 0
+    assert out["files_added"] == 0 and out["rows_deleted"] == 10
+    assert opened == []  # metadata only: not one footer touched
+    assert wh.read("lab", "deltab").count() == rows_total - 10
+    assert (
+        wh.read("lab", "deltab").filter(F.col("day") == "2024-01-02").count() == 0
+    )
+    assert wh.read_snapshot("lab", "deltab", v_before).count() == rows_total
+    # IN-set alignment drops multiple partitions outright too
+    out2 = wh.delete_where("lab", "deltab", "day IN ('2024-01-01', '2024-01-03')")
+    assert out2["files_dropped_outright"] == 4 and out2["files_added"] == 0
+    assert wh.read("lab", "deltab").count() == 0
+
+
+def test_partition_aligned_delete_mixed_predicate_rewrites(day_table):
+    """A conjunct on a NON-partition column blocks the outright drop —
+    those files take the rewrite path and keep their non-matching rows."""
+    wh = day_table
+    out = wh.delete_where("lab", "deltab", "day = '2024-01-02' AND v < 3")
+    # bounds pruning already excluded generation b1 (v 100..104) from the
+    # victim set, so only b0's file rewrites; nothing drops outright
+    assert out["files_dropped_outright"] == 0 and out["files_rewritten"] == 1
+    assert out["rows_deleted"] == 3  # v in {0,1,2} from generation b0
+    left = wh.read("lab", "deltab").filter(F.col("day") == "2024-01-02")
+    assert sorted(r.v for r in left.collect()) == [3, 4, 100, 101, 102, 103, 104]
+
+
+def test_pv_definitely_satisfies_guards():
+    pds = ParquetWarehouse._pv_definitely_satisfies
+    assert pds("2024-01-02", ("2024-01-02", "2024-01-02")) is True
+    assert pds("3", (3, 3)) is True
+    assert pds("3", ["1", "3"]) is True
+    assert pds("3", ["1", "2"]) is False
+    assert pds("3", [1, 3]) is True
+    assert pds("03", (3, 3)) is False  # encoding mismatch -> rewrite path
+    assert pds("3", (3, 4)) is False  # range, not a point
+    assert pds("3", (None, None)) is False
+    assert pds("3.5", (3.5, 3.5)) is False  # float formatting ambiguity
+    # hive NULL sentinel: rows are NULL, equality never satisfied
+    assert pds("__HIVE_DEFAULT_PARTITION__",
+               ("__HIVE_DEFAULT_PARTITION__", "__HIVE_DEFAULT_PARTITION__")) is False
 
 
 def test_delete_requires_log_mode(spark, tmp_path):
