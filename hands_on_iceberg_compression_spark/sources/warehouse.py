@@ -1064,6 +1064,128 @@ class ParquetWarehouse:
             "version": manifest["version"],
         }
 
+    def update_where(
+        self,
+        schema: str,
+        table: str,
+        condition: str,
+        assignments: dict[str, str],
+        ranges: dict | None = None,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Row-level UPDATE — Iceberg ``UPDATE ... SET ... WHERE``,
+        copy-on-write: only files that may hold matching rows are
+        rewritten (victim selection, pruning, and delta-commit semantics
+        are exactly ``delete_where``'s — explicit ``ranges`` or the
+        predicate-derived safe subset, concurrent appends retry-merge,
+        conflicting rewrites raise).  ``assignments`` maps column ->
+        SQL expression (may reference the row's columns); values cast to
+        the column's recorded type, so the table schema never drifts.
+
+        Partition correctness: an update that changes a partition SOURCE
+        column moves its rows — transform columns are RE-DERIVED after
+        the assignments and the rewrite writes hive dirs from the new
+        values (assigning directly to a derived transform column is
+        refused; update the source).  SQL NULL semantics: rows where the
+        condition is NULL are untouched."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "update_where requires a log-mode (snapshots=true) table — "
+                "copy-on-write updates are snapshot commits"
+            )
+        if not assignments:
+            raise ValueError("no assignments")
+        import pyarrow.parquet as pq
+
+        version = self._latest_version(schema, table)
+        if version is None:
+            return {"files_rewritten": 0, "files_kept": 0, "rows_matched": 0}
+        head = self._load_snapshot(schema, table, version)
+        rec_types: dict[str, str] = {}
+        if "schemas" in head:
+            rec_types = {
+                f["name"]: f["type"]
+                for f in head["schemas"][str(head["schema_id"])]
+            }
+        specs = partition_transform_exprs(meta.partitioning or [])
+        derived = {n for n, b in specs if b is not None}
+        for c in assignments:
+            if c in derived:
+                raise ValueError(
+                    f"cannot assign to derived partition column {c!r}; "
+                    "update its source column and the transform re-derives"
+                )
+            if rec_types and c not in rec_types:
+                raise ValueError(f"no column {c!r} in {schema}.{table}")
+        tdir = self._tdir(schema, table)
+        entries_by_path = {e["path"]: e for e in head["files"]}
+        if ranges is None:
+            ranges = self._auto_ranges(condition, head)
+        if ranges is not None:
+            kept_abs, _total = self.prune_files(
+                schema, table, ranges, version=version
+            )
+            victim_rel = [os.path.relpath(p, tdir) for p in kept_abs]
+        else:
+            victim_rel = sorted(entries_by_path)
+        victims = [entries_by_path[p] for p in victim_rel]
+        n_cold = len(entries_by_path) - len(victims)
+        if not victims:
+            return {
+                "files_rewritten": 0,
+                "files_kept": n_cold,
+                "rows_matched": 0,
+                "version": version,
+            }
+        victim_paths = [os.path.join(tdir, p) for p in victim_rel]
+        total_bytes = sum(e["bytes"] for e in victims)
+        n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
+        hit = F.coalesce(F.expr(condition), F.lit(False))
+        df = self._read_entries(schema, table, meta, head, victims)
+        rows_matched = df.filter(hit).count()
+        for c, e in assignments.items():
+            val = F.expr(e)
+            if rec_types.get(c):
+                val = val.cast(rec_types[c])
+            df = df.withColumn(c, F.when(hit, val).otherwise(F.col(c)))
+        for name, build in specs:
+            if build is not None:
+                # re-derive: updated source values must land their rows in
+                # the right partition dirs
+                df = df.withColumn(name, build())
+        data_dir = self._live_data_dir(schema, table)
+        gen_dir = os.path.join(data_dir, f"update_{uuid.uuid4().hex[:8]}")
+        if meta.sort_order:
+            sort_cols = [F.col(c) for c in meta.sort_order]
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            writer = df.write.mode("error")
+        else:
+            writer = df.coalesce(n_files).write.mode("error")
+        if meta.partitioning:
+            writer = writer.partitionBy(*[n for n, _ in specs])
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(gen_dir)
+        new = sorted(
+            os.path.join(base, fn)
+            for base, _d, fns in os.walk(gen_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        manifest = self.commit_snapshot(
+            schema, table, "update", add_files=new, drop_files=victim_paths
+        )
+        return {
+            "files_rewritten": len(victims),
+            "files_kept": n_cold,
+            "files_added": len(new),
+            "rows_matched": rows_matched,
+            "version": manifest["version"],
+        }
+
     @staticmethod
     def _pv_definitely_satisfies(pv: str, spec) -> bool:
         """Proof that EVERY row of a file satisfies one conjunct from the
