@@ -3344,8 +3344,22 @@ class ParquetWarehouse:
         meta = self.table_meta(schema, table)
         if config is not None:
             return iceberg_ddl(config, table, meta.codec, meta.level)
-        df = self.read(schema, table)
-        cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        fields: list[tuple[str, str]] | None = None
+        if self._log_mode(meta):
+            head = self._head_light(schema, table)
+            if head is not None and "schemas" in head:
+                # metadata-only: the recorded CURRENT schema (reflects
+                # add/rename/drop/widen), zero data IO
+                fields = [
+                    (f["name"], f["type"])
+                    for f in head["schemas"][str(head["schema_id"])]
+                ]
+        if fields is None:
+            df = self.read(schema, table)
+            fields = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
+        cols = ",\n  ".join(f"{n} {t}" for n, t in fields)
         props = {
             "write.parquet.compression-codec": meta.codec,
             **({"write.parquet.compression-level": str(meta.level)} if meta.level is not None else {}),

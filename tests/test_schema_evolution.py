@@ -411,6 +411,25 @@ def test_update_column_type_widening(spark, tmp_path):
     assert dict(wh.read_snapshot("lab", "wide", 1).dtypes)["v"] == "int"
 
 
+def test_show_create_reflects_evolved_schema_metadata_only(spark, tmp_path, monkeypatch):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "sc", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "sc",
+        spark.createDataFrame([(1, "x")], "id int, name string"), batch_id="g1",
+    )
+    wh.rename_column("lab", "sc", "name", "label")
+    wh.add_column("lab", "sc", "score", "double")
+    # metadata-only: a data read would fail loudly if attempted
+    monkeypatch.setattr(
+        ParquetWarehouse, "read",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("data read")),
+    )
+    ddl = wh.show_create_table("lab", "sc")
+    assert "label string" in ddl and "score double" in ddl
+    assert "name string" not in ddl
+
+
 def test_streaming_ingest_across_schema_evolution(spark, tmp_path):
     """Streaming ingest survives a schema change between restarts: after
     add_column, epochs from the (older, narrower) source schema NULL-fill
