@@ -156,13 +156,34 @@ def conjuncts_from_condition(condition: str) -> list[tuple[str, object]] | None:
         if toks[i][0] != "word":
             return None
         col = toks[i][1]
-        if col.upper() in ("AND", "OR", "NOT", "BETWEEN", "IN", "NULL", "TRUE", "FALSE"):
+        if col.upper() in (
+            "AND", "OR", "NOT", "BETWEEN", "IN", "IS", "NULL", "TRUE", "FALSE",
+        ):
             return None
         i += 1
         if i >= len(toks):
             return None
         kind, v = toks[i]
-        if kind == "op":
+        if kind == "word" and v.upper() == "IS":
+            # col IS NULL | col IS NOT NULL
+            j = i + 1
+            neg = False
+            if (
+                j < len(toks)
+                and toks[j][0] == "word"
+                and toks[j][1].upper() == "NOT"
+            ):
+                neg = True
+                j += 1
+            if (
+                j >= len(toks)
+                or toks[j][0] != "word"
+                or toks[j][1].upper() != "NULL"
+            ):
+                return None
+            i = j + 1
+            constrain(col, "not_null" if neg else "is_null")
+        elif kind == "op":
             if i + 1 >= len(toks) or toks[i + 1][0] not in ("str", "num"):
                 return None
             val = lit(toks[i + 1])
@@ -1195,7 +1216,12 @@ class ParquetWarehouse:
         literals qualify — their hive dir encoding is the unambiguous
         ``str()`` form; floats, ranges, and the hive NULL sentinel stay on
         the rewrite path (a NULL partition value means the rows are NULL,
-        and a NULL never satisfies an equality)."""
+        and a NULL never satisfies an equality).  Nullness conjuncts ARE
+        provable either way: the sentinel means every row is NULL."""
+        if spec == "is_null":
+            return pv == "__HIVE_DEFAULT_PARTITION__"
+        if spec == "not_null":
+            return pv != "__HIVE_DEFAULT_PARTITION__"
         if pv == "__HIVE_DEFAULT_PARTITION__":
             return False
 
@@ -1242,6 +1268,8 @@ class ParquetWarehouse:
             t = types.get(col)
             if t is None:
                 return False
+            if spec in ("is_null", "not_null"):
+                return True  # nullness is type-free
             vals = spec if isinstance(spec, list) else [v for v in spec if v is not None]
             for v in vals:
                 if isinstance(v, str):
@@ -1726,6 +1754,32 @@ class ParquetWarehouse:
                 out[name] = [cls._trunc_lower(lo), cls._trunc_upper(hi)]
         return out
 
+    @classmethod
+    def _file_null_counts(cls, pf) -> dict:
+        """Per-column null counts aggregated from the parquet footer —
+        Iceberg's manifest ``null_value_counts``, feeding IS [NOT] NULL
+        pruning.  Only top-level columns whose EVERY row group reports a
+        null count are recorded (conservative, like bounds)."""
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            return {}
+        out: dict = {}
+        rg0 = md.row_group(0)
+        for i in range(md.num_columns):
+            name = rg0.column(i).path_in_schema
+            if "." in name:
+                continue
+            total, ok = 0, True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or st.null_count is None:
+                    ok = False
+                    break
+                total += st.null_count
+            if ok:
+                out[name] = total
+        return out
+
     @staticmethod
     def _pv_disjoint(pv: str, lo, hi, static_type: str | None) -> bool:
         """True iff a file's recorded partition VALUE (dir-encoding string)
@@ -1800,7 +1854,10 @@ class ParquetWarehouse:
         ``_json_bound`` so both shapes share one encoding."""
         out: dict = {}
         for c, spec in ranges.items():
-            if isinstance(spec, (list, set, frozenset)):
+            if spec in ("is_null", "not_null"):
+                # nullness filters (Iceberg null_value_counts pruning)
+                out[c] = spec
+            elif isinstance(spec, (list, set, frozenset)):
                 out[c] = [self._json_bound(v) for v in spec]
             else:
                 lo, hi = spec
@@ -1809,10 +1866,16 @@ class ParquetWarehouse:
 
     @classmethod
     def _pv_excluded(cls, pv: str, spec, static_type: str | None) -> bool:
-        """``_pv_disjoint`` over either filter shape: a discrete value set
+        """``_pv_disjoint`` over any filter shape: a discrete value set
         excludes a partition value iff EVERY member is disjoint from it as
         a point range — the exact per-value comparison reused, no second
-        ordering semantics to get wrong."""
+        ordering semantics to get wrong.  Nullness specs read the hive
+        NULL sentinel: a real partition value means every row's column IS
+        that (non-null) value."""
+        if spec == "is_null":
+            return pv != "__HIVE_DEFAULT_PARTITION__"
+        if spec == "not_null":
+            return pv == "__HIVE_DEFAULT_PARTITION__"
         if isinstance(spec, list):
             return all(cls._pv_disjoint(pv, v, v, static_type) for v in spec)
         lo, hi = spec
@@ -1933,11 +1996,22 @@ class ParquetWarehouse:
                                 break
                             continue
                         bcol = col if emap is None else emap.get(col, col)
-                        b = (
-                            e.get("bounds", {}).get(bcol)
-                            if bcol is not None
-                            else None
-                        )
+                        if bcol is None:
+                            continue  # column absent under this file's schema
+                        if spec in ("is_null", "not_null"):
+                            # null_value_counts pruning: a file with zero
+                            # nulls serves no IS NULL row; one that is all
+                            # nulls serves no IS NOT NULL row
+                            n = e.get("nulls", {}).get(bcol)
+                            if n is None:
+                                continue
+                            if (spec == "is_null" and n == 0) or (
+                                spec == "not_null" and n == e["rows"]
+                            ):
+                                keep = False
+                                break
+                            continue
+                        b = e.get("bounds", {}).get(bcol)
                         if b is None:
                             continue
                         if self._bounds_excluded(b, spec):
@@ -2355,6 +2429,9 @@ class ParquetWarehouse:
             }
             if sid is not None:
                 entry["sid"] = sid
+            nulls = self._file_null_counts(pf)
+            if nulls:
+                entry["nulls"] = nulls
             bounds = self._file_bounds(pf)
             if bounds:
                 entry["bounds"] = bounds

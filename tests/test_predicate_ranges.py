@@ -41,6 +41,12 @@ def test_parses_conjunctive_comparisons():
     # duplicate constraint: first wins (conservative)
     assert ranges_from_condition("a > 1 AND a < 9") == {"a": (1, None)}
     assert ranges_from_condition("  k   =  1  ") == {"k": (1, 1)}
+    # nullness predicates (null_value_counts pruning)
+    assert ranges_from_condition("a IS NULL") == {"a": "is_null"}
+    assert ranges_from_condition("a IS NOT NULL AND k = 1") == {
+        "a": "not_null",
+        "k": (1, 1),
+    }
 
 
 def test_rejects_everything_outside_the_grammar():
@@ -49,7 +55,8 @@ def test_rejects_everything_outside_the_grammar():
         "NOT a = 1",
         "a != 1",
         "a <> 1",
-        "a IS NULL",
+        "a IS",  # dangling IS
+        "a IS NOT",  # dangling IS NOT
         "lower(a) = 'x'",
         "a = b",  # column-to-column
         "a + 1 = 2",
