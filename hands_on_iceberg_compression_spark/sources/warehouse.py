@@ -2809,6 +2809,13 @@ class ParquetWarehouse:
                 "total_rows": merged["rows"],
                 "total_bytes": merged["bytes"],
             }
+            if "schemas" in head:
+                # schema record carries through metadata rewrites (the
+                # randomized model test caught this dropping: entries keep
+                # their sids, so a head without the schema list would
+                # silently un-evolve the table)
+                manifest["schemas"] = head["schemas"]
+                manifest["schema_id"] = head["schema_id"]
             path = os.path.join(snap_dir, f"v{version:06d}.json")
             tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
             with open(tmp, "w") as f:

@@ -430,6 +430,26 @@ def test_show_create_reflects_evolved_schema_metadata_only(spark, tmp_path, monk
     assert "name string" not in ddl
 
 
+def test_rewrite_manifests_carries_schemas(spark, tmp_path):
+    """Metadata segment compaction must not drop the schema record (the
+    randomized model test found exactly this: entries keep their sids, so
+    a head without the schema list silently un-evolves the table)."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "rm", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "rm", spark.createDataFrame([(1,)], "id int"), batch_id="g1"
+    )
+    wh.rename_column("lab", "rm", "id", "ident")
+    wh.append(
+        "lab", "rm", spark.createDataFrame([(2,)], "ident int"), batch_id="g2"
+    )
+    out = wh.rewrite_manifests("lab", "rm")
+    assert out["segments_after"] == 1
+    assert [f["name"] for f in wh.table_schema("lab", "rm")] == ["ident"]
+    got = sorted(r.ident for r in wh.read("lab", "rm").collect())
+    assert got == [1, 2]
+
+
 def test_streaming_ingest_across_schema_evolution(spark, tmp_path):
     """Streaming ingest survives a schema change between restarts: after
     add_column, epochs from the (older, narrower) source schema NULL-fill
