@@ -2837,9 +2837,161 @@ class ParquetWarehouse:
             finally:
                 os.unlink(tmp)
 
-    def read_snapshot(self, schema: str, table: str, version: int) -> DataFrame:
-        """Time travel: read exactly the files snapshot ``version`` listed.
+    # --- snapshot refs (Iceberg tags) ------------------------------------
+    _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_\-\.]{0,63}")
+
+    def _tag_path(self, schema: str, table: str, name: str) -> str:
+        if not self._TAG_NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: alphanumeric start, then "
+                "[A-Za-z0-9_-.], max 64 chars"
+            )
+        return os.path.join(self._snap_dir(schema, table), f"tag_{name}.json")
+
+    def create_tag(
+        self, schema: str, table: str, name: str, version: int | None = None
+    ) -> dict:
+        """Iceberg tag (``ALTER TABLE ... CREATE TAG``): a named immutable
+        ref pinning one snapshot.  ``expire_snapshots`` RETAINS tagged
+        snapshots (and their data/segment files) until the tag is dropped
+        — the audit/reproducibility handle a training-data pipeline needs
+        ("the corpus as of release v1").  Publication is hard-link CAS:
+        re-creating an existing tag raises."""
+        if version is None:
+            version = self._latest_version(schema, table)
+            if version is None:
+                raise ValueError(f"{schema}.{table} has no snapshot to tag")
+        self._load_head_light(schema, table, version)  # must exist
+        import time as _time
+
+        path = self._tag_path(schema, table, name)
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        record = {"version": version, "ts": round(_time.time(), 3)}
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists on {schema}.{table} "
+                "(tags are immutable; drop_tag first)"
+            )
+        finally:
+            os.unlink(tmp)
+        return record
+
+    def drop_tag(self, schema: str, table: str, name: str) -> None:
+        try:
+            os.unlink(self._tag_path(schema, table, name))
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r} on {schema}.{table}")
+
+    def tags(self, schema: str, table: str) -> dict[str, int]:
+        """{tag name: pinned version}."""
+        d = self._snap_dir(schema, table)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, int] = {}
+        for fn in os.listdir(d):
+            if fn.startswith("tag_") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[4:-5]] = json.load(f)["version"]
+        return out
+
+    def _resolve_version(self, schema: str, table: str, version: int | str) -> int:
+        """A version number, or a TAG name (Iceberg ``VERSION AS OF``
+        accepts both)."""
+        if isinstance(version, str):
+            tags = self.tags(schema, table)
+            if version not in tags:
+                raise ValueError(
+                    f"no tag {version!r} on {schema}.{table} "
+                    f"(tags: {sorted(tags)})"
+                )
+            return tags[version]
+        return version
+
+    def read_incremental(
+        self,
+        schema: str,
+        table: str,
+        from_version: int | str,
+        to_version: int | str | None = None,
+    ) -> DataFrame:
+        """Iceberg incremental APPEND scan: the rows added AFTER
+        ``from_version`` up to ``to_version`` (default: head) — the files
+        present in the newer snapshot but not the older, read under the
+        newer snapshot's schema.  This is the CDC consumer pattern at
+        100 TB: checkpoint the head version after each pull and never
+        rescan the table.  Versions may be tag names.
+
+        Raises if any of ``from_version``'s files is GONE from
+        ``to_version``: a rewrite (optimize/merge/delete/update) or a
+        batch replay in between means a pure file diff would misattribute
+        rewritten rows as new data — Iceberg's incremental scan refuses
+        non-append history the same way.  Metadata-only commits (DDL,
+        rewrite_manifests) do not move data files and pass freely."""
+        meta = self.table_meta(schema, table)
+        fv = self._resolve_version(schema, table, from_version)
+        if to_version is None:
+            tv = self._latest_version(schema, table)
+            if tv is None:
+                raise ValueError(f"{schema}.{table} has no snapshot")
+        else:
+            tv = self._resolve_version(schema, table, to_version)
+        if tv < fv:
+            raise ValueError(f"to_version v{tv} precedes from_version v{fv}")
+        mf_from = self._load_snapshot(schema, table, fv)
+        mf_to = self._load_snapshot(schema, table, tv)
+        from_paths = {e["path"] for e in mf_from["files"]}
+        to_paths = {e["path"] for e in mf_to["files"]}
+        removed = from_paths - to_paths
+        if removed:
+            raise ValueError(
+                f"cannot incrementally scan {schema}.{table} "
+                f"v{fv}..v{tv}: {len(removed)} files were rewritten or "
+                f"replaced in between (e.g. {sorted(removed)[0]}) — "
+                "non-append history; full-scan or restart the checkpoint"
+            )
+        new_entries = [e for e in mf_to["files"] if e["path"] not in from_paths]
+        if not new_entries:
+            if "schemas" in mf_to:
+                return self._empty_frame(
+                    mf_to["schemas"][str(mf_to["schema_id"])]
+                )
+            return self.read(schema, table).limit(0)
+        return self._read_entries(schema, table, meta, mf_to, new_entries)
+
+    def partitions_report(self, schema: str, table: str) -> list[dict]:
+        """Iceberg ``$partitions`` metadata table: per-partition-tuple
+        file/row/byte counts served ENTIRELY from the head manifest —
+        zero data IO, zero footer opens, however large the table."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "partitions_report requires a log-mode (snapshots=true) "
+                "table — dir mode has no manifest to serve from"
+            )
+        head = self.head_snapshot(schema, table)
+        if head is None:
+            return []
+        agg: dict[tuple, dict] = {}
+        for e in head["files"]:
+            key = tuple(sorted(e.get("partitions", {}).items()))
+            a = agg.setdefault(
+                key,
+                {"partition": dict(key), "files": 0, "rows": 0, "bytes": 0},
+            )
+            a["files"] += 1
+            a["rows"] += e["rows"]
+            a["bytes"] += e["bytes"]
+        return [agg[k] for k in sorted(agg)]
+
+    def read_snapshot(self, schema: str, table: str, version: int | str) -> DataFrame:
+        """Time travel: read exactly the files snapshot ``version`` listed
+        (``version`` may be a TAG name — Iceberg ``VERSION AS OF``).
         Raises if a later rewrite removed any of them (expired snapshot)."""
+        version = self._resolve_version(schema, table, version)
         try:
             manifest = self._load_snapshot(schema, table, version)
         except FileNotFoundError as exc:
@@ -2930,6 +3082,12 @@ class ParquetWarehouse:
             victims = [
                 m for m in victims if m.get("ts") is not None and m["ts"] < cutoff
             ]
+        # TAGGED snapshots are retained regardless of age/position
+        # (Iceberg ref retention): the tag is the user's promise that this
+        # snapshot — and its data files — stay reachable until drop_tag
+        tagged = set(self.tags(schema, table).values())
+        if tagged:
+            victims = [m for m in victims if m["version"] not in tagged]
         for m in victims:
             os.remove(
                 os.path.join(
