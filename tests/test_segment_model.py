@@ -56,6 +56,8 @@ OPS = st.lists(
                 # metadata-only commits must never perturb the file set,
                 # and the schema must track its own model exactly
                 "add_col", "rename_col", "drop_col", "widen_col",
+                # tags pin snapshots through expiry until dropped
+                "tag", "drop_tag",
             ]
         ),
         st.integers(0, 10),
@@ -72,6 +74,7 @@ def test_random_op_sequences_match_model(ops):
         tdir = wh._tdir("lab", "t")
         model: set[str] = set()  # rel paths the head must list
         schema_model: list[dict] = []  # (name, type) the schema must match
+        tags_model: dict[str, int] = {}  # live tags -> pinned version
         batches: list[str] = []
         counter = 0
 
@@ -91,6 +94,11 @@ def test_random_op_sequences_match_model(ops):
                     {"name": f["name"], "type": f["type"]}
                     for f in wh.table_schema("lab", "t")
                 ] == cur_fields()
+            assert wh.tags("lab", "t") == tags_model
+            for v in tags_model.values():
+                # every tagged snapshot must stay materializable (its head
+                # AND all its segments survived whatever expiry ran)
+                wh._load_snapshot("lab", "t", v)
 
         for op, pick in ops:
             counter += 1
@@ -165,6 +173,14 @@ def test_random_op_sequences_match_model(ops):
                 batches.append(f"compact_{counter}")
                 model -= set(victims_rel)
                 model.add(os.path.relpath(newf, tdir))
+            elif op == "tag" and wh._snapshot_versions("lab", "t"):
+                name = f"t{counter:03d}"
+                wh.create_tag("lab", "t", name)
+                tags_model[name] = wh._latest_version("lab", "t")
+            elif op == "drop_tag" and tags_model:
+                name = sorted(tags_model)[pick % len(tags_model)]
+                wh.drop_tag("lab", "t", name)
+                del tags_model[name]
             elif op == "rewrite" and model:
                 wh.rewrite_manifests("lab", "t")
             elif op == "expire" and wh._snapshot_versions("lab", "t"):
