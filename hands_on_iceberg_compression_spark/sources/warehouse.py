@@ -1093,6 +1093,7 @@ class ParquetWarehouse:
         assignments: dict[str, str],
         ranges: dict | None = None,
         target_file_size_bytes: int = 128 * 1024 * 1024,
+        count_matched: bool = True,
     ) -> dict:
         """Row-level UPDATE — Iceberg ``UPDATE ... SET ... WHERE``,
         copy-on-write: only files that may hold matching rows are
@@ -1108,7 +1109,11 @@ class ParquetWarehouse:
         the assignments and the rewrite writes hive dirs from the new
         values (assigning directly to a derived transform column is
         refused; update the source).  SQL NULL semantics: rows where the
-        condition is NULL are untouched."""
+        condition is NULL are untouched.
+
+        ``count_matched=False`` skips the ``rows_matched`` report number,
+        saving one condition-column scan over the victims — worth passing
+        when the victim set is a large fraction of a huge table."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -1164,7 +1169,7 @@ class ParquetWarehouse:
         n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
         hit = F.coalesce(F.expr(condition), F.lit(False))
         df = self._read_entries(schema, table, meta, head, victims)
-        rows_matched = df.filter(hit).count()
+        rows_matched = df.filter(hit).count() if count_matched else None
         for c, e in assignments.items():
             val = F.expr(e)
             if rec_types.get(c):
