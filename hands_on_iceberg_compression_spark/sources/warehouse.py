@@ -210,14 +210,23 @@ def conjuncts_from_condition(condition: str) -> list[tuple[str, object]] | None:
                 return None
             i += 2
             vals = []
-            while i < len(toks) and toks[i][0] in ("str", "num"):
+            while True:
+                # STRICTLY comma-separated: "IN ('a' 'b')" is not SQL and
+                # must not reach the metadata-only delete path, where this
+                # parse is the only validation the predicate ever gets
+                if i >= len(toks) or toks[i][0] not in ("str", "num"):
+                    return None
                 vals.append(lit(toks[i]))
                 i += 1
-                if i < len(toks) and toks[i][0] == "comma":
+                if i >= len(toks):
+                    return None
+                if toks[i][0] == "comma":
                     i += 1
-            if not vals or i >= len(toks) or toks[i][0] != "rpar":
+                    continue
+                if toks[i][0] == "rpar":
+                    i += 1
+                    break
                 return None
-            i += 1
             constrain(col, vals)
         else:
             return None
@@ -1170,11 +1179,32 @@ class ParquetWarehouse:
         hit = F.coalesce(F.expr(condition), F.lit(False))
         df = self._read_entries(schema, table, meta, head, victims)
         rows_matched = df.filter(hit).count() if count_matched else None
-        for c, e in assignments.items():
-            val = F.expr(e)
-            if rec_types.get(c):
-                val = val.cast(rec_types[c])
-            df = df.withColumn(c, F.when(hit, val).otherwise(F.col(c)))
+        if rows_matched == 0:
+            # nothing matches: skip the rewrite AND the commit — a
+            # byte-equivalent rewrite would churn a snapshot for nothing
+            # and invalidate incremental-scan checkpoints
+            return {
+                "files_rewritten": 0,
+                "files_kept": n_cold + len(victims),
+                "files_added": 0,
+                "rows_matched": 0,
+                "version": version,
+            }
+        # ONE select, every expression bound to the ORIGINAL row: SQL
+        # UPDATE evaluates the condition and all SET expressions against
+        # the pre-update values (sequential withColumn would let later
+        # assignments see earlier ones — a swap {a: b, b: a} or a
+        # condition on an assigned column would corrupt silently)
+        out_cols = []
+        for name in df.columns:
+            if name in assignments:
+                val = F.expr(assignments[name])
+                if rec_types.get(name):
+                    val = val.cast(rec_types[name])
+                out_cols.append(F.when(hit, val).otherwise(F.col(name)).alias(name))
+            else:
+                out_cols.append(F.col(name))
+        df = df.select(*out_cols)
         for name, build in specs:
             if build is not None:
                 # re-derive: updated source values must land their rows in
@@ -1503,17 +1533,10 @@ class ParquetWarehouse:
                 "schema_id": new_sid,
             }
             path = os.path.join(snap_dir, f"v{version:06d}.json")
-            tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            try:
-                os.link(tmp, path)
+            if self._cas_link(manifest, path):
                 self._write_version_hint(schema, table, version)
                 return manifest
-            except FileExistsError:
-                continue  # lost the race — re-derive from the winner's head
-            finally:
-                os.unlink(tmp)
+            # lost the race — re-derive from the winner's head
 
     def _schema_change_guard(self, meta: TableMeta, name: str, verb: str) -> None:
         """Columns the hive dir layout or sort contract embeds by NAME
@@ -1650,6 +1673,27 @@ class ParquetWarehouse:
     # --- snapshot/manifest log (opt-in; Iceberg-manifest analogue) -------
     def _snap_dir(self, schema: str, table: str) -> str:
         return os.path.join(self._tdir(schema, table), "snapshots")
+
+    @staticmethod
+    def _cas_link(payload: dict, path: str) -> bool:
+        """THE hard-link CAS publish every commit path shares
+        (commit_snapshot, rewrite_manifests, schema DDL, tags): serialize
+        to a private tmp file, then ``os.link`` to the target — an O_EXCL
+        create that FAILS if another publisher took the path first
+        (``os.rename`` would silently clobber a concurrent winner).
+        Returns False on the lost race; the tmp file never survives
+        either way.  One definition so a future protocol change (fsync
+        ordering, durability) lands everywhere at once."""
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     @staticmethod
     def _file_partitions(rel_path: str) -> dict[str, str]:
@@ -1912,7 +1956,12 @@ class ParquetWarehouse:
 
         ``ranges`` maps column -> ``(lo, hi)`` (None = open end; equality is
         ``(v, v)``) OR a list/set of DISCRETE values (membership test —
-        kept iff SOME member intersects), conjunctive across columns.  A column naming a
+        kept iff SOME member intersects) OR ``"is_null"``/``"not_null"``,
+        conjunctive across columns.  SHAPE IS TYPE-DISPATCHED: a TUPLE is
+        a range, a LIST is a set — callers deserializing ranges from JSON
+        (which turns tuples into lists) must convert 2-element ranges
+        back to tuples or ``[10, 20]`` means the set {10, 20}, not the
+        interval.  A column naming a
         PARTITION of the file (hive ``k=v`` tuple in the manifest) prunes
         on the recorded partition value — Iceberg's partition pruning,
         which fires before any bounds comparison; partition values are the
@@ -2405,11 +2454,19 @@ class ParquetWarehouse:
         if schema_fields is not None:
             if head is not None and "schemas" in head:
                 sid = head["schema_id"]
-            else:
+            elif head is None:
+                # FIRST commit of a fresh table adopts the write's schema
                 new_schema0 = [
                     {"id": i + 1, **f} for i, f in enumerate(schema_fields)
                 ]
                 sid = 0
+            # else: a LEGACY pre-schema head with live entries — stay
+            # schema-less.  Adopting this write's schema as schema 0 would
+            # claim it describes the legacy files too (entries without
+            # "sid" default to 0), and reading them under an explicit
+            # schema they were never validated against can fail or
+            # silently NULL-fill.  Legacy tables keep the pre-r07 read
+            # path; schema tracking starts with tables created after it.
         elif head is not None and "schemas" in head:
             sid = head["schema_id"]
 
@@ -2596,11 +2653,7 @@ class ParquetWarehouse:
                     manifest["schemas"] = schemas_out
                     manifest["schema_id"] = schema_id_out
                 path = os.path.join(snap_dir, f"v{version:06d}.json")
-                tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
-                with open(tmp, "w") as f:
-                    json.dump(manifest, f)
-                try:
-                    os.link(tmp, path)  # CAS publish: O_EXCL create
+                if self._cas_link(manifest, path):
                     self._write_version_hint(schema, table, version)
                     # a segment this commit wrote but did NOT publish (e.g.
                     # the new append segment when the same commit merged it
@@ -2609,12 +2662,8 @@ class ParquetWarehouse:
                     _gc([n for n in created if n not in published])
                     created.clear()
                     return manifest
-                except FileExistsError:
-                    # lost the race — recompute against the new head
-                    head = self._head_light(schema, table)
-                    continue
-                finally:
-                    os.unlink(tmp)
+                # lost the race — recompute against the new head
+                head = self._head_light(schema, table)
         except BaseException:
             _gc(created)
             raise
@@ -2822,25 +2871,17 @@ class ParquetWarehouse:
                 manifest["schemas"] = head["schemas"]
                 manifest["schema_id"] = head["schema_id"]
             path = os.path.join(snap_dir, f"v{version:06d}.json")
-            tmp = os.path.join(snap_dir, f".commit_{uuid.uuid4().hex[:8]}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            try:
-                os.link(tmp, path)
+            if self._cas_link(manifest, path):
                 self._write_version_hint(schema, table, version)
                 return {
                     "segments_before": len(refs),
                     "segments_after": 1,
                     "version": version,
                 }
-            except FileExistsError:
-                # lost the race: GC our merged segment and redo against the
-                # winner's head
-                self._seg_cache.pop(os.path.join(snap_dir, merged["path"]), None)
-                os.unlink(os.path.join(snap_dir, merged["path"]))
-                continue
-            finally:
-                os.unlink(tmp)
+            # lost the race: GC our merged segment and redo against the
+            # winner's head
+            self._seg_cache.pop(os.path.join(snap_dir, merged["path"]), None)
+            os.unlink(os.path.join(snap_dir, merged["path"]))
 
     # --- snapshot refs (Iceberg tags) ------------------------------------
     _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_\-\.]{0,63}")
@@ -2870,19 +2911,12 @@ class ParquetWarehouse:
         import time as _time
 
         path = self._tag_path(schema, table, name)
-        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
         record = {"version": version, "ts": round(_time.time(), 3)}
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
+        if not self._cas_link(record, path):
             raise ValueError(
                 f"tag {name!r} already exists on {schema}.{table} "
                 "(tags are immutable; drop_tag first)"
             )
-        finally:
-            os.unlink(tmp)
         return record
 
     def drop_tag(self, schema: str, table: str, name: str) -> None:

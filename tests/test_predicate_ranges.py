@@ -63,6 +63,9 @@ def test_rejects_everything_outside_the_grammar():
         "a LIKE 'x%'",
         "a IN (1, b)",
         "a IN ()",
+        "a IN (1 2)",  # comma-less list is not SQL (review finding)
+        "a IN ('x' 'y')",
+        "a IN (1, 2,)",  # trailing comma
         "a BETWEEN 1 AND",
         "a = 1 AND",
         "a = TIMESTAMP '2024-01-01'",

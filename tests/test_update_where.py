@@ -134,6 +134,45 @@ def test_update_moves_rows_across_partitions(spark, tmp_path):
         wh.update_where("lab", "mv2", "id = 1", {"ts_day": "'2024-01-01'"})
 
 
+def test_update_evaluates_against_original_rows(spark, tmp_path):
+    """SQL UPDATE semantics (review-found bug): the condition and ALL
+    assignment expressions bind to the PRE-update row.  A swap works, and
+    an assignment reading a column the condition names still fires even
+    when another assignment changes that column."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "sw", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "sw",
+        spark.createDataFrame([(1, 5), (9, 9)], "a int, b int").coalesce(1),
+        batch_id="b0",
+    )
+    # the confirmed failure: condition on 'a' while assigning 'a' AND
+    # deriving 'b' from the original 'a'
+    out = wh.update_where("lab", "sw", "a = 1", {"a": "2", "b": "a + 10"})
+    assert out["rows_matched"] == 1
+    got = sorted((r.a, r.b) for r in wh.read("lab", "sw").collect())
+    assert got == [(2, 11), (9, 9)]  # b = ORIGINAL a + 10, not 2 + 10
+    # a swap: both sides read originals
+    wh.update_where("lab", "sw", "a = 2", {"a": "b", "b": "a"})
+    got2 = sorted((r.a, r.b) for r in wh.read("lab", "sw").collect())
+    assert got2 == [(9, 9), (11, 2)]
+
+
+def test_update_zero_matches_is_a_noop(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "z", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "z",
+        spark.createDataFrame([(1, 5)], "id int, v int").coalesce(1),
+        batch_id="b0",
+    )
+    v = wh.head_snapshot("lab", "z")["version"]
+    out = wh.update_where("lab", "z", "id = 999", {"v": "0"})
+    assert out["rows_matched"] == 0 and out["files_rewritten"] == 0
+    # no snapshot churn: same head, data untouched
+    assert wh.head_snapshot("lab", "z")["version"] == v
+
+
 def test_update_null_condition_leaves_row(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     wh.create_table("lab", "un", "zstd", 1, properties={"snapshots": "true"})
