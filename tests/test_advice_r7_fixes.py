@@ -115,11 +115,11 @@ def _ddl_mid_rewrite(monkeypatch, rename=("v", "val")):
     orig = ParquetWarehouse._read_entries
     state = {"fired": False}
 
-    def hook(self, schema, table, meta, head, entries):
+    def hook(self, schema, table, meta, head, entries, **kw):
         if not state["fired"]:
             state["fired"] = True
             self.rename_column(schema, table, *rename)
-        return orig(self, schema, table, meta, head, entries)
+        return orig(self, schema, table, meta, head, entries, **kw)
 
     monkeypatch.setattr(ParquetWarehouse, "_read_entries", hook)
 
