@@ -253,3 +253,75 @@ def test_delete_no_matching_files_is_noop(day_table):
     )
     assert out["files_rewritten"] == 0 and out["rows_deleted"] == 0
     assert wh.head_snapshot("lab", "deltab")["version"] == v  # no commit
+
+
+# --- DML x schema evolution (VERDICT r7 #3) -------------------------------
+
+
+def test_delete_on_evolved_table_spanning_sids(spark, tmp_path):
+    """DELETE whose condition names a RENAMED column, over victims from
+    TWO schema generations: _auto_ranges must resolve the recorded type
+    through the rename, the per-sid read must project old files to the
+    current schema, and the rewrite must emit current-schema files.
+    DuckDB checks the post-DML evolved read row-for-row."""
+    import duckdb
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "evo", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "evo",
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "id int, v int"),
+        batch_id="b0",
+    )
+    files_b0 = wh._data_files("lab", "evo")
+    wh.rename_column("lab", "evo", "v", "val")
+    wh.append(
+        "lab", "evo",
+        spark.createDataFrame(
+            [(100 + i, i * 10) for i in range(10)], "id int, val int"
+        ),
+        batch_id="b1",
+    )
+    files_b1 = sorted(set(wh._data_files("lab", "evo")) - set(files_b0))
+    out = wh.delete_where("lab", "evo", "val >= 50")
+    assert out["rows_deleted"] == 10  # 5 per generation
+    con = duckdb.connect()
+    expected = con.execute(
+        "SELECT id, v AS val FROM read_parquet($b0) WHERE NOT v >= 50 "
+        "UNION ALL "
+        "SELECT id, val FROM read_parquet($b1) WHERE NOT val >= 50 "
+        "ORDER BY id",
+        {"b0": files_b0, "b1": files_b1},
+    ).fetchall()
+    got = sorted((r.id, r.val) for r in wh.read("lab", "evo").collect())
+    assert got == [tuple(r) for r in expected]
+    # the rewrite emitted CURRENT-schema files: every live entry either
+    # kept its original sid or was stamped with the current one, and the
+    # post-delete read presents the current column name
+    head = wh.head_snapshot("lab", "evo")
+    cur_sid = head["schema_id"]
+    new_entries = [e for e in head["files"] if "delete_" in e["path"]]
+    assert new_entries and all(e.get("sid") == cur_sid for e in new_entries)
+    assert wh.read("lab", "evo").columns == ["id", "val"]
+
+
+def test_delete_prunes_through_rename_without_losing_rows(spark, tmp_path):
+    """Bounds recorded under the OLD column name must still prune for a
+    condition naming the NEW name — and never lose a matching row."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "evp", "zstd", 1, properties={"snapshots": "true"})
+    for i in range(3):  # three files with disjoint id ranges
+        wh.append(
+            "lab", "evp",
+            spark.createDataFrame(
+                [(i * 100 + j, j) for j in range(10)], "id int, v int"
+            ).coalesce(1),
+            batch_id=f"b{i}",
+        )
+    wh.rename_column("lab", "evp", "id", "ident")
+    out = wh.delete_where("lab", "evp", "ident BETWEEN 100 AND 109")
+    assert out["rows_deleted"] == 10
+    # pruning selected only the middle file (auto-ranges resolved the
+    # rename to the recorded per-sid bounds key)
+    assert out["files_rewritten"] == 1 and out["files_kept"] == 2
+    assert wh.read("lab", "evp").count() == 20

@@ -58,6 +58,11 @@ OPS = st.lists(
                 "add_col", "rename_col", "drop_col", "widen_col",
                 # tags pin snapshots through expiry until dropped
                 "tag", "drop_tag",
+                # merge-on-read delete commits: the head's delete set must
+                # track the model through every carry rule (drop_files
+                # prunes targets, replay prunes by prefix, DDL/rewrite
+                # carry verbatim, expiry GCs unreferenced delete files)
+                "mor_delete",
             ]
         ),
         st.integers(0, 10),
@@ -75,8 +80,17 @@ def test_random_op_sequences_match_model(ops):
         model: set[str] = set()  # rel paths the head must list
         schema_model: list[dict] = []  # (name, type) the schema must match
         tags_model: dict[str, int] = {}  # live tags -> pinned version
+        dels_model: dict[str, set[str]] = {}  # delete rel path -> live targets
         batches: list[str] = []
         counter = 0
+
+        def prune_dels(gone: set[str]) -> None:
+            # mirror of commit_snapshot's delete-carry: dropped files
+            # leave every target list; emptied entries disappear
+            for dp in list(dels_model):
+                dels_model[dp] -= gone
+                if not dels_model[dp]:
+                    del dels_model[dp]
 
         def cur_fields():
             return [{"name": f["name"], "type": f["type"]} for f in schema_model]
@@ -94,6 +108,11 @@ def test_random_op_sequences_match_model(ops):
                     {"name": f["name"], "type": f["type"]}
                     for f in wh.table_schema("lab", "t")
                 ] == cur_fields()
+            got_dels = {
+                d["path"]: set(d["targets"])
+                for d in (head.get("deletes", []) if head else [])
+            }
+            assert got_dels == dels_model
             assert wh.tags("lab", "t") == tags_model
             for v in tags_model.values():
                 # every tagged snapshot must stay materializable (its head
@@ -125,11 +144,13 @@ def test_random_op_sequences_match_model(ops):
                     drop_prefix=os.path.join(tdir, "data", batch) + os.sep,
                     schema_fields=cur_fields(),
                 )
-                model = {
+                gone = {
                     p for p in model
-                    if not p.startswith(os.path.join("data", batch) + os.sep)
+                    if p.startswith(os.path.join("data", batch) + os.sep)
                 }
+                model -= gone
                 model.add(os.path.relpath(newf, tdir))
+                prune_dels(gone)
             elif op in ("add_col", "rename_col", "drop_col", "widen_col"):
                 if not wh._snapshot_versions("lab", "t") or not schema_model:
                     continue  # DDL needs a recorded schema
@@ -173,6 +194,34 @@ def test_random_op_sequences_match_model(ops):
                 batches.append(f"compact_{counter}")
                 model -= set(victims_rel)
                 model.add(os.path.relpath(newf, tdir))
+                prune_dels(set(victims_rel))
+            elif op == "mor_delete" and model:
+                targets = sorted(model)[pick % len(model):][:2]
+                d = os.path.join(tdir, "deletes", f"del_{counter:03d}")
+                os.makedirs(d, exist_ok=True)
+                dp = os.path.join(d, "part-0.parquet")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "file_path": pa.array(targets, pa.string()),
+                            "pos": pa.array([0] * len(targets), pa.int64()),
+                        }
+                    ),
+                    dp,
+                )
+                rel = os.path.relpath(dp, tdir)
+                wh.commit_snapshot(
+                    "lab", "t", "delete",
+                    add_files=[],
+                    add_deletes=[{
+                        "path": rel,
+                        "bytes": os.stat(dp).st_size,
+                        "rows": len(targets),
+                        "kind": "pos",
+                        "targets": targets,
+                    }],
+                )
+                dels_model[rel] = set(targets)
             elif op == "tag" and wh._snapshot_versions("lab", "t"):
                 name = f"t{counter:03d}"
                 wh.create_tag("lab", "t", name)
@@ -197,6 +246,29 @@ def test_random_op_sequences_match_model(ops):
                     fn for fn in os.listdir(snap_dir) if fn.startswith("seg_")
                 }
                 assert on_disk == kept_refs  # exact segment GC
+                # exact delete-file GC: on-disk tuples files are exactly
+                # the kept heads' references (an entry whose targets
+                # emptied lingers on disk until its last referencing head
+                # expires — then it must be gone)
+                kept_dels = {
+                    d["path"]
+                    for v in wh._snapshot_versions("lab", "t")
+                    for d in wh._load_head_light("lab", "t", v).get(
+                        "deletes", []
+                    )
+                }
+                dels_dir = os.path.join(tdir, "deletes")
+                on_disk_dels = (
+                    {
+                        os.path.relpath(os.path.join(b, fn), tdir)
+                        for b, _dd, fns in os.walk(dels_dir)
+                        for fn in fns
+                        if fn.endswith(".parquet")
+                    }
+                    if os.path.isdir(dels_dir)
+                    else set()
+                )
+                assert on_disk_dels == kept_dels
             check()
 
         # the age-gated orphan sweep must never touch a live file
@@ -204,4 +276,104 @@ def test_random_op_sequences_match_model(ops):
             wh.remove_orphan_files("lab", "t", older_than_s=0)
             for rel in model:
                 assert os.path.isfile(os.path.join(tdir, rel)), rel
+            for rel in dels_model:
+                assert os.path.isfile(os.path.join(tdir, rel)), rel
             check()
+
+
+# --- Sparkful DML model (VERDICT r7 #4): row-level ops vs a dict model ----
+
+DML_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            [
+                "append",
+                "cow_delete", "mor_delete",
+                "cow_update", "mor_update",
+                "rename", "expire", "tag",
+            ]
+        ),
+        st.integers(0, 9),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ops=DML_OPS)
+def test_random_dml_sequences_match_row_model(spark, ops):
+    """Copy-on-write AND merge-on-read delete/update interleaved with
+    appends, column renames, expiry, and tags — the read must equal a
+    plain Python row model after every operation, whatever the history.
+    This is the net that caught the rewrite_manifests schema-carry bug,
+    pointed at the newest head-writing paths (VERDICT r7 #2/#4)."""
+    with _mk_wh() as wh:
+        wh.spark = spark
+        rows: dict[int, dict] = {}  # id -> {vcol: int, k: int}
+        vcol = "v"  # current name of the renamed column
+        next_id = 0
+        tagged: list[tuple[int, dict]] = []  # (version, rows snapshot)
+
+        def check():
+            if not wh._snapshot_versions("lab", "t"):
+                return
+            got = {
+                r["id"]: {"k": r["k"], vcol: r[vcol]}
+                for r in (
+                    x.asDict() for x in wh.read("lab", "t").collect()
+                )
+            }
+            want = {
+                i: {"k": r["k"], vcol: r["v"]} for i, r in rows.items()
+            }
+            assert got == want
+
+        for op, pick in ops:
+            if op == "append":
+                n = (pick % 3) + 1
+                batch = [(next_id + j, (next_id + j) % 3, pick) for j in range(n)]
+                next_id += n
+                df = spark.createDataFrame(
+                    batch, f"id int, k int, {vcol} int"
+                )
+                wh.append("lab", "t", df, batch_id=f"b{next_id:04d}")
+                for i, k, v in batch:
+                    rows[i] = {"k": k, "v": v}
+            elif op in ("cow_delete", "mor_delete") and rows:
+                k = pick % 3
+                wh.delete_where(
+                    "lab", "t", f"k = {k}",
+                    mode="merge-on-read" if op == "mor_delete" else "copy-on-write",
+                )
+                rows = {i: r for i, r in rows.items() if r["k"] != k}
+            elif op in ("cow_update", "mor_update") and rows:
+                k = pick % 3
+                wh.update_where(
+                    "lab", "t", f"k = {k}", {vcol: f"{vcol} + 100"},
+                    mode="merge-on-read" if op == "mor_update" else "copy-on-write",
+                )
+                for r in rows.values():
+                    if r["k"] == k:
+                        r["v"] += 100
+            elif op == "rename" and wh._snapshot_versions("lab", "t"):
+                new = "w" if vcol == "v" else "v"
+                wh.rename_column("lab", "t", vcol, new)
+                vcol = new
+            elif op == "expire" and wh._snapshot_versions("lab", "t"):
+                wh.expire_snapshots("lab", "t", keep_last=(pick % 2) + 1)
+            elif op == "tag" and wh._snapshot_versions("lab", "t"):
+                v = wh._latest_version("lab", "t")
+                if f"tg{v}" not in wh.tags("lab", "t"):
+                    wh.create_tag("lab", "t", f"tg{v}")
+                    tagged.append((v, {i: dict(r) for i, r in rows.items()}))
+            check()
+
+        # tagged snapshots time-travel to their exact row sets (deletes,
+        # updates, and schema all versioned together)
+        for v, snap_rows in tagged[-2:]:
+            got_ids = {
+                r.asDict()["id"]
+                for r in wh.read_snapshot("lab", "t", v).collect()
+            }
+            assert got_ids == set(snap_rows)

@@ -203,3 +203,49 @@ def test_update_casts_to_recorded_type_and_guards(spark, tmp_path):
     wh.create_table("lab", "plain", "zstd", 1)
     with pytest.raises(ValueError, match="log-mode"):
         wh.update_where("lab", "plain", "1=1", {"v": "1"})
+
+
+# --- DML x schema evolution (VERDICT r7 #3) -------------------------------
+
+
+def test_update_on_evolved_table_spanning_sids(spark, tmp_path):
+    """UPDATE with condition AND assignment naming a RENAMED column over
+    victims from two schema generations; DuckDB checks the post-DML
+    evolved read."""
+    import duckdb
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "uevo", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "uevo",
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "id int, v int"),
+        batch_id="b0",
+    )
+    files_b0 = wh._data_files("lab", "uevo")
+    wh.rename_column("lab", "uevo", "v", "val")
+    wh.append(
+        "lab", "uevo",
+        spark.createDataFrame(
+            [(100 + i, i * 10) for i in range(10)], "id int, val int"
+        ),
+        batch_id="b1",
+    )
+    files_b1 = sorted(set(wh._data_files("lab", "uevo")) - set(files_b0))
+    out = wh.update_where("lab", "uevo", "val >= 50", {"val": "val + 1"})
+    assert out["rows_matched"] == 10
+    con = duckdb.connect()
+    expected = con.execute(
+        "SELECT id, CASE WHEN v >= 50 THEN v + 1 ELSE v END AS val "
+        "FROM read_parquet($b0) UNION ALL "
+        "SELECT id, CASE WHEN val >= 50 THEN val + 1 ELSE val END AS val "
+        "FROM read_parquet($b1) ORDER BY id",
+        {"b0": files_b0, "b1": files_b1},
+    ).fetchall()
+    got = sorted((r.id, r.val) for r in wh.read("lab", "uevo").collect())
+    assert got == [tuple(r) for r in expected]
+    # rewritten files carry the CURRENT schema id
+    head = wh.head_snapshot("lab", "uevo")
+    new_entries = [e for e in head["files"] if "update_" in e["path"]]
+    assert new_entries and all(
+        e.get("sid") == head["schema_id"] for e in new_entries
+    )
