@@ -1024,6 +1024,230 @@ class ParquetWarehouse:
             shutil.rmtree(del_root, ignore_errors=True)
         return del_root, entries
 
+    def _write_eq_deletes(
+        self,
+        schema: str,
+        table: str,
+        keys_df: DataFrame,
+        eq_cols: list[str],
+        eq_ids: list[int] | None,
+        targets: list[str],
+    ) -> tuple[str, list[dict]]:
+        """Write an Iceberg-v2-style EQUALITY DELETE file: a parquet of
+        key-column VALUE rows (no positions — nothing was scanned to
+        produce them) under ``deletes/``, plus manifest entries recording
+        the key column names, their FIELD IDS (so later renames keep
+        resolving), and the explicit target file list.  Targets encode
+        Iceberg's sequence-number rule ("an equality delete applies only
+        to data files older than it"): only files live at commit time are
+        listed, so later appends are never affected."""
+        import pyarrow.parquet as pq
+
+        tdir = self._tdir(schema, table)
+        del_root = os.path.join(tdir, "deletes", f"eq_{uuid.uuid4().hex[:8]}")
+        keys_df.coalesce(1).write.mode("error").parquet(del_root)
+        entries: list[dict] = []
+        for base, _d, fns in os.walk(del_root):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(base, fn)
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n == 0:
+                    os.unlink(p)
+                    continue
+                entry = {
+                    "path": os.path.relpath(p, tdir),
+                    "bytes": os.stat(p).st_size,
+                    "rows": n,
+                    "kind": "eq",
+                    "eq_cols": list(eq_cols),
+                    "targets": list(targets),
+                }
+                if eq_ids is not None:
+                    entry["eq_ids"] = list(eq_ids)
+                entries.append(entry)
+        if not entries:
+            shutil.rmtree(del_root, ignore_errors=True)
+        return del_root, entries
+
+    def delete_by_keys(
+        self,
+        schema: str,
+        table: str,
+        keys,
+        eq_cols: list[str] | None = None,
+    ) -> dict:
+        """Iceberg v2 EQUALITY DELETE: remove every row whose key columns
+        match one of ``keys`` — with ZERO data IO at delete time.  Where a
+        position delete must SCAN candidate files to find row ordinals,
+        an equality delete just commits the key VALUES; the read side
+        anti-joins them against the files that existed when the delete
+        committed.  At 100 TB this is the CDC/retention primitive: a
+        "forget these 10k user_ids" commit costs one small parquet + one
+        manifest commit regardless of table size, and ``optimize()``
+        folds it into real rewrites on the maintenance tick.
+
+        ``keys`` is a list of dicts ({col: value}), a list of tuples
+        (with ``eq_cols`` naming the columns), a flat list of scalars
+        (single-column key), or a DataFrame of key rows.  NULL key values
+        are rejected (SQL equality never matches NULL; Iceberg identifier
+        fields are required non-null for the same reason).
+
+        Scope semantics (Iceberg sequence numbers, expressed as explicit
+        targets): the delete applies to rows in files LIVE AT COMMIT
+        TIME — rows appended later with the same key survive, which is
+        exactly what makes stacked CDC upsert batches linearize.  Target
+        lists are pruned through the manifest's column bounds and
+        partition values, so a delete whose keys fall in one partition
+        targets only that partition's files.
+
+        Returns ``rows_deleted: None`` — the point of an equality delete
+        is NOT knowing (not reading) how many rows matched; use
+        ``delete_where(mode='merge-on-read')`` when the count matters."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "delete_by_keys requires a log-mode (snapshots=true) "
+                "table — equality deletes are manifest entries"
+            )
+        version = self._latest_version(schema, table)
+        no_op = {
+            "rows_deleted": 0,
+            "delete_files_added": 0,
+            "targets": 0,
+            "version": version,
+        }
+        if version is None:
+            return no_op
+        head = self._load_head_light(schema, table, version)
+
+        # --- normalize keys into (column names, local tuples | DataFrame)
+        local: list[tuple] | None
+        if isinstance(keys, DataFrame):
+            cols = list(eq_cols) if eq_cols else list(keys.columns)
+            kdf: DataFrame | None = keys.select(*cols)
+            local = None
+        else:
+            rows = list(keys)
+            if not rows:
+                return no_op
+            first = rows[0]
+            if isinstance(first, dict):
+                cols = list(eq_cols) if eq_cols else sorted(first)
+                local = [tuple(r[c] for c in cols) for r in rows]
+            elif isinstance(first, (tuple, list)):
+                if not eq_cols:
+                    raise ValueError("tuple keys require eq_cols")
+                cols = list(eq_cols)
+                local = [tuple(r) for r in rows]
+            else:
+                if not eq_cols or len(eq_cols) != 1:
+                    raise ValueError("scalar keys require a 1-column eq_cols")
+                cols = list(eq_cols)
+                local = [(v,) for v in rows]
+            if any(len(t) != len(cols) for t in local):
+                raise ValueError("key tuple arity does not match eq_cols")
+            if any(v is None for t in local for v in t):
+                raise ValueError(
+                    "NULL key values are not supported: SQL equality "
+                    "never matches NULL, so such a delete row is dead"
+                )
+            local = sorted(set(local), key=repr)
+            kdf = None
+
+        # --- resolve against the recorded schema (names -> field ids +
+        # types); legacy pre-schema tables record names only
+        eq_ids: list[int] | None = None
+        rec_types: dict[str, str] = {}
+        if head is not None and "schemas" in head:
+            cur = {
+                f["name"]: f
+                for f in head["schemas"][str(head["schema_id"])]
+            }
+            missing = [c for c in cols if c not in cur]
+            if missing:
+                raise ValueError(
+                    f"no column(s) {missing} in {schema}.{table}"
+                )
+            eq_ids = [cur[c]["id"] for c in cols]
+            rec_types = {c: cur[c]["type"] for c in cols}
+
+        # --- build the keys frame (cast to recorded types so the delete
+        # file's parquet schema matches the data files')
+        if kdf is None:
+            kdf = self.spark.createDataFrame(local, cols)
+        else:
+            kdf = kdf.distinct()
+            null_probe = kdf.select(
+                [
+                    F.sum(F.col(c).isNull().cast("int")).alias(c)
+                    for c in cols
+                ]
+            ).collect()[0]
+            if any((v or 0) > 0 for v in null_probe):
+                raise ValueError(
+                    "NULL key values are not supported: SQL equality "
+                    "never matches NULL, so such a delete row is dead"
+                )
+        if rec_types:
+            kdf = kdf.select(
+                *[F.col(c).cast(rec_types[c]).alias(c) for c in cols]
+            )
+
+        # --- target pruning: manifest bounds + partition values, no
+        # footer opens.  Local key lists prune with DISCRETE value sets
+        # (exact membership); DataFrame keys prune with their min/max
+        # envelope (one tiny agg).  Conjunctive per-column specs are a
+        # SUPERSET of the tuple set for multi-column keys — conservative.
+        if local is not None:
+            ranges = {
+                c: sorted({t[i] for t in local}, key=repr)
+                for i, c in enumerate(cols)
+            }
+        else:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            env = kdf.agg(*aggs).collect()[0]
+            if env[f"lo_{cols[0]}"] is None:
+                return no_op  # empty keys frame
+            ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in cols}
+        target_entries, total, _head = self._prune_entries(
+            schema, table, ranges, version=version
+        )
+        if not target_entries:
+            # the manifest PROVES no live row can match — no commit, same
+            # no-op guarantee as a zero-match delete_where
+            return {**no_op, "files_pruned": total}
+        targets = sorted(e["path"] for e in target_entries)
+
+        del_root, del_entries = self._write_eq_deletes(
+            schema, table, kdf, cols, eq_ids, targets
+        )
+        if not del_entries:
+            return no_op
+        try:
+            manifest = self.commit_snapshot(
+                schema, table, "delete",
+                add_files=[],
+                add_deletes=del_entries,
+                expected_schema_id=(head or {}).get("schema_id"),
+                deletes_read_version=version,
+            )
+        except BaseException:
+            shutil.rmtree(del_root, ignore_errors=True)
+            raise
+        return {
+            "rows_deleted": None,
+            "keys": sum(e["rows"] for e in del_entries),
+            "delete_files_added": len(del_entries),
+            "delete_bytes": sum(e["bytes"] for e in del_entries),
+            "targets": len(targets),
+            "files_pruned": total - len(targets),
+            "version": manifest["version"],
+        }
+
     def delete_files_report(self, schema: str, table: str) -> list[dict]:
         """Iceberg ``$delete_files`` metadata table: the head's live
         position-delete entries (path, rows, bytes, kind, target files) —
@@ -1202,6 +1426,7 @@ class ParquetWarehouse:
                     drop_files=drop_paths or None,
                     add_deletes=del_entries or None,
                     expected_schema_id=head.get("schema_id"),
+                    deletes_read_version=version,
                 )
             except BaseException:
                 if del_root is not None:
@@ -1488,6 +1713,7 @@ class ParquetWarehouse:
                     add_files=sorted(new),
                     add_deletes=del_entries,
                     expected_schema_id=head.get("schema_id"),
+                    deletes_read_version=version,
                 )
             except BaseException:
                 shutil.rmtree(gen_dir, ignore_errors=True)
@@ -1857,29 +2083,36 @@ class ParquetWarehouse:
         writers' substrate); ``apply_deletes=False`` reads the physical
         rows (time travel passes the snapshot's own head, so old
         snapshots see exactly their own delete set — not this flag)."""
-        dels = (head.get("deletes") or []) if apply_deletes else []
-        if dels:
-            entry_paths = {e["path"] for e in entries}
-            hot_paths = set()
-            for d in dels:
-                hot_paths.update(set(d["targets"]) & entry_paths)
-            dels = [d for d in dels if set(d["targets"]) & hot_paths]
-        else:
-            hot_paths = set()
-        if not dels:
+        all_dels = (head.get("deletes") or []) if apply_deletes else []
+        entry_paths = {e["path"] for e in entries}
+        # keep the ORIGINAL list index: head["deletes"] is in commit
+        # order (carry appends), and equality-delete scoping needs it
+        live_dels = []
+        hot_paths: set[str] = set()
+        for i, d in enumerate(all_dels):
+            t = set(d["targets"]) & entry_paths
+            if t:
+                live_dels.append((i, d, t))
+                hot_paths |= t
+        if not live_dels:
             return self._assemble_entries(
                 schema, table, meta, head, entries, with_pos=with_pos
             )
-        tuples = self._delete_tuples(schema, table, dels)
+        pos_dels = [d for _i, d, _t in live_dels if d.get("kind", "pos") == "pos"]
+        eq_dels = [(i, d, t) for i, d, t in live_dels if d.get("kind") == "eq"]
         hot = [e for e in entries if e["path"] in hot_paths]
         cold = [e for e in entries if e["path"] not in hot_paths]
         hot_df = self._assemble_entries(
             schema, table, meta, head, hot, with_pos=True
         )
-        cond = (
-            F.col(self._POS_REL) == tuples["file_path"]
-        ) & (F.col(self._POS_IDX) == tuples["pos"])
-        hot_df = hot_df.join(F.broadcast(tuples), cond, "left_anti")
+        if pos_dels:
+            tuples = self._delete_tuples(schema, table, pos_dels)
+            cond = (
+                F.col(self._POS_REL) == tuples["file_path"]
+            ) & (F.col(self._POS_IDX) == tuples["pos"])
+            hot_df = hot_df.join(F.broadcast(tuples), cond, "left_anti")
+        if eq_dels:
+            hot_df = self._apply_eq_deletes(schema, table, head, hot_df, eq_dels)
         if cold:
             cold_df = self._assemble_entries(
                 schema, table, meta, head, cold, with_pos=with_pos
@@ -1892,6 +2125,90 @@ class ParquetWarehouse:
         if with_pos:
             return hot_df
         return hot_df.drop(self._POS_FILE, self._POS_IDX, self._POS_REL)
+
+    _EQ_K = "__eq_k"
+
+    def _apply_eq_deletes(
+        self,
+        schema: str,
+        table: str,
+        head: dict,
+        df: DataFrame,
+        eq_dels: list[tuple[int, dict, set]],
+    ) -> DataFrame:
+        """Apply EQUALITY DELETES to an assembled hot frame in ONE scan.
+
+        Iceberg's sequence-number rule — "an equality delete applies only
+        to data files OLDER than it" — falls out of the explicit target
+        lists: entry ``i`` lists exactly the files live at its commit
+        (minus bound-pruned ones, to which applying it is a no-op by
+        construction), and ``head["deletes"]`` is in commit order, so a
+        file's first listing index ``k(f)`` splits the list — entries
+        ``>= k(f)`` apply to ``f``, earlier ones predate nothing in it.
+        Rather than fragment the read into per-delete-set file groups
+        (O(batches) scans for a CDC chain), each row gets its file's
+        ``k`` attached via a broadcast join on the manifest-relative path
+        and ONE anti-join per distinct key-column set removes every
+        (key match AND delete newer than file) row.  Key columns resolve
+        through FIELD IDS, so deletes written before a rename keep
+        applying; key values cast to the current (possibly widened)
+        column type."""
+        # per-file first applicable index (files only pos-targeted join
+        # to NULL -> the anti-join condition is NULL -> row kept)
+        k_of: dict[str, int] = {}
+        for i, _d, t in eq_dels:
+            for p in t:
+                if p not in k_of:
+                    k_of[p] = i
+        fs = self.spark.createDataFrame(
+            sorted(k_of.items()), f"__eq_path string, {self._EQ_K} int"
+        )
+        df = df.join(
+            F.broadcast(fs),
+            F.col(self._POS_REL) == F.col("__eq_path"),
+            "left",
+        ).drop("__eq_path")
+        # resolve each entry's write-time key names to CURRENT names/types
+        cur_by_id: dict[int, dict] = {}
+        cur_types: dict[str, str] = {}
+        if "schemas" in head:
+            cur_fields = head["schemas"][str(head["schema_id"])]
+            cur_by_id = {f["id"]: f for f in cur_fields}
+            cur_types = {f["name"]: f["type"] for f in cur_fields}
+        tdir = self._tdir(schema, table)
+        groups: dict[tuple, list[DataFrame]] = {}
+        for i, d, _t in eq_dels:
+            write_names = d["eq_cols"]
+            ids = d.get("eq_ids")
+            if ids and cur_by_id:
+                missing = [fid for fid in ids if fid not in cur_by_id]
+                if missing:
+                    raise RuntimeError(
+                        f"equality delete {d['path']} references dropped "
+                        f"field id(s) {missing} — drop_column should have "
+                        "refused while this delete was pending"
+                    )
+                cur_names = [cur_by_id[fid]["name"] for fid in ids]
+            else:
+                cur_names = list(write_names)
+            keys = self.spark.read.parquet(os.path.join(tdir, d["path"]))
+            sel = []
+            for j, (wname, cname) in enumerate(zip(write_names, cur_names)):
+                c = F.col(wname)
+                if cur_types.get(cname):
+                    c = c.cast(cur_types[cname])
+                sel.append(c.alias(f"__eqk_{j}"))
+            keys = keys.select(*sel, F.lit(i).alias("__eq_idx"))
+            groups.setdefault(tuple(cur_names), []).append(keys)
+        for cur_names, frames in groups.items():
+            from functools import reduce
+
+            keys = reduce(lambda a, b: a.unionByName(b), frames)
+            cond = F.col("__eq_idx") >= F.col(self._EQ_K)
+            for j, cname in enumerate(cur_names):
+                cond = cond & (F.col(cname) == F.col(f"__eqk_{j}"))
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+        return df.drop(self._EQ_K)
 
     def table_schema(
         self, schema: str, table: str, version: int | None = None
@@ -1939,6 +2256,23 @@ class ParquetWarehouse:
             schemas = {k: [dict(f) for f in v] for k, v in head["schemas"].items()}
             cur = [dict(f) for f in schemas[str(head["schema_id"])]]
             new_fields = mutate(cur, schemas, meta)
+            # a pending EQUALITY DELETE keys on field ids — dropping one
+            # of its key fields would leave the delete unapplicable (the
+            # rows it names would silently resurrect).  Refuse; the
+            # caller runs optimize() to fold the delete first.
+            surviving = {f["id"] for f in new_fields}
+            for d in head.get("deletes", []):
+                lost = [
+                    fid
+                    for fid in d.get("eq_ids", [])
+                    if fid not in surviving
+                ]
+                if lost:
+                    raise ValueError(
+                        f"cannot drop column(s) with field id(s) {lost}: "
+                        f"pending equality delete {d['path']} keys on "
+                        "them — optimize() to fold the delete first"
+                    )
             new_sid = max(int(k) for k in schemas) + 1
             schemas[str(new_sid)] = new_fields
             version = head["version"] + 1
@@ -2819,6 +3153,7 @@ class ParquetWarehouse:
         schema_fields: list[dict] | None = None,
         expected_schema_id: int | None = None,
         add_deletes: list[dict] | None = None,
+        deletes_read_version: int | None = None,
     ) -> dict:
         """Record a snapshot v{N} — a small HEAD file listing immutable
         segment files that together hold the per-file entries (paths,
@@ -3081,6 +3416,41 @@ class ParquetWarehouse:
                     derived.extend(names)
                 else:
                     refs = [full_ref]
+                if (
+                    add_deletes
+                    and deletes_read_version is not None
+                    and version - 1 != deletes_read_version
+                ):
+                    # conflicting-rewrite validation, DELETE flavor: this
+                    # commit's delete entries target files as of the head
+                    # the caller READ.  If a concurrent commit won the
+                    # race, any target it rewrote now lives on in folded
+                    # replacement files the delete does NOT reference —
+                    # publishing would silently LOSE the delete for those
+                    # rows (position tuples name dead paths; equality
+                    # targets omit the replacements).  Pay an O(live
+                    # files) liveness check ONLY on an actual race.
+                    live_now: set[str] = set()
+                    for r in refs:
+                        live_now.update(
+                            e["path"]
+                            for e in self._load_segment(
+                                schema, table, r["path"]
+                            )
+                        )
+                    stale = {
+                        t
+                        for d in add_deletes
+                        for t in d.get("targets", [])
+                    } - live_now
+                    if stale:
+                        raise RuntimeError(
+                            f"concurrent commit conflict on "
+                            f"{schema}.{table}: {len(stale)} file(s) this "
+                            "delete targets were rewritten between read "
+                            "and commit — redo the delete from the new "
+                            "head"
+                        )
                 import time as _time
 
                 manifest = {
@@ -3829,9 +4199,22 @@ class ParquetWarehouse:
         updates: DataFrame,
         key_cols: list[str],
         delete_col: str | None = None,
+        mode: str | None = None,
     ) -> dict:
         """Upsert ``updates`` into the table by key (MERGE INTO analogue —
         parquet has no transaction log, so this is copy-on-write).
+
+        ``mode`` selects the Iceberg ``write.merge.mode`` strategy on
+        log-mode tables (falls back to the ``merge_mode`` table property,
+        then copy-on-write).  ``"merge-on-read"`` is the streaming-CDC
+        shape (Flink->Iceberg upsert commits): append ONLY the batch's
+        new row images plus ONE EQUALITY DELETE of the batch's keys
+        (scoped to the files live before the commit), so commit cost is
+        O(batch) however large the table — the copy-on-write path below
+        reads and rewrites the whole table per batch.  Reads anti-join
+        the keys; ``optimize()`` folds.  Stacked batches linearize
+        because each batch's delete targets the previous batches' image
+        files but never its own.
 
         Partitioned tables rewrite ONLY partitions containing changed keys —
         in BOTH positions: the partitions the updates land in AND the
@@ -3855,6 +4238,19 @@ class ParquetWarehouse:
         from urllib.parse import unquote, urlparse
 
         meta = self.table_meta(schema, table)
+        if mode is None:
+            mode = str(meta.properties.get("merge_mode", "copy-on-write"))
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"unknown merge mode {mode!r}: expected 'copy-on-write' "
+                "or 'merge-on-read'"
+            )
+        if mode == "merge-on-read" and not self._log_mode(meta):
+            raise ValueError(
+                "merge-on-read upserts require a log-mode "
+                "(snapshots=true) table — equality deletes are manifest "
+                "entries"
+            )
         table_cols = self.read(schema, table).columns
         # updates drives several actions (stats aggregate, discovery scan,
         # the write); truncate its lineage once so a heavy upstream plan
@@ -3898,6 +4294,125 @@ class ParquetWarehouse:
         }
         if n_updates == 0:
             return result
+
+        if self._log_mode(meta) and mode == "merge-on-read":
+            import pyarrow.parquet as pq
+
+            version = self._latest_version(schema, table)
+            if version is None:
+                # empty table: a MoR upsert batch is just an append
+                # (append conforms and applies partition transforms)
+                if n_updates > n_deleted:
+                    self.append(schema, table, upserts)
+                result["mode"] = "merge-on-read"
+                result["delete_files_added"] = 0
+                return result
+            head = self._load_head_light(schema, table, version)
+            # key envelope (one tiny agg over the batch's keys) -> target
+            # pruning through manifest bounds/partition values; NULL keys
+            # rejected (SQL equality never matches NULL)
+            aggs = []
+            for c in key_cols:
+                aggs += [
+                    F.min(c).alias(f"lo_{c}"),
+                    F.max(c).alias(f"hi_{c}"),
+                    F.sum(F.col(c).isNull().cast("int")).alias(f"n_{c}"),
+                ]
+            env = changed_keys.agg(*aggs).collect()[0]
+            if any((env[f"n_{c}"] or 0) > 0 for c in key_cols):
+                raise ValueError(
+                    "NULL key values are not supported for merge-on-read "
+                    "upserts"
+                )
+            ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in key_cols}
+            target_entries, _total, _h = self._prune_entries(
+                schema, table, ranges, version=version
+            )
+            targets = sorted(e["path"] for e in target_entries)
+            eq_ids = None
+            kdf = changed_keys.select(*key_cols).distinct()
+            if head is not None and "schemas" in head:
+                cur = {
+                    f["name"]: f
+                    for f in head["schemas"][str(head["schema_id"])]
+                }
+                missing = [c for c in key_cols if c not in cur]
+                if missing:
+                    raise ValueError(
+                        f"no key column(s) {missing} in {schema}.{table}"
+                    )
+                eq_ids = [cur[c]["id"] for c in key_cols]
+                kdf = kdf.select(
+                    *[
+                        F.col(c).cast(cur[c]["type"]).alias(c)
+                        for c in key_cols
+                    ]
+                )
+            # new row images: same conform-and-commit shape as append()
+            new: list[str] = []
+            gen_dir = None
+            schema_fields = None
+            if n_updates > n_deleted:
+                ups = upserts
+                if part_specs:
+                    ups, _ = apply_partition_transforms(ups, meta.partitioning)
+                ups, schema_fields = self._conform_log_schema(
+                    schema, table, ups.select(*table_cols)
+                )
+                gen_dir = os.path.join(
+                    data_dir, f"merge_{uuid.uuid4().hex[:8]}"
+                )
+                writer = ups.write.mode("error")
+                if part_specs:
+                    writer = writer.partitionBy(*[n for n, _ in part_specs])
+                for k, v in self._write_options(meta).items():
+                    writer = writer.option(k, v)
+                writer.parquet(gen_dir)
+                for base, _d, fns in os.walk(gen_dir):
+                    for fn in fns:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        p = os.path.join(base, fn)
+                        if pq.ParquetFile(p).metadata.num_rows == 0:
+                            os.unlink(p)
+                            continue
+                        new.append(p)
+            del_root, del_entries = (None, [])
+            if targets:
+                del_root, del_entries = self._write_eq_deletes(
+                    schema, table, kdf, key_cols, eq_ids, targets
+                )
+            if not new and not del_entries:
+                return {**result, "mode": "merge-on-read",
+                        "delete_files_added": 0}
+            try:
+                manifest = self.commit_snapshot(
+                    schema, table, "merge_upsert",
+                    add_files=sorted(new),
+                    add_deletes=del_entries or None,
+                    schema_fields=schema_fields,
+                    expected_schema_id=(
+                        (head or {}).get("schema_id")
+                        if schema_fields is None
+                        else None
+                    ),
+                    deletes_read_version=version,
+                )
+            except BaseException:
+                if del_root is not None:
+                    shutil.rmtree(del_root, ignore_errors=True)
+                if gen_dir is not None:
+                    shutil.rmtree(gen_dir, ignore_errors=True)
+                raise
+            return {
+                **result,
+                "mode": "merge-on-read",
+                "files_added": len(new),
+                "delete_files_added": len(del_entries),
+                "delete_bytes": sum(e["bytes"] for e in del_entries),
+                "targets": len(targets),
+                "version": manifest["version"],
+            }
 
         if self._log_mode(meta):
             # log mode (partitioned or not): the merged table is a new

@@ -1,0 +1,310 @@
+"""Equality delete files (the second half of Iceberg v2 row-level
+deletes, VERDICT r7 #1): ``delete_by_keys`` commits key VALUES with zero
+data IO — no scan finds positions — and ``merge_upsert(mode=
+'merge-on-read')`` turns CDC batches into O(batch) commits (new images +
+one equality delete of the batch's keys), the Flink->Iceberg upsert
+shape.
+
+Contracts pinned here:
+
+- ``delete_by_keys`` touches no data file and reads none (mtime +
+  delete_bytes assertions); reads exclude exactly the keyed rows
+  (DuckDB-checked);
+- Iceberg sequence semantics via explicit targets: rows APPENDED AFTER
+  the delete survive even under the same key;
+- stacked MoR upsert batches linearize against a plain dict model and
+  ``optimize()`` folds every delete away;
+- targets prune through manifest bounds (keys in one file's range
+  target one file); keys outside every bound commit NOTHING;
+- key columns resolve by FIELD ID through renames; dropping a pending
+  delete's key column is refused until the delete is folded;
+- position + equality deletes stack on the same file; time travel
+  presents each snapshot under its own delete set; expiry GCs folded
+  delete files;
+- a commit whose delete targets were concurrently rewritten RAISES
+  (conflicting-rewrite validation, delete flavor) instead of silently
+  losing the delete.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+@pytest.fixture()
+def eq_table(spark, tmp_path):
+    """3 appends x 2 files = 6 data files, 60 rows, id 0..59."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "eqt", "zstd", 1, properties={"snapshots": "true"})
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 20 + j, j % 4, f"u{j % 5}") for j in range(20)],
+            "id int, k int, u string",
+        ).repartition(2)
+        wh.append("lab", "eqt", df, batch_id=f"b{i}")
+    return wh
+
+
+def _file_state(wh, schema, table):
+    head = wh.head_snapshot(schema, table)
+    tdir = wh._tdir(schema, table)
+    return {
+        e["path"]: os.stat(os.path.join(tdir, e["path"])).st_mtime_ns
+        for e in head["files"]
+    }
+
+
+def test_delete_by_keys_zero_data_io(eq_table):
+    wh = eq_table
+    before = _file_state(wh, "lab", "eqt")
+    assert len(before) == 6
+    out = wh.delete_by_keys("lab", "eqt", [7, 31, 55], eq_cols=["id"])
+    # the point of an equality delete: nothing was read, so the matched
+    # count is unknown and every data file is byte-identical
+    assert out["rows_deleted"] is None
+    assert out["keys"] == 3
+    assert out["delete_files_added"] == 1
+    assert out["delete_bytes"] < 16 * 1024
+    assert _file_state(wh, "lab", "eqt") == before
+    got = wh.read("lab", "eqt")
+    assert got.count() == 57
+    assert got.filter(F.col("id").isin(7, 31, 55)).count() == 0
+    (entry,) = wh.delete_files_report("lab", "eqt")
+    assert entry["kind"] == "eq"
+    assert entry["eq_cols"] == ["id"]
+    assert entry["eq_ids"]  # field ids recorded for rename resolution
+    assert entry["rows"] == 3
+
+
+def test_delete_by_keys_matches_duckdb(eq_table):
+    wh = eq_table
+    files = wh._data_files("lab", "eqt")
+    wh.delete_by_keys("lab", "eqt", [(1, 1), (22, 2)], eq_cols=["id", "k"])
+    wh.delete_by_keys("lab", "eqt", [{"u": "u3"}])
+    con = duckdb.connect()
+    expected = con.execute(
+        "SELECT id, k, u FROM read_parquet($files) "
+        "WHERE NOT ((id, k) IN ((1, 1), (22, 2))) AND u <> 'u3' "
+        "ORDER BY id",
+        {"files": files},
+    ).fetchall()
+    got = sorted((r.id, r.k, r.u) for r in wh.read("lab", "eqt").collect())
+    assert got == [tuple(r) for r in expected]
+
+
+def test_later_appends_survive_the_delete(spark, eq_table):
+    """Iceberg sequence-number semantics: an equality delete applies only
+    to files OLDER than it — a re-append of the same key survives."""
+    wh = eq_table
+    wh.delete_by_keys("lab", "eqt", [10], eq_cols=["id"])
+    assert wh.read("lab", "eqt").filter(F.col("id") == 10).count() == 0
+    wh.append(
+        "lab", "eqt",
+        spark.createDataFrame([(10, 99, "unew")], "id int, k int, u string"),
+        batch_id="b_re",
+    )
+    rows = wh.read("lab", "eqt").filter(F.col("id") == 10).collect()
+    assert len(rows) == 1
+    assert rows[0].u == "unew"  # the NEW row, not the deleted one
+
+
+def test_mor_upsert_batches_linearize(spark, tmp_path):
+    """Stacked merge-on-read upsert batches against a plain dict model,
+    then optimize() folds every delete away and reads stay identical."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "cdc", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "cdc",
+        spark.createDataFrame(
+            [(i, f"v0_{i}", False) for i in range(20)],
+            "id int, val string, dead boolean",
+        ).drop("dead"),
+        batch_id="seed",
+    )
+    model = {i: f"v0_{i}" for i in range(20)}
+    batches = [
+        [(5, "v1_5", False), (21, "v1_21", False), (3, None, True)],
+        [(5, "v2_5", False), (3, "v2_3", False), (21, None, True)],
+        [(0, None, True), (22, "v3_22", False), (5, "v3_5", False)],
+    ]
+    for n, batch in enumerate(batches):
+        out = wh.merge_upsert(
+            "lab", "cdc",
+            spark.createDataFrame(batch, "id int, val string, dead boolean"),
+            ["id"],
+            delete_col="dead",
+            mode="merge-on-read",
+        )
+        assert out["mode"] == "merge-on-read"
+        assert out["delete_files_added"] == 1
+        for i, v, dead in batch:
+            if dead:
+                model.pop(i, None)
+            else:
+                model[i] = v
+
+    def snapshot():
+        return {r.id: r.val for r in wh.read("lab", "cdc").collect()}
+
+    assert snapshot() == model
+    assert len(wh.delete_files_report("lab", "cdc")) == 3
+    wh.optimize("lab", "cdc")
+    assert wh.delete_files_report("lab", "cdc") == []
+    assert snapshot() == model
+
+
+def test_target_pruning_by_bounds(eq_table):
+    """Keys inside one file's id-bounds target only the qualifying
+    files; keys outside EVERY bound commit nothing at all."""
+    wh = eq_table
+    v0 = wh._latest_version("lab", "eqt")
+    out = wh.delete_by_keys("lab", "eqt", [0], eq_cols=["id"])
+    (entry,) = wh.delete_files_report("lab", "eqt")
+    # id=0 lives in batch b0 (ids 0..19, two files) — bounds prune the
+    # other two batches' files
+    assert out["targets"] < 6
+    assert len(entry["targets"]) == out["targets"]
+    assert out["files_pruned"] >= 4
+    # keys provably absent: the manifest proof means NO commit
+    out2 = wh.delete_by_keys("lab", "eqt", [10_000], eq_cols=["id"])
+    assert out2["delete_files_added"] == 0
+    assert wh._latest_version("lab", "eqt") == out["version"]
+    assert out["version"] == v0 + 1
+
+
+def test_rename_resolves_by_field_id(eq_table):
+    wh = eq_table
+    wh.delete_by_keys("lab", "eqt", [4, 44], eq_cols=["id"])
+    wh.rename_column("lab", "eqt", "id", "doc_id")
+    got = wh.read("lab", "eqt")
+    assert got.count() == 58
+    assert got.filter(F.col("doc_id").isin(4, 44)).count() == 0
+    # and a NEW delete under the new name works against old files
+    wh.delete_by_keys("lab", "eqt", [17], eq_cols=["doc_id"])
+    assert wh.read("lab", "eqt").count() == 57
+
+
+def test_drop_pending_eq_key_column_refused(eq_table):
+    wh = eq_table
+    wh.delete_by_keys("lab", "eqt", ["u2"], eq_cols=["u"])
+    with pytest.raises(ValueError, match="equality delete"):
+        wh.drop_column("lab", "eqt", "u")
+    # an unrelated column still drops fine
+    wh.drop_column("lab", "eqt", "k")
+    # folding the delete unblocks the key column drop
+    wh.optimize("lab", "eqt")
+    wh.drop_column("lab", "eqt", "u")
+    assert wh.read("lab", "eqt").columns == ["id"]
+    assert wh.read("lab", "eqt").count() == 48  # 12 u2-rows deleted
+
+
+def test_pos_and_eq_deletes_stack(eq_table):
+    wh = eq_table
+    wh.delete_where("lab", "eqt", "id = 8", mode="merge-on-read")
+    wh.delete_by_keys("lab", "eqt", [9], eq_cols=["id"])
+    wh.delete_where("lab", "eqt", "id = 10", mode="merge-on-read")
+    got = wh.read("lab", "eqt")
+    assert got.count() == 57
+    assert got.filter(F.col("id").isin(8, 9, 10)).count() == 0
+    kinds = sorted(d["kind"] for d in wh.delete_files_report("lab", "eqt"))
+    assert kinds == ["eq", "pos", "pos"]
+
+
+def test_time_travel_sees_own_delete_set(eq_table):
+    wh = eq_table
+    v0 = wh._latest_version("lab", "eqt")
+    wh.delete_by_keys("lab", "eqt", [0, 1, 2], eq_cols=["id"])
+    assert wh.read_snapshot("lab", "eqt", v0).count() == 60
+    assert wh.read("lab", "eqt").count() == 57
+
+
+def test_expiry_gcs_folded_delete_files(eq_table):
+    wh = eq_table
+    out = wh.delete_by_keys("lab", "eqt", [13], eq_cols=["id"])
+    (entry,) = wh.delete_files_report("lab", "eqt")
+    del_abs = os.path.join(wh._tdir("lab", "eqt"), entry["path"])
+    assert os.path.exists(del_abs)
+    wh.optimize("lab", "eqt")  # folds: head no longer references it
+    wh.expire_snapshots("lab", "eqt", keep_last=1)
+    assert not os.path.exists(del_abs)
+    assert wh.read("lab", "eqt").count() == 59
+    assert out["version"] is not None
+
+
+def test_null_and_empty_keys(eq_table):
+    wh = eq_table
+    v = wh._latest_version("lab", "eqt")
+    with pytest.raises(ValueError, match="NULL key"):
+        wh.delete_by_keys("lab", "eqt", [3, None], eq_cols=["id"])
+    assert wh.delete_by_keys("lab", "eqt", [], eq_cols=["id"])[
+        "delete_files_added"
+    ] == 0
+    with pytest.raises(ValueError, match="no column"):
+        wh.delete_by_keys("lab", "eqt", [1], eq_cols=["nope"])
+    assert wh._latest_version("lab", "eqt") == v
+
+
+def test_dataframe_keys(spark, eq_table):
+    wh = eq_table
+    keys = spark.createDataFrame([(2,), (2,), (41,)], "id int")
+    out = wh.delete_by_keys("lab", "eqt", keys)
+    assert out["keys"] == 2  # deduped
+    assert wh.read("lab", "eqt").count() == 58
+    with pytest.raises(ValueError, match="NULL key"):
+        wh.delete_by_keys(
+            "lab", "eqt", spark.createDataFrame([(None,)], "id int")
+        )
+
+
+def test_concurrent_rewrite_of_targets_raises(eq_table, spark):
+    """Conflicting-rewrite validation, delete flavor: a delete commit
+    whose targets were rewritten between read and commit must RAISE —
+    publishing would silently lose the delete (its targets list omits
+    the replacement files holding the rows)."""
+    wh = eq_table
+    v_read = wh._latest_version("lab", "eqt")
+    head = wh._load_head_light("lab", "eqt", v_read)
+    targets = sorted(e["path"] for e in wh.head_snapshot("lab", "eqt")["files"])
+    kdf = spark.createDataFrame([(7,)], "id int")
+    _root, del_entries = wh._write_eq_deletes(
+        "lab", "eqt", kdf, ["id"], None, targets
+    )
+    # a concurrent optimize() folds every target into new files
+    wh.optimize("lab", "eqt")
+    with pytest.raises(RuntimeError, match="rewritten between read and commit"):
+        wh.commit_snapshot(
+            "lab", "eqt", "delete",
+            add_files=[],
+            add_deletes=del_entries,
+            expected_schema_id=head.get("schema_id"),
+            deletes_read_version=v_read,
+        )
+    # a benign concurrent APPEND does not trip the validation
+    v2 = wh._latest_version("lab", "eqt")
+    targets2 = sorted(
+        e["path"] for e in wh.head_snapshot("lab", "eqt")["files"]
+    )
+    _root2, del2 = wh._write_eq_deletes(
+        "lab", "eqt", kdf, ["id"], None, targets2
+    )
+    wh.append(
+        "lab", "eqt",
+        spark.createDataFrame([(100, 0, "ux")], "id int, k int, u string"),
+        batch_id="race",
+    )
+    manifest = wh.commit_snapshot(
+        "lab", "eqt", "delete",
+        add_files=[],
+        add_deletes=del2,
+        deletes_read_version=v2,
+    )
+    assert manifest["version"] == v2 + 2
+    got = wh.read("lab", "eqt")
+    assert got.filter(F.col("id") == 7).count() == 0
+    assert got.filter(F.col("id") == 100).count() == 1

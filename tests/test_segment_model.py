@@ -63,6 +63,9 @@ OPS = st.lists(
                 # prunes targets, replay prunes by prefix, DDL/rewrite
                 # carry verbatim, expiry GCs unreferenced delete files)
                 "mor_delete",
+                # equality delete commits ride the same carry rules with
+                # kind="eq" entries (key VALUES, no positions)
+                "eq_delete",
             ]
         ),
         st.integers(0, 10),
@@ -222,6 +225,28 @@ def test_random_op_sequences_match_model(ops):
                     }],
                 )
                 dels_model[rel] = set(targets)
+            elif op == "eq_delete" and model:
+                targets = sorted(model)[pick % len(model):][:2]
+                d = os.path.join(tdir, "deletes", f"eq_{counter:03d}")
+                os.makedirs(d, exist_ok=True)
+                dp = os.path.join(d, "part-0.parquet")
+                pq.write_table(
+                    pa.table({"id": pa.array([pick], pa.int64())}), dp
+                )
+                rel = os.path.relpath(dp, tdir)
+                wh.commit_snapshot(
+                    "lab", "t", "delete",
+                    add_files=[],
+                    add_deletes=[{
+                        "path": rel,
+                        "bytes": os.stat(dp).st_size,
+                        "rows": 1,
+                        "kind": "eq",
+                        "eq_cols": ["id"],
+                        "targets": targets,
+                    }],
+                )
+                dels_model[rel] = set(targets)
             elif op == "tag" and wh._snapshot_versions("lab", "t"):
                 name = f"t{counter:03d}"
                 wh.create_tag("lab", "t", name)
@@ -290,6 +315,7 @@ DML_OPS = st.lists(
                 "append",
                 "cow_delete", "mor_delete",
                 "cow_update", "mor_update",
+                "eq_delete", "mor_upsert",
                 "rename", "expire", "tag",
             ]
         ),
@@ -356,6 +382,39 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                 for r in rows.values():
                     if r["k"] == k:
                         r["v"] += 100
+            elif op == "eq_delete" and rows:
+                victims = sorted(rows)[pick % len(rows):][:2]
+                wh.delete_by_keys("lab", "t", victims, eq_cols=["id"])
+                for i in victims:
+                    rows.pop(i, None)
+            elif op == "mor_upsert" and rows:
+                # one update of an existing key + one insert + maybe one
+                # tombstone — the streaming-CDC batch shape
+                upd_id = sorted(rows)[pick % len(rows)]
+                batch = [
+                    (upd_id, rows[upd_id]["k"], pick + 200, False),
+                    (next_id, next_id % 3, pick, False),
+                ]
+                dead_id = None
+                if len(rows) > 1 and pick % 2:
+                    dead_id = sorted(rows)[(pick + 1) % len(rows)]
+                    if dead_id != upd_id:
+                        batch.append((dead_id, 0, 0, True))
+                    else:
+                        dead_id = None
+                next_id += 1
+                df = spark.createDataFrame(
+                    batch, f"id int, k int, {vcol} int, dead boolean"
+                )
+                wh.merge_upsert(
+                    "lab", "t", df, ["id"],
+                    delete_col="dead", mode="merge-on-read",
+                )
+                for i, k, v, dead in batch:
+                    if dead:
+                        rows.pop(i, None)
+                    else:
+                        rows[i] = {"k": k, "v": v}
             elif op == "rename" and wh._snapshot_versions("lab", "t"):
                 new = "w" if vcol == "v" else "v"
                 wh.rename_column("lab", "t", vcol, new)
