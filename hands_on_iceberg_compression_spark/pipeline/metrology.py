@@ -159,6 +159,10 @@ class LogStatsRow:
     manifest_bytes: int
     pruned_kept: int | None = None
     pruned_total: int | None = None
+    # pending merge-on-read delete files (position + equality); a
+    # maintained table shows 0 — optimize() folds them
+    delete_files: int = 0
+    delete_rows: int = 0
 
     @property
     def prune_skip_pct(self) -> float | None:
@@ -193,6 +197,7 @@ def measure_log_table(
     if prune_ranges:
         kept_paths, total = warehouse.prune_files(schema, table, prune_ranges)
         kept = len(kept_paths)
+    dels = head.get("deletes", [])
     return LogStatsRow(
         table=table,
         snapshots=len(versions),
@@ -204,6 +209,8 @@ def measure_log_table(
         manifest_bytes=warehouse.snapshot_manifest_bytes(schema, table),
         pruned_kept=kept,
         pruned_total=total,
+        delete_files=len(dels),
+        delete_rows=sum(d.get("rows", 0) for d in dels),
     )
 
 
@@ -213,7 +220,7 @@ def log_console_table(rows: list[LogStatsRow]) -> str:
     manifests instead of its data files."""
     headers = [
         "table", "snapshots", "files", "rows", "head", "segments",
-        "seg bytes", "manifest", "prune skip",
+        "seg bytes", "manifest", "prune skip", "pend dels",
     ]
     cells = [
         [
@@ -226,6 +233,9 @@ def log_console_table(rows: list[LogStatsRow]) -> str:
             human_size(r.segment_bytes),
             human_size(r.manifest_bytes),
             f"{r.prune_skip_pct:.1f}%" if r.prune_skip_pct is not None else "-",
+            f"{r.delete_files}/{human_number(r.delete_rows)}"
+            if r.delete_files
+            else "0",
         ]
         for r in rows
     ]

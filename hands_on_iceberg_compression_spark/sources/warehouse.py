@@ -1071,6 +1071,62 @@ class ParquetWarehouse:
             shutil.rmtree(del_root, ignore_errors=True)
         return del_root, entries
 
+    # recorded SQL type -> pyarrow type for driver-side delete-file writes
+    _PA_TYPES = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "string": "string", "boolean": "bool_", "date": "date32",
+    }
+
+    def _write_eq_deletes_local(
+        self,
+        schema: str,
+        table: str,
+        rows: list[tuple],
+        cols: list[str],
+        rec_types: dict[str, str],
+        eq_ids: list[int] | None,
+        targets: list[str],
+    ) -> tuple[str, list[dict]]:
+        """Driver-side equality-delete write for LOCAL key lists: the file
+        is a few KB of key values, so a pyarrow write beats launching a
+        Spark job for it by ~1-3 s — ``delete_by_keys`` with a local list
+        becomes a pure metadata operation (zero Spark jobs, zero data
+        IO).  Key columns are typed from the recorded schema where the
+        mapping is unambiguous; the read side casts to the current type
+        regardless."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tdir = self._tdir(schema, table)
+        del_root = os.path.join(tdir, "deletes", f"eq_{uuid.uuid4().hex[:8]}")
+        os.makedirs(del_root, exist_ok=True)
+        arrays = []
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in rows]
+            pa_name = self._PA_TYPES.get(rec_types.get(c, ""))
+            t = getattr(pa, pa_name)() if pa_name else None
+            if rec_types.get(c, "").startswith("timestamp"):
+                t = pa.timestamp("us")
+            try:
+                arrays.append(pa.array(vals, type=t))
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arrays.append(pa.array(vals))  # inference fallback
+        tab = pa.Table.from_arrays(arrays, names=list(cols))
+        p = os.path.join(del_root, "keys.parquet")
+        pq.write_table(tab, p)
+        entry = {
+            "path": os.path.relpath(p, tdir),
+            "bytes": os.stat(p).st_size,
+            "rows": len(rows),
+            "kind": "eq",
+            "eq_cols": list(cols),
+            "targets": list(targets),
+        }
+        if eq_ids is not None:
+            entry["eq_ids"] = list(eq_ids)
+        return del_root, [entry]
+
     def delete_by_keys(
         self,
         schema: str,
@@ -1173,11 +1229,9 @@ class ParquetWarehouse:
             eq_ids = [cur[c]["id"] for c in cols]
             rec_types = {c: cur[c]["type"] for c in cols}
 
-        # --- build the keys frame (cast to recorded types so the delete
-        # file's parquet schema matches the data files')
-        if kdf is None:
-            kdf = self.spark.createDataFrame(local, cols)
-        else:
+        # --- DataFrame keys: dedup, reject NULLs, cast to recorded types
+        # (local lists skip Spark entirely — driver-side write below)
+        if kdf is not None:
             kdf = kdf.distinct()
             null_probe = kdf.select(
                 [
@@ -1190,10 +1244,10 @@ class ParquetWarehouse:
                     "NULL key values are not supported: SQL equality "
                     "never matches NULL, so such a delete row is dead"
                 )
-        if rec_types:
-            kdf = kdf.select(
-                *[F.col(c).cast(rec_types[c]).alias(c) for c in cols]
-            )
+            if rec_types:
+                kdf = kdf.select(
+                    *[F.col(c).cast(rec_types[c]).alias(c) for c in cols]
+                )
 
         # --- target pruning: manifest bounds + partition values, no
         # footer opens.  Local key lists prune with DISCRETE value sets
@@ -1222,9 +1276,14 @@ class ParquetWarehouse:
             return {**no_op, "files_pruned": total}
         targets = sorted(e["path"] for e in target_entries)
 
-        del_root, del_entries = self._write_eq_deletes(
-            schema, table, kdf, cols, eq_ids, targets
-        )
+        if local is not None:
+            del_root, del_entries = self._write_eq_deletes_local(
+                schema, table, local, cols, rec_types, eq_ids, targets
+            )
+        else:
+            del_root, del_entries = self._write_eq_deletes(
+                schema, table, kdf, cols, eq_ids, targets
+            )
         if not del_entries:
             return no_op
         try:

@@ -288,6 +288,8 @@ def stream_upsert_latest_into_warehouse(
     schema: str,
     table: str,
     checkpoint_dir: str,
+    mode: str | None = None,
+    maintenance_every: int | None = None,
 ) -> None:
     """Streaming CDC: maintain a keep-latest-per-(user_id, event_type)
     snapshot table via ``merge_upsert`` from ``foreachBatch`` — the
@@ -301,7 +303,17 @@ def stream_upsert_latest_into_warehouse(
     dropped before the merge (out-of-order micro-batches — a multi-file
     source lists by name, not event time — must never regress the
     snapshot).  Exactly-once: the checkpoint replays a failed epoch, and
-    merge_upsert is idempotent for identical updates."""
+    merge_upsert is idempotent for identical updates.
+
+    ``mode="merge-on-read"`` is the scale path (the Flink->Iceberg upsert
+    sink shape): each epoch commits O(batch) — new images + one equality
+    delete of the batch's keys — instead of rewriting the snapshot table.
+    Replay stays idempotent two ways: the ``fresh`` filter drops rows the
+    stored table already reflects, and even a raw re-commit linearizes
+    (the replay's equality delete targets the first attempt's image
+    files).  ``maintenance_every`` folds the accumulated delete files
+    with a full ``optimize()`` every N epochs — the ingest-cadence
+    maintenance loop that keeps the read-side anti-join tax bounded."""
     import os
 
     from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
@@ -328,7 +340,11 @@ def stream_upsert_latest_into_warehouse(
             )
             .drop("_cur_ts", "_cur_id")
         )
-        warehouse.merge_upsert(schema, table, fresh, ["user_id", "event_type"])
+        warehouse.merge_upsert(
+            schema, table, fresh, ["user_id", "event_type"], mode=mode
+        )
+        if maintenance_every and (epoch_id + 1) % maintenance_every == 0:
+            warehouse.optimize(schema, table)
 
     q = (
         events.writeStream.foreachBatch(_sink)

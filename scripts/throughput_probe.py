@@ -123,6 +123,140 @@ def prune_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def mor_probe(n_rows: int, workdir: str) -> None:
+    """Merge-on-read vs copy-on-write DELETE cost (VERDICT r7 #1's
+    'Done' economics, measured): load a log-mode wide-events table, then
+
+    1. time a 1-row COPY-ON-WRITE delete (``id = x``) and count the data
+       bytes its rewrite produced;
+    2. time a 1-row MERGE-ON-READ delete of a different row and record
+       the delete-file bytes — the O(1-row)-vs-O(128 MB-file) headline;
+    3. time the full-scan flagship count with the pending delete tuples
+       (the read-side anti-join tax), then a ~1%-of-rows MoR delete, the
+       read again, then ``optimize()`` (folds) and the read once more —
+       the maintenance story: a maintained table pays only between ticks.
+
+    Prints one JSON line."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="mor-probe")
+    cfg = wide_events_config()
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    table = "events_mor"
+    wh.create_table(
+        cfg.schema, table, "zstd", 6, properties={"snapshots": "true"}
+    )
+    plan = LoadPlan(
+        total_rows=n_rows,
+        batch_rows=max(250_000, n_rows // 8),
+        concurrency=4,
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        compact_after_load=False,
+        partitions_per_batch=32,
+        progress=False,
+    )
+    t0 = time.perf_counter()
+    load_table(spark, wh, cfg, table, plan)
+    load_s = time.perf_counter() - t0
+
+    def head_bytes_by_path():
+        return {
+            e["path"]: e["bytes"]
+            for e in wh.head_snapshot(cfg.schema, table)["files"]
+        }
+
+    def timed_read():
+        best = float("inf")
+        pred = (
+            (F.col("row_16") < 80)
+            & F.col("row_1").between(
+                F.lit("2024-02-01 00:00:00").cast("timestamp"),
+                F.lit("2024-10-01 00:00:00").cast("timestamp"),
+            )
+            & F.col("row_32").like("%50c%")
+        )
+        rows = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = wh.read(cfg.schema, table).filter(pred).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), rows
+
+    out: dict = {"probe": "mor_delete", "n_rows": n_rows,
+                 "load_sec": round(load_s, 1)}
+    # baseline read BEFORE any delete: the honest denominator for the
+    # read tax (after_fold also enjoys compaction, so tax_vs_folded
+    # overstates the anti-join cost on a fragmented table)
+    t_base, _rows0 = timed_read()
+
+    before = head_bytes_by_path()
+    t0 = time.perf_counter()
+    cow = wh.delete_where(
+        cfg.schema, table, f"id = {n_rows // 3}", mode="copy-on-write"
+    )
+    t_cow = time.perf_counter() - t0
+    after = head_bytes_by_path()
+    out["cow_1row"] = {
+        "sec": round(t_cow, 3),
+        "files_rewritten": cow["files_rewritten"],
+        "data_bytes_rewritten": sum(
+            b for p, b in after.items() if p not in before
+        ),
+    }
+    t0 = time.perf_counter()
+    mor = wh.delete_where(
+        cfg.schema, table, f"id = {2 * n_rows // 3}", mode="merge-on-read"
+    )
+    t_mor = time.perf_counter() - t0
+    out["mor_1row"] = {
+        "sec": round(t_mor, 3),
+        "delete_bytes": mor["delete_bytes"],
+        "rows_deleted": mor["rows_deleted"],
+    }
+    # equality delete: 1000 keys, ZERO data IO (no scan finds positions)
+    t0 = time.perf_counter()
+    eq = wh.delete_by_keys(
+        cfg.schema, table, list(range(1001, 2001)), eq_cols=["id"]
+    )
+    t_eq = time.perf_counter() - t0
+    out["eq_1000keys"] = {
+        "sec": round(t_eq, 3),
+        "delete_bytes": eq["delete_bytes"],
+        "targets": eq["targets"],
+        "files_pruned": eq["files_pruned"],
+    }
+    t_tax1, rows1 = timed_read()
+    # ~1% broad MoR delete: row_16 is uniform int — one point value
+    t0 = time.perf_counter()
+    broad = wh.delete_where(
+        cfg.schema, table, "row_16 = 42", mode="merge-on-read"
+    )
+    t_broad = time.perf_counter() - t0
+    out["mor_broad"] = {
+        "sec": round(t_broad, 3),
+        "rows_deleted": broad["rows_deleted"],
+        "delete_bytes": broad["delete_bytes"],
+        "pct_of_table": round(100 * broad["rows_deleted"] / n_rows, 2),
+    }
+    t_tax2, rows2 = timed_read()
+    t0 = time.perf_counter()
+    wh.optimize(cfg.schema, table)
+    t_opt = time.perf_counter() - t0
+    t_folded, rows3 = timed_read()
+    assert rows2 == rows3, (rows2, rows3)
+    out["flagship_read_sec"] = {
+        "no_deletes": t_base,
+        "pending_2_tuples": t_tax1,
+        "pending_broad": t_tax2,
+        "after_fold": t_folded,
+        "tax_vs_baseline": round(t_tax2 / t_base, 2) if t_base else None,
+        "tax_vs_folded": round(t_tax2 / t_folded, 2) if t_folded else None,
+    }
+    out["optimize_fold_sec"] = round(t_opt, 1)
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def _baseline_shapes() -> dict:
     """The four baseline query shapes (temp.md:42-105) — shared by the
     sequential probe and the interleaved A/B."""
@@ -503,6 +637,9 @@ def main() -> None:
         return
     if "--percol-ab" in sys.argv:
         percol_ab_probe(n_rows, workdir)
+        return
+    if "--mor" in sys.argv:
+        mor_probe(n_rows, workdir)
         return
     shutil.rmtree(workdir, ignore_errors=True)
 

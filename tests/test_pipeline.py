@@ -520,6 +520,13 @@ def test_log_table_metrology_report(spark, tmp_path):
     assert row.segment_count >= 2
     out = log_console_table([row])
     assert "prune skip" in out and "50.0%" in out and table in out
+    assert row.delete_files == 0 and "pend dels" in out
+    # pending merge-on-read deletes surface in the report; fold clears
+    wh.delete_where(cfg.schema, table, "id = 7", mode="merge-on-read")
+    row2 = measure_log_table(wh, cfg.schema, table)
+    assert row2.delete_files == 1 and row2.delete_rows == 1
+    wh.optimize(cfg.schema, table)
+    assert measure_log_table(wh, cfg.schema, table).delete_files == 0
 
 
 def test_cli_log_report(spark, tmp_path, capsys):

@@ -166,6 +166,65 @@ def test_streaming_upsert_matches_batch_keep_latest(spark, tmp_path):
     assert got.equals(want)
 
 
+def test_streaming_upsert_merge_on_read_converges_and_folds(spark, tmp_path):
+    """The MoR CDC sink (mode='merge-on-read' + maintenance_every) must
+    converge to the same keep-latest snapshot as the copy-on-write path
+    while committing O(batch) per epoch — equality delete files appear
+    while epochs run and the maintenance tick folds them away."""
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+        q_dedup_keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_upsert_latest_into_warehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "latest_mor", "zstd", 3, properties={"snapshots": "true"}
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    half = ev.filter(F.col("event_id") < ev.count() / 2)
+    wh.append("lab", "latest_mor", keep_latest(half), batch_id="seed")
+
+    stream = read_events_stream(spark, SF_SMALL)
+    stream_upsert_latest_into_warehouse(
+        stream, wh, "lab", "latest_mor", str(tmp_path / "ckpt_mor"),
+        mode="merge-on-read",
+    )
+    # the epochs committed equality deletes instead of rewriting
+    assert all(
+        d["kind"] == "eq" for d in wh.delete_files_report("lab", "latest_mor")
+    )
+    assert len(wh.delete_files_report("lab", "latest_mor")) >= 1
+
+    got = (
+        wh.read("lab", "latest_mor")
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    want = (
+        q_dedup_keep_latest(spark, SF_SMALL)
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert got.equals(want)
+    # the maintenance fold clears the pending set and preserves the rows
+    wh.optimize("lab", "latest_mor")
+    assert wh.delete_files_report("lab", "latest_mor") == []
+    refolded = (
+        wh.read("lab", "latest_mor")
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert refolded.equals(want)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Late-data semantics, directly: an event older than the watermark
     arriving in a later micro-batch must be DROPPED from the windowed
