@@ -1230,16 +1230,24 @@ class ParquetWarehouse:
             rec_types = {c: cur[c]["type"] for c in cols}
 
         # --- DataFrame keys: dedup, reject NULLs, cast to recorded types
-        # (local lists skip Spark entirely — driver-side write below)
+        # (local lists skip Spark entirely — driver-side write below);
+        # ONE aggregate answers nulls + the min/max pruning envelope
+        env = None
         if kdf is not None:
             kdf = kdf.distinct()
-            null_probe = kdf.select(
-                [
-                    F.sum(F.col(c).isNull().cast("int")).alias(c)
-                    for c in cols
+            try:
+                kdf = kdf.localCheckpoint(eager=True)
+            except Exception:
+                pass  # lineage truncation is an optimization only
+            aggs = []
+            for c in cols:
+                aggs += [
+                    F.sum(F.col(c).isNull().cast("int")).alias(f"n_{c}"),
+                    F.min(c).alias(f"lo_{c}"),
+                    F.max(c).alias(f"hi_{c}"),
                 ]
-            ).collect()[0]
-            if any((v or 0) > 0 for v in null_probe):
+            env = kdf.agg(*aggs).collect()[0]
+            if any((env[f"n_{c}"] or 0) > 0 for c in cols):
                 raise ValueError(
                     "NULL key values are not supported: SQL equality "
                     "never matches NULL, so such a delete row is dead"
@@ -1260,10 +1268,6 @@ class ParquetWarehouse:
                 for i, c in enumerate(cols)
             }
         else:
-            aggs = []
-            for c in cols:
-                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-            env = kdf.agg(*aggs).collect()[0]
             if env[f"lo_{cols[0]}"] is None:
                 return no_op  # empty keys frame
             ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in cols}
