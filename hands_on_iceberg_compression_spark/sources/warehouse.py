@@ -2108,15 +2108,26 @@ class ParquetWarehouse:
         if with_pos:
             # manifest-relative path: what position-delete tuples key on
             # (portable across warehouse relocation, unlike the scan's
-            # absolute file: URI)
-            esc = tdir.replace("'", "\\'")
+            # absolute file: URI).  ``_metadata.file_path`` is a URI and
+            # percent-encodes the ON-DISK names one extra time (hive's
+            # escapePathName already encoded specials at write: a
+            # partition dir 'grp=a b' scans as 'grp=a%20b', 'grp=p%25q'
+            # as 'grp=p%2525q') while manifest entries record the
+            # os.walk/relpath on-disk form — one plus-protected percent
+            # decode BEFORE the substring makes the two encodings meet,
+            # otherwise delete entries' targets never intersect the
+            # entry paths and the whole delete silently fails to apply
+            # on special-char partition values.
+            esc = tdir.replace("\\", "\\\\").replace("'", "\\'")
+            decoded = "__mor_dec"
+            df = df.withColumn(decoded, self._pct_decode(F.col(self._POS_FILE)))
             df = df.withColumn(
                 self._POS_REL,
                 F.expr(
-                    f"substring({self._POS_FILE}, "
-                    f"instr({self._POS_FILE}, '{esc}') + {len(tdir) + 1})"
+                    f"substring({decoded}, "
+                    f"instr({decoded}, '{esc}') + {len(tdir) + 1})"
                 ),
-            )
+            ).drop(decoded)
         return df
 
     def _delete_tuples(self, schema: str, table: str, dels: list[dict]) -> DataFrame:

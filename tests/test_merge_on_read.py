@@ -389,3 +389,40 @@ def test_mor_update_then_duckdb_check(mor_table):
     ).fetchall()
     got = sorted((r.id, r.k, r.u) for r in wh.read("lab", "mor").collect())
     assert got == [tuple(r) for r in expected]
+
+
+def test_mor_deletes_on_special_char_partition_values(spark, tmp_path):
+    """Regression (round 8): ``_metadata.file_path`` is a URI and
+    percent-encodes the on-disk hive-escaped partition dirs ONE MORE
+    time ('grp=a b' scans as 'grp=a%20b', 'grp=p%25q' as 'grp=p%2525q')
+    while manifest entries record the os.walk on-disk form.  Before the
+    plus-protected decode in ``_assemble_entries``, delete entries'
+    targets never intersected the manifest entry paths on such
+    partitions, so BOTH delete kinds committed fine and then silently
+    failed to apply (the deleted rows stayed visible)."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "sp", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["grp"],
+    )
+    vals = ["a b", "p%q", "x+y", "k=v", "c:d", "plain"]
+    rows = [(i, vals[i % len(vals)], i * 10) for i in range(24)]
+    wh.append(
+        "lab", "sp",
+        spark.createDataFrame(rows, "id int, grp string, v int"),
+        batch_id="b0",
+    )
+    # equality delete: one key per special-char partition
+    wh.delete_by_keys("lab", "sp", [0, 1, 2, 3, 4], eq_cols=["id"])
+    got = {r.id for r in wh.read("lab", "sp").select("id").collect()}
+    assert got == set(range(24)) - {0, 1, 2, 3, 4}
+    # position delete on rows living in 'plain' and 'a b' partitions
+    r = wh.delete_where("lab", "sp", "id IN (5, 6)", mode="merge-on-read")
+    assert r["delete_files_added"] >= 1
+    got = {r.id for r in wh.read("lab", "sp").select("id").collect()}
+    assert got == set(range(24)) - {0, 1, 2, 3, 4, 5, 6}
+    # fold and re-check: optimize read the delete-applied rows
+    wh.optimize("lab", "sp")
+    assert wh.head_snapshot("lab", "sp").get("deletes", []) == []
+    got = {r.id for r in wh.read("lab", "sp").select("id").collect()}
+    assert got == set(range(24)) - {0, 1, 2, 3, 4, 5, 6}
