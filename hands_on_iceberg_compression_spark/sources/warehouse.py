@@ -392,8 +392,18 @@ class ParquetWarehouse:
             opts[_ZSTD_LEVEL_KEY] = str(meta.level)
         return opts
 
-    def append(self, schema: str, table: str, df: DataFrame, batch_id: str | None = None) -> None:
-        """Append one batch.
+    def append(
+        self,
+        schema: str,
+        table: str,
+        df: DataFrame,
+        batch_id: str | None = None,
+        branch: str = "main",
+    ) -> None:
+        """Append one batch.  ``branch`` (log mode only) commits onto a
+        named writable ref created by ``create_branch`` — the staging leg
+        of write-audit-publish; main never sees the rows until
+        ``fast_forward``.
 
         Unpartitioned: each batch gets its own subdirectory under data/ —
         (a) committer isolation: concurrent batch writes share no
@@ -428,7 +438,7 @@ class ParquetWarehouse:
             # evolution): unknown columns error, omitted columns NULL-fill,
             # the first commit adopts this write's schema as schema 0
             writer_df, schema_fields = self._conform_log_schema(
-                schema, table, writer_df
+                schema, table, writer_df, branch=branch
             )
             if batch_id is None:
                 batch_id = f"batch_{uuid.uuid4().hex[:12]}"
@@ -453,8 +463,13 @@ class ParquetWarehouse:
                 add_files=new,
                 drop_prefix=batch_dir + os.sep,
                 schema_fields=schema_fields,
+                branch=branch,
             )
             return
+        if branch != "main":
+            raise ValueError(
+                "branch writes require a log-mode (snapshots=true) table"
+            )
         if part_cols:
             writer = writer_df.write.mode("append").partitionBy(*part_cols)
             target = data_root
@@ -467,14 +482,22 @@ class ParquetWarehouse:
             writer = writer.option(k, v)
         writer.parquet(target)
 
-    def read(self, schema: str, table: str) -> DataFrame:
+    def read(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> DataFrame:
         meta = self.table_meta(schema, table)
+        if branch != "main" and not self._log_mode(meta):
+            raise ValueError(
+                "branch reads require a log-mode (snapshots=true) table"
+            )
         if self._log_mode(meta):
-            head = self.head_snapshot(schema, table)
+            head = self.head_snapshot(schema, table, branch)
             if head is None:
                 raise ValueError(
                     f"log-mode table {schema}.{table} has no committed "
                     "snapshot yet (append() commits the first one)"
+                    if branch == "main"
+                    else f"no branch {branch!r} on {schema}.{table}"
                 )
             if not head["files"]:
                 if "schemas" in head:
@@ -976,6 +999,7 @@ class ParquetWarehouse:
         self.commit_snapshot(
             schema, table, "optimize", add_files=new, drop_files=victim_paths,
             expected_schema_id=head.get("schema_id"),
+            rewrite_read_version=version,
         )
         return len(new)
 
@@ -1024,6 +1048,58 @@ class ParquetWarehouse:
             shutil.rmtree(del_root, ignore_errors=True)
         return del_root, entries
 
+    # An eq-delete entry's stored key_ranges discrete set is capped: above
+    # this many distinct values per column it collapses to a (min, max)
+    # envelope — read-time narrowing stays O(1) per file however many keys
+    # the delete carries (the key VALUES live in the parquet, not the
+    # manifest).
+    EQ_KEY_RANGES_SET_MAX = 64
+
+    @classmethod
+    def _store_key_ranges(cls, ranges: dict) -> dict:
+        """JSON-safe, shape-tagged encoding of a pruning spec for storage
+        in an equality-delete manifest entry: ``{col: {"set": [...]}}`` for
+        discrete values, ``{col: {"lo": x, "hi": y}}`` for envelopes.
+        Explicit tags survive the JSON round-trip (the r07 gotcha: JSON
+        turns range TUPLES into lists, which the pruning grammar reads as
+        discrete sets).  Values route through ``_json_bound`` — the same
+        order-preserving encoding the file bounds use, so read-time
+        comparisons are consistent by construction; a value _json_bound
+        cannot encode drops its COLUMN from the spec (conservative: no
+        narrowing on it, never wrong narrowing)."""
+        out: dict = {}
+        for c, spec in ranges.items():
+            if isinstance(spec, (list, set, frozenset)):
+                vals = [cls._json_bound(v) for v in spec]
+                if any(v is None for v in vals):
+                    continue
+                if len(vals) > cls.EQ_KEY_RANGES_SET_MAX:
+                    try:
+                        out[c] = {"lo": min(vals), "hi": max(vals)}
+                    except TypeError:
+                        pass  # mixed-type values: skip the column
+                    continue
+                out[c] = {"set": sorted(vals, key=repr)}
+            else:
+                lo, hi = spec
+                lo, hi = cls._json_bound(lo), cls._json_bound(hi)
+                if lo is None or hi is None:
+                    continue
+                out[c] = {"lo": lo, "hi": hi}
+        return out
+
+    @staticmethod
+    def _key_ranges_spec(key_ranges: dict) -> dict:
+        """Stored ``key_ranges`` back to the live pruning-spec shapes
+        (list = discrete set, tuple = range) ``_norm_filter`` expects."""
+        out: dict = {}
+        for c, kr in key_ranges.items():
+            if "set" in kr:
+                out[c] = list(kr["set"])
+            else:
+                out[c] = (kr.get("lo"), kr.get("hi"))
+        return out
+
     def _write_eq_deletes(
         self,
         schema: str,
@@ -1031,16 +1107,20 @@ class ParquetWarehouse:
         keys_df: DataFrame,
         eq_cols: list[str],
         eq_ids: list[int] | None,
-        targets: list[str],
+        key_ranges: dict,
     ) -> tuple[str, list[dict]]:
         """Write an Iceberg-v2-style EQUALITY DELETE file: a parquet of
         key-column VALUE rows (no positions — nothing was scanned to
         produce them) under ``deletes/``, plus manifest entries recording
         the key column names, their FIELD IDS (so later renames keep
-        resolving), and the explicit target file list.  Targets encode
-        Iceberg's sequence-number rule ("an equality delete applies only
-        to data files older than it"): only files live at commit time are
-        listed, so later appends are never affected."""
+        resolving), and a JSON-safe ``key_ranges`` summary of the keys for
+        read-time file narrowing.  Scope is Iceberg's sequence-number
+        rule ("an equality delete applies only to data files older than
+        it"): ``commit_snapshot`` stamps the entry with its commit ``seq``
+        and reads apply it to files whose seq is strictly lower — O(1)
+        metadata per delete however many files are live (the r08 design
+        stored the explicit target file list, which a scattered-key delete
+        inflated to O(live files) carried in every subsequent head)."""
         import pyarrow.parquet as pq
 
         tdir = self._tdir(schema, table)
@@ -1062,8 +1142,9 @@ class ParquetWarehouse:
                     "rows": n,
                     "kind": "eq",
                     "eq_cols": list(eq_cols),
-                    "targets": list(targets),
                 }
+                if key_ranges:
+                    entry["key_ranges"] = key_ranges
                 if eq_ids is not None:
                     entry["eq_ids"] = list(eq_ids)
                 entries.append(entry)
@@ -1086,7 +1167,7 @@ class ParquetWarehouse:
         cols: list[str],
         rec_types: dict[str, str],
         eq_ids: list[int] | None,
-        targets: list[str],
+        key_ranges: dict,
     ) -> tuple[str, list[dict]]:
         """Driver-side equality-delete write for LOCAL key lists: the file
         is a few KB of key values, so a pyarrow write beats launching a
@@ -1121,8 +1202,9 @@ class ParquetWarehouse:
             "rows": len(rows),
             "kind": "eq",
             "eq_cols": list(cols),
-            "targets": list(targets),
         }
+        if key_ranges:
+            entry["key_ranges"] = key_ranges
         if eq_ids is not None:
             entry["eq_ids"] = list(eq_ids)
         return del_root, [entry]
@@ -1150,13 +1232,28 @@ class ParquetWarehouse:
         are rejected (SQL equality never matches NULL; Iceberg identifier
         fields are required non-null for the same reason).
 
-        Scope semantics (Iceberg sequence numbers, expressed as explicit
-        targets): the delete applies to rows in files LIVE AT COMMIT
-        TIME — rows appended later with the same key survive, which is
-        exactly what makes stacked CDC upsert batches linearize.  Target
-        lists are pruned through the manifest's column bounds and
-        partition values, so a delete whose keys fall in one partition
-        targets only that partition's files.
+        Scope semantics (Iceberg sequence numbers): the commit stamps the
+        delete entry with its commit sequence number, and reads apply it
+        to every data file with a STRICTLY LOWER seq — i.e. files live at
+        COMMIT time, including a concurrent append that wins the CAS race
+        between this delete's read and its publish (Iceberg's "lower data
+        sequence => deleted" rule; rows appended later with the same key
+        survive, which is exactly what makes stacked CDC upsert batches
+        linearize).  The entry additionally records a small ``key_ranges``
+        summary of the keys (discrete values or a min/max envelope), which
+        reads use to NARROW the anti-join to files whose manifest bounds/
+        partition values can intersect the keys — pure optimization, the
+        anti-join itself enforces correctness.  Pending-delete metadata is
+        therefore O(keys), never O(live files), and a broad scattered-key
+        delete costs later commits nothing (the r08 design stored explicit
+        target lists, O(live files) for such keys, rewritten into every
+        subsequent head).
+
+        One caveat the snapshot-isolation read implies: when the manifest
+        PROVES no live file can match (the no-op fast path below), no
+        delete is committed — a row appended concurrently with a matching
+        key is then not covered, exactly as if the delete had committed
+        first.
 
         Returns ``rows_deleted: None`` — the point of an equality delete
         is NOT knowing (not reading) how many rows matched; use
@@ -1229,11 +1326,20 @@ class ParquetWarehouse:
             eq_ids = [cur[c]["id"] for c in cols]
             rec_types = {c: cur[c]["type"] for c in cols}
 
-        # --- DataFrame keys: dedup, reject NULLs, cast to recorded types
-        # (local lists skip Spark entirely — driver-side write below);
-        # ONE aggregate answers nulls + the min/max pruning envelope
+        # --- DataFrame keys: dedup, cast to recorded types FIRST, then
+        # reject NULLs + compute the min/max pruning envelope in ONE
+        # aggregate over the CAST values (ADVICE r8: an envelope over
+        # pre-cast values — e.g. double keys 10.2-10.7 for an int column —
+        # could prune a file the post-cast keys (10) actually match; and a
+        # key the cast cannot represent becomes NULL, which the null check
+        # rejects rather than silently dropping).  Local lists skip Spark
+        # entirely — driver-side write below.
         env = None
         if kdf is not None:
+            if rec_types:
+                kdf = kdf.select(
+                    *[F.col(c).cast(rec_types[c]).alias(c) for c in cols]
+                )
             kdf = kdf.distinct()
             try:
                 kdf = kdf.localCheckpoint(eager=True)
@@ -1249,19 +1355,21 @@ class ParquetWarehouse:
             env = kdf.agg(*aggs).collect()[0]
             if any((env[f"n_{c}"] or 0) > 0 for c in cols):
                 raise ValueError(
-                    "NULL key values are not supported: SQL equality "
-                    "never matches NULL, so such a delete row is dead"
-                )
-            if rec_types:
-                kdf = kdf.select(
-                    *[F.col(c).cast(rec_types[c]).alias(c) for c in cols]
+                    "NULL key values are not supported (SQL equality "
+                    "never matches NULL, so such a delete row is dead) — "
+                    "a non-NULL key the recorded column type cannot "
+                    "represent casts to NULL and is rejected here too"
                 )
 
-        # --- target pruning: manifest bounds + partition values, no
+        # --- key pruning spec: manifest bounds + partition values, no
         # footer opens.  Local key lists prune with DISCRETE value sets
         # (exact membership); DataFrame keys prune with their min/max
         # envelope (one tiny agg).  Conjunctive per-column specs are a
         # SUPERSET of the tuple set for multi-column keys — conservative.
+        # Used twice: a commit-time no-op proof (zero candidate files ->
+        # no commit), and — stored as the entry's ``key_ranges`` — the
+        # read-time narrowing of which seq-eligible files pay the
+        # anti-join.
         if local is not None:
             ranges = {
                 c: sorted({t[i] for t in local}, key=repr)
@@ -1278,25 +1386,29 @@ class ParquetWarehouse:
             # the manifest PROVES no live row can match — no commit, same
             # no-op guarantee as a zero-match delete_where
             return {**no_op, "files_pruned": total}
-        targets = sorted(e["path"] for e in target_entries)
+        key_ranges = self._store_key_ranges(ranges)
 
         if local is not None:
             del_root, del_entries = self._write_eq_deletes_local(
-                schema, table, local, cols, rec_types, eq_ids, targets
+                schema, table, local, cols, rec_types, eq_ids, key_ranges
             )
         else:
             del_root, del_entries = self._write_eq_deletes(
-                schema, table, kdf, cols, eq_ids, targets
+                schema, table, kdf, cols, eq_ids, key_ranges
             )
         if not del_entries:
             return no_op
+        # No deletes_read_version fence needed for a pure equality delete:
+        # seq scoping makes a concurrently-rewritten target HARMLESS — the
+        # rewrite's output files carry a lower seq than this delete's
+        # commit (the rewrite won the CAS race), so the delete still
+        # applies to them and no row escapes.
         try:
             manifest = self.commit_snapshot(
                 schema, table, "delete",
                 add_files=[],
                 add_deletes=del_entries,
                 expected_schema_id=(head or {}).get("schema_id"),
-                deletes_read_version=version,
             )
         except BaseException:
             shutil.rmtree(del_root, ignore_errors=True)
@@ -1306,8 +1418,10 @@ class ParquetWarehouse:
             "keys": sum(e["rows"] for e in del_entries),
             "delete_files_added": len(del_entries),
             "delete_bytes": sum(e["bytes"] for e in del_entries),
-            "targets": len(targets),
-            "files_pruned": total - len(targets),
+            # informational: candidate files at the read snapshot (reads
+            # re-derive the applicable set from seq + key_ranges)
+            "targets": len(target_entries),
+            "files_pruned": total - len(target_entries),
             "version": manifest["version"],
         }
 
@@ -1319,7 +1433,7 @@ class ParquetWarehouse:
         head = self._head_light(schema, table)
         if head is None:
             return []
-        return [dict(d) for d in head.get("deletes", [])]
+        return [dict(d) for d in self._head_deletes(schema, table, head)]
 
     # --- row-level DELETE (VERDICT r6 #3) --------------------------------
     def delete_where(
@@ -1378,7 +1492,16 @@ class ParquetWarehouse:
           manifest commit + a few KB and costing a 128 MB rewrite.
 
         The partition-ALIGNED metadata-only fast path (zero data IO)
-        applies in both modes."""
+        applies in both modes.
+
+        Count caveat (ADVICE r8): when pending merge-on-read deletes
+        already target the victims, ``rows_deleted`` can OVERCOUNT — files
+        dropped via the metadata-only path count their manifest PHYSICAL
+        rows, and the copy-on-write ``rows_before`` term is physical too,
+        while the rewrite's read applies the pending deletes (counting
+        exactly would require the data read those paths exist to avoid).
+        Merge-on-read SCANNED victims are exact (tuples come from a
+        delete-applied read)."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -1549,6 +1672,7 @@ class ParquetWarehouse:
             schema, table, "delete", add_files=sorted(new),
             drop_files=victim_paths,
             expected_schema_id=head.get("schema_id"),
+            rewrite_read_version=version,
         )
         return {
             "files_rewritten": len(rewrite),
@@ -1777,6 +1901,10 @@ class ParquetWarehouse:
                     add_deletes=del_entries,
                     expected_schema_id=head.get("schema_id"),
                     deletes_read_version=version,
+                    # the updated IMAGES re-materialize rows read at
+                    # ``version`` — a concurrent MoR delete in between
+                    # would not apply to them (higher seq); fence it
+                    rewrite_read_version=version,
                 )
             except BaseException:
                 shutil.rmtree(gen_dir, ignore_errors=True)
@@ -1835,6 +1963,7 @@ class ParquetWarehouse:
         manifest = self.commit_snapshot(
             schema, table, "update", add_files=new, drop_files=victim_paths,
             expected_schema_id=head.get("schema_id"),
+            rewrite_read_version=version,
         )
         return {
             "files_rewritten": len(victims),
@@ -1961,7 +2090,7 @@ class ParquetWarehouse:
         ]
 
     def _conform_log_schema(
-        self, schema: str, table: str, df: DataFrame
+        self, schema: str, table: str, df: DataFrame, branch: str = "main"
     ) -> tuple[DataFrame, list[dict]]:
         """Validate + conform a log-mode write against the table's CURRENT
         schema (Iceberg write posture): unknown columns are an error
@@ -1972,7 +2101,7 @@ class ParquetWarehouse:
         A table without a recorded schema yet (first commit, or a legacy
         pre-r07 head) adopts the write's schema as schema 0."""
         fields_now = self._schema_fields_of(df)
-        head = self._head_light(schema, table)
+        head = self._head_light(schema, table, branch)
         if head is None or "schemas" not in head:
             return df, fields_now
         cur = head["schemas"][str(head["schema_id"])]
@@ -2147,24 +2276,50 @@ class ParquetWarehouse:
         with_pos: bool = False,
         apply_deletes: bool = True,
     ) -> DataFrame:
-        """Assemble ``entries`` and apply the head's MERGE-ON-READ position
-        deletes (Iceberg v2): files named in a delete entry's ``targets``
-        are scanned with their (file, row ordinal) metadata and
-        anti-joined against the (small, broadcast) delete tuples; files no
-        delete targets take the untouched zero-overhead path, so a table
-        with no deletes pays nothing.  ``with_pos=True`` keeps the
+        """Assemble ``entries`` and apply the head's MERGE-ON-READ deletes
+        (Iceberg v2): a position delete applies to the files its
+        ``targets`` name; an equality delete applies to every file whose
+        commit ``seq`` is strictly lower than the delete's (Iceberg's
+        sequence-number rule), NARROWED by the delete's ``key_ranges``
+        against each file's manifest bounds/partition values (an
+        optimization only — a spuriously included file just anti-joins to
+        zero matches, so narrowing can never lose a delete).  Applicable
+        files are scanned with their (file, row ordinal) metadata and
+        anti-joined against the (small, broadcast) delete keys; files no
+        delete applies to take the untouched zero-overhead path, so a
+        table with no deletes pays nothing.  ``with_pos=True`` keeps the
         ``__mor_rel``/``__mor_pos`` columns on the result (the delete
         writers' substrate); ``apply_deletes=False`` reads the physical
         rows (time travel passes the snapshot's own head, so old
-        snapshots see exactly their own delete set — not this flag)."""
-        all_dels = (head.get("deletes") or []) if apply_deletes else []
-        entry_paths = {e["path"] for e in entries}
-        # keep the ORIGINAL list index: head["deletes"] is in commit
+        snapshots see exactly their own delete set — not this flag).
+
+        Legacy r08 equality entries carry explicit ``targets`` instead of
+        seq + key_ranges and apply by membership, exactly as written."""
+        all_dels = (
+            self._head_deletes(schema, table, head) if apply_deletes else []
+        )
+        entry_by_path = {e["path"]: e for e in entries}
+        entry_paths = set(entry_by_path)
+        # keep the ORIGINAL list index: the delete list is in commit
         # order (carry appends), and equality-delete scoping needs it
         live_dels = []
         hot_paths: set[str] = set()
         for i, d in enumerate(all_dels):
-            t = set(d["targets"]) & entry_paths
+            if d.get("targets") is not None:
+                t = set(d["targets"]) & entry_paths
+            else:
+                # seq-scoped equality delete: strictly-older files,
+                # narrowed by the stored key summary vs manifest stats
+                dseq = d.get("seq", 0)
+                t = {
+                    p
+                    for p, e in entry_by_path.items()
+                    if e.get("seq", 0) < dseq
+                }
+                if t and d.get("key_ranges"):
+                    t = self._narrow_eq_targets(
+                        schema, table, meta, head, d, t, entry_by_path
+                    )
             if t:
                 live_dels.append((i, d, t))
                 hot_paths |= t
@@ -2186,7 +2341,14 @@ class ParquetWarehouse:
             ) & (F.col(self._POS_IDX) == tuples["pos"])
             hot_df = hot_df.join(F.broadcast(tuples), cond, "left_anti")
         if eq_dels:
-            hot_df = self._apply_eq_deletes(schema, table, head, hot_df, eq_dels)
+            # single-entry fast path (VERDICT r8 #7): with ONE eq delete
+            # and no pos deletes, the hot frame IS exactly that delete's
+            # applicable files — skip the per-file seq broadcast join and
+            # anti-join the keys directly (one join instead of two)
+            fast = len(eq_dels) == 1 and not pos_dels
+            hot_df = self._apply_eq_deletes(
+                schema, table, head, hot_df, eq_dels, fast=fast
+            )
         if cold:
             cold_df = self._assemble_entries(
                 schema, table, meta, head, cold, with_pos=with_pos
@@ -2202,6 +2364,79 @@ class ParquetWarehouse:
 
     _EQ_K = "__eq_k"
 
+    def _head_deletes(self, schema: str, table: str, head: dict) -> list[dict]:
+        """The head's pending merge-on-read delete entries, in COMMIT
+        order: legacy r08 heads carry them inline under ``deletes``; from
+        r09 on they live in immutable DELETE SEGMENT files referenced by
+        ``head["delete_segments"]`` (same ``_load_segment`` store and
+        cache as data segments), so heads stay O(refs) however broad the
+        pending deletes.  A MATERIALIZED head (``_materialize`` adds
+        ``files``) already resolved its delete segments into ``deletes``
+        — the inline list is then complete and the refs are not re-read.
+        Legacy inline entries always PRECEDE segment entries in commit
+        order: once segment storage exists, no new inline entry is ever
+        written."""
+        dels = list(head.get("deletes") or [])
+        if "files" not in head:
+            for ref in head.get("delete_segments") or []:
+                dels += self._load_segment(schema, table, ref["path"])
+        return dels
+
+    def _eq_current_names(self, head: dict, d: dict) -> list[str]:
+        """Resolve an equality delete's write-time key column names to the
+        head schema's CURRENT names through FIELD IDS, so deletes written
+        before a rename keep applying."""
+        write_names = d["eq_cols"]
+        ids = d.get("eq_ids")
+        if ids and "schemas" in head:
+            cur_by_id = {
+                f["id"]: f for f in head["schemas"][str(head["schema_id"])]
+            }
+            missing = [fid for fid in ids if fid not in cur_by_id]
+            if missing:
+                raise RuntimeError(
+                    f"equality delete {d['path']} references dropped "
+                    f"field id(s) {missing} — drop_column should have "
+                    "refused while this delete was pending"
+                )
+            return [cur_by_id[fid]["name"] for fid in ids]
+        return list(write_names)
+
+    def _narrow_eq_targets(
+        self,
+        schema: str,
+        table: str,
+        meta: TableMeta,
+        head: dict,
+        d: dict,
+        cand: set,
+        entry_by_path: dict,
+    ) -> set:
+        """Narrow a seq-scoped equality delete's candidate files through
+        its stored ``key_ranges`` vs each file's manifest bounds/partition
+        values — the same conservative per-entry test ``prune_files``
+        uses, reused via ``_entry_excluded``.  An excluded file is PROVEN
+        to hold no matching key, so skipping its anti-join is exact;
+        every conservative keep merely joins to zero matches."""
+        spec: dict = {}
+        cur_names = self._eq_current_names(head, d)
+        for wname, cname in zip(d["eq_cols"], cur_names):
+            kr = d["key_ranges"].get(wname)
+            if kr is not None:
+                spec[cname] = self._key_ranges_spec({cname: kr})[cname]
+        if not spec:
+            return cand
+        norm = self._norm_filter(spec)
+        static_types = self._partition_static_types(meta.partitioning)
+        bmaps = self._bounds_maps(head)
+        return {
+            p
+            for p in cand
+            if not self._entry_excluded(
+                entry_by_path[p], norm, static_types, bmaps
+            )
+        }
+
     def _apply_eq_deletes(
         self,
         schema: str,
@@ -2209,24 +2444,51 @@ class ParquetWarehouse:
         head: dict,
         df: DataFrame,
         eq_dels: list[tuple[int, dict, set]],
+        fast: bool = False,
     ) -> DataFrame:
         """Apply EQUALITY DELETES to an assembled hot frame in ONE scan.
 
         Iceberg's sequence-number rule — "an equality delete applies only
-        to data files OLDER than it" — falls out of the explicit target
-        lists: entry ``i`` lists exactly the files live at its commit
-        (minus bound-pruned ones, to which applying it is a no-op by
-        construction), and ``head["deletes"]`` is in commit order, so a
-        file's first listing index ``k(f)`` splits the list — entries
-        ``>= k(f)`` apply to ``f``, earlier ones predate nothing in it.
-        Rather than fragment the read into per-delete-set file groups
-        (O(batches) scans for a CDC chain), each row gets its file's
-        ``k`` attached via a broadcast join on the manifest-relative path
-        and ONE anti-join per distinct key-column set removes every
-        (key match AND delete newer than file) row.  Key columns resolve
-        through FIELD IDS, so deletes written before a rename keep
-        applying; key values cast to the current (possibly widened)
-        column type."""
+        to data files OLDER than it" — is enforced per file: entry ``i``'s
+        applicable set (computed by the caller: files with lower ``seq``
+        for seq-scoped entries, explicit ``targets`` for legacy r08
+        entries; both minus bounds-narrowed files, to which applying it
+        is a no-op by construction) is a SUFFIX property over the
+        commit-ordered delete list — if any entry applies to ``f``, every
+        later entry's keys either genuinely apply or cannot match ``f``'s
+        rows.  So a file's first applicable index ``k(f)`` splits the
+        list: rather than fragment the read into per-delete-set file
+        groups (O(batches) scans for a CDC chain), each row gets its
+        file's ``k`` attached via a broadcast join on the
+        manifest-relative path and ONE anti-join per distinct key-column
+        set removes every (key match AND delete newer than file) row.
+        ``fast=True`` (single entry, hot frame == its applicable set)
+        skips the ``k`` join entirely and anti-joins the keys directly.
+        Key columns resolve through FIELD IDS, so deletes written before
+        a rename keep resolving; key values cast to the current (possibly
+        widened) column type."""
+        cur_types: dict[str, str] = {}
+        if "schemas" in head:
+            cur_types = {
+                f["name"]: f["type"]
+                for f in head["schemas"][str(head["schema_id"])]
+            }
+        tdir = self._tdir(schema, table)
+        if fast:
+            _i, d, _t = eq_dels[0]
+            cur_names = self._eq_current_names(head, d)
+            keys = self.spark.read.parquet(os.path.join(tdir, d["path"]))
+            sel = []
+            for j, (wname, cname) in enumerate(zip(d["eq_cols"], cur_names)):
+                c = F.col(wname)
+                if cur_types.get(cname):
+                    c = c.cast(cur_types[cname])
+                sel.append(c.alias(f"__eqk_{j}"))
+            keys = keys.select(*sel)
+            cond = F.lit(True)
+            for j, cname in enumerate(cur_names):
+                cond = cond & (F.col(cname) == F.col(f"__eqk_{j}"))
+            return df.join(F.broadcast(keys), cond, "left_anti")
         # per-file first applicable index (files only pos-targeted join
         # to NULL -> the anti-join condition is NULL -> row kept)
         k_of: dict[str, int] = {}
@@ -2242,32 +2504,12 @@ class ParquetWarehouse:
             F.col(self._POS_REL) == F.col("__eq_path"),
             "left",
         ).drop("__eq_path")
-        # resolve each entry's write-time key names to CURRENT names/types
-        cur_by_id: dict[int, dict] = {}
-        cur_types: dict[str, str] = {}
-        if "schemas" in head:
-            cur_fields = head["schemas"][str(head["schema_id"])]
-            cur_by_id = {f["id"]: f for f in cur_fields}
-            cur_types = {f["name"]: f["type"] for f in cur_fields}
-        tdir = self._tdir(schema, table)
         groups: dict[tuple, list[DataFrame]] = {}
         for i, d, _t in eq_dels:
-            write_names = d["eq_cols"]
-            ids = d.get("eq_ids")
-            if ids and cur_by_id:
-                missing = [fid for fid in ids if fid not in cur_by_id]
-                if missing:
-                    raise RuntimeError(
-                        f"equality delete {d['path']} references dropped "
-                        f"field id(s) {missing} — drop_column should have "
-                        "refused while this delete was pending"
-                    )
-                cur_names = [cur_by_id[fid]["name"] for fid in ids]
-            else:
-                cur_names = list(write_names)
+            cur_names = self._eq_current_names(head, d)
             keys = self.spark.read.parquet(os.path.join(tdir, d["path"]))
             sel = []
-            for j, (wname, cname) in enumerate(zip(write_names, cur_names)):
+            for j, (wname, cname) in enumerate(zip(d["eq_cols"], cur_names)):
                 c = F.col(wname)
                 if cur_types.get(cname):
                     c = c.cast(cur_types[cname])
@@ -2335,7 +2577,7 @@ class ParquetWarehouse:
             # rows it names would silently resurrect).  Refuse; the
             # caller runs optimize() to fold the delete first.
             surviving = {f["id"] for f in new_fields}
-            for d in head.get("deletes", []):
+            for d in self._head_deletes(schema, table, head):
                 lost = [
                     fid
                     for fid in d.get("eq_ids", [])
@@ -2366,6 +2608,9 @@ class ParquetWarehouse:
                 # forward (same discipline as the schema carry) — a DDL
                 # commit must not silently resurrect deleted rows
                 manifest["deletes"] = head["deletes"]
+            if head.get("delete_segments"):
+                # delete-segment refs carry verbatim (same discipline)
+                manifest["delete_segments"] = head["delete_segments"]
             path = os.path.join(snap_dir, f"v{version:06d}.json")
             if self._cas_link(manifest, path):
                 self._write_version_hint(schema, table, version)
@@ -2863,69 +3108,15 @@ class ParquetWarehouse:
         head = self._load_head_light(schema, table, version)
         norm = self._norm_filter(ranges)
         static_types = self._partition_static_types(meta.partitioning)
-        # per-sid {query column -> write-time bounds key}: ranges are keyed
-        # by THIS head's schema names; files written before a rename
-        # recorded their bounds under the old name.  None = the field
-        # didn't exist under that sid (bounds lookup misses, file kept).
-        bmaps: dict[int, dict[str, str | None]] | None = None
-        schemas = head.get("schemas")
-        if schemas:
-            tgt = schemas[str(head["schema_id"])]
-            bmaps = {}
-            for sid_str, flds in schemas.items():
-                by_id = {f["id"]: f["name"] for f in flds}
-                bmaps[int(sid_str)] = {
-                    f["name"]: by_id.get(f["id"]) for f in tgt
-                }
+        bmaps = self._bounds_maps(head)
         kept: list[dict] = []
 
         def file_pass(entries: list[dict]) -> None:
-            for e in entries:
-                keep = True
-                emap = (
-                    bmaps.get(int(e.get("sid", 0)))
-                    if bmaps is not None
-                    else None
-                )
-                for col, spec in norm.items():
-                    pv = e.get("partitions", {}).get(col)
-                    try:
-                        if pv is not None:
-                            if self._pv_excluded(pv, spec, static_types.get(col)):
-                                keep = False
-                                break
-                            continue
-                        bcol = col if emap is None else emap.get(col, col)
-                        if bcol is None:
-                            continue  # column absent under this file's schema
-                        if spec in ("is_null", "not_null"):
-                            # null_value_counts pruning: a file with zero
-                            # nulls serves no IS NULL row; one that is all
-                            # nulls serves no IS NOT NULL row
-                            n = e.get("nulls", {}).get(bcol)
-                            if n is None:
-                                continue
-                            if (spec == "is_null" and n == 0) or (
-                                spec == "not_null" and n == e["rows"]
-                            ):
-                                keep = False
-                                break
-                            continue
-                        b = e.get("bounds", {}).get(bcol)
-                        if b is None:
-                            continue
-                        if self._bounds_excluded(b, spec):
-                            keep = False
-                            break
-                    except (TypeError, ValueError):
-                        # endpoint type doesn't match the recorded value
-                        # (int range against a non-numeric string partition
-                        # value, non-integer endpoint against a bucket dir,
-                        # ...) — pruning must stay conservative, never
-                        # crash or over-prune
-                        continue
-                if keep:
-                    kept.append(e)
+            kept.extend(
+                e
+                for e in entries
+                if not self._entry_excluded(e, norm, static_types, bmaps)
+            )
 
         if "files" in head:  # legacy inline-files head
             file_pass(head["files"])
@@ -2937,6 +3128,71 @@ class ParquetWarehouse:
                 continue  # whole segment skipped — its entries never parsed
             file_pass(self._load_segment(schema, table, ref["path"]))
         return kept, total, head
+
+    @staticmethod
+    def _bounds_maps(head: dict) -> dict | None:
+        """Per-sid ``{query column -> write-time bounds key}``: pruning
+        specs are keyed by THIS head's schema names; files written before
+        a rename recorded their bounds under the old name.  ``None``
+        value = the field didn't exist under that sid (bounds lookup
+        misses, file kept); ``None`` return = pre-schema head (no
+        mapping, names used verbatim)."""
+        schemas = head.get("schemas")
+        if not schemas:
+            return None
+        tgt = schemas[str(head["schema_id"])]
+        bmaps: dict[int, dict] = {}
+        for sid_str, flds in schemas.items():
+            by_id = {f["id"]: f["name"] for f in flds}
+            bmaps[int(sid_str)] = {f["name"]: by_id.get(f["id"]) for f in tgt}
+        return bmaps
+
+    @classmethod
+    def _entry_excluded(
+        cls, e: dict, norm: dict, static_types: dict, bmaps: dict | None
+    ) -> bool:
+        """One manifest entry vs a normalized conjunctive filter spec:
+        True iff the entry's partition values / column bounds / null
+        counts PROVE no row can satisfy it.  Conservative by
+        construction — missing stats or incomparable types keep the
+        file.  Shared by ``_prune_entries`` (planning-time skipping) and
+        equality-delete read-time narrowing."""
+        emap = bmaps.get(int(e.get("sid", 0))) if bmaps is not None else None
+        for col, spec in norm.items():
+            pv = e.get("partitions", {}).get(col)
+            try:
+                if pv is not None:
+                    if cls._pv_excluded(pv, spec, static_types.get(col)):
+                        return True
+                    continue
+                bcol = col if emap is None else emap.get(col, col)
+                if bcol is None:
+                    continue  # column absent under this file's schema
+                if spec in ("is_null", "not_null"):
+                    # null_value_counts pruning: a file with zero nulls
+                    # serves no IS NULL row; one that is all nulls serves
+                    # no IS NOT NULL row
+                    n = e.get("nulls", {}).get(bcol)
+                    if n is None:
+                        continue
+                    if (spec == "is_null" and n == 0) or (
+                        spec == "not_null" and n == e["rows"]
+                    ):
+                        return True
+                    continue
+                b = e.get("bounds", {}).get(bcol)
+                if b is None:
+                    continue
+                if cls._bounds_excluded(b, spec):
+                    return True
+            except (TypeError, ValueError):
+                # endpoint type doesn't match the recorded value (int
+                # range against a non-numeric string partition value,
+                # non-integer endpoint against a bucket dir, ...) —
+                # pruning must stay conservative, never crash or
+                # over-prune
+                continue
+        return False
 
     @classmethod
     def _segment_skippable(
@@ -3083,6 +3339,10 @@ class ParquetWarehouse:
             "count": len(entries),
             "rows": sum(e["rows"] for e in entries),
             "bytes": sum(e["bytes"] for e in entries),
+            # lowest commit seq any entry carries (absent = pre-r09 = 0):
+            # lets commit-time delete folding decide "no live file
+            # predates delete D" from refs alone, O(refs) not O(entries)
+            "min_seq": min((e.get("seq", 0) for e in entries), default=0),
         }
         roots = sorted({self._entry_root(e["path"]) for e in entries})
         if len(roots) <= self.SEG_ROOTS_MAX:
@@ -3091,6 +3351,105 @@ class ParquetWarehouse:
         if pv:
             ref["pv"] = pv
         return ref
+
+    def _write_delete_segment(
+        self, schema: str, table: str, entries: list[dict]
+    ) -> dict:
+        """Write one immutable DELETE segment (same ``seg_*.json`` store,
+        naming, cache, and orphan-sweep class as data segments — only the
+        referencing head key differs) holding merge-on-read delete
+        ENTRIES in commit order.  The ref's ``min_seq``/``max_seq`` span
+        the entries' commit seqs, so commit-time folding can drop a whole
+        ref (every entry obsolete) without opening it."""
+        name = f"seg_{uuid.uuid4().hex[:12]}.json"
+        path = os.path.join(self._snap_dir(schema, table), name)
+        with open(path, "w") as f:
+            json.dump({"files": entries}, f)
+        self._seg_cache[path] = entries
+        return {
+            "path": name,
+            "count": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "bytes": sum(e["bytes"] for e in entries),
+            "min_seq": min((e.get("seq", 0) for e in entries), default=0),
+            "max_seq": max((e.get("seq", 0) for e in entries), default=0),
+        }
+
+    # Delete-segment refs above this count merge into one (deletes are few
+    # and folded by maintenance; one tier suffices — no LSM needed).
+    DSEG_MERGE_MAX = 8
+
+    def _fold_delete_segments(
+        self,
+        schema: str,
+        table: str,
+        dseg_refs: list[dict],
+        min_live_seq,
+        dropped_prefix_rel: str | None,
+        dropped_rel: set,
+    ) -> tuple[list[dict], list[str]]:
+        """Fold pass run ONLY by commits that drop data files: prune
+        position-delete targets of dropped paths and remove OBSOLETE
+        entries — an entry whose seq no surviving data file predates can
+        never apply again (position targets are all files live at its
+        commit, i.e. strictly older; equality scope is strictly-older by
+        definition), so ``min_live_seq >= entry.seq`` retires it.  A ref
+        whose ``max_seq`` is already retired drops unopened.  Returns
+        (refs, newly written segment names)."""
+        out_refs: list[dict] = []
+        new_names: list[str] = []
+        for r in dseg_refs:
+            if min_live_seq >= r.get("max_seq", float("inf")):
+                continue  # every entry obsolete — ref dropped unopened
+            ents = self._load_segment(schema, table, r["path"])
+            out: list[dict] = []
+            changed = False
+            for d in ents:
+                # dseg entries are always seq-stamped at commit; an entry
+                # somehow missing one is conservatively kept, never retired
+                if "seq" in d and min_live_seq >= d["seq"]:
+                    changed = True
+                    continue
+                t = d.get("targets")
+                if t is not None:
+                    if dropped_prefix_rel is not None:
+                        pref = dropped_prefix_rel.rstrip(os.sep) + os.sep
+                        t = [
+                            x
+                            for x in t
+                            if x != dropped_prefix_rel
+                            and not x.startswith(pref)
+                        ]
+                    if dropped_rel:
+                        t = [x for x in t if x not in dropped_rel]
+                    if not t:
+                        changed = True
+                        continue
+                    if t != d.get("targets"):
+                        d = {**d, "targets": t}
+                        changed = True
+                out.append(d)
+            if not changed:
+                out_refs.append(r)
+            elif out:
+                nr = self._write_delete_segment(schema, table, out)
+                new_names.append(nr["path"])
+                out_refs.append(nr)
+            # else: fully folded — ref dropped; the delete files are GC'd
+            # by expiry/orphan sweep once no retained head references them
+        return out_refs, new_names
+
+    def _merge_delete_segments(
+        self, schema: str, table: str, refs: list[dict]
+    ) -> tuple[list[dict], list[str]]:
+        """Concatenate delete segments into one, PRESERVING commit order
+        (equality-delete scoping sorts on entry seq, which is
+        commit-ordered across refs by construction)."""
+        ents: list[dict] = []
+        for r in refs:
+            ents += self._load_segment(schema, table, r["path"])
+        merged = self._write_delete_segment(schema, table, ents)
+        return [merged], [merged["path"]]
 
     # Iceberg manifest-list partition summaries: a ref records the distinct
     # dir-encoded values per partition column, so prune_files can skip a
@@ -3119,6 +3478,14 @@ class ParquetWarehouse:
             if len(vals) <= cls.SEG_PV_SUMMARY_MAX:
                 out[c] = sorted(vals)
         return out
+
+    @staticmethod
+    def _seg_ref_names(head: dict) -> set[str]:
+        """Every segment file a head references — data segments AND
+        delete segments — for the expiry/orphan GC liveness sets."""
+        return {r["path"] for r in head.get("segments") or []} | {
+            r["path"] for r in head.get("delete_segments") or []
+        }
 
     def _head_segment_refs(self, schema: str, table: str, head: dict) -> list[dict]:
         """Segment refs of a head; a legacy inline-files head (pre-segment
@@ -3228,6 +3595,8 @@ class ParquetWarehouse:
         expected_schema_id: int | None = None,
         add_deletes: list[dict] | None = None,
         deletes_read_version: int | None = None,
+        rewrite_read_version: int | None = None,
+        branch: str = "main",
     ) -> dict:
         """Record a snapshot v{N} — a small HEAD file listing immutable
         segment files that together hold the per-file entries (paths,
@@ -3248,16 +3617,50 @@ class ParquetWarehouse:
         (``_maybe_merge_segments``), so head reads stay O(head), never
         O(history).
 
+        SEQUENCE NUMBERS (Iceberg data-sequence semantics): every fresh
+        entry — data file or delete — is stamped ``seq = <its commit
+        version>``; entries reused from the parent keep their original
+        seq.  Equality deletes apply at read time to files with a
+        STRICTLY LOWER seq, so a delete needs no target list (O(keys)
+        metadata however many files are live) and same-commit data files
+        (CDC images) are never self-deleted.  Delete entries live in
+        immutable DELETE SEGMENTS referenced by
+        ``head["delete_segments"]``; append commits carry the refs
+        VERBATIM (O(refs) bytes — a pending broad delete costs later
+        commits nothing), and only commits that DROP files open them to
+        fold: position targets pruned of dropped paths, entries made
+        obsolete (no surviving file predates them, decided from data-ref
+        ``min_seq`` alone) removed.  Replace commits clear the delete set
+        — their input was the delete-applied read.
+
         Concurrency: the version file is published with a hard-link CAS —
         the head is fully written to a private tmp file, then ``os.link``ed
         to ``v{N}.json``, which FAILS if another committer took N first
         (os.rename would silently clobber it).  On a lost race the loser
         re-reads the new head and retries — Iceberg's optimistic-commit
-        loop.  The new segment is composed ONCE outside the retry loop
-        (its content doesn't depend on the version number); only
-        parent-derived segments (drop_prefix/drop_files rewrites, merges)
+        loop.  The new segment's footer stats are computed ONCE; on a
+        lost race only its seq stamps are refreshed and the (small) JSON
+        rewritten — no parquet footer is reopened.  Parent-derived
+        segments (drop_prefix/drop_files rewrites, merges, delete folds)
         are recomputed per attempt, and a commit that aborts
-        garbage-collects every segment it wrote.  ``add_files`` commits
+        garbage-collects every segment it wrote.
+
+        ``rewrite_read_version`` (rewrite callers whose ADD files were
+        derived from reading the table — scoped optimize, copy-on-write
+        delete/update): if the head moved past it, the commit RAISES when
+        any merge-on-read delete was committed in between — the rewrite's
+        output re-materializes rows WITHOUT that delete applied, and its
+        own new files' higher seq would let them escape the delete's
+        scope (the mirror of the ``deletes_read_version`` race; ADVICE
+        r8).  Checked only on an actual race, O(pending deletes).
+
+        ``deletes_read_version`` (position-delete writers): a commit
+        whose delete TUPLES name files a concurrent commit rewrote
+        RAISES — the tuples reference dead paths and the rows would
+        resurrect.  Pure equality deletes don't need it (seq scoping
+        covers the rewritten files).
+
+        ``add_files`` commits
         are a DELTA — the retry re-references the winner's segments and no
         writer's rows are lost.  ``drop_files`` removes an explicit victim
         set (a scoped rewrite): concurrent APPENDS retry-merge like any
@@ -3294,6 +3697,12 @@ class ParquetWarehouse:
         tdir = self._tdir(schema, table)
         snap_dir = self._snap_dir(schema, table)
         os.makedirs(snap_dir, exist_ok=True)
+        # ``branch``: commit onto a named writable ref instead of main —
+        # its own head chain under branch_<name>/, SHARED segment store
+        # and data dirs (create_branch/fast_forward are the fork/publish
+        # ends of the write-audit-publish loop)
+        ref_dir = self._ref_dir(schema, table, branch)
+        os.makedirs(ref_dir, exist_ok=True)
 
         # schema-id resolution (schema evolution): fresh entries stamp the
         # schema their data was written under.  ``schema_fields`` callers
@@ -3301,7 +3710,13 @@ class ParquetWarehouse:
         # head; replace/rewrite callers (optimize/merge) write read()'s
         # output, which IS the current schema.  The head loaded here also
         # serves the first commit attempt — one parse per commit.
-        head = self._head_light(schema, table)
+        head = self._head_light(schema, table, branch)
+        if branch != "main" and head is None:
+            raise ValueError(
+                f"no branch {branch!r} on {schema}.{table} — "
+                "create_branch() first (branches always fork from an "
+                "existing snapshot)"
+            )
         sid: int | None = None
         new_schema0: list[dict] | None = None
         if schema_fields is not None:
@@ -3323,6 +3738,8 @@ class ParquetWarehouse:
         elif head is not None and "schemas" in head:
             sid = head["schema_id"]
 
+        fresh_list: list[dict] = []  # entries NEW this commit (seq-stamped)
+
         def fresh_entry(p: str, parent_by_path: dict) -> dict:
             rel = os.path.relpath(p, tdir)
             st = os.stat(p)
@@ -3334,6 +3751,7 @@ class ParquetWarehouse:
             ):
                 # entry reuse keys on the FILE's identity (size+mtime), so
                 # a parent that goes stale across a CAS retry stays valid
+                # — and the reused entry keeps its ORIGINAL commit seq
                 return prev
             pf = pq.ParquetFile(p)
             entry = {
@@ -3353,6 +3771,7 @@ class ParquetWarehouse:
             parts = self._file_partitions(rel)
             if parts:
                 entry["partitions"] = parts
+            fresh_list.append(entry)
             return entry
 
         created: list[str] = []  # segments this commit wrote, GC'd on abort
@@ -3367,18 +3786,18 @@ class ParquetWarehouse:
                 except FileNotFoundError:
                     pass
 
+        new_ref: dict | None = None
+        full_ref: dict | None = None
+        dseg_new_ref: dict | None = None
+        seg_stamp_v: int | None = None
         try:
             if is_delta:
-                # O(new): stat and serialize ONLY the added files, once —
-                # the segment is version-independent and survives retries
+                # O(new): stat ONLY the added files, once — footer stats
+                # survive retries; only seq stamps + the small JSON are
+                # refreshed per attempt (inside the loop below)
                 entries = [
                     fresh_entry(p, {}) for p in sorted(set(add_files or []))
                 ]
-                new_ref = (
-                    self._write_segment(schema, table, entries) if entries else None
-                )
-                if new_ref is not None:
-                    created.append(new_ref["path"])
             else:
                 # replace (optimize/merge/rewrite) or dir-mode manual
                 # record: the new live set IS the new segment; parent
@@ -3401,8 +3820,6 @@ class ParquetWarehouse:
                     # being built)
                     paths = self._data_files(schema, table)
                 entries = [fresh_entry(p, parent_by_path) for p in paths]
-                full_ref = self._write_segment(schema, table, entries)
-                created.append(full_ref["path"])
 
             while True:
                 # a lost race invalidates parent-derived segments: GC them
@@ -3413,6 +3830,41 @@ class ParquetWarehouse:
                 created[:] = [n for n in created if n not in derived]
                 derived = []
                 version = (head["version"] + 1) if head else 1
+                # (re)stamp this commit's OWN entries with the attempt's
+                # version — the commit sequence number equality-delete
+                # scoping keys on — and (re)serialize its segments.  A
+                # retry rewrites small JSON only; reused parent entries
+                # keep their original seq (fresh_list excludes them).
+                if seg_stamp_v != version:
+                    for e in fresh_list:
+                        e["seq"] = version
+                    if is_delta:
+                        if new_ref is not None:
+                            _gc([new_ref["path"]])
+                            created.remove(new_ref["path"])
+                            new_ref = None
+                        if entries:
+                            new_ref = self._write_segment(
+                                schema, table, entries
+                            )
+                            created.append(new_ref["path"])
+                    else:
+                        if full_ref is not None:
+                            _gc([full_ref["path"]])
+                            created.remove(full_ref["path"])
+                        full_ref = self._write_segment(schema, table, entries)
+                        created.append(full_ref["path"])
+                    if add_deletes:
+                        if dseg_new_ref is not None:
+                            _gc([dseg_new_ref["path"]])
+                            created.remove(dseg_new_ref["path"])
+                        for d in add_deletes:
+                            d["seq"] = version
+                        dseg_new_ref = self._write_delete_segment(
+                            schema, table, add_deletes
+                        )
+                        created.append(dseg_new_ref["path"])
+                    seg_stamp_v = version
                 # Delta-rewrite schema fence (ADVICE r7): delete_where/
                 # update_where/scoped-optimize rewrites pass the schema_id
                 # of the head they READ; their new files physically carry
@@ -3438,6 +3890,45 @@ class ParquetWarehouse:
                         f"expected head v{expected_parent}, found "
                         f"v{version - 1} — redo the rewrite from the new head"
                     )
+                if (
+                    rewrite_read_version is not None
+                    and head is not None
+                    and version - 1 != rewrite_read_version
+                ):
+                    # Reverse lost-delete fence (ADVICE r8): this rewrite's
+                    # ADD files re-materialize rows it READ at
+                    # rewrite_read_version.  A merge-on-read delete
+                    # committed since was NOT applied to that read, and the
+                    # rewrite's output files carry a HIGHER seq than the
+                    # delete (and position tuples name the dropped
+                    # originals) — publishing would silently resurrect the
+                    # deleted rows.  O(pending deletes), only on a race.
+                    try:
+                        read_head = self._load_head_light(
+                            schema, table, rewrite_read_version, branch
+                        )
+                        known = {
+                            d["path"]
+                            for d in self._head_deletes(
+                                schema, table, read_head
+                            )
+                        }
+                    except (KeyError, FileNotFoundError):
+                        known = None  # read snapshot expired: can't verify
+                    gained = [
+                        d["path"]
+                        for d in self._head_deletes(schema, table, head)
+                        if known is None or d["path"] not in known
+                    ]
+                    if gained:
+                        raise RuntimeError(
+                            f"concurrent commit conflict on {schema}."
+                            f"{table}: merge-on-read delete(s) were "
+                            f"committed after this rewrite's read "
+                            f"(v{rewrite_read_version}) — its output would "
+                            "resurrect the deleted rows; redo the rewrite "
+                            "from the new head"
+                        )
                 dropped_rel: set[str] = set()
                 dropped_prefix_rel: str | None = None
                 if is_delta:
@@ -3490,6 +3981,34 @@ class ParquetWarehouse:
                     derived.extend(names)
                 else:
                     refs = [full_ref]
+                # delete-segment carry: APPEND commits copy the parent's
+                # refs VERBATIM (O(refs) — a pending broad delete costs
+                # them nothing); only commits that DROP files open the
+                # delete segments to fold (prune pos targets, remove
+                # obsolete entries); REPLACE commits clear the set (their
+                # input was the delete-applied read)
+                dseg_refs: list[dict] = (
+                    list(head.get("delete_segments") or [])
+                    if is_delta and head is not None
+                    else []
+                )
+                if dseg_refs and (
+                    drop_prefix is not None or drop_files is not None
+                ):
+                    min_live_seq = min(
+                        (r.get("min_seq", 0) for r in refs),
+                        default=float("inf"),
+                    )
+                    dseg_refs, names = self._fold_delete_segments(
+                        schema,
+                        table,
+                        dseg_refs,
+                        min_live_seq,
+                        dropped_prefix_rel,
+                        dropped_rel,
+                    )
+                    created.extend(names)
+                    derived.extend(names)
                 if (
                     add_deletes
                     and deletes_read_version is not None
@@ -3563,18 +4082,15 @@ class ParquetWarehouse:
                 if schemas_out is not None:
                     manifest["schemas"] = schemas_out
                     manifest["schema_id"] = schema_id_out
-                # merge-on-read delete carry (the same EVERY-head-writer
-                # discipline as the schema carry above): delta commits
-                # carry the parent's position-delete entries forward,
+                # LEGACY INLINE delete carry (pre-r09 heads; the same
+                # EVERY-head-writer discipline as the schema carry above):
+                # delta commits carry the parent's inline entries forward,
                 # pruning targets that this commit dropped (a rewritten/
                 # superseded file's tuples can never match again — and a
                 # rewrite READ the delete-applied rows, so dropping the
                 # reference is the fold, not a loss).  Replace commits
-                # (optimize/merge) carry none: their input was the
-                # delete-applied read, so the new files materialize every
-                # delete.  Entries whose target list empties out are
-                # dropped; their files are GC'd by expiry/orphan sweep
-                # once no retained head references them.
+                # carry none.  NEW delete entries never land here — they
+                # go to delete segments (below).
                 dels_out: list[dict] = []
                 if is_delta and head is not None:
                     for d in head.get("deletes", []):
@@ -3592,31 +4108,61 @@ class ParquetWarehouse:
                             dels_out.append(
                                 d if t == d.get("targets") else {**d, "targets": t}
                             )
-                dels_out += list(add_deletes or [])
                 if dels_out:
                     manifest["deletes"] = dels_out
-                path = os.path.join(snap_dir, f"v{version:06d}.json")
+                if dseg_new_ref is not None:
+                    dseg_refs = dseg_refs + [dseg_new_ref]
+                if len(dseg_refs) > self.DSEG_MERGE_MAX:
+                    dseg_refs, names = self._merge_delete_segments(
+                        schema, table, dseg_refs
+                    )
+                    created.extend(names)
+                    derived.extend(names)
+                if dseg_refs:
+                    manifest["delete_segments"] = dseg_refs
+                path = os.path.join(ref_dir, f"v{version:06d}.json")
                 if self._cas_link(manifest, path):
-                    self._write_version_hint(schema, table, version)
+                    self._write_version_hint(schema, table, version, branch)
                     # a segment this commit wrote but did NOT publish (e.g.
                     # the new append segment when the same commit merged it
                     # away) is referenced by no head ever — GC it now
-                    published = {r["path"] for r in refs}
+                    published = {r["path"] for r in refs} | {
+                        r["path"] for r in dseg_refs
+                    }
                     _gc([n for n in created if n not in published])
                     created.clear()
                     return manifest
                 # lost the race — recompute against the new head
-                head = self._head_light(schema, table)
+                head = self._head_light(schema, table, branch)
         except BaseException:
             _gc(created)
             raise
 
-    def _snapshot_versions(self, schema: str, table: str) -> list[int]:
+    def _ref_dir(self, schema: str, table: str, branch: str = "main") -> str:
+        """Directory holding a REF's head chain: ``main`` is the snapshot
+        dir itself; a named BRANCH (Iceberg/Nessie writable ref) keeps its
+        own v*.json chain under ``branch_<name>/``.  Segment files are
+        shared at the top level — branch heads reference them by name
+        exactly like main heads, so forking and fast-forwarding move
+        O(refs) metadata, never entries or data."""
+        d = self._snap_dir(schema, table)
+        if branch == "main":
+            return d
+        if not self._TAG_NAME_RE.fullmatch(branch):
+            raise ValueError(
+                f"invalid branch name {branch!r}: alphanumeric start, then "
+                "[A-Za-z0-9_-.], max 64 chars"
+            )
+        return os.path.join(d, f"branch_{branch}")
+
+    def _snapshot_versions(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> list[int]:
         """Committed snapshot version numbers, ascending, from FILENAMES
         only — no manifest is opened.  This is the Iceberg version-hint
         posture: head discovery is a directory listing, manifest parsing
         happens per needed version."""
-        d = self._snap_dir(schema, table)
+        d = self._ref_dir(schema, table, branch)
         if not os.path.isdir(d):
             return []
         return sorted(
@@ -3625,38 +4171,52 @@ class ParquetWarehouse:
             if fn.startswith("v") and fn.endswith(".json")
         )
 
-    def _load_head_light(self, schema: str, table: str, version: int) -> dict:
+    def _load_head_light(
+        self, schema: str, table: str, version: int, branch: str = "main"
+    ) -> dict:
         """Parse exactly ONE head file — segment refs and totals, no
         entries.  Every head-file read routes through here so tests can
         count parses (the O(head)-read contract of
         ``test_manifest_bounds.py``)."""
-        path = os.path.join(self._snap_dir(schema, table), f"v{version:06d}.json")
+        path = os.path.join(
+            self._ref_dir(schema, table, branch), f"v{version:06d}.json"
+        )
         try:
             with open(path) as f:
                 return json.load(f)
         except FileNotFoundError:
-            raise KeyError(f"no snapshot v{version} for {schema}.{table}")
+            raise KeyError(
+                f"no snapshot v{version} for {schema}.{table}"
+                + ("" if branch == "main" else f" (branch {branch})")
+            )
 
-    def _hint_path(self, schema: str, table: str) -> str:
-        return os.path.join(self._snap_dir(schema, table), "version-hint.txt")
+    def _hint_path(self, schema: str, table: str, branch: str = "main") -> str:
+        return os.path.join(
+            self._ref_dir(schema, table, branch), "version-hint.txt"
+        )
 
-    def _write_version_hint(self, schema: str, table: str, version: int) -> None:
+    def _write_version_hint(
+        self, schema: str, table: str, version: int, branch: str = "main"
+    ) -> None:
         """Best-effort head pointer, written after each successful CAS
         publish (Iceberg's version-hint.text posture).  Atomic via
         tmp+rename; racing writers may land an OLDER value — harmless,
         ``_latest_version`` probes forward from whatever it reads."""
-        tmp = self._hint_path(schema, table) + f".{uuid.uuid4().hex[:8]}"
+        hint = self._hint_path(schema, table, branch)
+        tmp = hint + f".{uuid.uuid4().hex[:8]}"
         try:
             with open(tmp, "w") as f:
                 f.write(str(version))
-            os.replace(tmp, self._hint_path(schema, table))
+            os.replace(tmp, hint)
         except OSError:
             try:
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
 
-    def _latest_version(self, schema: str, table: str) -> int | None:
+    def _latest_version(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> int | None:
         """Newest committed version WITHOUT listing the snapshots dir.
         The 1000-commit latency probe showed head discovery via
         ``os.listdir`` growing O(history) (0.35 -> 3.5 ms across
@@ -3665,17 +4225,17 @@ class ParquetWarehouse:
         Read the hint, verify it, probe forward until the next version is
         absent; a stale hint costs probe steps, never a wrong answer, and
         a missing/expired hint falls back to the listing."""
-        d = self._snap_dir(schema, table)
+        d = self._ref_dir(schema, table, branch)
         v: int | None = None
         try:
-            with open(self._hint_path(schema, table)) as f:
+            with open(self._hint_path(schema, table, branch)) as f:
                 v = int(f.read().strip())
             if not os.path.isfile(os.path.join(d, f"v{v:06d}.json")):
                 v = None  # hint outlived expiry or belongs elsewhere
         except (OSError, ValueError):
             v = None
         if v is None:
-            versions = self._snapshot_versions(schema, table)
+            versions = self._snapshot_versions(schema, table, branch)
             if not versions:
                 return None
             v = versions[-1]
@@ -3683,13 +4243,15 @@ class ParquetWarehouse:
             v += 1
         return v
 
-    def _head_light(self, schema: str, table: str) -> dict | None:
+    def _head_light(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> dict | None:
         """Newest head WITHOUT materialized entries — what append commits
         read: O(segment-refs) bytes however many files are live."""
-        v = self._latest_version(schema, table)
+        v = self._latest_version(schema, table, branch)
         if v is None:
             return None
-        return self._load_head_light(schema, table, v)
+        return self._load_head_light(schema, table, v, branch)
 
     def _materialize(self, schema: str, table: str, head: dict) -> dict:
         """Head + resolved ``files`` entries (the shape every consumer
@@ -3699,22 +4261,31 @@ class ParquetWarehouse:
         files."""
         if "files" in head:
             return head
+        # resolve deletes FIRST: _head_deletes keys off the absence of
+        # "files" to know the delete segments are not yet folded in
+        dels = self._head_deletes(schema, table, head)
         by_path: dict[str, dict] = {}
         for ref in head["segments"]:
             for e in self._load_segment(schema, table, ref["path"]):
                 by_path[e["path"]] = e
         out = dict(head)
         out["files"] = [by_path[p] for p in sorted(by_path)]
+        if dels:
+            out["deletes"] = dels
         return out
 
-    def _load_snapshot(self, schema: str, table: str, version: int) -> dict:
+    def _load_snapshot(
+        self, schema: str, table: str, version: int, branch: str = "main"
+    ) -> dict:
         """One head parse + that head's segment parses, materialized into
         the ``files`` shape — O(this snapshot), never O(history)."""
         return self._materialize(
-            schema, table, self._load_head_light(schema, table, version)
+            schema, table, self._load_head_light(schema, table, version, branch)
         )
 
-    def head_snapshot(self, schema: str, table: str) -> dict | None:
+    def head_snapshot(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> dict | None:
         """The newest committed manifest, materialized, or None — parses
         one head plus its (merge-bounded) segment list.
 
@@ -3724,10 +4295,10 @@ class ParquetWarehouse:
         go through ``_head_light`` and never materialize entries at all.
         Full-history parses are reserved for time travel, expiry, and the
         orphan sweep."""
-        v = self._latest_version(schema, table)
+        v = self._latest_version(schema, table, branch)
         if v is None:
             return None
-        return self._load_snapshot(schema, table, v)
+        return self._load_snapshot(schema, table, v, branch)
 
     def snapshots(self, schema: str, table: str) -> list[dict]:
         """All committed snapshot manifests, oldest first — O(history) by
@@ -3817,6 +4388,8 @@ class ParquetWarehouse:
                 # merge-on-read delete set carries through metadata
                 # rewrites too (same every-head-writer discipline)
                 manifest["deletes"] = head["deletes"]
+            if head.get("delete_segments"):
+                manifest["delete_segments"] = head["delete_segments"]
             path = os.path.join(snap_dir, f"v{version:06d}.json")
             if self._cas_link(manifest, path):
                 self._write_version_hint(schema, table, version)
@@ -3889,6 +4462,139 @@ class ParquetWarehouse:
                     # and VERSION AS OF must see it as absent, not crash
                     continue
         return out
+
+    # --- snapshot refs (Iceberg/Nessie BRANCHES: write-audit-publish) -----
+    def create_branch(
+        self, schema: str, table: str, name: str, version: int | None = None
+    ) -> dict:
+        """Fork a WRITABLE branch from main at ``version`` (default: head)
+        — Iceberg ``ALTER TABLE ... CREATE BRANCH`` / a Nessie named ref.
+        The branch gets its own head chain under ``branch_<name>/`` whose
+        first entry is a verbatim COPY of the fork snapshot's head (same
+        version number — the branch continues main's numbering from the
+        fork), while segment files and data generations stay SHARED: the
+        fork costs O(refs) bytes however large the table.  Stage risky
+        work with ``append(..., branch=name)`` / ``read(..., branch=
+        name)``, validate, then ``fast_forward`` publishes atomically.
+        Hard-link CAS publication: re-creating an existing branch raises.
+        ``expire_snapshots``/``remove_orphan_files`` treat every branch
+        head's files and segments as live until ``drop_branch``."""
+        if name == "main":
+            raise ValueError("'main' is the default ref, not a branch name")
+        if version is None:
+            version = self._latest_version(schema, table)
+            if version is None:
+                raise ValueError(
+                    f"{schema}.{table} has no snapshot to branch from"
+                )
+        head = self._load_head_light(schema, table, version)
+        bdir = self._ref_dir(schema, table, name)
+        os.makedirs(bdir, exist_ok=True)
+        import time as _time
+
+        record = dict(head)
+        record["forked_from"] = version
+        record["ts"] = round(_time.time(), 3)
+        path = os.path.join(bdir, f"v{version:06d}.json")
+        if self._snapshot_versions(schema, table, name) or not self._cas_link(
+            record, path
+        ):
+            raise ValueError(
+                f"branch {name!r} already exists on {schema}.{table} "
+                "(drop_branch first)"
+            )
+        self._write_version_hint(schema, table, version, name)
+        return record
+
+    def drop_branch(self, schema: str, table: str, name: str) -> None:
+        """Remove a branch ref and its head chain.  Data/segment files
+        only the branch referenced become unreferenced and are collected
+        by the age-gated orphan sweep (never inline — a fast_forward may
+        just have published them to main)."""
+        if name == "main":
+            raise ValueError("cannot drop the main ref")
+        bdir = self._ref_dir(schema, table, name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no branch {name!r} on {schema}.{table}")
+        shutil.rmtree(bdir)
+
+    def branches(self, schema: str, table: str) -> dict[str, dict]:
+        """{branch name: {head, forked_from, commits}} for every live
+        branch — head-file names only, no manifest parsed."""
+        d = self._snap_dir(schema, table)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict] = {}
+        for fn in os.listdir(d):
+            if not fn.startswith("branch_"):
+                continue
+            name = fn[7:]
+            versions = self._snapshot_versions(schema, table, name)
+            if not versions:
+                continue  # crashed create_branch leftovers
+            out[name] = {
+                "head": versions[-1],
+                "forked_from": versions[0],
+                "commits": len(versions) - 1,
+            }
+        return out
+
+    def fast_forward(self, schema: str, table: str, name: str) -> dict:
+        """Publish a branch to main — Iceberg ``fastForward(main, branch)``
+        / a Nessie merge with no divergence: requires main's head to
+        still BE the branch's fork point; a concurrent main commit means
+        divergence and RAISES (rebase the branch — re-stage on a fresh
+        fork — rather than silently merging).  The publish is ONE commit
+        carrying the branch head's segment refs/schemas/deletes verbatim
+        (O(refs) bytes however many commits the branch accumulated); its
+        data generations were shared all along.  The branch stays live
+        for further staging until ``drop_branch``."""
+        versions = self._snapshot_versions(schema, table, name)
+        if not versions:
+            raise ValueError(f"no branch {name!r} on {schema}.{table}")
+        fork, bhead_v = versions[0], versions[-1]
+        if bhead_v == fork:
+            return {"published": 0, "version": self._latest_version(schema, table)}
+        bhead = self._load_head_light(schema, table, bhead_v, name)
+        import time as _time
+
+        while True:
+            main_v = self._latest_version(schema, table)
+            if main_v != fork:
+                raise RuntimeError(
+                    f"cannot fast-forward {schema}.{table} to branch "
+                    f"{name!r}: main moved from the fork point v{fork} to "
+                    f"v{main_v} — histories diverged; re-stage on a fresh "
+                    "branch from the new head"
+                )
+            manifest = {
+                k: bhead[k]
+                for k in (
+                    "segments", "total_rows", "total_bytes",
+                    "schemas", "schema_id", "deletes", "delete_segments",
+                    "files",  # legacy inline-files branch heads
+                )
+                if k in bhead
+            }
+            manifest.update({
+                "version": main_v + 1,
+                "parent": main_v,
+                "operation": "fast_forward",
+                "ts": round(_time.time(), 3),
+                "from_branch": name,
+                "branch_head": bhead_v,
+            })
+            path = os.path.join(
+                self._snap_dir(schema, table), f"v{main_v + 1:06d}.json"
+            )
+            if self._cas_link(manifest, path):
+                self._write_version_hint(schema, table, main_v + 1)
+                return {
+                    "published": bhead_v - fork,
+                    "version": main_v + 1,
+                }
+            # lost the CAS: main moved — loop re-checks divergence (and
+            # raises, since main_v != fork now)
 
     def _resolve_version(self, schema: str, table: str, version: int | str) -> int:
         """A version number, or a TAG name (Iceberg ``VERSION AS OF``
@@ -4128,6 +4834,12 @@ class ParquetWarehouse:
             # touches data there.
             tdir = self._tdir(schema, table)
             survivors = self.snapshots(schema, table)
+            # BRANCH-referenced files are live until drop_branch (the
+            # Nessie ref-retention contract, same as tags): every branch
+            # head counts as a survivor
+            for b in self.branches(schema, table):
+                for bv in self._snapshot_versions(schema, table, b):
+                    survivors.append(self._load_snapshot(schema, table, bv, b))
             # position-delete files are GC'd under the same contract as
             # data files: referenced by an expired head only -> dead
             kept = {
@@ -4165,14 +4877,19 @@ class ParquetWarehouse:
             # leftovers belong to remove_orphan_files).
             snap_dir = self._snap_dir(schema, table)
             kept_segs = {
-                ref["path"]
+                name
                 for v in self._snapshot_versions(schema, table)
-                for ref in self._load_head_light(schema, table, v).get(
-                    "segments", []
+                for name in self._seg_ref_names(
+                    self._load_head_light(schema, table, v)
                 )
             }
+            for b in self.branches(schema, table):
+                for bv in self._snapshot_versions(schema, table, b):
+                    kept_segs |= self._seg_ref_names(
+                        self._load_head_light(schema, table, bv, b)
+                    )
             dead_segs = {
-                ref["path"] for m in victims for ref in m.get("segments", [])
+                name for m in victims for name in self._seg_ref_names(m)
             } - kept_segs
             for fn in dead_segs:
                 p = os.path.join(snap_dir, fn)
@@ -4202,6 +4919,10 @@ class ParquetWarehouse:
             )
         tdir = self._tdir(schema, table)
         snaps = self.snapshots(schema, table)
+        # branch-referenced files and segments are live, not orphans
+        for b in self.branches(schema, table):
+            for bv in self._snapshot_versions(schema, table, b):
+                snaps.append(self._load_snapshot(schema, table, bv, b))
         referenced = {
             os.path.join(tdir, f["path"]) for m in snaps for f in m["files"]
         } | {
@@ -4234,12 +4955,17 @@ class ParquetWarehouse:
         snap_dir = self._snap_dir(schema, table)
         if os.path.isdir(snap_dir):
             ref_segs = {
-                ref["path"]
+                name
                 for v in self._snapshot_versions(schema, table)
-                for ref in self._load_head_light(schema, table, v).get(
-                    "segments", []
+                for name in self._seg_ref_names(
+                    self._load_head_light(schema, table, v)
                 )
             }
+            for b in self.branches(schema, table):
+                for bv in self._snapshot_versions(schema, table, b):
+                    ref_segs |= self._seg_ref_names(
+                        self._load_head_light(schema, table, bv, b)
+                    )
             for fn in os.listdir(snap_dir):
                 p = os.path.join(snap_dir, fn)
                 if (
@@ -4382,27 +5108,10 @@ class ParquetWarehouse:
                 result["delete_files_added"] = 0
                 return result
             head = self._load_head_light(schema, table, version)
-            # key envelope (one tiny agg over the batch's keys) -> target
-            # pruning through manifest bounds/partition values; NULL keys
-            # rejected (SQL equality never matches NULL)
-            aggs = []
-            for c in key_cols:
-                aggs += [
-                    F.min(c).alias(f"lo_{c}"),
-                    F.max(c).alias(f"hi_{c}"),
-                    F.sum(F.col(c).isNull().cast("int")).alias(f"n_{c}"),
-                ]
-            env = changed_keys.agg(*aggs).collect()[0]
-            if any((env[f"n_{c}"] or 0) > 0 for c in key_cols):
-                raise ValueError(
-                    "NULL key values are not supported for merge-on-read "
-                    "upserts"
-                )
-            ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in key_cols}
-            target_entries, _total, _h = self._prune_entries(
-                schema, table, ranges, version=version
-            )
-            targets = sorted(e["path"] for e in target_entries)
+            # resolve key columns against the recorded schema and CAST
+            # FIRST (ADVICE r8: an envelope over pre-cast values can prune
+            # a file the post-cast keys actually match), then ONE tiny agg
+            # answers NULL rejection + the min/max pruning envelope
             eq_ids = None
             kdf = changed_keys.select(*key_cols).distinct()
             if head is not None and "schemas" in head:
@@ -4422,6 +5131,25 @@ class ParquetWarehouse:
                         for c in key_cols
                     ]
                 )
+            aggs = []
+            for c in key_cols:
+                aggs += [
+                    F.min(c).alias(f"lo_{c}"),
+                    F.max(c).alias(f"hi_{c}"),
+                    F.sum(F.col(c).isNull().cast("int")).alias(f"n_{c}"),
+                ]
+            env = kdf.agg(*aggs).collect()[0]
+            if any((env[f"n_{c}"] or 0) > 0 for c in key_cols):
+                raise ValueError(
+                    "NULL key values are not supported for merge-on-read "
+                    "upserts (a non-NULL key the recorded column type "
+                    "cannot represent casts to NULL and is rejected too)"
+                )
+            ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in key_cols}
+            target_entries, _total, _h = self._prune_entries(
+                schema, table, ranges, version=version
+            )
+            key_ranges = self._store_key_ranges(ranges)
             # new row images: same conform-and-commit shape as append()
             new: list[str] = []
             gen_dir = None
@@ -4452,14 +5180,22 @@ class ParquetWarehouse:
                             continue
                         new.append(p)
             del_root, del_entries = (None, [])
-            if targets:
+            if target_entries:
+                # the eq delete is committed only when the manifest cannot
+                # PROVE the batch keys miss every live file; seq scoping
+                # makes it apply to all strictly-older files (no stored
+                # target list), narrowed at read time by key_ranges
                 del_root, del_entries = self._write_eq_deletes(
-                    schema, table, kdf, key_cols, eq_ids, targets
+                    schema, table, kdf, key_cols, eq_ids, key_ranges
                 )
             if not new and not del_entries:
                 return {**result, "mode": "merge-on-read",
                         "delete_files_added": 0}
             try:
+                # no deletes_read_version fence: a pure equality delete
+                # survives concurrent rewrites by seq scoping (the
+                # rewrite's output files carry a lower seq), and the new
+                # IMAGES come from the caller's batch, not a table read
                 manifest = self.commit_snapshot(
                     schema, table, "merge_upsert",
                     add_files=sorted(new),
@@ -4470,7 +5206,6 @@ class ParquetWarehouse:
                         if schema_fields is None
                         else None
                     ),
-                    deletes_read_version=version,
                 )
             except BaseException:
                 if del_root is not None:
@@ -4484,7 +5219,8 @@ class ParquetWarehouse:
                 "files_added": len(new),
                 "delete_files_added": len(del_entries),
                 "delete_bytes": sum(e["bytes"] for e in del_entries),
-                "targets": len(targets),
+                # informational: candidate files at the read snapshot
+                "targets": len(target_entries),
                 "version": manifest["version"],
             }
 

@@ -490,6 +490,128 @@ def commit_latency_probe(
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def broad_deletes_probe(n_files: int, workdir: str) -> None:
+    """The VERDICT r8 #1 'done' gate: commit bytes/latency must stay FLAT
+    while BROAD equality deletes are pending.  Build an ``n_files`` table
+    whose per-file id bounds all overlap (so key pruning can prove
+    nothing — the GDPR scattered-key worst case that made the r08
+    target-list design O(live files) per delete, rewritten into EVERY
+    subsequent head), measure an append window, commit 10 scattered-key
+    ``delete_by_keys`` (1000 keys each), measure another append window,
+    and compare: head bytes and per-commit latency/manifest-bytes must
+    not grow with pending-delete breadth.  Everything except the final
+    correctness read is driver-side (zero Spark jobs) — the delete and
+    append paths under test are pure metadata.  Prints one JSON line."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    root = os.path.join(workdir, "wh")
+    wh = ParquetWarehouse(None, root)
+    wh.create_table("lab", "broad", "zstd", 1, properties={"snapshots": "true"})
+    tdir = wh._tdir("lab", "broad")
+    snap = wh._snap_dir("lab", "broad")
+    fields = [{"name": "id", "type": "bigint"}]
+    hi = 10 * n_files
+
+    def write_file(tag: str, j: int, ids: list[int]) -> str:
+        d = os.path.join(tdir, "data", f"{tag}{j:05d}", "g_0")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), p)
+        return p
+
+    def head_bytes() -> int:
+        v = wh._latest_version("lab", "broad")
+        return os.path.getsize(os.path.join(snap, f"v{v:06d}.json"))
+
+    # every file spans [j, hi - j]: bounds overlap ANY mid-range key, so
+    # the manifest can prune nothing — all files are candidates
+    batch = 20
+    for j in range(0, n_files, batch):
+        files = [
+            write_file("b", j + k, [j + k, hi - (j + k)])
+            for k in range(min(batch, n_files - j))
+        ]
+        wh.commit_snapshot(
+            "lab", "broad", "append", add_files=files, schema_fields=fields
+        )
+
+    def append_window(tag: str, n: int) -> dict:
+        lat = []
+        b0 = _snap_dir_bytes(snap)
+        for i in range(n):
+            p = write_file(tag, i, [hi + i, hi + i])
+            t0 = time.perf_counter()
+            wh.commit_snapshot(
+                "lab", "broad", "append", add_files=[p],
+                schema_fields=fields,
+            )
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return {
+            "lat_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+            "lat_p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1e3, 2),
+            "manifest_bytes_per_commit": round((_snap_dir_bytes(snap) - b0) / n),
+            "head_bytes": head_bytes(),
+        }
+
+    before = append_window("w0_", 100)
+    deletes = []
+    # scattered keys strictly INSIDE every file's [j, hi-j] envelope (and
+    # colliding with no real id): pruning can prove nothing, every file
+    # stays a candidate — the r08 worst case where stored target lists
+    # were O(live files) per delete
+    n_keys = max(100, hi // 20)
+    for k in range(10):
+        keys = [hi // 5 + k + 10 * i for i in range(n_keys)]
+        t0 = time.perf_counter()
+        out = wh.delete_by_keys("lab", "broad", keys, eq_cols=["id"])
+        deletes.append({
+            "sec": round(time.perf_counter() - t0, 4),
+            "delete_bytes": out["delete_bytes"],
+            "candidate_files": out["targets"],
+            "head_bytes": head_bytes(),
+        })
+    after = append_window("w1_", 100)
+    head = wh._head_light("lab", "broad")
+    dseg_bytes = sum(
+        os.path.getsize(os.path.join(snap, r["path"]))
+        for r in head.get("delete_segments", [])
+    )
+    # correctness: one Spark read with 10 broad deletes pending.  The
+    # keys collide with no real id, so every row survives — the read
+    # pays the full anti-join against all 10 pending deletes (the
+    # pending-read-tax shape) and must still count exactly.
+    spark = make_session(app_name="broad-deletes")
+    wh.spark = spark
+    n = wh.read("lab", "broad").count()
+    expect = 2 * (n_files + 200)
+    assert n == expect, (n, expect)
+    print(json.dumps({
+        "probe": "broad_deletes",
+        "n_files": n_files,
+        "append_window_before": before,
+        "deletes": deletes,
+        "append_window_after": after,
+        "pending_delete_entries": len(wh.delete_files_report("lab", "broad")),
+        "delete_segment_refs": len(head.get("delete_segments", [])),
+        "delete_segment_bytes": dseg_bytes,
+        "rows_after_deletes": n,
+        "head_bytes_growth_ratio": round(
+            after["head_bytes"] / before["head_bytes"], 3
+        ),
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _snap_dir_bytes(snap: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(snap, fn)) for fn in os.listdir(snap)
+    )
+
+
 def evolution_probe(n_rows: int, workdir: str) -> None:
     """Schema-evolution read overhead at scale (r07): the same rows in a
     UNIFORM table (one schema, flat single scan) vs an EVOLVED table
@@ -628,6 +750,11 @@ def main() -> None:
             n_rows if args else 1000, workdir,
             maintain_every=100 if "--maintain" in sys.argv else None,
         )
+        return
+    if "--broad-deletes" in sys.argv:
+        # positional arg means FILES here; 1000-file default (the judge's
+        # 'done' gate shape for VERDICT r8 #1)
+        broad_deletes_probe(n_rows if args else 1000, workdir)
         return
     if "--prune" in sys.argv:
         prune_probe(n_rows, workdir)

@@ -10,20 +10,23 @@ Contracts pinned here:
 - ``delete_by_keys`` touches no data file and reads none (mtime +
   delete_bytes assertions); reads exclude exactly the keyed rows
   (DuckDB-checked);
-- Iceberg sequence semantics via explicit targets: rows APPENDED AFTER
-  the delete survive even under the same key;
+- Iceberg sequence-number semantics (r09: per-entry commit ``seq``
+  instead of explicit target lists): rows APPENDED AFTER the delete
+  survive even under the same key;
 - stacked MoR upsert batches linearize against a plain dict model and
   ``optimize()`` folds every delete away;
-- targets prune through manifest bounds (keys in one file's range
-  target one file); keys outside every bound commit NOTHING;
+- the stored ``key_ranges`` summary narrows reads through manifest
+  bounds (keys in one file's range hit one file); keys provably absent
+  from every bound commit NOTHING;
 - key columns resolve by FIELD ID through renames; dropping a pending
   delete's key column is refused until the delete is folded;
 - position + equality deletes stack on the same file; time travel
   presents each snapshot under its own delete set; expiry GCs folded
   delete files;
-- a commit whose delete targets were concurrently rewritten RAISES
-  (conflicting-rewrite validation, delete flavor) instead of silently
-  losing the delete.
+- an equality delete committed CONCURRENTLY with a rewrite of its
+  candidate files still applies (the rewrite's output carries a lower
+  seq) — no row resurrects, no raise needed (the r08 target-list design
+  had to abort here).
 """
 
 from __future__ import annotations
@@ -159,18 +162,34 @@ def test_mor_upsert_batches_linearize(spark, tmp_path):
     assert snapshot() == model
 
 
-def test_target_pruning_by_bounds(eq_table):
-    """Keys inside one file's id-bounds target only the qualifying
-    files; keys outside EVERY bound commit nothing at all."""
+def test_key_ranges_narrow_by_bounds(eq_table):
+    """The entry stores an O(keys) ``key_ranges`` summary (never a file
+    list); reads narrow the anti-join to files whose bounds can hold the
+    keys, and keys provably absent from every bound commit NOTHING."""
     wh = eq_table
     v0 = wh._latest_version("lab", "eqt")
     out = wh.delete_by_keys("lab", "eqt", [0], eq_cols=["id"])
     (entry,) = wh.delete_files_report("lab", "eqt")
+    # no O(live-files) metadata anywhere: the entry carries the key
+    # summary + its commit seq, nothing per-file
+    assert "targets" not in entry
+    assert entry["key_ranges"] == {"id": {"set": [0]}}
+    assert entry["seq"] == out["version"]
     # id=0 lives in batch b0 (ids 0..19, two files) — bounds prune the
-    # other two batches' files
+    # other two batches' files in the informational candidate count
     assert out["targets"] < 6
-    assert len(entry["targets"]) == out["targets"]
     assert out["files_pruned"] >= 4
+    # and at READ time: narrowing keeps only bound-compatible files hot
+    head = wh._head_light("lab", "eqt")
+    meta = wh.table_meta("lab", "eqt")
+    entries = wh._materialize("lab", "eqt", head)["files"]
+    by_path = {e["path"]: e for e in entries}
+    cand = {p for p, e in by_path.items() if e.get("seq", 0) < entry["seq"]}
+    narrowed = wh._narrow_eq_targets(
+        "lab", "eqt", meta, head, entry, cand, by_path
+    )
+    assert len(narrowed) == out["targets"]
+    assert wh.read("lab", "eqt").count() == 59
     # keys provably absent: the manifest proof means NO commit
     out2 = wh.delete_by_keys("lab", "eqt", [10_000], eq_cols=["id"])
     assert out2["delete_files_added"] == 0
@@ -262,36 +281,39 @@ def test_dataframe_keys(spark, eq_table):
         )
 
 
-def test_concurrent_rewrite_of_targets_raises(eq_table, spark):
-    """Conflicting-rewrite validation, delete flavor: a delete commit
-    whose targets were rewritten between read and commit must RAISE —
-    publishing would silently lose the delete (its targets list omits
-    the replacement files holding the rows)."""
+def test_concurrent_rewrite_does_not_lose_eq_delete(eq_table, spark):
+    """Sequence scoping makes an eq delete race-proof against rewrites:
+    a concurrent optimize() commits FIRST, its output files get a lower
+    seq than the delete's commit, so the delete still applies to them —
+    no row resurrects and no abort is needed (the r08 target-list design
+    raised here, because its stored targets named only dead paths)."""
     wh = eq_table
     v_read = wh._latest_version("lab", "eqt")
     head = wh._load_head_light("lab", "eqt", v_read)
-    targets = sorted(e["path"] for e in wh.head_snapshot("lab", "eqt")["files"])
     kdf = spark.createDataFrame([(7,)], "id int")
     _root, del_entries = wh._write_eq_deletes(
-        "lab", "eqt", kdf, ["id"], None, targets
+        "lab", "eqt", kdf, ["id"], None, {"id": {"set": [7]}}
     )
-    # a concurrent optimize() folds every target into new files
+    # a concurrent optimize() folds every candidate into new files
+    # BETWEEN this delete's read and its commit
     wh.optimize("lab", "eqt")
-    with pytest.raises(RuntimeError, match="rewritten between read and commit"):
-        wh.commit_snapshot(
-            "lab", "eqt", "delete",
-            add_files=[],
-            add_deletes=del_entries,
-            expected_schema_id=head.get("schema_id"),
-            deletes_read_version=v_read,
-        )
-    # a benign concurrent APPEND does not trip the validation
-    v2 = wh._latest_version("lab", "eqt")
-    targets2 = sorted(
-        e["path"] for e in wh.head_snapshot("lab", "eqt")["files"]
+    manifest = wh.commit_snapshot(
+        "lab", "eqt", "delete",
+        add_files=[],
+        add_deletes=del_entries,
+        expected_schema_id=head.get("schema_id"),
     )
+    assert manifest["version"] == v_read + 2
+    got = wh.read("lab", "eqt")
+    assert got.filter(F.col("id") == 7).count() == 0  # delete NOT lost
+    assert got.count() == 59
+    # a concurrent APPEND between read and commit also commits first ->
+    # lower seq -> the delete applies to it too (commit-time semantics,
+    # matching Iceberg's sequence rule)
+    v2 = wh._latest_version("lab", "eqt")
     _root2, del2 = wh._write_eq_deletes(
-        "lab", "eqt", kdf, ["id"], None, targets2
+        "lab", "eqt", spark.createDataFrame([(100,)], "id int"),
+        ["id"], None, {"id": {"set": [100]}},
     )
     wh.append(
         "lab", "eqt",
@@ -299,12 +321,33 @@ def test_concurrent_rewrite_of_targets_raises(eq_table, spark):
         batch_id="race",
     )
     manifest = wh.commit_snapshot(
-        "lab", "eqt", "delete",
-        add_files=[],
-        add_deletes=del2,
-        deletes_read_version=v2,
+        "lab", "eqt", "delete", add_files=[], add_deletes=del2,
     )
     assert manifest["version"] == v2 + 2
-    got = wh.read("lab", "eqt")
-    assert got.filter(F.col("id") == 7).count() == 0
-    assert got.filter(F.col("id") == 100).count() == 1
+    assert wh.read("lab", "eqt").filter(F.col("id") == 100).count() == 0
+
+
+def test_concurrent_rewrite_of_pos_targets_still_raises(eq_table):
+    """Position deletes DO keep the conflicting-rewrite validation: their
+    tuples name (file, ordinal) of specific paths, so a concurrent
+    rewrite of those paths must abort the delete commit."""
+    wh = eq_table
+    v_read = wh._latest_version("lab", "eqt")
+    head = wh._load_snapshot("lab", "eqt", v_read)
+    meta = wh.table_meta("lab", "eqt")
+    df = wh._read_entries(
+        "lab", "eqt", meta, head, head["files"], with_pos=True
+    )
+    tuples = df.filter(F.col("id") == 7).select(
+        F.col(wh._POS_REL).alias("file_path"),
+        F.col(wh._POS_IDX).alias("pos"),
+    )
+    _root, del_entries = wh._write_pos_deletes("lab", "eqt", tuples)
+    wh.optimize("lab", "eqt")  # rewrites every targeted file
+    with pytest.raises(RuntimeError, match="rewritten between read and commit"):
+        wh.commit_snapshot(
+            "lab", "eqt", "delete",
+            add_files=[],
+            add_deletes=del_entries,
+            deletes_read_version=v_read,
+        )

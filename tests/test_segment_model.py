@@ -64,8 +64,19 @@ OPS = st.lists(
                 # carry verbatim, expiry GCs unreferenced delete files)
                 "mor_delete",
                 # equality delete commits ride the same carry rules with
-                # kind="eq" entries (key VALUES, no positions)
+                # kind="eq" entries (key VALUES, no positions); the legacy
+                # r08 shape carries explicit targets
                 "eq_delete",
+                # r09 seq-scoped equality delete: NO stored targets — it
+                # applies to every file live at its commit (lower seq) and
+                # is retired by the fold exactly when the last of them is
+                # dropped (min_live_seq >= entry seq)
+                "eq_delete_seq",
+                # r09 branches: fork, stage commits, publish or drop —
+                # branch file sets must track their own model, expiry must
+                # keep branch-referenced segments, publish must fast-
+                # forward exactly the staged set or refuse divergence
+                "branch", "branch_commit", "publish", "drop_branch",
             ]
         ),
         st.integers(0, 10),
@@ -84,6 +95,12 @@ def test_random_op_sequences_match_model(ops):
         schema_model: list[dict] = []  # (name, type) the schema must match
         tags_model: dict[str, int] = {}  # live tags -> pinned version
         dels_model: dict[str, set[str]] = {}  # delete rel path -> live targets
+        # seq-scoped eq deletes: rel path -> files that were live at its
+        # commit and still are (all strictly older than it); the entry
+        # must survive exactly while this set is non-empty
+        seq_dels_model: dict[str, set[str]] = {}
+        # branches: name -> {"files": set of rel paths, "fork": version}
+        branches_model: dict[str, dict] = {}
         batches: list[str] = []
         counter = 0
 
@@ -94,6 +111,12 @@ def test_random_op_sequences_match_model(ops):
                 dels_model[dp] -= gone
                 if not dels_model[dp]:
                     del dels_model[dp]
+            # seq retirement: the fold drops a seq entry iff no surviving
+            # file predates it — exactly when its older-set empties
+            for dp in list(seq_dels_model):
+                seq_dels_model[dp] -= gone
+                if not seq_dels_model[dp]:
+                    del seq_dels_model[dp]
 
         def cur_fields():
             return [{"name": f["name"], "type": f["type"]} for f in schema_model]
@@ -111,16 +134,26 @@ def test_random_op_sequences_match_model(ops):
                     {"name": f["name"], "type": f["type"]}
                     for f in wh.table_schema("lab", "t")
                 ] == cur_fields()
+            all_dels = head.get("deletes", []) if head else []
             got_dels = {
                 d["path"]: set(d["targets"])
-                for d in (head.get("deletes", []) if head else [])
+                for d in all_dels
+                if d.get("targets") is not None
             }
             assert got_dels == dels_model
+            got_seq = {
+                d["path"] for d in all_dels if d.get("targets") is None
+            }
+            assert got_seq == set(seq_dels_model)
             assert wh.tags("lab", "t") == tags_model
             for v in tags_model.values():
                 # every tagged snapshot must stay materializable (its head
                 # AND all its segments survived whatever expiry ran)
                 wh._load_snapshot("lab", "t", v)
+            assert set(wh.branches("lab", "t")) == set(branches_model)
+            for b, bm in branches_model.items():
+                bh = wh.head_snapshot("lab", "t", branch=b)
+                assert {e["path"] for e in bh["files"]} == bm["files"]
 
         for op, pick in ops:
             counter += 1
@@ -247,6 +280,68 @@ def test_random_op_sequences_match_model(ops):
                     }],
                 )
                 dels_model[rel] = set(targets)
+            elif op == "eq_delete_seq" and model:
+                d = os.path.join(tdir, "deletes", f"eqs_{counter:03d}")
+                os.makedirs(d, exist_ok=True)
+                dp = os.path.join(d, "part-0.parquet")
+                pq.write_table(
+                    pa.table({"id": pa.array([pick], pa.int64())}), dp
+                )
+                rel = os.path.relpath(dp, tdir)
+                wh.commit_snapshot(
+                    "lab", "t", "delete",
+                    add_files=[],
+                    add_deletes=[{
+                        "path": rel,
+                        "bytes": os.stat(dp).st_size,
+                        "rows": 1,
+                        "kind": "eq",
+                        "eq_cols": ["id"],
+                        "key_ranges": {"id": {"set": [pick]}},
+                    }],
+                )
+                # applies to every file live at commit (all lower seq)
+                seq_dels_model[rel] = set(model)
+            elif op == "branch" and wh._snapshot_versions("lab", "t"):
+                name = f"br{counter:03d}"
+                wh.create_branch("lab", "t", name)
+                branches_model[name] = {
+                    "files": set(model),
+                    "fork": wh._latest_version("lab", "t"),
+                }
+            elif op == "branch_commit" and branches_model:
+                name = sorted(branches_model)[pick % len(branches_model)]
+                newf = _write_file(tdir, f"stage_{counter}", "g_0", "f0")
+                wh.commit_snapshot(
+                    "lab", "t", "append", add_files=[newf], branch=name,
+                )
+                branches_model[name]["files"].add(
+                    os.path.relpath(newf, tdir)
+                )
+            elif op == "publish" and branches_model:
+                name = sorted(branches_model)[pick % len(branches_model)]
+                bm = branches_model[name]
+                main_v = wh._latest_version("lab", "t")
+                if main_v == bm["fork"]:
+                    wh.fast_forward("lab", "t", name)
+                    # the branch's files ARE main's now; pending deletes
+                    # carry verbatim, so their target sets are unchanged
+                    model.clear()
+                    model |= bm["files"]
+                else:
+                    import pytest as _pytest
+
+                    if wh._snapshot_versions("lab", "t", name)[-1] != bm["fork"]:
+                        with _pytest.raises(RuntimeError):
+                            wh.fast_forward("lab", "t", name)
+                    else:
+                        # no staged commits: publish is a no-op either way
+                        out = wh.fast_forward("lab", "t", name)
+                        assert out["published"] == 0
+            elif op == "drop_branch" and branches_model:
+                name = sorted(branches_model)[pick % len(branches_model)]
+                wh.drop_branch("lab", "t", name)
+                del branches_model[name]
             elif op == "tag" and wh._snapshot_versions("lab", "t"):
                 name = f"t{counter:03d}"
                 wh.create_tag("lab", "t", name)
@@ -261,12 +356,17 @@ def test_random_op_sequences_match_model(ops):
                 wh.expire_snapshots("lab", "t", keep_last=(pick % 3) + 1)
                 snap_dir = wh._snap_dir("lab", "t")
                 kept_refs = {
-                    ref["path"]
+                    name
                     for v in wh._snapshot_versions("lab", "t")
-                    for ref in wh._load_head_light("lab", "t", v).get(
-                        "segments", []
+                    for name in wh._seg_ref_names(
+                        wh._load_head_light("lab", "t", v)
                     )
                 }
+                for b in branches_model:
+                    for bv in wh._snapshot_versions("lab", "t", b):
+                        kept_refs |= wh._seg_ref_names(
+                            wh._load_head_light("lab", "t", bv, b)
+                        )
                 on_disk = {
                     fn for fn in os.listdir(snap_dir) if fn.startswith("seg_")
                 }
@@ -278,10 +378,19 @@ def test_random_op_sequences_match_model(ops):
                 kept_dels = {
                     d["path"]
                     for v in wh._snapshot_versions("lab", "t")
-                    for d in wh._load_head_light("lab", "t", v).get(
-                        "deletes", []
+                    for d in wh._head_deletes(
+                        "lab", "t", wh._load_head_light("lab", "t", v)
                     )
                 }
+                for b in branches_model:
+                    for bv in wh._snapshot_versions("lab", "t", b):
+                        kept_dels |= {
+                            d["path"]
+                            for d in wh._head_deletes(
+                                "lab", "t",
+                                wh._load_head_light("lab", "t", bv, b),
+                            )
+                        }
                 dels_dir = os.path.join(tdir, "deletes")
                 on_disk_dels = (
                     {
@@ -301,7 +410,7 @@ def test_random_op_sequences_match_model(ops):
             wh.remove_orphan_files("lab", "t", older_than_s=0)
             for rel in model:
                 assert os.path.isfile(os.path.join(tdir, rel)), rel
-            for rel in dels_model:
+            for rel in list(dels_model) + list(seq_dels_model):
                 assert os.path.isfile(os.path.join(tdir, rel)), rel
             check()
 
