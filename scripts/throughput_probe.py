@@ -257,6 +257,168 @@ def mor_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def mor_steady_probe(n_rows: int, workdir: str) -> None:
+    """Steady-state merge-on-read CDC at scale (VERDICT r8 #5): a keyed
+    snapshot table of ``n_rows`` keys maintained by
+    ``stream_upsert_latest_into_warehouse(mode='merge-on-read',
+    maintenance_every=5)`` over 20 micro-batches of updates — the r06
+    ingest-cadence protocol, now with equality deletes in the loop.
+
+    Measures per-epoch ``merge_upsert`` commit latency (each epoch is
+    O(batch): new images + one eq delete of the batch keys), the
+    maintenance-tick fold cost, and the pending-delete read tax between
+    ticks (read with stacked un-folded CDC batches vs after the fold).
+    Prints one JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_upsert_latest_into_warehouse,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="mor-steady-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    schema, table = "streams", "cdc_steady"
+    wh.create_table(schema, table, "zstd", 1, properties={"snapshots": "true"})
+
+    etypes = "click view purchase refund".split()
+    def rows_frame(ids, ts_off_expr):
+        # (id // 4, id % 4) is a bijection over [0, n_rows) — exactly
+        # n_rows distinct (user_id, event_type) keys, no accidental
+        # correlation (id % (n//4) would determine id % 4 when 4 | n//4)
+        return ids.select(
+            F.floor(F.col("id") / 4).cast("long").alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(e) for e in etypes]),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=ts_off_expr)).alias("ts"),
+            F.col("id").alias("event_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+
+    # base snapshot: one row per (user_id, event_type) key — n_rows keys
+    t0 = time.perf_counter()
+    base = rows_frame(spark.range(n_rows).repartition(32), F.lit(0))
+    wh.append(schema, table, base, batch_id="base")
+    load_s = time.perf_counter() - t0
+
+    # 20 CDC files, each updating `batch` existing keys with a newer ts
+    # (epoch e touches a rotating slice so ticks fold real churn)
+    n_epochs, batch = 20, max(10_000, n_rows // 200)
+    stage = os.path.join(workdir, "cdc_in")
+    for e in range(n_epochs):
+        ids = spark.range(e * batch, (e + 1) * batch).select(
+            ((F.col("id") * 2654435761) % n_rows).alias("id")
+        )
+        # ONE file per epoch: the stream's maxFilesPerTrigger=1 defines a
+        # micro-batch as a file, so a multi-file epoch dir would split
+        # into several epochs (the 200k smoke measured 80 merges, not 20)
+        upd = rows_frame(ids.coalesce(1), F.lit(e + 1))
+        upd.write.mode("overwrite").parquet(
+            os.path.join(stage, f"epoch_{e:03d}")
+        )
+
+    # instrument the warehouse calls the sink makes (instance attributes
+    # shadow the methods; the sink sees the same object)
+    merge_secs, fold_secs = [], []
+    orig_mu, orig_opt = wh.merge_upsert, wh.optimize
+    def timed_mu(*a, **kw):
+        t0 = time.perf_counter()
+        r = orig_mu(*a, **kw)
+        merge_secs.append(time.perf_counter() - t0)
+        return r
+    def timed_opt(*a, **kw):
+        t0 = time.perf_counter()
+        r = orig_opt(*a, **kw)
+        fold_secs.append(time.perf_counter() - t0)
+        return r
+    wh.merge_upsert, wh.optimize = timed_mu, timed_opt
+
+    stream_schema = wh.read(schema, table).schema
+    events = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "epoch_*"))
+    )
+    t0 = time.perf_counter()
+    stream_upsert_latest_into_warehouse(
+        events, wh, schema, table,
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        mode="merge-on-read",
+        maintenance_every=5,
+    )
+    stream_s = time.perf_counter() - t0
+    wh.merge_upsert, wh.optimize = orig_mu, orig_opt
+
+    def timed_read():
+        best = float("inf")
+        rows = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = (
+                wh.read(schema, table)
+                .filter(F.col("event_type") == "purchase")
+                .count()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), rows
+
+    # steady-state invariant: every update replaced a row, none added
+    assert wh.head_snapshot(schema, table)["total_rows"] >= n_rows
+    t_folded0, rows_folded0 = timed_read()
+
+    # phase 2: stack 3 un-maintained MoR CDC batches, measure the
+    # between-ticks read tax, then one fold
+    for e in range(3):
+        ids = spark.range(e * batch, (e + 1) * batch).select(
+            ((F.col("id") * 97 + 13) % n_rows).alias("id")
+        )
+        upd = rows_frame(ids.repartition(4), F.lit(100 + e))
+        wh.merge_upsert(
+            schema, table, upd, ["user_id", "event_type"],
+            mode="merge-on-read",
+        )
+    pend = wh.delete_files_report(schema, table)
+    t_pending, rows_pending = timed_read()
+    t0 = time.perf_counter()
+    wh.optimize(schema, table)
+    final_fold_s = time.perf_counter() - t0
+    t_folded, rows_folded = timed_read()
+    assert rows_pending == rows_folded, (rows_pending, rows_folded)
+
+    out = {
+        "probe": "mor_steady",
+        "n_rows": n_rows,
+        "epochs": n_epochs,
+        "batch_rows": batch,
+        "base_load_sec": round(load_s, 1),
+        "stream_total_sec": round(stream_s, 1),
+        "merge_epoch_sec": {
+            "p50": round(statistics.median(merge_secs), 3),
+            "p95": round(sorted(merge_secs)[int(0.95 * len(merge_secs))], 3),
+            "max": round(max(merge_secs), 3),
+            "n": len(merge_secs),
+        },
+        "maintenance_tick_sec": [round(s, 1) for s in fold_secs],
+        "pending_delete_files": len(pend),
+        "pending_delete_rows": sum(d.get("rows", 0) for d in pend),
+        "read_sec": {
+            "folded_baseline": t_folded0,
+            "pending_3_batches": t_pending,
+            "after_fold": t_folded,
+            "tax_vs_folded_baseline": (
+                round(t_pending / t_folded0, 2) if t_folded0 else None
+            ),
+        },
+        "final_fold_sec": round(final_fold_s, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def _baseline_shapes() -> dict:
     """The four baseline query shapes (temp.md:42-105) — shared by the
     sequential probe and the interleaved A/B."""
@@ -764,6 +926,10 @@ def main() -> None:
         return
     if "--percol-ab" in sys.argv:
         percol_ab_probe(n_rows, workdir)
+        return
+    if "--mor-steady" in sys.argv:
+        # positional arg = base-table KEYS; 40M default (VERDICT r8 #5)
+        mor_steady_probe(n_rows if args else 40_000_000, workdir)
         return
     if "--mor" in sys.argv:
         mor_probe(n_rows, workdir)

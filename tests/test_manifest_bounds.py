@@ -298,9 +298,9 @@ def test_head_reads_parse_one_manifest_on_deep_history(spark, tmp_path, monkeypa
     orig = ParquetWarehouse._load_head_light
     orig_seg = ParquetWarehouse._load_segment
 
-    def counting(self, schema, table_, version):
+    def counting(self, schema, table_, version, *a, **kw):
         loads.append(version)
-        return orig(self, schema, table_, version)
+        return orig(self, schema, table_, version, *a, **kw)
 
     def counting_seg(self, schema, table_, seg_name):
         seg_loads.append(seg_name)
