@@ -222,6 +222,12 @@ def _measure(spark, queries, sf_dir: str) -> dict[str, float]:
     try:
         percol_dir = _prep_percol_events(sf_dir)
         q = queries["flagship_conjunction"]
+        # one UNTIMED read first: when _prep_percol_events just wrote a
+        # FRESH file (tmp wipe), the first read pays cold page-cache +
+        # footer parse — r9's 6.0x "regression" was exactly this (VERDICT
+        # r9 #3/#6).  The timed best-of-RUNS below starts warm, matching
+        # the fixture-read queries whose files long predate the bench.
+        q.build(spark, percol_dir).collect()
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -281,6 +281,40 @@ def test_dataframe_keys(spark, eq_table):
         )
 
 
+def test_local_float_keys_cast_to_recorded_type(eq_table):
+    """VERDICT r9 #4: LOCAL key lists must normalize through the recorded
+    types BEFORE building prune ranges — the mirror of the ADVICE r8
+    DataFrame-path fix.  Raw 19.5 for the int column falls BETWEEN every
+    file's [lo,hi] bounds (b0 ends at 19, b1 starts at 20), so pre-fix
+    the manifest 'proved' no file could match and the delete no-op'd —
+    yet the read-side cast (19) matches a live row."""
+    wh = eq_table
+    out = wh.delete_by_keys("lab", "eqt", [19.5], eq_cols=["id"])
+    assert out["delete_files_added"] == 1  # NOT pruned to a no-op
+    got = wh.read("lab", "eqt")
+    assert got.count() == 59
+    assert got.filter(F.col("id") == 19).count() == 0
+    # cast collisions dedup: 10 and 10.5 are ONE key after truncation
+    out = wh.delete_by_keys("lab", "eqt", [10, 10.5], eq_cols=["id"])
+    assert out["keys"] == 1
+    assert wh.read("lab", "eqt").count() == 58
+    # unrepresentable values raise, mirroring the DataFrame path's
+    # ANSI-cast rejection — never silently mis-prune
+    v = wh._latest_version("lab", "eqt")
+    with pytest.raises(ValueError, match="not representable"):
+        wh.delete_by_keys("lab", "eqt", [float("nan")], eq_cols=["id"])
+    with pytest.raises(ValueError, match="not representable"):
+        wh.delete_by_keys("lab", "eqt", ["abc"], eq_cols=["id"])
+    with pytest.raises(ValueError, match="overflows"):
+        wh.delete_by_keys("lab", "eqt", [2**40], eq_cols=["id"])
+    assert wh._latest_version("lab", "eqt") == v
+    # string columns: ints render as Spark cast would; floats are refused
+    out = wh.delete_by_keys("lab", "eqt", ["u1"], eq_cols=["u"])
+    assert wh.read("lab", "eqt").filter(F.col("u") == "u1").count() == 0
+    with pytest.raises(ValueError, match="not representable"):
+        wh.delete_by_keys("lab", "eqt", [1.5], eq_cols=["u"])
+
+
 def test_concurrent_rewrite_does_not_lose_eq_delete(eq_table, spark):
     """Sequence scoping makes an eq delete race-proof against rewrites:
     a concurrent optimize() commits FIRST, its output files get a lower
