@@ -3927,10 +3927,27 @@ class ParquetWarehouse:
             if is_delta:
                 # O(new): stat ONLY the added files, once — footer stats
                 # survive retries; only seq stamps + the small JSON are
-                # refreshed per attempt (inside the loop below)
+                # refreshed per attempt (inside the loop below).
+                # ``add_files`` items may also be PREBUILT entry dicts
+                # (cherry_pick carries a branch commit's entries verbatim
+                # — bounds/nulls/partitions already computed, no parquet
+                # footer reopened); they are re-stamped with THIS commit's
+                # seq like any fresh entry, and keep their own sid (the
+                # caller validated schema equivalence).
                 entries = [
-                    fresh_entry(p, {}) for p in sorted(set(add_files or []))
+                    fresh_entry(p, {})
+                    for p in sorted(
+                        {p for p in (add_files or []) if isinstance(p, str)}
+                    )
                 ]
+                seen = {e["path"] for e in entries}
+                for e in (add_files or []):
+                    if isinstance(e, dict) and e["path"] not in seen:
+                        seen.add(e["path"])
+                        e = dict(e)
+                        e.pop("seq", None)
+                        fresh_list.append(e)
+                        entries.append(e)
             else:
                 # replace (optimize/merge/rewrite) or dir-mode manual
                 # record: the new live set IS the new segment; parent
@@ -4730,6 +4747,156 @@ class ParquetWarehouse:
                 }
             # lost the CAS: main moved — loop re-checks divergence (and
             # raises, since main_v != fork now)
+
+    def cherry_pick(
+        self, schema: str, table: str, name: str, version: int
+    ) -> dict:
+        """Apply ONE branch commit onto the CURRENT main head even when
+        histories have diverged — the Nessie merge story for the case
+        ``fast_forward`` refuses (main moved past the fork point; Nessie
+        is the catalog the reference deploys,
+        compose/docker-compose.yaml:61-70).  ``version`` names a commit
+        on branch ``name``; its DELTA vs its branch parent — entries
+        added, files dropped, merge-on-read deletes added — is replayed
+        as one new main commit:
+
+        - ADDED entries carry VERBATIM (bounds/nulls/partitions reused,
+          no parquet footer reopened; data generations were shared all
+          along) and are re-stamped with the new commit's seq — the pick
+          semantically happens NOW, so main deletes pending from before
+          the pick do not reach the picked rows;
+        - DROPPED files (a CoW delete/update/optimize staged on the
+          branch) must all still be LIVE on main — ``commit_snapshot``'s
+          conflicting-rewrite fence raises otherwise (main already
+          rewrote or deleted them: the pick's inputs changed under it);
+        - POSITION deletes must target files main still has (or the
+          pick's own adds); EQUALITY deletes replay against everything
+          live at pick time (seq scoping — "forget these keys" is
+          position-independent).  Both checks are metadata-only.
+
+        Schema fence: every sid the picked entries carry must exist on
+        main with an IDENTICAL field list, and added eq deletes' field
+        ids must resolve in main's current schema — DDL that happened on
+        either side since the fork refuses the pick (DDL commits
+        themselves have no data delta and are rejected outright).
+        Cost: O(branch live files) manifest parse to diff the commit +
+        O(delta) to publish; main materializes only when the pick drops
+        files or carries position deletes (the only conflict-prone
+        shapes), mirroring the existing only-on-conflict fences.
+
+        Picking commits out of order or twice is not validated (reads
+        de-duplicate entries by path, so a double pick cannot corrupt,
+        but counts inflate) — pick a branch's commits oldest-first."""
+        versions = self._snapshot_versions(schema, table, name)
+        if not versions:
+            raise ValueError(f"no branch {name!r} on {schema}.{table}")
+        if version not in versions or version == versions[0]:
+            raise ValueError(
+                f"v{version} is not a commit on branch {name!r} of "
+                f"{schema}.{table} (fork v{versions[0]}, "
+                f"head v{versions[-1]})"
+            )
+        parent_v = versions[versions.index(version) - 1]
+        bhead = self._load_head_light(schema, table, version, name)
+        bparent = self._load_head_light(schema, table, parent_v, name)
+        by_v = {
+            e["path"]: e
+            for e in self._materialize(schema, table, bhead)["files"]
+        }
+        by_p = {
+            e["path"]: e
+            for e in self._materialize(schema, table, bparent)["files"]
+        }
+        added = [dict(by_v[p]) for p in sorted(by_v) if p not in by_p]
+        dropped = sorted(p for p in by_p if p not in by_v)
+        pdel = {
+            d["path"] for d in self._head_deletes(schema, table, bparent)
+        }
+        added_dels = [
+            dict(d)
+            for d in self._head_deletes(schema, table, bhead)
+            if d["path"] not in pdel
+        ]
+        if not added and not dropped and not added_dels:
+            raise ValueError(
+                f"branch {name!r} commit v{version} has no data delta "
+                f"({bhead.get('operation')!r} is metadata-only) — "
+                "cherry-pick replays data changes; re-apply DDL on main "
+                "directly"
+            )
+
+        mhead = self._head_light(schema, table)
+        if mhead is None:  # branches always fork FROM a snapshot
+            raise RuntimeError(f"{schema}.{table} has no main snapshot")
+        bsch, msch = bhead.get("schemas"), mhead.get("schemas")
+        if added and (bsch is None) != (msch is None):
+            raise RuntimeError(
+                f"cannot cherry-pick {schema}.{table} {name}@v{version}: "
+                "schema tracking differs between branch and main"
+            )
+        if bsch is not None:
+            for s in sorted({str(e.get("sid", 0)) for e in added}):
+                if (msch or {}).get(s) != bsch[s]:
+                    raise RuntimeError(
+                        f"cannot cherry-pick {schema}.{table} "
+                        f"{name}@v{version}: schema id {s} of the picked "
+                        "entries is absent or diverged on main (DDL since "
+                        "the fork) — re-stage on a fresh branch"
+                    )
+        cur_ids = (
+            {f["id"] for f in msch[str(mhead["schema_id"])]}
+            if msch is not None
+            else None
+        )
+        pos_targets: set[str] = set()
+        for d in added_dels:
+            if d.get("kind", "pos") == "pos":
+                pos_targets.update(d.get("targets") or [])
+            elif cur_ids is not None and d.get("eq_ids"):
+                missing = sorted(set(d["eq_ids"]) - cur_ids)
+                if missing:
+                    raise RuntimeError(
+                        f"cannot cherry-pick {schema}.{table} "
+                        f"{name}@v{version}: equality-delete key field "
+                        f"id(s) {missing} no longer exist in main's "
+                        "schema"
+                    )
+        if pos_targets:
+            own = {e["path"] for e in added}
+            mlive = {
+                e["path"]
+                for e in self._materialize(schema, table, mhead)["files"]
+            }
+            gone = sorted(t for t in pos_targets if t not in mlive | own)
+            if gone:
+                raise RuntimeError(
+                    f"cannot cherry-pick {schema}.{table} "
+                    f"{name}@v{version}: its position deletes target "
+                    f"{len(gone)} file(s) main no longer has "
+                    f"(e.g. {gone[0]!r}) — main rewrote or deleted them "
+                    "since the fork"
+                )
+        tdir = self._tdir(schema, table)
+        manifest = self.commit_snapshot(
+            schema, table, "cherry_pick",
+            add_files=added,
+            drop_files=(
+                [os.path.join(tdir, p) for p in dropped] if dropped else None
+            ),
+            add_deletes=added_dels or None,
+            deletes_read_version=(
+                mhead["version"] if pos_targets else None
+            ),
+            expected_schema_id=mhead.get("schema_id"),
+        )
+        return {
+            "version": manifest["version"],
+            "picked": version,
+            "from_branch": name,
+            "files_added": len(added),
+            "files_dropped": len(dropped),
+            "delete_files_added": len(added_dels),
+        }
 
     def _resolve_version(self, schema: str, table: str, version: int | str) -> int:
         """A version number, or a TAG name (Iceberg ``VERSION AS OF``

@@ -77,6 +77,10 @@ OPS = st.lists(
                 # keep branch-referenced segments, publish must fast-
                 # forward exactly the staged set or refuse divergence
                 "branch", "branch_commit", "publish", "drop_branch",
+                # r10 cherry-pick: replay ONE staged branch commit onto a
+                # possibly-diverged main — exactly its delta joins main's
+                # model, whatever else happened since the fork
+                "cherry_pick",
             ]
         ),
         st.integers(0, 10),
@@ -308,6 +312,8 @@ def test_random_op_sequences_match_model(ops):
                 branches_model[name] = {
                     "files": set(model),
                     "fork": wh._latest_version("lab", "t"),
+                    "staged": [],  # (branch version, rel path) per commit
+                    "picked": set(),  # branch versions already picked
                 }
             elif op == "branch_commit" and branches_model:
                 name = sorted(branches_model)[pick % len(branches_model)]
@@ -315,9 +321,29 @@ def test_random_op_sequences_match_model(ops):
                 wh.commit_snapshot(
                     "lab", "t", "append", add_files=[newf], branch=name,
                 )
-                branches_model[name]["files"].add(
-                    os.path.relpath(newf, tdir)
+                rel = os.path.relpath(newf, tdir)
+                branches_model[name]["files"].add(rel)
+                branches_model[name]["staged"].append(
+                    (wh._snapshot_versions("lab", "t", name)[-1], rel)
                 )
+            elif op == "cherry_pick" and branches_model:
+                name = sorted(branches_model)[pick % len(branches_model)]
+                bm = branches_model[name]
+                cands = [
+                    (v, rel)
+                    for v, rel in bm["staged"]
+                    if v not in bm["picked"]
+                    and rel not in model  # publish/earlier pick took it
+                    and os.path.isfile(os.path.join(tdir, rel))  # not GC'd
+                ]
+                if not cands:
+                    continue
+                v, rel = cands[0]  # oldest-first, the documented order
+                out = wh.cherry_pick("lab", "t", name, v)
+                assert out["files_added"] == 1
+                assert out["files_dropped"] == 0
+                bm["picked"].add(v)
+                model.add(rel)
             elif op == "publish" and branches_model:
                 name = sorted(branches_model)[pick % len(branches_model)]
                 bm = branches_model[name]
