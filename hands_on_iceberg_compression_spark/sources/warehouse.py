@@ -4898,6 +4898,224 @@ class ParquetWarehouse:
             "delete_files_added": len(added_dels),
         }
 
+    # --- catalog-level refs: ONE versioned view over MANY tables ---------
+    # Nessie's distinctive capability next to per-table branches (the
+    # catalog the reference deploys, compose/docker-compose.yaml:61-70):
+    # a catalog head pins {schema.table: version} so a pipeline writing
+    # two tables can publish them ATOMICALLY and any reader can time-
+    # travel the whole catalog to a consistent cross-table instant.
+    # Catalog heads are tiny JSON under <root>/_catalog/, published with
+    # the same hard-link CAS as every table commit — O(tables) bytes,
+    # independent of table size.
+
+    def _catalog_dir(self) -> str:
+        return os.path.join(self.root, "_catalog")
+
+    def _catalog_versions(self) -> list[int]:
+        d = self._catalog_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(fn[1:7])
+            for fn in os.listdir(d)
+            if fn.startswith("v") and fn.endswith(".json") and len(fn) == 12
+        )
+
+    def latest_catalog_version(self) -> int | None:
+        """Hint + forward probe, the table-head discovery protocol —
+        catalog commits are publish-cadence (rare), so the listdir
+        fallback is also fine."""
+        d = self._catalog_dir()
+        v: int | None = None
+        try:
+            with open(os.path.join(d, "version-hint.txt")) as f:
+                v = int(f.read().strip())
+            if not os.path.isfile(os.path.join(d, f"v{v:06d}.json")):
+                v = None
+        except (OSError, ValueError):
+            v = None
+        if v is None:
+            versions = self._catalog_versions()
+            if not versions:
+                return None
+            v = versions[-1]
+        while os.path.isfile(os.path.join(d, f"v{v + 1:06d}.json")):
+            v += 1
+        return v
+
+    def catalog_head(self, version: int | None = None) -> dict | None:
+        """The catalog manifest at ``version`` (default: latest); None
+        when no catalog commit exists yet."""
+        v = version if version is not None else self.latest_catalog_version()
+        if v is None:
+            return None
+        try:
+            with open(
+                os.path.join(self._catalog_dir(), f"v{v:06d}.json")
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no catalog version {v} (expired or never committed)"
+            ) from None
+
+    @staticmethod
+    def _catalog_key(schema: str, table: str) -> str:
+        return f"{schema}.{table}"
+
+    def commit_catalog(self, tables, operation: str = "publish") -> dict:
+        """Record ONE catalog version pinning the given tables' snapshot
+        versions.  ``tables`` is a list of ``(schema, table)`` pairs
+        (pin each table's CURRENT head) or a dict ``{(schema, table):
+        version}`` (pin explicit versions — what ``publish_tables``
+        passes).  Tables pinned by EARLIER catalog commits and not
+        listed here carry forward unchanged, so each commit is a delta
+        over the registered set.  Every pinned version is validated to
+        exist before publishing.  CAS-retried like any table commit:
+        concurrent catalog committers linearize, both deltas land."""
+        pins: dict[str, int] = {}
+        if isinstance(tables, dict):
+            items = list(tables.items())
+        else:
+            items = [(k, None) for k in tables]
+        for key, v in items:
+            s, t = key if isinstance(key, tuple) else key.split(".", 1)
+            if v is None:
+                v = self._latest_version(s, t)
+                if v is None:
+                    raise ValueError(
+                        f"{s}.{t} has no committed snapshot to pin"
+                    )
+            self._load_head_light(s, t, v)  # must exist
+            pins[self._catalog_key(s, t)] = v
+        if not pins:
+            raise ValueError("commit_catalog needs at least one table")
+        import time as _time
+
+        d = self._catalog_dir()
+        os.makedirs(d, exist_ok=True)
+        while True:
+            head = self.catalog_head()
+            version = (head["version"] + 1) if head else 1
+            merged = dict(head["tables"]) if head else {}
+            merged.update(pins)
+            manifest = {
+                "version": version,
+                "parent": head["version"] if head else None,
+                "operation": operation,
+                "ts": round(_time.time(), 3),
+                "tables": merged,
+            }
+            if self._cas_link(
+                manifest, os.path.join(d, f"v{version:06d}.json")
+            ):
+                tmp = os.path.join(d, f"hint.{uuid.uuid4().hex[:8]}")
+                try:
+                    with open(tmp, "w") as f:
+                        f.write(str(version))
+                    os.replace(tmp, os.path.join(d, "version-hint.txt"))
+                except OSError:
+                    try:
+                        os.unlink(tmp)
+                    except FileNotFoundError:
+                        pass
+                return manifest
+            # lost the race: merge over the winner's table map and retry
+
+    def read_catalog_as_of(
+        self, version: int | None = None
+    ) -> dict[str, DataFrame]:
+        """A CONSISTENT cross-table view: {``schema.table``: DataFrame}
+        of every registered table at the versions one catalog commit
+        pinned together.  This is catalog-wide time travel — pass an
+        older catalog version to see the whole pipeline output as of an
+        earlier publish.  Pinned snapshots are retained by
+        ``expire_snapshots`` until the catalog versions naming them are
+        expired (``expire_catalog``), the tag-retention contract."""
+        head = self.catalog_head(version)
+        if head is None:
+            raise ValueError("no catalog commit yet — commit_catalog first")
+        out: dict[str, DataFrame] = {}
+        for name in sorted(head["tables"]):
+            s, t = name.split(".", 1)
+            out[name] = self.read_snapshot(s, t, head["tables"][name])
+        return out
+
+    def publish_tables(
+        self,
+        branches: dict,
+        operation: str = "publish",
+    ) -> dict:
+        """ATOMIC cross-table publish: fast-forward each table's staged
+        branch, then commit ONE catalog version pinning all the published
+        versions together.  ``branches`` maps ``(schema, table)`` to the
+        branch name staged on it.
+
+        The catalog CAS is the atomicity point: a crash AFTER some
+        tables fast-forwarded but BEFORE the catalog commit leaves the
+        catalog head pinning the old versions of EVERY table — catalog
+        readers never see a torn view (only direct per-table readers see
+        the already-forwarded halves, exactly Nessie's contract: the ref
+        is the consistency boundary).  The retry is idempotent: a branch
+        whose head main already published (the head commit records
+        ``from_branch``/``branch_head``) is skipped, not re-forwarded —
+        so re-running a crashed publish completes it."""
+        pins: dict[tuple[str, str], int] = {}
+        for (s, t), name in sorted(branches.items()):
+            versions = self._snapshot_versions(s, t, name)
+            if not versions:
+                raise ValueError(f"no branch {name!r} on {s}.{t}")
+            bhead_v = versions[-1]
+            mhead = self._head_light(s, t)
+            if (
+                mhead is not None
+                and mhead.get("operation") == "fast_forward"
+                and mhead.get("from_branch") == name
+                and mhead.get("branch_head") == bhead_v
+            ):
+                # crash-retry: this table's half already published
+                pins[(s, t)] = mhead["version"]
+            else:
+                pins[(s, t)] = self.fast_forward(s, t, name)["version"]
+        return self.commit_catalog(pins, operation=operation)
+
+    def _catalog_pins(self, schema: str, table: str) -> set[int]:
+        """Every version of this table some live catalog head pins —
+        retained by ``expire_snapshots`` like tagged versions.
+        O(catalog history), paid only inside expiry."""
+        d = self._catalog_dir()
+        if not os.path.isdir(d):
+            return set()
+        key = self._catalog_key(schema, table)
+        pins: set[int] = set()
+        for v in self._catalog_versions():
+            try:
+                with open(os.path.join(d, f"v{v:06d}.json")) as f:
+                    pinned = json.load(f).get("tables", {}).get(key)
+            except FileNotFoundError:
+                continue  # concurrent expire_catalog
+            if pinned is not None:
+                pins.add(pinned)
+        return pins
+
+    def expire_catalog(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` catalog versions;
+        returns removed count.  Table snapshots pinned ONLY by the
+        dropped catalog versions become expirable by the next
+        per-table ``expire_snapshots``."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._catalog_versions()
+        victims = versions[:-keep_last]
+        for v in victims:
+            try:
+                os.unlink(
+                    os.path.join(self._catalog_dir(), f"v{v:06d}.json")
+                )
+            except FileNotFoundError:
+                pass
+        return len(victims)
+
     def _resolve_version(self, schema: str, table: str, version: int | str) -> int:
         """A version number, or a TAG name (Iceberg ``VERSION AS OF``
         accepts both)."""
@@ -5113,8 +5331,13 @@ class ParquetWarehouse:
             ]
         # TAGGED snapshots are retained regardless of age/position
         # (Iceberg ref retention): the tag is the user's promise that this
-        # snapshot — and its data files — stay reachable until drop_tag
-        tagged = set(self.tags(schema, table).values())
+        # snapshot — and its data files — stay reachable until drop_tag.
+        # CATALOG-pinned versions ride the same contract: a live catalog
+        # head naming this table's v must stay materializable for
+        # read_catalog_as_of until expire_catalog drops that head.
+        tagged = set(self.tags(schema, table).values()) | self._catalog_pins(
+            schema, table
+        )
         if tagged:
             victims = [m for m in victims if m["version"] not in tagged]
         for m in victims:

@@ -1,0 +1,323 @@
+"""Catalog-level multi-table versioning (VERDICT r9 "what's missing"
+#4): one ref versioning ALL tables — Nessie's distinctive capability
+(the catalog the reference deploys, compose/docker-compose.yaml:61-70).
+A catalog head pins {schema.table: version}; ``publish_tables``
+fast-forwards each table's staged branch then publishes ONE catalog
+commit, so two tables that must land together do.
+
+Contracts pinned:
+- the catalog CAS is the atomicity point: a crash BETWEEN two table
+  publishes never exposes a torn view to catalog readers — the catalog
+  head still pins the old versions of BOTH tables;
+- the retried publish is idempotent: already-forwarded halves are
+  detected (head records from_branch/branch_head) and skipped;
+- ``read_catalog_as_of`` time-travels the WHOLE catalog: every table at
+  the versions one commit pinned together;
+- unlisted tables carry forward through later catalog commits;
+- per-table ``expire_snapshots`` RETAINS catalog-pinned versions (the
+  tag-retention contract) until ``expire_catalog`` drops the heads;
+- randomized: single-table commits, catalog commits, staged publishes,
+  crashed publishes, and expiry interleave — every live catalog head
+  stays materializable and matches a dict model.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+@pytest.fixture()
+def cat_wh(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    for t in ("orders", "items"):
+        wh.create_table(
+            "shop", t, "zstd", 1, properties={"snapshots": "true"}
+        )
+        wh.append(
+            "shop", t,
+            spark.createDataFrame(
+                [(j, f"{t}0") for j in range(5)], "id int, src string"
+            ),
+            batch_id="b0",
+        )
+    return wh
+
+
+def test_catalog_roundtrip_and_carry_forward(cat_wh, spark):
+    wh = cat_wh
+    c1 = wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    assert c1["version"] == 1
+    assert set(c1["tables"]) == {"shop.orders", "shop.items"}
+    # both tables move; the catalog still reads the OLD pair consistently
+    for t in ("orders", "items"):
+        wh.append(
+            "shop", t,
+            spark.createDataFrame([(100, f"{t}1")], "id int, src string"),
+            batch_id="b1",
+        )
+    view1 = wh.read_catalog_as_of(1)
+    assert {k: v.count() for k, v in view1.items()} == {
+        "shop.orders": 5, "shop.items": 5,
+    }
+    # pin only orders: items carries forward at its OLD pinned version
+    c2 = wh.commit_catalog([("shop", "orders")])
+    assert c2["version"] == 2
+    assert c2["tables"]["shop.orders"] > c1["tables"]["shop.orders"]
+    assert c2["tables"]["shop.items"] == c1["tables"]["shop.items"]
+    view2 = wh.read_catalog_as_of()  # latest
+    assert view2["shop.orders"].count() == 6
+    assert view2["shop.items"].count() == 5
+    with pytest.raises(ValueError, match="no catalog version"):
+        wh.catalog_head(99)
+
+
+def test_crash_between_publishes_never_torn(cat_wh, spark, monkeypatch):
+    """The done-gate: a crash AFTER table one fast-forwarded but BEFORE
+    the catalog commit leaves catalog readers on the old versions of
+    BOTH tables; the retried publish completes idempotently."""
+    wh = cat_wh
+    base = wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    for t in ("orders", "items"):
+        wh.create_branch("shop", t, "release")
+        wh.append(
+            "shop", t,
+            spark.createDataFrame([(200, "staged")], "id int, src string"),
+            batch_id="bf",
+            branch="release",
+        )
+    real_ff = wh.fast_forward
+    calls = {"n": 0}
+
+    def crashing_ff(schema, table, name):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between table publishes")
+        return real_ff(schema, table, name)
+
+    monkeypatch.setattr(wh, "fast_forward", crashing_ff)
+    with pytest.raises(OSError, match="simulated crash"):
+        wh.publish_tables({
+            ("shop", "items"): "release",
+            ("shop", "orders"): "release",
+        })
+    monkeypatch.setattr(wh, "fast_forward", real_ff)
+    # torn state on DIRECT reads (items forwarded, orders not — sorted
+    # order publishes items first) ...
+    assert wh.read("shop", "items").count() == 6
+    assert wh.read("shop", "orders").count() == 5
+    # ... but the CATALOG still pins the old pair: no torn view
+    assert wh.catalog_head()["version"] == base["version"]
+    view = wh.read_catalog_as_of()
+    assert {k: v.count() for k, v in view.items()} == {
+        "shop.orders": 5, "shop.items": 5,
+    }
+    # retry completes: the already-published items half is SKIPPED (its
+    # version does not move again), orders forwards, one catalog commit
+    items_v = wh._latest_version("shop", "items")
+    out = wh.publish_tables({
+        ("shop", "items"): "release",
+        ("shop", "orders"): "release",
+    })
+    assert wh._latest_version("shop", "items") == items_v  # idempotent
+    assert out["version"] == base["version"] + 1
+    view = wh.read_catalog_as_of()
+    assert {k: v.count() for k, v in view.items()} == {
+        "shop.orders": 6, "shop.items": 6,
+    }
+
+
+def test_expire_retains_catalog_pins(cat_wh, spark):
+    wh = cat_wh
+    pinned = wh.commit_catalog([("shop", "orders")])
+    pv = pinned["tables"]["shop.orders"]
+    for i in range(3):
+        wh.append(
+            "shop", "orders",
+            spark.createDataFrame([(300 + i, "x")], "id int, src string"),
+            batch_id=f"e{i}",
+        )
+    wh.expire_snapshots("shop", "orders", keep_last=1)
+    # the pinned version survived expiry and still reads exactly
+    assert wh.read_snapshot("shop", "orders", pv).count() == 5
+    assert wh.read_catalog_as_of()["shop.orders"].count() == 5
+    # dropping the catalog head releases the pin; the next expiry GCs it
+    assert wh.expire_catalog(keep_last=1) == 0  # only one head: kept
+    wh.commit_catalog([("shop", "orders")])  # re-pin at the new head
+    assert wh.expire_catalog(keep_last=1) == 1
+    wh.expire_snapshots("shop", "orders", keep_last=1)
+    with pytest.raises(Exception):
+        wh.read_snapshot("shop", "orders", pv).count()
+
+
+# --- randomized: single-table and catalog commits interleave ----------
+
+
+@contextlib.contextmanager
+def _mk_wh2():
+    root = tempfile.mkdtemp(prefix="cat_model_")
+    wh = ParquetWarehouse(None, root)  # log layer is Spark-free
+    for t in ("t1", "t2"):
+        wh.create_table(
+            "lab", t, "zstd", 1, properties={"snapshots": "true"}
+        )
+    try:
+        yield wh
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _write_file(tdir: str, batch: str, name: str) -> str:
+    d = os.path.join(tdir, "data", batch, "g_0")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{name}.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), p)
+    return p
+
+
+CAT_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            [
+                "append1", "append2",          # single-table commits
+                "catalog_both", "catalog_one",  # catalog pins + carry
+                "stage_publish",                # atomic two-table publish
+                "crash_publish",                # torn mid-publish + retry
+                "expire1", "expire_catalog",    # retention interplay
+            ]
+        ),
+        st.integers(0, 9),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ops=CAT_OPS)
+def test_random_catalog_sequences_match_model(ops):
+    with _mk_wh2() as wh:
+        tdirs = {t: wh._tdir("lab", t) for t in ("t1", "t2")}
+        # model: catalog version -> {table key: pinned version} (None =
+        # expired); every LIVE head must match and stay materializable
+        cat_model: dict[int, dict | None] = {}
+        counter = 0
+        stage_n = 0
+
+        def table_v(t):
+            return wh._latest_version("lab", t)
+
+        def do_append(t):
+            nonlocal counter
+            counter += 1
+            batch = f"b{counter:03d}"
+            f = _write_file(tdirs[t], batch, "f0")
+            wh.commit_snapshot(
+                "lab", t, "append", add_files=[f],
+                drop_prefix=os.path.join(tdirs[t], "data", batch) + os.sep,
+            )
+
+        def model_commit(pins):
+            head = wh.catalog_head()
+            assert head is not None
+            # carry-forward mirrors the PREVIOUS version's map (the
+            # newest head is never expired, so it is always version-1)
+            prev = cat_model.get(head["version"] - 1)
+            merged = dict(prev) if prev else {}
+            merged.update(pins)
+            cat_model[head["version"]] = merged
+            assert head["tables"] == merged
+
+        def check():
+            latest = wh.latest_catalog_version()
+            live = [v for v, m in cat_model.items() if m is not None]
+            assert latest == (max(live) if live else None)
+            for v in live:
+                head = wh.catalog_head(v)
+                assert head["tables"] == cat_model[v]
+                for key, pv in head["tables"].items():
+                    s, t = key.split(".", 1)
+                    wh._load_snapshot(s, t, pv)  # stays materializable
+
+        for op, pick in ops:
+            if op in ("append1", "append2"):
+                do_append("t1" if op == "append1" else "t2")
+            elif op == "catalog_both":
+                if not (table_v("t1") and table_v("t2")):
+                    continue
+                wh.commit_catalog([("lab", "t1"), ("lab", "t2")])
+                model_commit({
+                    "lab.t1": table_v("t1"), "lab.t2": table_v("t2"),
+                })
+            elif op == "catalog_one":
+                t = "t1" if pick % 2 else "t2"
+                if not table_v(t):
+                    continue
+                wh.commit_catalog([("lab", t)])
+                model_commit({f"lab.{t}": table_v(t)})
+            elif op in ("stage_publish", "crash_publish"):
+                if not (table_v("t1") and table_v("t2")):
+                    continue
+                stage_n += 1
+                name = f"rel{stage_n:03d}"
+                for t in ("t1", "t2"):
+                    wh.create_branch("lab", t, name)
+                    counter += 1
+                    f = _write_file(tdirs[t], f"s{counter:03d}", "f0")
+                    wh.commit_snapshot(
+                        "lab", t, "append", add_files=[f], branch=name,
+                    )
+                if op == "crash_publish":
+                    # deterministic torn publish: t2's branch is dropped
+                    # mid-flight, so sorted order forwards t1 then raises
+                    wh.drop_branch("lab", "t2", name)
+                    before = wh.latest_catalog_version()
+                    with pytest.raises(ValueError, match="no branch"):
+                        wh.publish_tables({
+                            ("lab", "t1"): name, ("lab", "t2"): name,
+                        })
+                    # torn on direct reads, UNTOUCHED at the catalog
+                    assert wh.latest_catalog_version() == before
+                    # recover: restage t2 and retry — t1 half skipped
+                    wh.create_branch("lab", "t2", name)
+                    counter += 1
+                    f = _write_file(tdirs["t2"], f"s{counter:03d}", "f0")
+                    wh.commit_snapshot(
+                        "lab", "t2", "append", add_files=[f], branch=name,
+                    )
+                    t1_v = table_v("t1")
+                    wh.publish_tables({
+                        ("lab", "t1"): name, ("lab", "t2"): name,
+                    })
+                    assert table_v("t1") == t1_v  # idempotent retry
+                else:
+                    wh.publish_tables({
+                        ("lab", "t1"): name, ("lab", "t2"): name,
+                    })
+                model_commit({
+                    "lab.t1": table_v("t1"), "lab.t2": table_v("t2"),
+                })
+                for t in ("t1", "t2"):
+                    wh.drop_branch("lab", t, name)
+            elif op == "expire1" and table_v("t1"):
+                wh.expire_snapshots("lab", "t1", keep_last=(pick % 2) + 1)
+            elif op == "expire_catalog" and wh.latest_catalog_version():
+                keep = (pick % 2) + 1
+                live = sorted(
+                    v for v, m in cat_model.items() if m is not None
+                )
+                wh.expire_catalog(keep_last=keep)
+                for v in live[:-keep]:
+                    cat_model[v] = None
+            check()
