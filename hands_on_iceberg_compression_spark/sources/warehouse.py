@@ -629,6 +629,37 @@ class ParquetWarehouse:
     _POS_IDX = "__mor_pos"
     _POS_REL = "__mor_rel"
 
+    # Characters Hadoop's Path -> URI round-trip leaves VERBATIM in
+    # ``_metadata.file_path``.  Paths made only of these need no per-row
+    # decode: their URI is predictable driver-side (see _predict_uris).
+    _URI_SAFE = re.compile(r"[A-Za-z0-9/._\-=]+\Z")
+
+    def _predict_uris(self, tdir: str, rels) -> dict[str, str] | None:
+        """Map manifest-relative paths to the EXACT ``_metadata.file_path``
+        URI Spark's scan will report (``file:`` + absolute path), or None
+        if ANY path contains a character the URI layer percent-encodes.
+
+        Why: the merge-on-read joins key rows to per-file metadata (the
+        eq-delete first-applicable index, position-delete tuples).  The
+        r08-r09 design normalized the SCAN side — a percent-decode +
+        substring evaluated per ROW — which the 40M --mor-steady probe
+        showed costing ~0.7 s per 4M rows, the dominant term of the
+        between-ticks read tax.  Normalizing the SMALL side instead
+        (predict the URI per FILE, O(live files) driver work, join on
+        the raw ``_metadata.file_path``) makes the per-row cost a plain
+        string hash-join probe.  Special-char paths (hive-escaped
+        partition values like ``grp=a%20b``) are exactly the cases where
+        prediction is risky, so they keep the proven decode path — the
+        whitelist is deliberately conservative."""
+        out: dict[str, str] = {}
+        base = os.path.abspath(tdir)
+        for r in rels:
+            p = os.path.join(base, r)
+            if not self._URI_SAFE.fullmatch(p):
+                return None
+            out[r] = "file:" + p
+        return out
+
     @classmethod
     def _with_pos_cols(cls, df: DataFrame) -> DataFrame:
         """Attach the scan's per-row (file path, row ordinal) from the
@@ -2467,11 +2498,32 @@ class ParquetWarehouse:
         hot_df = self._assemble_entries(
             schema, table, meta, head, hot, with_pos=True
         )
+        # URI-safe fast path (r10, --mor-steady finding): when every hot
+        # path is URI-predictable, the per-file joins below key on the
+        # RAW ``_metadata.file_path`` against driver-predicted URIs and
+        # the per-ROW decode projection (``_POS_REL``) is never
+        # referenced — Catalyst prunes it away entirely.  Special-char
+        # paths fall back to the decode join (uri_of is None).
+        tdir = self._tdir(schema, table)
+        uri_of = self._predict_uris(tdir, sorted(hot_paths))
         if pos_dels:
             tuples = self._delete_tuples(schema, table, pos_dels)
-            cond = (
-                F.col(self._POS_REL) == tuples["file_path"]
-            ) & (F.col(self._POS_IDX) == tuples["pos"])
+            if uri_of is not None:
+                # normalize the SMALL side: map the tuples' manifest-
+                # relative paths to scan URIs with one broadcast join
+                m = self.spark.createDataFrame(
+                    sorted(uri_of.items()), "file_path string, __mor_uri string"
+                )
+                tuples = tuples.join(F.broadcast(m), "file_path").select(
+                    F.col("__mor_uri").alias("file_path"), "pos"
+                )
+                cond = (
+                    F.col(self._POS_FILE) == tuples["file_path"]
+                ) & (F.col(self._POS_IDX) == tuples["pos"])
+            else:
+                cond = (
+                    F.col(self._POS_REL) == tuples["file_path"]
+                ) & (F.col(self._POS_IDX) == tuples["pos"])
             hot_df = hot_df.join(F.broadcast(tuples), cond, "left_anti")
         if eq_dels:
             # single-entry fast path (VERDICT r8 #7): with ONE eq delete
@@ -2480,7 +2532,8 @@ class ParquetWarehouse:
             # anti-join the keys directly (one join instead of two)
             fast = len(eq_dels) == 1 and not pos_dels
             hot_df = self._apply_eq_deletes(
-                schema, table, head, hot_df, eq_dels, fast=fast
+                schema, table, head, hot_df, eq_dels, fast=fast,
+                uri_of=uri_of,
             )
         if cold:
             cold_df = self._assemble_entries(
@@ -2578,6 +2631,7 @@ class ParquetWarehouse:
         df: DataFrame,
         eq_dels: list[tuple[int, dict, set]],
         fast: bool = False,
+        uri_of: dict[str, str] | None = None,
     ) -> DataFrame:
         """Apply EQUALITY DELETES to an assembled hot frame in ONE scan.
 
@@ -2629,12 +2683,23 @@ class ParquetWarehouse:
             for p in t:
                 if p not in k_of:
                     k_of[p] = i
-        fs = self.spark.createDataFrame(
-            sorted(k_of.items()), f"__eq_path string, {self._EQ_K} int"
-        )
+        # URI-safe fast path: key the per-file index on the RAW scan URI
+        # (driver-predicted, see _predict_uris) so no per-row decode of
+        # ``_metadata.file_path`` is ever evaluated
+        if uri_of is not None:
+            fs = self.spark.createDataFrame(
+                sorted((uri_of[p], k) for p, k in k_of.items()),
+                f"__eq_path string, {self._EQ_K} int",
+            )
+            join_col = self._POS_FILE
+        else:
+            fs = self.spark.createDataFrame(
+                sorted(k_of.items()), f"__eq_path string, {self._EQ_K} int"
+            )
+            join_col = self._POS_REL
         df = df.join(
             F.broadcast(fs),
-            F.col(self._POS_REL) == F.col("__eq_path"),
+            F.col(join_col) == F.col("__eq_path"),
             "left",
         ).drop("__eq_path")
         groups: dict[tuple, list[DataFrame]] = {}

@@ -428,6 +428,42 @@ def test_mor_deletes_on_special_char_partition_values(spark, tmp_path):
     assert got == set(range(24)) - {0, 1, 2, 3, 4, 5, 6}
 
 
+def test_uri_fastpath_matches_decode_path(spark, tmp_path, monkeypatch):
+    """r10 read-tax fix: safe-charset paths join per-file MoR metadata on
+    the RAW ``_metadata.file_path`` against driver-predicted URIs (no
+    per-row decode in the plan); special-char paths keep the decode
+    fallback.  Both paths must return IDENTICAL rows, and the predictor
+    must refuse any path the URI layer would re-encode."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "uf", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "uf",
+        spark.createDataFrame(
+            [(i, i % 3, f"s{i}") for i in range(30)], "id int, k int, s string"
+        ),
+        batch_id="b0",
+    )
+    # stack BOTH delete kinds so both join shapes execute
+    wh.delete_by_keys("lab", "uf", [1, 2], eq_cols=["id"])
+    wh.delete_by_keys("lab", "uf", [3], eq_cols=["id"])
+    wh.delete_where("lab", "uf", "id = 4", mode="merge-on-read")
+    assert wh._predict_uris(wh._tdir("lab", "uf"), [
+        e["path"] for e in wh.head_snapshot("lab", "uf")["files"]
+    ]) is not None  # plain table takes the fast path
+    fast = sorted(r.id for r in wh.read("lab", "uf").collect())
+    plan = wh.read("lab", "uf")._jdf.queryExecution().executedPlan().toString()
+    assert "url_decode" not in plan  # no per-row decode in the fast plan
+    monkeypatch.setattr(
+        ParquetWarehouse, "_predict_uris", lambda self, t, r: None
+    )
+    slow = sorted(r.id for r in wh.read("lab", "uf").collect())
+    assert fast == slow == sorted(set(range(30)) - {1, 2, 3, 4})
+    monkeypatch.undo()
+    # special-char partition values force the fallback
+    assert wh._predict_uris("/tmp/x", ["data/b/grp=a%20b/f.parquet"]) is None
+    assert wh._predict_uris("/tmp/x", ["data/b/grp=a b/f.parquet"]) is None
+
+
 def test_rewrite_read_version_fences_concurrent_mor_delete(mor_table, spark):
     """Reverse lost-delete race (ADVICE r8): a rewrite that drops files it
     READ before a concurrent MoR delete committed must RAISE — its output
