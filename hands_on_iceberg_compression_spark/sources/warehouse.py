@@ -848,6 +848,7 @@ class ParquetWarehouse:
         table: str,
         target_file_size_bytes: int = 128 * 1024 * 1024,
         partition_filter: dict | None = None,
+        branch: str = "main",
     ) -> int:
         """Rewrite the table's data files toward the target size; returns the
         resulting file count.  Iceberg twin: CALL system.rewrite_data_files
@@ -872,21 +873,35 @@ class ParquetWarehouse:
                     "select victims from"
                 )
             return self._optimize_scoped(
-                schema, table, meta, partition_filter, target_file_size_bytes
+                schema, table, meta, partition_filter,
+                target_file_size_bytes, branch,
             )
         # head capture BEFORE resolving the file list: if a concurrent
         # append commits after this point, the replace-commit below detects
         # the moved head and aborts instead of erasing the append's rows
         head_version = None
         if self._log_mode(meta):
-            head = self.head_snapshot(schema, table)
+            head = self.head_snapshot(schema, table, branch=branch)
             head_version = head["version"] if head else None
-        stats = self.files(schema, table)
-        if not stats:
-            return 0
-        total = sum(s.file_size_in_bytes for s in stats)
+        elif branch != "main":
+            raise ValueError(
+                "branch writes require a log-mode (snapshots=true) table"
+            )
+        if branch != "main":
+            # branch sizing comes from the BRANCH head, not the shared
+            # data dir (which also holds other refs' generations)
+            if head is None:
+                return 0
+            total = sum(e["bytes"] for e in head["files"])
+            if total == 0:
+                return 0
+        else:
+            stats = self.files(schema, table)
+            if not stats:
+                return 0
+            total = sum(s.file_size_in_bytes for s in stats)
         n_files = max(1, math.ceil(total / target_file_size_bytes))
-        df = self.read(schema, table)
+        df = self.read(schema, table, branch=branch)
         data_dir = self._live_data_dir(schema, table)
         if self._log_mode(meta):
             # log mode: compaction is a NEW generation + a commit — the
@@ -920,7 +935,7 @@ class ParquetWarehouse:
             )
             self.commit_snapshot(
                 schema, table, "optimize", file_paths=new,
-                expected_parent=head_version,
+                expected_parent=head_version, branch=branch,
             )
             return len(new)
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
@@ -958,6 +973,7 @@ class ParquetWarehouse:
         meta: TableMeta,
         partition_filter: dict,
         target_file_size_bytes: int,
+        branch: str = "main",
     ) -> int:
         """Partition-scoped compaction body: manifest-selected victims ->
         one new generation -> delta commit (add + drop_files).  A file is a
@@ -965,10 +981,10 @@ class ParquetWarehouse:
         intersects its range (``_pv_disjoint`` semantics); files without
         the value are left alone — scoping selects work, it never affects
         correctness, since rewriting preserves rows."""
-        version = self._latest_version(schema, table)
+        version = self._latest_version(schema, table, branch)
         if version is None:
             return 0
-        head = self._load_head_light(schema, table, version)
+        head = self._load_head_light(schema, table, version, branch)
         static_types = self._partition_static_types(meta.partitioning)
         norm = self._norm_filter(partition_filter)
 
@@ -1031,6 +1047,7 @@ class ParquetWarehouse:
             schema, table, "optimize", add_files=new, drop_files=victim_paths,
             expected_schema_id=head.get("schema_id"),
             rewrite_read_version=version,
+            branch=branch,
         )
         return len(new)
 
@@ -1360,6 +1377,7 @@ class ParquetWarehouse:
         table: str,
         keys,
         eq_cols: list[str] | None = None,
+        branch: str = "main",
     ) -> dict:
         """Iceberg v2 EQUALITY DELETE: remove every row whose key columns
         match one of ``keys`` — with ZERO data IO at delete time.  Where a
@@ -1409,7 +1427,7 @@ class ParquetWarehouse:
                 "delete_by_keys requires a log-mode (snapshots=true) "
                 "table — equality deletes are manifest entries"
             )
-        version = self._latest_version(schema, table)
+        version = self._latest_version(schema, table, branch)
         no_op = {
             "rows_deleted": 0,
             "delete_files_added": 0,
@@ -1418,7 +1436,7 @@ class ParquetWarehouse:
         }
         if version is None:
             return no_op
-        head = self._load_head_light(schema, table, version)
+        head = self._load_head_light(schema, table, version, branch)
 
         # --- normalize keys into (column names, local tuples | DataFrame)
         local: list[tuple] | None
@@ -1544,7 +1562,7 @@ class ParquetWarehouse:
                 return no_op  # empty keys frame
             ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in cols}
         target_entries, total, _head = self._prune_entries(
-            schema, table, ranges, version=version
+            schema, table, ranges, version=version, branch=branch
         )
         if not target_entries:
             # the manifest PROVES no live row can match — no commit, same
@@ -1573,6 +1591,7 @@ class ParquetWarehouse:
                 add_files=[],
                 add_deletes=del_entries,
                 expected_schema_id=(head or {}).get("schema_id"),
+                branch=branch,
             )
         except BaseException:
             shutil.rmtree(del_root, ignore_errors=True)
@@ -1608,6 +1627,7 @@ class ParquetWarehouse:
         ranges: dict | None = None,
         target_file_size_bytes: int = 128 * 1024 * 1024,
         mode: str | None = None,
+        branch: str = "main",
     ) -> dict:
         """Row-level DELETE — Iceberg ``DELETE FROM ... WHERE`` parity,
         copy-on-write flavor: rewrite ONLY the files that may hold matching
@@ -1681,17 +1701,17 @@ class ParquetWarehouse:
             )
         import pyarrow.parquet as pq
 
-        version = self._latest_version(schema, table)
+        version = self._latest_version(schema, table, branch)
         if version is None:
             return {"files_rewritten": 0, "files_kept": 0, "rows_deleted": 0}
-        head = self._load_snapshot(schema, table, version)
+        head = self._load_snapshot(schema, table, version, branch)
         tdir = self._tdir(schema, table)
         entries_by_path = {e["path"]: e for e in head["files"]}
         if ranges is None:
             ranges = self._auto_ranges(condition, head)
         if ranges is not None:
             kept_abs, _total = self.prune_files(
-                schema, table, ranges, version=version
+                schema, table, ranges, version=version, branch=branch
             )
             victim_rel = [os.path.relpath(p, tdir) for p in kept_abs]
         else:
@@ -1777,6 +1797,7 @@ class ParquetWarehouse:
                     add_deletes=del_entries or None,
                     expected_schema_id=head.get("schema_id"),
                     deletes_read_version=version,
+                    branch=branch,
                 )
             except BaseException:
                 if del_root is not None:
@@ -1837,6 +1858,7 @@ class ParquetWarehouse:
             drop_files=victim_paths,
             expected_schema_id=head.get("schema_id"),
             rewrite_read_version=version,
+            branch=branch,
         )
         return {
             "files_rewritten": len(rewrite),
@@ -1857,6 +1879,7 @@ class ParquetWarehouse:
         target_file_size_bytes: int = 128 * 1024 * 1024,
         count_matched: bool = True,
         mode: str | None = None,
+        branch: str = "main",
     ) -> dict:
         """Row-level UPDATE — Iceberg ``UPDATE ... SET ... WHERE``,
         copy-on-write: only files that may hold matching rows are
@@ -1902,10 +1925,10 @@ class ParquetWarehouse:
             )
         import pyarrow.parquet as pq
 
-        version = self._latest_version(schema, table)
+        version = self._latest_version(schema, table, branch)
         if version is None:
             return {"files_rewritten": 0, "files_kept": 0, "rows_matched": 0}
-        head = self._load_snapshot(schema, table, version)
+        head = self._load_snapshot(schema, table, version, branch)
         rec_types: dict[str, str] = {}
         if "schemas" in head:
             rec_types = {
@@ -1928,7 +1951,7 @@ class ParquetWarehouse:
             ranges = self._auto_ranges(condition, head)
         if ranges is not None:
             kept_abs, _total = self.prune_files(
-                schema, table, ranges, version=version
+                schema, table, ranges, version=version, branch=branch
             )
             victim_rel = [os.path.relpath(p, tdir) for p in kept_abs]
         else:
@@ -2069,6 +2092,7 @@ class ParquetWarehouse:
                     # ``version`` — a concurrent MoR delete in between
                     # would not apply to them (higher seq); fence it
                     rewrite_read_version=version,
+                    branch=branch,
                 )
             except BaseException:
                 shutil.rmtree(gen_dir, ignore_errors=True)
@@ -2128,6 +2152,7 @@ class ParquetWarehouse:
             schema, table, "update", add_files=new, drop_files=victim_paths,
             expected_schema_id=head.get("schema_id"),
             rewrite_read_version=version,
+            branch=branch,
         )
         return {
             "files_rewritten": len(victims),
@@ -3235,6 +3260,7 @@ class ParquetWarehouse:
         table: str,
         ranges: dict,
         version: int | None = None,
+        branch: str = "main",
     ) -> tuple[list[str], int]:
         """Manifest-level file pruning — Iceberg's planning-time data
         skipping: drop every file whose recorded ``[lower, upper]`` bounds
@@ -3277,7 +3303,7 @@ class ParquetWarehouse:
         absolute paths, total files in the manifest)."""
         tdir = self._tdir(schema, table)
         entries, total, _head = self._prune_entries(
-            schema, table, ranges, version=version
+            schema, table, ranges, version=version, branch=branch
         )
         return [os.path.join(tdir, e["path"]) for e in entries], total
 
@@ -3287,6 +3313,7 @@ class ParquetWarehouse:
         table: str,
         ranges: dict,
         version: int | None = None,
+        branch: str = "main",
     ) -> tuple[list[dict], int, dict]:
         """``prune_files`` body returning the kept ENTRIES plus the head —
         what schema-aware readers need (each entry's ``sid`` picks its
@@ -3298,12 +3325,12 @@ class ParquetWarehouse:
                 "dir-mode reads already rely on parquet footer stats"
             )
         if version is None:
-            version = self._latest_version(schema, table)
+            version = self._latest_version(schema, table, branch)
             if version is None:
                 raise ValueError(
                     f"log-mode table {schema}.{table} has no committed snapshot"
                 )
-        head = self._load_head_light(schema, table, version)
+        head = self._load_head_light(schema, table, version, branch)
         norm = self._norm_filter(ranges)
         static_types = self._partition_static_types(meta.partitioning)
         bmaps = self._bounds_maps(head)
@@ -3795,6 +3822,7 @@ class ParquetWarehouse:
         deletes_read_version: int | None = None,
         rewrite_read_version: int | None = None,
         branch: str = "main",
+        extra_meta: dict | None = None,
     ) -> dict:
         """Record a snapshot v{N} — a small HEAD file listing immutable
         segment files that together hold the per-file entries (paths,
@@ -4262,6 +4290,10 @@ class ParquetWarehouse:
                 import time as _time
 
                 manifest = {
+                    # caller provenance first (cherry_pick records
+                    # from_branch/picked for idempotent merge_branch
+                    # re-runs) — reserved keys below always win
+                    **(extra_meta or {}),
                     "version": version,
                     "parent": head["version"] if head else None,
                     "operation": operation,
@@ -4953,6 +4985,9 @@ class ParquetWarehouse:
                 mhead["version"] if pos_targets else None
             ),
             expected_schema_id=mhead.get("schema_id"),
+            # provenance: lets merge_branch skip already-picked commits
+            # on a crashed re-run (idempotency over retained history)
+            extra_meta={"from_branch": name, "picked": version},
         )
         return {
             "version": manifest["version"],
@@ -4961,6 +4996,63 @@ class ParquetWarehouse:
             "files_added": len(added),
             "files_dropped": len(dropped),
             "delete_files_added": len(added_dels),
+        }
+
+    def merge_branch(self, schema: str, table: str, name: str) -> dict:
+        """Publish a branch whether or not main moved — the full Nessie
+        merge: ``fast_forward`` when main still sits at the fork point
+        (one O(refs) commit), otherwise ``cherry_pick`` every unpublished
+        branch commit oldest-first (each pick is one atomic main commit;
+        a conflicting pick raises mid-way and the commits already picked
+        stay published — re-running resumes, because picks record
+        ``from_branch``/``picked`` in their manifests and the resume walk
+        skips them).  Metadata-only branch commits (DDL) are skipped and
+        reported — re-apply DDL on main directly; a branch whose LATER
+        data commits depend on branch-side DDL refuses at that pick's
+        schema fence.  The resume walk covers RETAINED main history
+        (fork..head); expiring that window between a crash and the
+        re-run forfeits the skip and a commit could pick twice — rerun
+        promptly or drop the branch after a completed merge."""
+        versions = self._snapshot_versions(schema, table, name)
+        if not versions:
+            raise ValueError(f"no branch {name!r} on {schema}.{table}")
+        fork = versions[0]
+        main_v = self._latest_version(schema, table)
+        if main_v == fork:
+            out = self.fast_forward(schema, table, name)
+            return {"strategy": "fast_forward", **out}
+        # diverged: collect what main already has from this branch
+        already: set[int] = set()
+        v = main_v
+        while v is not None and v > fork:
+            try:
+                h = self._load_head_light(schema, table, v)
+            except (FileNotFoundError, KeyError):
+                break  # expired history: can't see older picks
+            if h.get("from_branch") == name:
+                if h.get("operation") == "fast_forward":
+                    already |= set(range(fork + 1, h["branch_head"] + 1))
+                elif h.get("picked") is not None:
+                    already.add(h["picked"])
+            v = h.get("parent")
+        picked, skipped = [], []
+        for bv in versions[1:]:
+            if bv in already:
+                continue
+            try:
+                self.cherry_pick(schema, table, name, bv)
+            except ValueError as e:
+                if "no data delta" in str(e):
+                    skipped.append(bv)  # DDL/metadata-only commit
+                    continue
+                raise
+            picked.append(bv)
+        return {
+            "strategy": "cherry_pick",
+            "picked": picked,
+            "skipped_metadata_only": skipped,
+            "already_published": sorted(already & set(versions[1:])),
+            "version": self._latest_version(schema, table),
         }
 
     # --- catalog-level refs: ONE versioned view over MANY tables ---------
@@ -5590,6 +5682,7 @@ class ParquetWarehouse:
         key_cols: list[str],
         delete_col: str | None = None,
         mode: str | None = None,
+        branch: str = "main",
     ) -> dict:
         """Upsert ``updates`` into the table by key (MERGE INTO analogue —
         parquet has no transaction log, so this is copy-on-write).
@@ -5641,7 +5734,11 @@ class ParquetWarehouse:
                 "(snapshots=true) table — equality deletes are manifest "
                 "entries"
             )
-        table_cols = self.read(schema, table).columns
+        if branch != "main" and not self._log_mode(meta):
+            raise ValueError(
+                "branch writes require a log-mode (snapshots=true) table"
+            )
+        table_cols = self.read(schema, table, branch=branch).columns
         # updates drives several actions (stats aggregate, discovery scan,
         # the write); truncate its lineage once so a heavy upstream plan
         # (e.g. the streaming sink's keep-latest window) runs once, not 4x
@@ -5688,16 +5785,16 @@ class ParquetWarehouse:
         if self._log_mode(meta) and mode == "merge-on-read":
             import pyarrow.parquet as pq
 
-            version = self._latest_version(schema, table)
+            version = self._latest_version(schema, table, branch)
             if version is None:
                 # empty table: a MoR upsert batch is just an append
                 # (append conforms and applies partition transforms)
                 if n_updates > n_deleted:
-                    self.append(schema, table, upserts)
+                    self.append(schema, table, upserts, branch=branch)
                 result["mode"] = "merge-on-read"
                 result["delete_files_added"] = 0
                 return result
-            head = self._load_head_light(schema, table, version)
+            head = self._load_head_light(schema, table, version, branch)
             # resolve key columns against the recorded schema and CAST
             # FIRST (ADVICE r8: an envelope over pre-cast values can prune
             # a file the post-cast keys actually match), then ONE tiny agg
@@ -5737,7 +5834,7 @@ class ParquetWarehouse:
                 )
             ranges = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in key_cols}
             target_entries, _total, _h = self._prune_entries(
-                schema, table, ranges, version=version
+                schema, table, ranges, version=version, branch=branch
             )
             key_ranges = self._store_key_ranges(ranges)
             # new row images: same conform-and-commit shape as append()
@@ -5749,7 +5846,7 @@ class ParquetWarehouse:
                 if part_specs:
                     ups, _ = apply_partition_transforms(ups, meta.partitioning)
                 ups, schema_fields = self._conform_log_schema(
-                    schema, table, ups.select(*table_cols)
+                    schema, table, ups.select(*table_cols), branch=branch
                 )
                 gen_dir = os.path.join(
                     data_dir, f"merge_{uuid.uuid4().hex[:8]}"
@@ -5796,6 +5893,7 @@ class ParquetWarehouse:
                         if schema_fields is None
                         else None
                     ),
+                    branch=branch,
                 )
             except BaseException:
                 if del_root is not None:
@@ -5819,9 +5917,11 @@ class ParquetWarehouse:
             # generation + commit (same retention story as optimize) — no
             # swap, no deletion, time travel to the pre-merge snapshot
             # keeps working until expiry
-            head_version = self.head_snapshot(schema, table)["version"]
+            head_version = self.head_snapshot(schema, table, branch=branch)["version"]
             part_names = [n for n, _ in part_specs]
-            kept = self.read(schema, table).join(changed_keys, key_cols, "left_anti")
+            kept = self.read(schema, table, branch=branch).join(
+                changed_keys, key_cols, "left_anti"
+            )
             ups = upserts
             if part_specs:
                 ups, _ = apply_partition_transforms(ups, meta.partitioning)
@@ -5841,7 +5941,7 @@ class ParquetWarehouse:
             )
             self.commit_snapshot(
                 schema, table, "merge_upsert", file_paths=new,
-                expected_parent=head_version,
+                expected_parent=head_version, branch=branch,
             )
             if part_names:
                 result["partitions_rewritten"] = len(

@@ -227,3 +227,96 @@ def test_branch_api_guards(br_table, spark):
     # publishing a branch with no commits is a no-op
     out = wh.fast_forward("lab", "brt", "dup")
     assert out["published"] == 0
+
+
+def test_full_dml_on_branch_stays_isolated(br_table, spark):
+    """r10: the whole DML set takes ``branch=`` — stage deletes, updates,
+    MoR upserts, and compaction on a branch; main is byte-untouched until
+    fast_forward publishes the audited result."""
+    wh = br_table
+    fork = wh._latest_version("lab", "brt")
+    wh.create_branch("lab", "brt", "dml")
+    # equality delete (zero data IO) on the branch
+    out = wh.delete_by_keys("lab", "brt", [0, 1], eq_cols=["id"], branch="dml")
+    assert out["delete_files_added"] == 1
+    # MoR position delete on the branch
+    wh.delete_where("lab", "brt", "id = 2", mode="merge-on-read", branch="dml")
+    # CoW update on the branch
+    wh.update_where("lab", "brt", "id = 3", {"src": "'patched'"}, branch="dml")
+    # MoR upsert batch (update one key + insert one) on the branch
+    wh.merge_upsert(
+        "lab", "brt",
+        spark.createDataFrame(
+            [(4, "upserted"), (500, "fresh")], "id int, src string"
+        ),
+        ["id"], mode="merge-on-read", branch="dml",
+    )
+    # compaction folds every pending branch delete
+    wh.optimize("lab", "brt", branch="dml")
+    bh = wh.head_snapshot("lab", "brt", branch="dml")
+    assert wh._head_deletes("lab", "brt", bh) == []
+    got = {r.id: r.src for r in wh.read("lab", "brt", branch="dml").collect()}
+    assert set(got) == (set(range(20)) - {0, 1, 2}) | {500}
+    assert got[3] == "patched" and got[4] == "upserted" and got[500] == "fresh"
+    # main never moved and still reads the original 20 rows
+    assert wh._latest_version("lab", "brt") == fork
+    assert wh.read("lab", "brt").count() == 20
+    # publish: main flips to the audited state atomically
+    wh.fast_forward("lab", "brt", "dml")
+    pub = {r.id: r.src for r in wh.read("lab", "brt").collect()}
+    assert pub == got
+
+
+def test_merge_branch_fast_forward_divergent_and_resume(br_table, spark):
+    wh = br_table
+    # leg 1: main did not move -> merge IS a fast-forward
+    wh.create_branch("lab", "brt", "m1")
+    wh.append(
+        "lab", "brt",
+        spark.createDataFrame([(600, "s1")], "id int, src string"),
+        batch_id="s1", branch="m1",
+    )
+    out = wh.merge_branch("lab", "brt", "m1")
+    assert out["strategy"] == "fast_forward"
+    assert wh.read("lab", "brt").count() == 21
+    # leg 2: diverged -> every staged commit cherry-picks in order
+    wh.create_branch("lab", "brt", "m2")
+    for i in range(3):
+        wh.append(
+            "lab", "brt",
+            spark.createDataFrame([(700 + i, "s2")], "id int, src string"),
+            batch_id=f"s2{i}", branch="m2",
+        )
+    wh.append(  # diverge main
+        "lab", "brt",
+        spark.createDataFrame([(800, "mainline")], "id int, src string"),
+        batch_id="m",
+    )
+    out = wh.merge_branch("lab", "brt", "m2")
+    assert out["strategy"] == "cherry_pick"
+    assert len(out["picked"]) == 3
+    got = wh.read("lab", "brt")
+    assert got.count() == 25
+    assert got.filter(F.col("src") == "s2").count() == 3
+    # leg 3: resume after a partial merge — pick one commit by hand
+    # (simulating a crash mid-merge), then merge_branch skips it
+    wh.create_branch("lab", "brt", "m3")
+    for i in range(2):
+        wh.append(
+            "lab", "brt",
+            spark.createDataFrame([(900 + i, "s3")], "id int, src string"),
+            batch_id=f"s3{i}", branch="m3",
+        )
+    wh.append(
+        "lab", "brt",
+        spark.createDataFrame([(801, "mainline")], "id int, src string"),
+        batch_id="m2",
+    )
+    bvers = wh._snapshot_versions("lab", "brt", "m3")
+    wh.cherry_pick("lab", "brt", "m3", bvers[1])  # the "crashed" half
+    out = wh.merge_branch("lab", "brt", "m3")
+    assert out["already_published"] == [bvers[1]]
+    assert out["picked"] == [bvers[2]]
+    got = wh.read("lab", "brt")
+    assert got.filter(F.col("src") == "s3").count() == 2  # no double pick
+    assert got.count() == 28
