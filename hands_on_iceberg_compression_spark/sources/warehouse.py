@@ -518,7 +518,12 @@ class ParquetWarehouse:
             return self.spark.read.option("basePath", data_root).parquet(data_root)
         return self.spark.read.option("recursiveFileLookup", "true").parquet(data_root)
 
-    def is_empty(self, schema: str, table: str) -> bool:
+    def is_empty(self, schema: str, table: str, branch: str = "main") -> bool:
+        if branch != "main":
+            # branch emptiness is a MANIFEST question (the shared data
+            # dir also holds other refs' generations)
+            head = self._head_light(schema, table, branch)
+            return head is None or head.get("total_rows", 0) == 0
         return not self._data_files(schema, table)
 
     # --- C7/C8: metrology ($files-equivalent) ----------------------------

@@ -290,6 +290,7 @@ def stream_upsert_latest_into_warehouse(
     checkpoint_dir: str,
     mode: str | None = None,
     maintenance_every: int | None = None,
+    branch: str = "main",
 ) -> None:
     """Streaming CDC: maintain a keep-latest-per-(user_id, event_type)
     snapshot table via ``merge_upsert`` from ``foreachBatch`` — the
@@ -313,7 +314,10 @@ def stream_upsert_latest_into_warehouse(
     (the replay's equality delete targets the first attempt's image
     files).  ``maintenance_every`` folds the accumulated delete files
     with a full ``optimize()`` every N epochs — the ingest-cadence
-    maintenance loop that keeps the read-side anti-join tax bounded."""
+    maintenance loop that keeps the read-side anti-join tax bounded.
+    ``branch`` stages the whole CDC stream on a named ref (write-audit-
+    publish for streaming ingest): every epoch commits to the branch and
+    main stays untouched until ``fast_forward``/``merge_branch``."""
     import os
 
     from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
@@ -322,10 +326,13 @@ def stream_upsert_latest_into_warehouse(
         if not batch_df.take(1):
             return
         latest = keep_latest(batch_df)
-        if warehouse.is_empty(schema, table):
-            warehouse.append(schema, table, latest, batch_id=f"epoch_{epoch_id:08d}")
+        if warehouse.is_empty(schema, table, branch=branch):
+            warehouse.append(
+                schema, table, latest,
+                batch_id=f"epoch_{epoch_id:08d}", branch=branch,
+            )
             return
-        stored = warehouse.read(schema, table).select(
+        stored = warehouse.read(schema, table, branch=branch).select(
             "user_id",
             "event_type",
             F.col("ts").alias("_cur_ts"),
@@ -341,10 +348,11 @@ def stream_upsert_latest_into_warehouse(
             .drop("_cur_ts", "_cur_id")
         )
         warehouse.merge_upsert(
-            schema, table, fresh, ["user_id", "event_type"], mode=mode
+            schema, table, fresh, ["user_id", "event_type"],
+            mode=mode, branch=branch,
         )
         if maintenance_every and (epoch_id + 1) % maintenance_every == 0:
-            warehouse.optimize(schema, table)
+            warehouse.optimize(schema, table, branch=branch)
 
     q = (
         events.writeStream.foreachBatch(_sink)

@@ -225,6 +225,62 @@ def test_streaming_upsert_merge_on_read_converges_and_folds(spark, tmp_path):
     assert refolded.equals(want)
 
 
+def test_streaming_upsert_onto_branch_stays_isolated(spark, tmp_path):
+    """r10: the CDC sink takes ``branch=`` — the whole stream stages on a
+    ref (write-audit-publish for streaming ingest); main never moves
+    until fast_forward, then flips to exactly the branch snapshot."""
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+        q_dedup_keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_upsert_latest_into_warehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "latest_br", "zstd", 3, properties={"snapshots": "true"}
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    half = ev.filter(F.col("event_id") < ev.count() / 2)
+    wh.append("lab", "latest_br", keep_latest(half), batch_id="seed")
+    fork = wh._latest_version("lab", "latest_br")
+    seed_rows = wh.read("lab", "latest_br").count()
+    wh.create_branch("lab", "latest_br", "ingest")
+
+    stream = read_events_stream(spark, SF_SMALL)
+    stream_upsert_latest_into_warehouse(
+        stream, wh, "lab", "latest_br", str(tmp_path / "ckpt_br"),
+        mode="merge-on-read", branch="ingest",
+    )
+    # main untouched through the whole stream
+    assert wh._latest_version("lab", "latest_br") == fork
+    assert wh.read("lab", "latest_br").count() == seed_rows
+    want = (
+        q_dedup_keep_latest(spark, SF_SMALL)
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    got_branch = (
+        wh.read("lab", "latest_br", branch="ingest")
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert got_branch.equals(want)
+    wh.fast_forward("lab", "latest_br", "ingest")
+    got_main = (
+        wh.read("lab", "latest_br")
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert got_main.equals(want)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Late-data semantics, directly: an event older than the watermark
     arriving in a later micro-batch must be DROPPED from the windowed
