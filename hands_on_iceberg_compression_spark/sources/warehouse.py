@@ -323,6 +323,9 @@ class ParquetWarehouse:
         # written, so caching is always safe); bounded LRU in _load_segment
         self._seg_cache: dict[str, list] = {}
         self._seg_parses = 0  # cache-miss counter (test observability)
+        # None = unverified; set by _predict_uris' one-time probe (a
+        # wrong URI prediction would silently un-apply MoR deletes)
+        self._uri_predictable: bool | None = None
 
     # --- B1: schema/namespace ------------------------------------------
     def create_schema(self, schema: str) -> None:
@@ -663,6 +666,27 @@ class ParquetWarehouse:
             if not self._URI_SAFE.fullmatch(p):
                 return None
             out[r] = "file:" + p
+        # A WRONG prediction would be silent data corruption in the bad
+        # direction: the k-index join misses, ``__eq_k`` comes back NULL,
+        # the anti-join condition is NULL, and DELETED ROWS REAPPEAR.  So
+        # the first fast-path use per warehouse instance VERIFIES the
+        # prediction against one real scan (a relative root resolved
+        # differently by Spark's FS layer, or a non-local default FS,
+        # would mismatch); any mismatch disables prediction for the
+        # instance's lifetime and every read takes the decode fallback.
+        if out and self._uri_predictable is None:
+            r0 = next(iter(out))
+            try:
+                actual = (
+                    self.spark.read.parquet(os.path.join(base, r0))
+                    .select(F.col("_metadata.file_path"))
+                    .first()[0]
+                )
+                self._uri_predictable = actual == out[r0]
+            except Exception:
+                self._uri_predictable = False
+        if not self._uri_predictable:
+            return None
         return out
 
     @classmethod
