@@ -113,7 +113,11 @@ def _cmd_catalog_report(args: argparse.Namespace) -> int:
         return 0
     latest = wh.latest_catalog_version()
     for v in versions:
-        head = wh.catalog_head(v)
+        try:
+            head = wh.catalog_head(v)
+        except ValueError:
+            continue  # expired between listdir and open
+
         ts = _dt.datetime.fromtimestamp(head["ts"]).isoformat(" ", "seconds")
         pins = "  ".join(
             f"{k}@v{pv}" for k, pv in sorted(head["tables"].items())
