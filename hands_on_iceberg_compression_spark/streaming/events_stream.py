@@ -338,6 +338,12 @@ def stream_upsert_latest_into_warehouse(
             F.col("ts").alias("_cur_ts"),
             F.col("event_id").alias("_cur_id"),
         )
+        # note on the join order: Spark 4 builds the LEFT (batch) side of
+        # this left-outer join as a broadcast (BuildLeft) and STREAMS the
+        # stored table — one scan, zero stored-side exchange (verified on
+        # the executed plan; a semi-join pre-reduction measured SLOWER
+        # because it adds a pass for nothing).  The freshness check is
+        # inherently one stored-table scan per epoch.
         fresh = (
             latest.join(stored, ["user_id", "event_type"], "left")
             .filter(
