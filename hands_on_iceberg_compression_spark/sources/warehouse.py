@@ -323,9 +323,11 @@ class ParquetWarehouse:
         # written, so caching is always safe); bounded LRU in _load_segment
         self._seg_cache: dict[str, list] = {}
         self._seg_parses = 0  # cache-miss counter (test observability)
-        # None = unverified; set by _predict_uris' one-time probe (a
-        # wrong URI prediction would silently un-apply MoR deletes)
-        self._uri_predictable: bool | None = None
+        # None = unverified; set by _predict_uris' probe to (resolved
+        # base dir, verdict) — a wrong URI prediction would silently
+        # un-apply MoR deletes, and the verdict is only valid for the
+        # base it was probed against
+        self._uri_predictable: tuple[str, bool] | None = None
 
     # --- B1: schema/namespace ------------------------------------------
     def create_schema(self, schema: str) -> None:
@@ -524,9 +526,15 @@ class ParquetWarehouse:
     def is_empty(self, schema: str, table: str, branch: str = "main") -> bool:
         if branch != "main":
             # branch emptiness is a MANIFEST question (the shared data
-            # dir also holds other refs' generations)
+            # dir also holds other refs' generations).  Legacy inline-
+            # files heads record no total_rows — fall back to the file
+            # list (entries with 0 rows are never written).
             head = self._head_light(schema, table, branch)
-            return head is None or head.get("total_rows", 0) == 0
+            if head is None:
+                return True
+            if "total_rows" in head:
+                return head["total_rows"] == 0
+            return not head.get("files") and not head.get("segments")
         return not self._data_files(schema, table)
 
     # --- C7/C8: metrology ($files-equivalent) ----------------------------
@@ -674,7 +682,15 @@ class ParquetWarehouse:
         # differently by Spark's FS layer, or a non-local default FS,
         # would mismatch); any mismatch disables prediction for the
         # instance's lifetime and every read takes the decode fallback.
-        if out and self._uri_predictable is None:
+        rkey = os.path.abspath(self.root)
+        if out and (
+            self._uri_predictable is None
+            or self._uri_predictable[0] != rkey
+        ):
+            # (re)probe whenever the RESOLVED base changes: a relative
+            # warehouse root re-resolves after os.chdir while Spark's FS
+            # layer keeps its own working dir — a stale True verdict
+            # would silently un-apply MoR deletes
             r0 = next(iter(out))
             try:
                 actual = (
@@ -682,10 +698,10 @@ class ParquetWarehouse:
                     .select(F.col("_metadata.file_path"))
                     .first()[0]
                 )
-                self._uri_predictable = actual == out[r0]
+                self._uri_predictable = (rkey, actual == out[r0])
             except Exception:
-                self._uri_predictable = False
-        if not self._uri_predictable:
+                self._uri_predictable = (rkey, False)
+        if not (self._uri_predictable and self._uri_predictable[1]):
             return None
         return out
 
@@ -2849,6 +2865,7 @@ class ParquetWarehouse:
                 "parent": head["version"],
                 "operation": operation,
                 "ts": round(_time.time(), 3),
+                "last_seq": head.get("last_seq", head["version"]),
                 "segments": head["segments"],
                 "total_rows": head.get("total_rows"),
                 "total_bytes": head.get("total_bytes"),
@@ -4102,14 +4119,26 @@ class ParquetWarehouse:
                 created[:] = [n for n in created if n not in derived]
                 derived = []
                 version = (head["version"] + 1) if head else 1
-                # (re)stamp this commit's OWN entries with the attempt's
-                # version — the commit sequence number equality-delete
-                # scoping keys on — and (re)serialize its segments.  A
-                # retry rewrites small JSON only; reused parent entries
-                # keep their original seq (fresh_list excludes them).
-                if seg_stamp_v != version:
+                # DATA SEQUENCE NUMBER, decoupled from the version counter
+                # (Iceberg separates sequence-number from snapshot-id for
+                # exactly this reason): heads carry ``last_seq`` and each
+                # commit stamps ``last_seq + 1``.  Legacy heads without it
+                # default to their version — valid because seq WAS the
+                # version while both counters moved in lockstep.  The
+                # counters diverge at fast_forward: a branch advances the
+                # SHARED seq counter past the fork while main's version
+                # stays put, so the publish commit inherits the branch's
+                # last_seq and later main commits stamp ABOVE every
+                # carried entry — under version-as-seq, a post-publish
+                # equality delete (seq = small main version) silently
+                # skipped branch entries stamped with larger branch
+                # versions (strictly-lower-seq rule inverted).
+                seq = (
+                    head.get("last_seq", head["version"]) if head else 0
+                ) + 1
+                if seg_stamp_v != seq:
                     for e in fresh_list:
-                        e["seq"] = version
+                        e["seq"] = seq
                     if is_delta:
                         if new_ref is not None:
                             _gc([new_ref["path"]])
@@ -4131,12 +4160,12 @@ class ParquetWarehouse:
                             _gc([dseg_new_ref["path"]])
                             created.remove(dseg_new_ref["path"])
                         for d in add_deletes:
-                            d["seq"] = version
+                            d["seq"] = seq
                         dseg_new_ref = self._write_delete_segment(
                             schema, table, add_deletes
                         )
                         created.append(dseg_new_ref["path"])
-                    seg_stamp_v = version
+                    seg_stamp_v = seq
                 # Delta-rewrite schema fence (ADVICE r7): delete_where/
                 # update_where/scoped-optimize rewrites pass the schema_id
                 # of the head they READ; their new files physically carry
@@ -4329,6 +4358,7 @@ class ParquetWarehouse:
                     # commit wall time — Iceberg's committed_at, feeding
                     # age-based expiry and $history
                     "ts": round(_time.time(), 3),
+                    "last_seq": seq,
                     "segments": refs,
                     "total_rows": sum(r["rows"] for r in refs),
                     "total_bytes": sum(r["bytes"] for r in refs),
@@ -4478,7 +4508,10 @@ class ParquetWarehouse:
         publish (Iceberg's version-hint.text posture).  Atomic via
         tmp+rename; racing writers may land an OLDER value — harmless,
         ``_latest_version`` probes forward from whatever it reads."""
-        hint = self._hint_path(schema, table, branch)
+        self._write_hint_file(self._hint_path(schema, table, branch), version)
+
+    @staticmethod
+    def _write_hint_file(hint: str, version: int) -> None:
         tmp = hint + f".{uuid.uuid4().hex[:8]}"
         try:
             with open(tmp, "w") as f:
@@ -4501,17 +4534,29 @@ class ParquetWarehouse:
         Read the hint, verify it, probe forward until the next version is
         absent; a stale hint costs probe steps, never a wrong answer, and
         a missing/expired hint falls back to the listing."""
-        d = self._ref_dir(schema, table, branch)
+        return self._probe_latest(
+            self._ref_dir(schema, table, branch),
+            self._hint_path(schema, table, branch),
+            lambda: self._snapshot_versions(schema, table, branch),
+        )
+
+    @staticmethod
+    def _probe_latest(d: str, hint: str, versions_fn) -> int | None:
+        """Hint + forward-probe head discovery, shared by per-ref heads
+        and the catalog: read the hint, verify it, probe forward until
+        the next version is absent; a stale hint costs probe steps,
+        never a wrong answer; a missing/expired hint falls back to the
+        listing (one protocol — fixes land once)."""
         v: int | None = None
         try:
-            with open(self._hint_path(schema, table, branch)) as f:
+            with open(hint) as f:
                 v = int(f.read().strip())
             if not os.path.isfile(os.path.join(d, f"v{v:06d}.json")):
                 v = None  # hint outlived expiry or belongs elsewhere
         except (OSError, ValueError):
             v = None
         if v is None:
-            versions = self._snapshot_versions(schema, table, branch)
+            versions = versions_fn()
             if not versions:
                 return None
             v = versions[-1]
@@ -4649,6 +4694,7 @@ class ParquetWarehouse:
                 "parent": head["version"],
                 "operation": "rewrite_manifests",
                 "ts": round(_time.time(), 3),
+                "last_seq": head.get("last_seq", head["version"]),
                 "segments": [merged],
                 "total_rows": merged["rows"],
                 "total_bytes": merged["bytes"],
@@ -4859,7 +4905,15 @@ class ParquetWarehouse:
                 "parent": main_v,
                 "operation": "fast_forward",
                 "ts": round(_time.time(), 3),
+                # the branch advanced the SHARED data-sequence counter
+                # past the fork; main must continue from it or later
+                # eq deletes would skip the carried entries (the seq
+                # skew bug — see commit_snapshot's last_seq note)
+                "last_seq": bhead.get("last_seq", bhead_v),
                 "from_branch": name,
+                "from_branch_ts": self._load_head_light(
+                    schema, table, fork, name
+                ).get("ts"),
                 "branch_head": bhead_v,
             })
             path = os.path.join(
@@ -4923,6 +4977,10 @@ class ParquetWarehouse:
                 f"head v{versions[-1]})"
             )
         parent_v = versions[versions.index(version) - 1]
+        # the fork record's ts identifies THIS branch incarnation — a
+        # dropped-and-recreated branch at the same fork reuses version
+        # NUMBERS, so picks must be keyed on more than (name, version)
+        fork_rec = self._load_head_light(schema, table, versions[0], name)
         bhead = self._load_head_light(schema, table, version, name)
         bparent = self._load_head_light(schema, table, parent_v, name)
         by_v = {
@@ -5002,6 +5060,40 @@ class ParquetWarehouse:
                     f"(e.g. {gone[0]!r}) — main rewrote or deleted them "
                     "since the fork"
                 )
+        if dropped:
+            # Resurrection fence (the branch-side mirror of
+            # commit_snapshot's rewrite_read_version): the pick's ADDED
+            # files re-materialize the DROPPED files' rows as the branch
+            # read them — any main pending MoR delete the branch never
+            # saw was NOT applied to that rewrite, and the re-stamped
+            # adds carry a HIGHER seq than the pending delete, so its
+            # rows would silently resurrect.  Deletes the branch parent
+            # already carried were applied by the branch's rewrite read
+            # and pass freely.  O(pending deletes), metadata-only.
+            known = {
+                d["path"]
+                for d in self._head_deletes(schema, table, bparent)
+            }
+            dropped_set = set(dropped)
+            unseen = [
+                d
+                for d in self._head_deletes(schema, table, mhead)
+                if d["path"] not in known
+                and (
+                    d.get("kind") != "pos"
+                    or set(d.get("targets") or []) & dropped_set
+                )
+            ]
+            if unseen:
+                raise RuntimeError(
+                    f"cannot cherry-pick {schema}.{table} "
+                    f"{name}@v{version}: it rewrites files that "
+                    f"{len(unseen)} merge-on-read delete(s) committed on "
+                    "main since the fork still apply to — publishing "
+                    "would resurrect the deleted rows; optimize() main "
+                    "to fold them, then re-stage the rewrite on a fresh "
+                    "branch (the fold replaces this pick's victims)"
+                )
         tdir = self._tdir(schema, table)
         manifest = self.commit_snapshot(
             schema, table, "cherry_pick",
@@ -5015,8 +5107,13 @@ class ParquetWarehouse:
             ),
             expected_schema_id=mhead.get("schema_id"),
             # provenance: lets merge_branch skip already-picked commits
-            # on a crashed re-run (idempotency over retained history)
-            extra_meta={"from_branch": name, "picked": version},
+            # on a crashed re-run (idempotency over retained history);
+            # the fork ts scopes the skip to THIS branch incarnation
+            extra_meta={
+                "from_branch": name,
+                "picked": version,
+                "picked_branch_ts": fork_rec.get("ts"),
+            },
         )
         return {
             "version": manifest["version"],
@@ -5050,7 +5147,13 @@ class ParquetWarehouse:
         if main_v == fork:
             out = self.fast_forward(schema, table, name)
             return {"strategy": "fast_forward", **out}
-        # diverged: collect what main already has from this branch
+        # diverged: collect what main already has from THIS branch
+        # incarnation (the fork record's ts): a dropped-and-recreated
+        # branch reuses version numbers, so records from a previous
+        # incarnation must NOT mark the new commits as published.
+        # Records written before incarnation stamping (no ts field)
+        # conservatively match — preserves resume behavior on upgrade.
+        fid = self._load_head_light(schema, table, fork, name).get("ts")
         already: set[int] = set()
         v = main_v
         while v is not None and v > fork:
@@ -5059,9 +5162,13 @@ class ParquetWarehouse:
             except (FileNotFoundError, KeyError):
                 break  # expired history: can't see older picks
             if h.get("from_branch") == name:
-                if h.get("operation") == "fast_forward":
+                if h.get("operation") == "fast_forward" and h.get(
+                    "from_branch_ts", fid
+                ) == fid:
                     already |= set(range(fork + 1, h["branch_head"] + 1))
-                elif h.get("picked") is not None:
+                elif h.get("picked") is not None and h.get(
+                    "picked_branch_ts", fid
+                ) == fid:
                     already.add(h["picked"])
             v = h.get("parent")
         picked, skipped = [], []
@@ -5112,22 +5219,9 @@ class ParquetWarehouse:
         catalog commits are publish-cadence (rare), so the listdir
         fallback is also fine."""
         d = self._catalog_dir()
-        v: int | None = None
-        try:
-            with open(os.path.join(d, "version-hint.txt")) as f:
-                v = int(f.read().strip())
-            if not os.path.isfile(os.path.join(d, f"v{v:06d}.json")):
-                v = None
-        except (OSError, ValueError):
-            v = None
-        if v is None:
-            versions = self._catalog_versions()
-            if not versions:
-                return None
-            v = versions[-1]
-        while os.path.isfile(os.path.join(d, f"v{v + 1:06d}.json")):
-            v += 1
-        return v
+        return self._probe_latest(
+            d, os.path.join(d, "version-hint.txt"), self._catalog_versions
+        )
 
     def catalog_head(self, version: int | None = None) -> dict | None:
         """The catalog manifest at ``version`` (default: latest); None
@@ -5195,16 +5289,9 @@ class ParquetWarehouse:
             if self._cas_link(
                 manifest, os.path.join(d, f"v{version:06d}.json")
             ):
-                tmp = os.path.join(d, f"hint.{uuid.uuid4().hex[:8]}")
-                try:
-                    with open(tmp, "w") as f:
-                        f.write(str(version))
-                    os.replace(tmp, os.path.join(d, "version-hint.txt"))
-                except OSError:
-                    try:
-                        os.unlink(tmp)
-                    except FileNotFoundError:
-                        pass
+                self._write_hint_file(
+                    os.path.join(d, "version-hint.txt"), version
+                )
                 return manifest
             # lost the race: merge over the winner's table map and retry
 
@@ -5226,6 +5313,31 @@ class ParquetWarehouse:
             s, t = name.split(".", 1)
             out[name] = self.read_snapshot(s, t, head["tables"][name])
         return out
+
+    def _find_publish(
+        self, schema: str, table: str, name: str, fork: int, bhead_v: int
+    ) -> int | None:
+        """The main version at which branch ``name``'s head ``bhead_v``
+        was already fast-forwarded, or None.  Walks main heads back to
+        the fork (O(commits since fork), heads are light) so a crashed
+        ``publish_tables`` resumes even after unrelated commits landed
+        on top of the published half."""
+        fid = self._load_head_light(schema, table, fork, name).get("ts")
+        v = self._latest_version(schema, table)
+        while v is not None and v > fork:
+            try:
+                h = self._load_head_light(schema, table, v)
+            except (FileNotFoundError, KeyError):
+                return None  # expired history: can't verify
+            if (
+                h.get("operation") == "fast_forward"
+                and h.get("from_branch") == name
+                and h.get("branch_head") == bhead_v
+                and h.get("from_branch_ts", fid) == fid
+            ):
+                return h["version"]
+            v = h.get("parent")
+        return None
 
     def publish_tables(
         self,
@@ -5252,15 +5364,12 @@ class ParquetWarehouse:
             if not versions:
                 raise ValueError(f"no branch {name!r} on {s}.{t}")
             bhead_v = versions[-1]
-            mhead = self._head_light(s, t)
-            if (
-                mhead is not None
-                and mhead.get("operation") == "fast_forward"
-                and mhead.get("from_branch") == name
-                and mhead.get("branch_head") == bhead_v
-            ):
-                # crash-retry: this table's half already published
-                pins[(s, t)] = mhead["version"]
+            done = self._find_publish(s, t, name, versions[0], bhead_v)
+            if done is not None:
+                # crash-retry: this table's half already published — even
+                # if OTHER commits landed on top since (walk, not just a
+                # head check, or the retry could never complete)
+                pins[(s, t)] = done
             else:
                 pins[(s, t)] = self.fast_forward(s, t, name)["version"]
         return self.commit_catalog(pins, operation=operation)

@@ -320,3 +320,72 @@ def test_merge_branch_fast_forward_divergent_and_resume(br_table, spark):
     got = wh.read("lab", "brt")
     assert got.filter(F.col("src") == "s3").count() == 2  # no double pick
     assert got.count() == 28
+
+
+def test_post_publish_eq_delete_reaches_all_branch_commits(br_table, spark):
+    """Sequence-number skew regression (r10 review finding #1): branch
+    commits advance the SHARED data-sequence counter past the fork, so a
+    2-commit branch published by fast_forward leaves entries whose seq
+    EXCEEDS main's version counter.  Under the old version-as-seq
+    coupling, the first post-publish equality delete (seq = small main
+    version) skipped those entries under the strictly-lower-seq rule and
+    the rows silently survived.  Heads now carry last_seq and
+    fast_forward inherits the branch's counter."""
+    wh = br_table
+    wh.create_branch("lab", "brt", "two")
+    for i in range(2):  # TWO commits: branch seq advances 2 past the fork
+        wh.append(
+            "lab", "brt",
+            spark.createDataFrame(
+                [(950 + i, f"stage{i}")], "id int, src string"
+            ),
+            batch_id=f"t{i}", branch="two",
+        )
+    wh.fast_forward("lab", "brt", "two")
+    assert wh.read("lab", "brt").filter(F.col("id") == 951).count() == 1
+    # the very next main commit must out-sequence EVERY carried entry
+    out = wh.delete_by_keys("lab", "brt", [951], eq_cols=["id"])
+    assert out["delete_files_added"] == 1
+    assert wh.read("lab", "brt").filter(F.col("id") == 951).count() == 0
+    # and the same through a MoR CDC upsert (the streaming shape): the
+    # batch's eq delete must replace the key from the LAST branch commit
+    wh.merge_upsert(
+        "lab", "brt",
+        spark.createDataFrame([(950, "replaced")], "id int, src string"),
+        ["id"], mode="merge-on-read",
+    )
+    got = wh.read("lab", "brt").filter(F.col("id") == 950).collect()
+    assert [(r.id, r.src) for r in got] == [(950, "replaced")]
+
+
+def test_merge_branch_recreated_incarnation_not_skipped(br_table, spark):
+    """Review finding #3: a dropped-and-recreated branch at the same fork
+    reuses version NUMBERS; old pick records must not mark the new
+    incarnation's commits as already published (silent data loss)."""
+    wh = br_table
+    fork = wh._latest_version("lab", "brt")
+    wh.create_branch("lab", "brt", "inc")
+    wh.append(
+        "lab", "brt",
+        spark.createDataFrame([(970, "gen1")], "id int, src string"),
+        batch_id="i1", branch="inc",
+    )
+    wh.append(  # diverge main so merge takes the cherry-pick path
+        "lab", "brt",
+        spark.createDataFrame([(971, "mainline")], "id int, src string"),
+        batch_id="im",
+    )
+    out = wh.merge_branch("lab", "brt", "inc")
+    assert out["picked"]  # gen1 landed via a pick record
+    wh.drop_branch("lab", "brt", "inc")
+    # SAME name, SAME fork point -> same branch version numbers
+    wh.create_branch("lab", "brt", "inc", version=fork)
+    wh.append(
+        "lab", "brt",
+        spark.createDataFrame([(972, "gen2")], "id int, src string"),
+        batch_id="i2", branch="inc",
+    )
+    out = wh.merge_branch("lab", "brt", "inc")
+    assert out["picked"], "new incarnation's commit was wrongly skipped"
+    assert out["already_published"] == []
+    assert wh.read("lab", "brt").filter(F.col("src") == "gen2").count() == 1

@@ -321,3 +321,50 @@ def test_random_catalog_sequences_match_model(ops):
                 for v in live[:-keep]:
                     cat_model[v] = None
             check()
+
+
+def test_publish_retry_resumes_past_unrelated_commits(cat_wh, spark, monkeypatch):
+    """Review finding #4: the crash-retry idempotency check must WALK
+    history, not just inspect the head — an unrelated commit landing on
+    top of the already-forwarded half otherwise makes the retry raise
+    'diverged' forever."""
+    wh = cat_wh
+    base = wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    for t in ("orders", "items"):
+        wh.create_branch("shop", t, "rel2")
+        wh.append(
+            "shop", t,
+            spark.createDataFrame([(400, "staged")], "id int, src string"),
+            batch_id="bf2", branch="rel2",
+        )
+    real_ff = wh.fast_forward
+    calls = {"n": 0}
+
+    def crashing_ff(schema, table, name):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("crash")
+        return real_ff(schema, table, name)
+
+    monkeypatch.setattr(wh, "fast_forward", crashing_ff)
+    with pytest.raises(OSError):
+        wh.publish_tables({
+            ("shop", "items"): "rel2", ("shop", "orders"): "rel2",
+        })
+    monkeypatch.setattr(wh, "fast_forward", real_ff)
+    # an UNRELATED commit lands on the already-forwarded items table
+    wh.append(
+        "shop", "items",
+        spark.createDataFrame([(500, "unrelated")], "id int, src string"),
+        batch_id="u0",
+    )
+    out = wh.publish_tables({
+        ("shop", "items"): "rel2", ("shop", "orders"): "rel2",
+    })
+    assert out["version"] == base["version"] + 1
+    view = wh.read_catalog_as_of()
+    # items pinned at its PUBLISH version (5+1 staged), not the later
+    # unrelated append; orders publishes fresh
+    assert view["shop.items"].count() == 6
+    assert view["shop.orders"].count() == 6
+    assert wh.read("shop", "items").count() == 7  # live head has both

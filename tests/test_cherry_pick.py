@@ -322,3 +322,65 @@ def test_pick_eq_delete_key_dropped_on_main_refused(cp_table, spark):
     wh.drop_column("lab", "cpt", "src")  # main drops the key column
     with pytest.raises(RuntimeError, match="field id"):
         wh.cherry_pick("lab", "cpt", "ek", picked_v)
+
+
+def test_pick_rewrite_refused_when_main_has_unseen_pending_deletes(
+    cp_table, spark
+):
+    """Review finding #2: a picked branch CoW rewrite re-materializes its
+    victims' rows as the BRANCH read them; a merge-on-read delete main
+    committed since the fork was not applied to that read, and the
+    re-stamped adds would out-sequence it — the rows would silently
+    resurrect.  The pick must refuse (branch-side mirror of the
+    rewrite_read_version fence)."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "rw")
+    bhead = wh._load_head_light(
+        "lab", "cpt", wh._snapshot_versions("lab", "cpt", "rw")[-1], "rw"
+    )
+    tdir = wh._tdir("lab", "cpt")
+    victim = wh._materialize("lab", "cpt", bhead)["files"][0]["path"]
+    vdf = spark.read.parquet(os.path.join(tdir, victim))
+    gen = os.path.join(tdir, "data", "rwf", "g_test")
+    vdf.filter(F.col("id") != vdf.orderBy("id").first().id).coalesce(
+        1
+    ).write.mode("error").parquet(gen)
+    new = [
+        os.path.join(b, fn)
+        for b, _d, fns in os.walk(gen)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    wh.commit_snapshot(
+        "lab", "cpt", "delete",
+        add_files=new, drop_files=[os.path.join(tdir, victim)],
+        expected_schema_id=bhead.get("schema_id"), branch="rw",
+    )
+    picked_v = wh._snapshot_versions("lab", "cpt", "rw")[-1]
+    # main commits a pending MoR eq delete the branch never saw
+    wh.delete_by_keys("lab", "cpt", [15], eq_cols=["id"])
+    assert wh.read("lab", "cpt").filter(F.col("id") == 15).count() == 0
+    with pytest.raises(RuntimeError, match="resurrect"):
+        wh.cherry_pick("lab", "cpt", "rw", picked_v)
+    # row 15 still deleted, pick not committed
+    assert wh.read("lab", "cpt").filter(F.col("id") == 15).count() == 0
+    # folding main's deletes clears the fence for APPEND-shaped picks
+    # (rewrite picks must re-stage: the fold replaced their victims)
+    wh.optimize("lab", "cpt")
+    wh.create_branch("lab", "cpt", "add2")
+    wh.append(
+        "lab", "cpt",
+        spark.createDataFrame([(888, "late")], "id int, src string"),
+        batch_id="late", branch="add2",
+    )
+    wh.append(
+        "lab", "cpt",
+        spark.createDataFrame([(889, "mainline")], "id int, src string"),
+        batch_id="late-m",
+    )
+    out = wh.cherry_pick(
+        "lab", "cpt", "add2",
+        wh._snapshot_versions("lab", "cpt", "add2")[-1],
+    )
+    assert out["files_added"] >= 1
+    assert wh.read("lab", "cpt").filter(F.col("id") == 888).count() == 1

@@ -454,12 +454,14 @@ def test_uri_fastpath_matches_decode_path(spark, tmp_path, monkeypatch):
     # the one-time probe verified prediction against a real scan and
     # cached the verdict (a mismatch would disable the fast path for the
     # instance's lifetime — wrong URIs silently un-apply deletes)
-    assert wh._uri_predictable is True
+    assert wh._uri_predictable[1] is True
     plan = wh.read("lab", "uf")._jdf.queryExecution().executedPlan().toString()
     assert "url_decode" not in plan  # no per-row decode in the fast plan
     # a probe mismatch pins the decode fallback permanently
+    import os as _os
+
     wh2 = ParquetWarehouse(spark, wh.root)
-    wh2._uri_predictable = False
+    wh2._uri_predictable = (_os.path.abspath(wh2.root), False)
     assert wh2._predict_uris(wh2._tdir("lab", "uf"), ["data/b0/x.parquet"]) is None
     assert sorted(r.id for r in wh2.read("lab", "uf").collect()) == fast
     monkeypatch.setattr(
