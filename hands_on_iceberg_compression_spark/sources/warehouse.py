@@ -5393,15 +5393,74 @@ class ParquetWarehouse:
                 pins.add(pinned)
         return pins
 
+    def create_catalog_tag(self, name: str, version: int | None = None) -> dict:
+        """Named immutable ref over a CATALOG version ("the whole
+        pipeline as of release v1") — the cross-table analogue of table
+        tags, same hard-link CAS, same immutability.  ``expire_catalog``
+        retains tagged catalog versions (and therefore, transitively,
+        every table snapshot they pin) until ``drop_catalog_tag``."""
+        if not self._TAG_NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: alphanumeric start, then "
+                "[A-Za-z0-9_-.], max 64 chars"
+            )
+        if version is None:
+            version = self.latest_catalog_version()
+            if version is None:
+                raise ValueError("no catalog version to tag")
+        self.catalog_head(version)  # must exist
+        import time as _time
+
+        path = os.path.join(self._catalog_dir(), f"tag_{name}.json")
+        record = {"version": version, "ts": round(_time.time(), 3)}
+        if not self._cas_link(record, path):
+            raise ValueError(
+                f"catalog tag {name!r} already exists (tags are "
+                "immutable; drop_catalog_tag first)"
+            )
+        return record
+
+    def drop_catalog_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self._catalog_dir(), f"tag_{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no catalog tag {name!r}") from None
+
+    def catalog_tags(self) -> dict[str, int]:
+        d = self._catalog_dir()
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, int] = {}
+        for fn in os.listdir(d):
+            if fn.startswith("tag_") and fn.endswith(".json"):
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        out[fn[4:-5]] = json.load(f)["version"]
+                except FileNotFoundError:
+                    continue  # concurrent drop
+        return out
+
+    def read_catalog_as_of_tag(self, name: str) -> dict[str, DataFrame]:
+        tags = self.catalog_tags()
+        if name not in tags:
+            raise ValueError(
+                f"no catalog tag {name!r} (tags: {sorted(tags)})"
+            )
+        return self.read_catalog_as_of(tags[name])
+
     def expire_catalog(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` catalog versions;
-        returns removed count.  Table snapshots pinned ONLY by the
-        dropped catalog versions become expirable by the next
-        per-table ``expire_snapshots``."""
+        returns removed count.  TAGGED catalog versions are retained
+        regardless of position until ``drop_catalog_tag``.  Table
+        snapshots pinned ONLY by the dropped catalog versions become
+        expirable by the next per-table ``expire_snapshots``."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._catalog_versions()
         victims = versions[:-keep_last]
+        tagged = set(self.catalog_tags().values())
+        if tagged:
+            victims = [v for v in victims if v not in tagged]
         for v in victims:
             try:
                 os.unlink(
@@ -5525,13 +5584,20 @@ class ParquetWarehouse:
             a["bytes"] += e["bytes"]
         return [agg[k] for k in sorted(agg)]
 
-    def read_snapshot(self, schema: str, table: str, version: int | str) -> DataFrame:
+    def read_snapshot(
+        self,
+        schema: str,
+        table: str,
+        version: int | str,
+        branch: str = "main",
+    ) -> DataFrame:
         """Time travel: read exactly the files snapshot ``version`` listed
-        (``version`` may be a TAG name — Iceberg ``VERSION AS OF``).
+        (``version`` may be a TAG name — Iceberg ``VERSION AS OF``;
+        ``branch`` time-travels a named ref's own head chain).
         Raises if a later rewrite removed any of them (expired snapshot)."""
         version = self._resolve_version(schema, table, version)
         try:
-            manifest = self._load_snapshot(schema, table, version)
+            manifest = self._load_snapshot(schema, table, version, branch)
         except FileNotFoundError as exc:
             # the head survives but a concurrent expiry GC'd one of its
             # segments mid-read — same user-visible condition as expired

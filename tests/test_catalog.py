@@ -368,3 +368,51 @@ def test_publish_retry_resumes_past_unrelated_commits(cat_wh, spark, monkeypatch
     assert view["shop.items"].count() == 6
     assert view["shop.orders"].count() == 6
     assert wh.read("shop", "items").count() == 7  # live head has both
+
+
+def test_catalog_tags_pin_whole_pipeline_releases(cat_wh, spark):
+    """Catalog tags: one named ref = the whole pipeline's state at a
+    release; retained through expire_catalog, transitively retaining
+    every pinned table snapshot through per-table expiry."""
+    wh = cat_wh
+    wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    wh.create_catalog_tag("release-v1")
+    assert wh.catalog_tags() == {"release-v1": 1}
+    with pytest.raises(ValueError, match="already exists"):
+        wh.create_catalog_tag("release-v1")
+    # pipeline moves on: new data, new catalog versions, expiry
+    for i in range(2):
+        for t in ("orders", "items"):
+            wh.append(
+                "shop", t,
+                spark.createDataFrame([(600 + i, "x")], "id int, src string"),
+                batch_id=f"r{i}",
+            )
+        wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    assert wh.expire_catalog(keep_last=1) == 1  # v2 dropped, v1 TAGGED
+    for t in ("orders", "items"):
+        wh.expire_snapshots("shop", t, keep_last=1)
+    # the tagged release still reads exactly (catalog + table retention)
+    view = wh.read_catalog_as_of_tag("release-v1")
+    assert {k: v.count() for k, v in view.items()} == {
+        "shop.orders": 5, "shop.items": 5,
+    }
+    # dropping the tag releases everything on the next expiry passes
+    wh.drop_catalog_tag("release-v1")
+    assert wh.expire_catalog(keep_last=1) == 1
+    with pytest.raises(ValueError, match="no catalog tag"):
+        wh.read_catalog_as_of_tag("release-v1")
+
+
+def test_branch_time_travel(cat_wh, spark):
+    wh = cat_wh
+    wh.create_branch("shop", "orders", "bt")
+    v0 = wh._snapshot_versions("shop", "orders", "bt")[-1]
+    wh.append(
+        "shop", "orders",
+        spark.createDataFrame([(700, "staged")], "id int, src string"),
+        batch_id="bt0", branch="bt",
+    )
+    v1 = wh._snapshot_versions("shop", "orders", "bt")[-1]
+    assert wh.read_snapshot("shop", "orders", v0, branch="bt").count() == 5
+    assert wh.read_snapshot("shop", "orders", v1, branch="bt").count() == 6
