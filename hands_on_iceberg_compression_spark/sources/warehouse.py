@@ -4512,6 +4512,20 @@ class ParquetWarehouse:
 
     @staticmethod
     def _write_hint_file(hint: str, version: int) -> None:
+        """Best-effort MONOTONE hint write: racing committers must never
+        land an older value — with contiguous history that was harmless
+        (the probe walks forward), but tag/pin retention leaves GAPS
+        after expiry, and a stale hint at a retained old version stops
+        the forward probe below the gap; the next commit would then CAS
+        into the gap and fork the history.  The read-check races too
+        (no lock), but the loser of that race is another WRITE with a
+        newer value — last-writer-wins converges upward."""
+        try:
+            with open(hint) as f:
+                if int(f.read().strip()) >= version:
+                    return
+        except (OSError, ValueError):
+            pass
         tmp = hint + f".{uuid.uuid4().hex[:8]}"
         try:
             with open(tmp, "w") as f:
@@ -4728,13 +4742,56 @@ class ParquetWarehouse:
     # --- snapshot refs (Iceberg tags) ------------------------------------
     _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_\-\.]{0,63}")
 
-    def _tag_path(self, schema: str, table: str, name: str) -> str:
-        if not self._TAG_NAME_RE.fullmatch(name):
+    # One tag-store protocol for table tags AND catalog tags (same
+    # validation, CAS publish, listing/concurrent-drop semantics — a
+    # protocol fix lands once, like _probe_latest/_write_hint_file).
+    @classmethod
+    def _tag_store_path(cls, d: str, name: str) -> str:
+        if not cls._TAG_NAME_RE.fullmatch(name):
             raise ValueError(
                 f"invalid tag name {name!r}: alphanumeric start, then "
                 "[A-Za-z0-9_-.], max 64 chars"
             )
-        return os.path.join(self._snap_dir(schema, table), f"tag_{name}.json")
+        return os.path.join(d, f"tag_{name}.json")
+
+    @classmethod
+    def _tag_store_create(cls, d: str, name: str, version: int, what: str) -> dict:
+        import time as _time
+
+        record = {"version": version, "ts": round(_time.time(), 3)}
+        if not cls._cas_link(record, cls._tag_store_path(d, name)):
+            raise ValueError(
+                f"{what} {name!r} already exists "
+                "(tags are immutable; drop first)"
+            )
+        return record
+
+    @classmethod
+    def _tag_store_drop(cls, d: str, name: str, what: str) -> None:
+        try:
+            os.unlink(cls._tag_store_path(d, name))
+        except FileNotFoundError:
+            raise ValueError(f"no {what} {name!r}") from None
+
+    @staticmethod
+    def _tag_store_list(d: str) -> dict[str, int]:
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, int] = {}
+        for fn in os.listdir(d):
+            if fn.startswith("tag_") and fn.endswith(".json"):
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        out[fn[4:-5]] = json.load(f)["version"]
+                except FileNotFoundError:
+                    # concurrent drop between listdir and open: the tag
+                    # is simply gone (ADVICE r7) — callers must see it
+                    # as absent, not crash
+                    continue
+        return out
+
+    def _tag_path(self, schema: str, table: str, name: str) -> str:
+        return self._tag_store_path(self._snap_dir(schema, table), name)
 
     def create_tag(
         self, schema: str, table: str, name: str, version: int | None = None
@@ -4750,40 +4807,19 @@ class ParquetWarehouse:
             if version is None:
                 raise ValueError(f"{schema}.{table} has no snapshot to tag")
         self._load_head_light(schema, table, version)  # must exist
-        import time as _time
-
-        path = self._tag_path(schema, table, name)
-        record = {"version": version, "ts": round(_time.time(), 3)}
-        if not self._cas_link(record, path):
-            raise ValueError(
-                f"tag {name!r} already exists on {schema}.{table} "
-                "(tags are immutable; drop_tag first)"
-            )
-        return record
+        return self._tag_store_create(
+            self._snap_dir(schema, table), name, version,
+            f"tag on {schema}.{table}",
+        )
 
     def drop_tag(self, schema: str, table: str, name: str) -> None:
-        try:
-            os.unlink(self._tag_path(schema, table, name))
-        except FileNotFoundError:
-            raise ValueError(f"no tag {name!r} on {schema}.{table}")
+        self._tag_store_drop(
+            self._snap_dir(schema, table), name, f"tag on {schema}.{table}"
+        )
 
     def tags(self, schema: str, table: str) -> dict[str, int]:
         """{tag name: pinned version}."""
-        d = self._snap_dir(schema, table)
-        if not os.path.isdir(d):
-            return {}
-        out: dict[str, int] = {}
-        for fn in os.listdir(d):
-            if fn.startswith("tag_") and fn.endswith(".json"):
-                try:
-                    with open(os.path.join(d, fn)) as f:
-                        out[fn[4:-5]] = json.load(f)["version"]
-                except FileNotFoundError:
-                    # concurrent drop_tag between listdir and open: the
-                    # tag is simply gone (ADVICE r7) — expiry retention
-                    # and VERSION AS OF must see it as absent, not crash
-                    continue
-        return out
+        return self._tag_store_list(self._snap_dir(schema, table))
 
     # --- snapshot refs (Iceberg/Nessie BRANCHES: write-audit-publish) -----
     def create_branch(
@@ -5070,10 +5106,7 @@ class ParquetWarehouse:
             # rows would silently resurrect.  Deletes the branch parent
             # already carried were applied by the branch's rewrite read
             # and pass freely.  O(pending deletes), metadata-only.
-            known = {
-                d["path"]
-                for d in self._head_deletes(schema, table, bparent)
-            }
+            known = pdel  # the branch parent's delete set, built above
             dropped_set = set(dropped)
             unseen = [
                 d
@@ -5105,6 +5138,10 @@ class ParquetWarehouse:
             deletes_read_version=(
                 mhead["version"] if pos_targets else None
             ),
+            # re-validate the resurrection fence INSIDE the CAS loop: a
+            # MoR delete committing between the fence check above and the
+            # publish would otherwise slip past it (check-then-act)
+            rewrite_read_version=(mhead["version"] if dropped else None),
             expected_schema_id=mhead.get("schema_id"),
             # provenance: lets merge_branch skip already-picked commits
             # on a crashed re-run (idempotency over retained history);
@@ -5151,8 +5188,10 @@ class ParquetWarehouse:
         # incarnation (the fork record's ts): a dropped-and-recreated
         # branch reuses version numbers, so records from a previous
         # incarnation must NOT mark the new commits as published.
-        # Records written before incarnation stamping (no ts field)
-        # conservatively match — preserves resume behavior on upgrade.
+        # Records without an incarnation ts (written before stamping)
+        # do NOT match: skipping on a stale record is silent DATA LOSS
+        # for a recreated branch, while re-picking an already-published
+        # commit only inflates file counts (reads de-duplicate by path).
         fid = self._load_head_light(schema, table, fork, name).get("ts")
         already: set[int] = set()
         v = main_v
@@ -5162,13 +5201,15 @@ class ParquetWarehouse:
             except (FileNotFoundError, KeyError):
                 break  # expired history: can't see older picks
             if h.get("from_branch") == name:
-                if h.get("operation") == "fast_forward" and h.get(
-                    "from_branch_ts", fid
-                ) == fid:
+                if (
+                    h.get("operation") == "fast_forward"
+                    and h.get("from_branch_ts") == fid
+                ):
                     already |= set(range(fork + 1, h["branch_head"] + 1))
-                elif h.get("picked") is not None and h.get(
-                    "picked_branch_ts", fid
-                ) == fid:
+                elif (
+                    h.get("picked") is not None
+                    and h.get("picked_branch_ts") == fid
+                ):
                     already.add(h["picked"])
             v = h.get("parent")
         picked, skipped = [], []
@@ -5215,13 +5256,16 @@ class ParquetWarehouse:
         )
 
     def latest_catalog_version(self) -> int | None:
-        """Hint + forward probe, the table-head discovery protocol —
-        catalog commits are publish-cadence (rare), so the listdir
-        fallback is also fine."""
-        d = self._catalog_dir()
-        return self._probe_latest(
-            d, os.path.join(d, "version-hint.txt"), self._catalog_versions
-        )
+        """LISTING max, not hint+probe: catalog tag retention makes
+        version GAPS normal, and a stale hint pointing below a gap would
+        stop the forward probe early — ``commit_catalog`` would then CAS
+        a new head INTO the gap, silently orphaning the real head and
+        every pin it carried.  The catalog dir stays tiny (publish
+        cadence + ``expire_catalog``), so O(listdir) is free here; table
+        refs keep the O(1) hint protocol and close the same hole with a
+        monotone hint + expiry refresh (see expire_snapshots)."""
+        versions = self._catalog_versions()
+        return versions[-1] if versions else None
 
     def catalog_head(self, version: int | None = None) -> dict | None:
         """The catalog manifest at ``version`` (default: latest); None
@@ -5333,7 +5377,7 @@ class ParquetWarehouse:
                 h.get("operation") == "fast_forward"
                 and h.get("from_branch") == name
                 and h.get("branch_head") == bhead_v
-                and h.get("from_branch_ts", fid) == fid
+                and h.get("from_branch_ts") == fid
             ):
                 return h["version"]
             v = h.get("parent")
@@ -5399,46 +5443,20 @@ class ParquetWarehouse:
         tags, same hard-link CAS, same immutability.  ``expire_catalog``
         retains tagged catalog versions (and therefore, transitively,
         every table snapshot they pin) until ``drop_catalog_tag``."""
-        if not self._TAG_NAME_RE.fullmatch(name):
-            raise ValueError(
-                f"invalid tag name {name!r}: alphanumeric start, then "
-                "[A-Za-z0-9_-.], max 64 chars"
-            )
         if version is None:
             version = self.latest_catalog_version()
             if version is None:
                 raise ValueError("no catalog version to tag")
         self.catalog_head(version)  # must exist
-        import time as _time
-
-        path = os.path.join(self._catalog_dir(), f"tag_{name}.json")
-        record = {"version": version, "ts": round(_time.time(), 3)}
-        if not self._cas_link(record, path):
-            raise ValueError(
-                f"catalog tag {name!r} already exists (tags are "
-                "immutable; drop_catalog_tag first)"
-            )
-        return record
+        return self._tag_store_create(
+            self._catalog_dir(), name, version, "catalog tag"
+        )
 
     def drop_catalog_tag(self, name: str) -> None:
-        try:
-            os.unlink(os.path.join(self._catalog_dir(), f"tag_{name}.json"))
-        except FileNotFoundError:
-            raise ValueError(f"no catalog tag {name!r}") from None
+        self._tag_store_drop(self._catalog_dir(), name, "catalog tag")
 
     def catalog_tags(self) -> dict[str, int]:
-        d = self._catalog_dir()
-        if not os.path.isdir(d):
-            return {}
-        out: dict[str, int] = {}
-        for fn in os.listdir(d):
-            if fn.startswith("tag_") and fn.endswith(".json"):
-                try:
-                    with open(os.path.join(d, fn)) as f:
-                        out[fn[4:-5]] = json.load(f)["version"]
-                except FileNotFoundError:
-                    continue  # concurrent drop
-        return out
+        return self._tag_store_list(self._catalog_dir())
 
     def read_catalog_as_of_tag(self, name: str) -> dict[str, DataFrame]:
         tags = self.catalog_tags()
@@ -5595,6 +5613,13 @@ class ParquetWarehouse:
         (``version`` may be a TAG name — Iceberg ``VERSION AS OF``;
         ``branch`` time-travels a named ref's own head chain).
         Raises if a later rewrite removed any of them (expired snapshot)."""
+        if isinstance(version, str) and branch != "main":
+            raise ValueError(
+                "tags are main-namespace refs: a tag name resolved "
+                "against main but loaded from a branch chain would "
+                "silently return a different snapshot — pass the "
+                "branch version number"
+            )
         version = self._resolve_version(schema, table, version)
         try:
             manifest = self._load_snapshot(schema, table, version, branch)
@@ -5707,6 +5732,13 @@ class ParquetWarehouse:
                     self._snap_dir(schema, table), f"v{m['version']:06d}.json"
                 )
             )
+        if victims:
+            # expiry is the moment version GAPS appear (tag/pin retention
+            # keeps old version files below removed ones): refresh the
+            # hint to the true head so a stale hint can never strand the
+            # forward probe below a gap — see _write_hint_file (monotone:
+            # a concurrent commit's newer hint is never overwritten)
+            self._write_version_hint(schema, table, snaps[-1]["version"])
         if victims and self._log_mode(self.table_meta(schema, table)):
             # log mode owns its data files: garbage-collect files the
             # EXPIRED manifests referenced that no kept manifest still

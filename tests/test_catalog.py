@@ -416,3 +416,44 @@ def test_branch_time_travel(cat_wh, spark):
     v1 = wh._snapshot_versions("shop", "orders", "bt")[-1]
     assert wh.read_snapshot("shop", "orders", v0, branch="bt").count() == 5
     assert wh.read_snapshot("shop", "orders", v1, branch="bt").count() == 6
+
+
+def test_stale_hint_below_tag_gap_cannot_fork_history(cat_wh, spark, tmp_path):
+    """Review finding (r10 second pass): tag retention leaves version
+    GAPS after expiry; a stale hint at a retained old version must never
+    make the next commit CAS into the gap (which would orphan the real
+    head and its pins).  Catalog discovery is listing-authoritative;
+    table hints are monotone and refreshed by expiry."""
+    wh = cat_wh
+    for _ in range(3):
+        wh.commit_catalog([("shop", "orders")])
+    wh.create_catalog_tag("old", version=1)
+    assert wh.expire_catalog(keep_last=1) == 1  # v2 gone; v1 TAGGED, v3 head
+    # adversarial stale hint below the gap
+    with open(os.path.join(wh._catalog_dir(), "version-hint.txt"), "w") as f:
+        f.write("1")
+    assert wh.latest_catalog_version() == 3  # listing wins, gap ignored
+    out = wh.commit_catalog([("shop", "items")])
+    assert out["version"] == 4  # NOT 2 — no fork into the gap
+    assert out["tables"]["shop.orders"] == 1  # carried from the real head
+    # table side: monotone hint + expiry refresh
+    wh.create_tag("shop", "orders", "keep", version=1)
+    for i in range(3):
+        wh.append(
+            "shop", "orders",
+            spark.createDataFrame([(800 + i, "x")], "id int, src string"),
+            batch_id=f"g{i}",
+        )
+    head_v = wh._latest_version("shop", "orders")
+    # adversarial stale hint at the tagged version, then expiry creates
+    # the gap AND refreshes the hint to the true head
+    with open(wh._hint_path("shop", "orders"), "w") as f:
+        f.write("1")
+    wh.expire_snapshots("shop", "orders", keep_last=1)
+    with open(wh._hint_path("shop", "orders")) as f:
+        assert int(f.read().strip()) == head_v
+    assert wh._latest_version("shop", "orders") == head_v
+    # monotone: an older racing hint write never lands
+    wh._write_hint_file(wh._hint_path("shop", "orders"), 1)
+    with open(wh._hint_path("shop", "orders")) as f:
+        assert int(f.read().strip()) == head_v

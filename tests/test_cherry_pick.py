@@ -384,3 +384,48 @@ def test_pick_rewrite_refused_when_main_has_unseen_pending_deletes(
     )
     assert out["files_added"] >= 1
     assert wh.read("lab", "cpt").filter(F.col("id") == 888).count() == 1
+
+
+def test_pick_rewrite_fence_closes_commit_race(cp_table, spark, monkeypatch):
+    """Review finding (r10 second pass): the resurrection fence is
+    check-then-act — a MoR delete committing BETWEEN the fence check and
+    the pick's publish must still refuse (cherry_pick now passes
+    rewrite_read_version so commit_snapshot re-validates on the race)."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "race")
+    bhead = wh._load_head_light(
+        "lab", "cpt", wh._snapshot_versions("lab", "cpt", "race")[-1], "race"
+    )
+    tdir = wh._tdir("lab", "cpt")
+    victim = wh._materialize("lab", "cpt", bhead)["files"][0]["path"]
+    vdf = spark.read.parquet(os.path.join(tdir, victim))
+    gen = os.path.join(tdir, "data", "rcr", "g_test")
+    vdf.filter(F.col("id") != vdf.orderBy("id").first().id).coalesce(
+        1
+    ).write.mode("error").parquet(gen)
+    new = [
+        os.path.join(b, fn)
+        for b, _d, fns in os.walk(gen)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    wh.commit_snapshot(
+        "lab", "cpt", "delete",
+        add_files=new, drop_files=[os.path.join(tdir, victim)],
+        expected_schema_id=bhead.get("schema_id"), branch="race",
+    )
+    picked_v = wh._snapshot_versions("lab", "cpt", "race")[-1]
+    real_commit = wh.commit_snapshot
+    state = {"armed": True}
+
+    def racing_commit(schema, table, operation, **kw):
+        if state["armed"] and operation == "cherry_pick":
+            state["armed"] = False  # the racing delete commits FIRST
+            wh.delete_by_keys("lab", "cpt", [15], eq_cols=["id"])
+        return real_commit(schema, table, operation, **kw)
+
+    monkeypatch.setattr(wh, "commit_snapshot", racing_commit)
+    with pytest.raises(RuntimeError, match="resurrect"):
+        wh.cherry_pick("lab", "cpt", "race", picked_v)
+    monkeypatch.undo()
+    assert wh.read("lab", "cpt").filter(F.col("id") == 15).count() == 0
