@@ -2865,7 +2865,7 @@ class ParquetWarehouse:
                 "parent": head["version"],
                 "operation": operation,
                 "ts": round(_time.time(), 3),
-                "last_seq": head.get("last_seq", head["version"]),
+                "last_seq": self._seq_base(schema, table, head),
                 "segments": head["segments"],
                 "total_rows": head.get("total_rows"),
                 "total_bytes": head.get("total_bytes"),
@@ -3614,6 +3614,9 @@ class ParquetWarehouse:
             # lets commit-time delete folding decide "no live file
             # predates delete D" from refs alone, O(refs) not O(entries)
             "min_seq": min((e.get("seq", 0) for e in entries), default=0),
+            # highest seq: lets _seq_base recover a legacy head's true
+            # sequence counter from refs alone, O(refs) not O(entries)
+            "max_seq": max((e.get("seq", 0) for e in entries), default=0),
         }
         roots = sorted({self._entry_root(e["path"]) for e in entries})
         if len(roots) <= self.SEG_ROOTS_MAX:
@@ -3765,6 +3768,63 @@ class ParquetWarehouse:
             return list(head["segments"])
         return [self._write_segment(schema, table, head["files"])]
 
+    def _head_live_paths(self, schema: str, table: str, head: dict) -> set[str]:
+        """The rel paths of every data file live under ``head`` — a
+        read-only view (unlike ``_head_segment_refs`` it never converts a
+        legacy inline-files head, so fences inside the commit CAS loop can
+        call it without leaking an untracked migration segment)."""
+        if "segments" not in head:
+            return {e["path"] for e in head.get("files") or []}
+        live: set[str] = set()
+        for r in head["segments"]:
+            live.update(
+                e["path"]
+                for e in self._load_segment(schema, table, r["path"])
+            )
+        return live
+
+    def _seq_base(self, schema: str, table: str, head: dict) -> int:
+        """Highest data-sequence number any entry under ``head`` carries —
+        what the next commit's seq stamp must exceed.  Modern heads record
+        it (``last_seq``); for legacy heads, defaulting to ``version`` is
+        only valid while seq and version moved in lockstep, and a
+        PRE-UPGRADE ``fast_forward`` publish broke that: it collapsed N
+        branch commits into ONE main version while the carried entries
+        keep branch seqs ABOVE it, so a version-based default would stamp
+        the first post-upgrade equality delete BELOW carried entries and
+        it would silently skip them (the seq-skew bug, legacy-head flavor;
+        ADVICE r10).  Take max(version, every ref's max seq): data and
+        delete segment refs record ``max_seq`` going forward; a legacy ref
+        without it pays one cached segment parse, ONCE — the very next
+        commit persists ``last_seq``."""
+        if "last_seq" in head:
+            return head["last_seq"]
+        base = head["version"]
+        for r in head.get("segments") or []:
+            if "max_seq" in r:
+                base = max(base, r["max_seq"])
+            else:
+                base = max(
+                    base,
+                    max(
+                        (
+                            e.get("seq", 0)
+                            for e in self._load_segment(
+                                schema, table, r["path"]
+                            )
+                        ),
+                        default=0,
+                    ),
+                )
+        for r in head.get("delete_segments") or []:
+            base = max(base, r.get("max_seq", 0))
+        # pre-segment inline heads: entries/deletes live on the head itself
+        for e in head.get("files") or []:
+            base = max(base, e.get("seq", 0))
+        for d in head.get("deletes") or []:
+            base = max(base, d.get("seq", 0))
+        return base
+
     def _apply_drop_prefix(
         self, schema: str, table: str, refs: list[dict], rel_prefix: str
     ) -> tuple[list[dict], list[str]]:
@@ -3867,6 +3927,7 @@ class ParquetWarehouse:
         add_deletes: list[dict] | None = None,
         deletes_read_version: int | None = None,
         rewrite_read_version: int | None = None,
+        adds_read_version: int | None = None,
         branch: str = "main",
         extra_meta: dict | None = None,
     ) -> dict:
@@ -3931,6 +3992,14 @@ class ParquetWarehouse:
         RAISES — the tuples reference dead paths and the rows would
         resurrect.  Pure equality deletes don't need it (seq scoping
         covers the rewritten files).
+
+        ``adds_read_version`` (cherry_pick): the caller verified its
+        ADD paths were NOT already live as of this head version; if the
+        head moved past it, the commit re-validates and RAISES when any
+        add is now live — a concurrent duplicate pick publishing the
+        same carried entries would otherwise re-stamp them at a higher
+        seq and intervening equality deletes would silently stop
+        applying (rows resurrect).  O(live files), only on a race.
 
         ``add_files`` commits
         are a DELTA — the retry re-references the winner's segments and no
@@ -4133,8 +4202,11 @@ class ParquetWarehouse:
                 # equality delete (seq = small main version) silently
                 # skipped branch entries stamped with larger branch
                 # versions (strictly-lower-seq rule inverted).
+                # legacy heads (no last_seq) recover the counter from ref
+                # max_seq — NOT from version, which undercounts after a
+                # pre-upgrade fast_forward (see _seq_base)
                 seq = (
-                    head.get("last_seq", head["version"]) if head else 0
+                    self._seq_base(schema, table, head) if head else 0
                 ) + 1
                 if seg_stamp_v != seq:
                     for e in fresh_list:
@@ -4229,6 +4301,32 @@ class ParquetWarehouse:
                             f"(v{rewrite_read_version}) — its output would "
                             "resurrect the deleted rows; redo the rewrite "
                             "from the new head"
+                        )
+                if (
+                    adds_read_version is not None
+                    and is_delta
+                    and entries
+                    and head is not None
+                    and version - 1 != adds_read_version
+                ):
+                    # duplicate-pick fence, CAS-loop flavor: the caller
+                    # (cherry_pick) checked its adds against the head it
+                    # read; the head moved, so re-check against the
+                    # winner — an already-live path means a concurrent
+                    # pick of the same commit published first, and
+                    # re-adding it at a higher seq would un-apply any
+                    # equality delete committed in between
+                    dup = sorted(
+                        {e["path"] for e in entries}
+                        & self._head_live_paths(schema, table, head)
+                    )
+                    if dup:
+                        raise RuntimeError(
+                            f"concurrent commit conflict on "
+                            f"{schema}.{table}: {len(dup)} file(s) this "
+                            "commit adds are already live (e.g. "
+                            f"{dup[0]!r}) — a concurrent commit published "
+                            "the same entries (duplicate cherry-pick?)"
                         )
                 dropped_rel: set[str] = set()
                 dropped_prefix_rel: str | None = None
@@ -4708,7 +4806,7 @@ class ParquetWarehouse:
                 "parent": head["version"],
                 "operation": "rewrite_manifests",
                 "ts": round(_time.time(), 3),
-                "last_seq": head.get("last_seq", head["version"]),
+                "last_seq": self._seq_base(schema, table, head),
                 "segments": [merged],
                 "total_rows": merged["rows"],
                 "total_bytes": merged["bytes"],
@@ -4944,8 +5042,9 @@ class ParquetWarehouse:
                 # the branch advanced the SHARED data-sequence counter
                 # past the fork; main must continue from it or later
                 # eq deletes would skip the carried entries (the seq
-                # skew bug — see commit_snapshot's last_seq note)
-                "last_seq": bhead.get("last_seq", bhead_v),
+                # skew bug — see commit_snapshot's last_seq note);
+                # legacy branch heads recover it from refs (_seq_base)
+                "last_seq": self._seq_base(schema, table, bhead),
                 "from_branch": name,
                 "from_branch_ts": self._load_head_light(
                     schema, table, fork, name
@@ -5000,9 +5099,23 @@ class ParquetWarehouse:
         files or carries position deletes (the only conflict-prone
         shapes), mirroring the existing only-on-conflict fences.
 
-        Picking commits out of order or twice is not validated (reads
-        de-duplicate entries by path, so a double pick cannot corrupt,
-        but counts inflate) — pick a branch's commits oldest-first."""
+        Duplicate-pick fence: a pick whose ADDED files are ALL already
+        live on main REFUSES — re-adding would re-stamp the entries at a
+        higher seq, and any equality delete committed on main between
+        the first publish and the re-pick would silently stop applying
+        to them (deleted rows resurrect; reads de-duplicate by path and
+        keep the HIGHER-seq entry, so "a double pick only inflates
+        counts" was wrong — ADVICE r10).  The fence re-validates inside
+        the commit CAS loop (``adds_read_version``) so a concurrent
+        duplicate pick cannot slip between check and publish.
+        ``merge_branch`` treats the refusal as already-published, which
+        restores resume idempotency even after the provenance-record
+        history window expired.  Picks that add NO files (pure eq/pos
+        delete commits) are not double-pick fenced — their replay is
+        key/tuple-idempotent against the same rows, but a re-pick
+        applies at pick time and can reach rows appended since; rely on
+        merge_branch provenance (or don't re-pick delete-only commits).
+        Pick a branch's commits oldest-first."""
         versions = self._snapshot_versions(schema, table, name)
         if not versions:
             raise ValueError(f"no branch {name!r} on {schema}.{table}")
@@ -5081,12 +5194,29 @@ class ParquetWarehouse:
                         f"id(s) {missing} no longer exist in main's "
                         "schema"
                     )
+        mlive: set[str] | None = None
+        if added or pos_targets:
+            mlive = self._head_live_paths(schema, table, mhead)
+        if added:
+            dup = sorted(e["path"] for e in added if e["path"] in mlive)
+            if dup and len(dup) == len(added):
+                raise RuntimeError(
+                    f"cherry-pick of {schema}.{table} {name}@v{version} "
+                    "already published: every file it adds is already "
+                    "live on main — re-adding would re-stamp the entries "
+                    "at a higher seq and un-apply any equality delete "
+                    "committed since the first pick"
+                )
+            if dup:
+                raise RuntimeError(
+                    f"cannot cherry-pick {schema}.{table} {name}@v"
+                    f"{version}: {len(dup)} of {len(added)} file(s) it "
+                    f"adds are already live on main (e.g. {dup[0]!r}) — "
+                    "partial overlap means a torn or out-of-order "
+                    "earlier pick; inspect history() before retrying"
+                )
         if pos_targets:
             own = {e["path"] for e in added}
-            mlive = {
-                e["path"]
-                for e in self._materialize(schema, table, mhead)["files"]
-            }
             gone = sorted(t for t in pos_targets if t not in mlive | own)
             if gone:
                 raise RuntimeError(
@@ -5138,6 +5268,10 @@ class ParquetWarehouse:
             deletes_read_version=(
                 mhead["version"] if pos_targets else None
             ),
+            # re-validate the duplicate-pick fence INSIDE the CAS loop
+            # (a concurrent pick of the same commit publishing between
+            # the check above and the CAS would otherwise slip past)
+            adds_read_version=(mhead["version"] if added else None),
             # re-validate the resurrection fence INSIDE the CAS loop: a
             # MoR delete committing between the fence check above and the
             # publish would otherwise slip past it (check-then-act)
@@ -5173,9 +5307,12 @@ class ParquetWarehouse:
         reported — re-apply DDL on main directly; a branch whose LATER
         data commits depend on branch-side DDL refuses at that pick's
         schema fence.  The resume walk covers RETAINED main history
-        (fork..head); expiring that window between a crash and the
-        re-run forfeits the skip and a commit could pick twice — rerun
-        promptly or drop the branch after a completed merge."""
+        (fork..head); if that window expired between a crash and the
+        re-run, commits that ADD files are still safe — cherry_pick's
+        duplicate-pick fence refuses them and the refusal folds into
+        ``already_published`` — but a pure-delete commit (no adds)
+        could replay and reach rows appended since the first pick, so
+        rerun promptly or drop the branch after a completed merge."""
         versions = self._snapshot_versions(schema, table, name)
         if not versions:
             raise ValueError(f"no branch {name!r} on {schema}.{table}")
@@ -5191,7 +5328,9 @@ class ParquetWarehouse:
         # Records without an incarnation ts (written before stamping)
         # do NOT match: skipping on a stale record is silent DATA LOSS
         # for a recreated branch, while re-picking an already-published
-        # commit only inflates file counts (reads de-duplicate by path).
+        # commit is harmless — cherry_pick's duplicate-pick fence
+        # refuses it and the refusal is folded into already_published
+        # below (pre-fence, a re-pick could resurrect deleted rows).
         fid = self._load_head_light(schema, table, fork, name).get("ts")
         already: set[int] = set()
         v = main_v
@@ -5221,6 +5360,15 @@ class ParquetWarehouse:
             except ValueError as e:
                 if "no data delta" in str(e):
                     skipped.append(bv)  # DDL/metadata-only commit
+                    continue
+                raise
+            except RuntimeError as e:
+                if "already published" in str(e):
+                    # the duplicate-pick fence caught a commit whose
+                    # files are all live on main — a crashed earlier
+                    # merge published it but its provenance record fell
+                    # out of retained history; resume past it
+                    already.add(bv)
                     continue
                 raise
             picked.append(bv)
@@ -5333,9 +5481,13 @@ class ParquetWarehouse:
             if self._cas_link(
                 manifest, os.path.join(d, f"v{version:06d}.json")
             ):
-                self._write_hint_file(
-                    os.path.join(d, "version-hint.txt"), version
-                )
+                # deliberately NO version-hint protocol for the catalog:
+                # catalog tag retention leaves version gaps, and a hint
+                # below a gap would let a probe-based reader CAS into the
+                # gap and fork history (the table-ref bug fixed in r10).
+                # latest_catalog_version stays LISTING-authoritative —
+                # _catalog/ holds only heads, it stays tiny.  Do not wire
+                # _probe_latest to this directory.
                 return manifest
             # lost the race: merge over the winner's table map and retry
 

@@ -457,3 +457,15 @@ def test_stale_hint_below_tag_gap_cannot_fork_history(cat_wh, spark, tmp_path):
     wh._write_hint_file(wh._hint_path("shop", "orders"), 1)
     with open(wh._hint_path("shop", "orders")) as f:
         assert int(f.read().strip()) == head_v
+
+
+def test_commit_catalog_writes_no_hint(cat_wh):
+    """ADVICE r10 (low): the catalog deliberately has NO version-hint
+    protocol (discovery is listing-authoritative because tag retention
+    leaves gaps); a dead hint file would invite a future reader to wire
+    _probe_latest to it and reintroduce the CAS-into-gap history fork."""
+    wh = cat_wh
+    wh.commit_catalog([("shop", "orders")])
+    assert not os.path.exists(
+        os.path.join(wh._catalog_dir(), "version-hint.txt")
+    )

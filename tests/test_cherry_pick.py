@@ -429,3 +429,130 @@ def test_pick_rewrite_fence_closes_commit_race(cp_table, spark, monkeypatch):
         wh.cherry_pick("lab", "cpt", "race", picked_v)
     monkeypatch.undo()
     assert wh.read("lab", "cpt").filter(F.col("id") == 15).count() == 0
+
+
+def test_duplicate_pick_refused_no_resurrection(cp_table, spark):
+    """ADVICE r10 (medium): a second pick of an already-published commit
+    must REFUSE — re-stamping the carried entries at a higher seq would
+    let an equality delete committed between the two picks silently stop
+    applying (reads de-dup by path keeping the HIGHER-seq copy, so the
+    deleted rows would resurrect)."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "dup")
+    picked_v = _mk_branch_append(
+        wh, spark, "dup", [(100 + j, "staged") for j in range(5)], "bd0"
+    )
+    wh.append(
+        "lab", "cpt",
+        spark.createDataFrame([(900, "mainline")], "id int, src string"),
+        batch_id="md0",
+    )
+    wh.cherry_pick("lab", "cpt", "dup", picked_v)
+    assert wh.read("lab", "cpt").count() == 26
+    # an eq delete lands on main AFTER the first pick
+    wh.delete_by_keys("lab", "cpt", [(101,)], ["id"])
+    assert wh.read("lab", "cpt").count() == 25
+    # the duplicate pick refuses instead of resurrecting id=101
+    with pytest.raises(RuntimeError, match="already published"):
+        wh.cherry_pick("lab", "cpt", "dup", picked_v)
+    got = wh.read("lab", "cpt")
+    assert got.count() == 25
+    assert got.filter(F.col("id") == 101).count() == 0
+    # and head stats were not inflated by a double-count
+    head = wh.head_snapshot("lab", "cpt")
+    assert head["total_rows"] == 26  # 25 live + 1 pending MoR delete row
+
+
+def test_partial_overlap_pick_refused(cp_table, spark):
+    """A pick SOME of whose added files are already live on main is a
+    torn/out-of-order state — refuse with the partial-overlap message,
+    not the already-published one (merge_branch must NOT skip it)."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "torn")
+    _mk_branch_append(
+        wh, spark, "torn", [(200, "a"), (201, "a")], "bt0"
+    )
+    picked_v = _mk_branch_append(
+        wh, spark, "torn", [(202, "b"), (203, "b")], "bt1"
+    )
+    # hand-publish ONE of the second commit's entries onto main (a torn
+    # earlier pick), then diverge main
+    bhead = wh._load_head_light("lab", "cpt", picked_v, "torn")
+    parent = wh._load_head_light("lab", "cpt", picked_v - 1, "torn")
+    by_p = {e["path"] for e in wh._materialize("lab", "cpt", parent)["files"]}
+    added = [
+        dict(e)
+        for e in wh._materialize("lab", "cpt", bhead)["files"]
+        if e["path"] not in by_p
+    ]
+    assert len(added) >= 1
+    wh.commit_snapshot("lab", "cpt", "torn_pick", add_files=[added[0]])
+    # first commit picks fine; second refuses on partial overlap
+    wh.cherry_pick("lab", "cpt", "torn", picked_v - 1)
+    if len(added) > 1:
+        with pytest.raises(RuntimeError, match="already live on main"):
+            wh.cherry_pick("lab", "cpt", "torn", picked_v)
+    else:
+        with pytest.raises(RuntimeError, match="already published"):
+            wh.cherry_pick("lab", "cpt", "torn", picked_v)
+
+
+def test_merge_branch_resumes_past_expired_provenance(cp_table, spark):
+    """merge_branch resume after the provenance-record history window
+    expired: the duplicate-pick fence refuses the re-pick and the merge
+    folds it into already_published instead of corrupting or failing."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "res")
+    v1 = _mk_branch_append(wh, spark, "res", [(300, "s1")], "br0")
+    v2 = _mk_branch_append(wh, spark, "res", [(301, "s2")], "br1")
+    wh.append(
+        "lab", "cpt",
+        spark.createDataFrame([(901, "mainline")], "id int, src string"),
+        batch_id="mr0",
+    )
+    # simulate a crash after picking only v1
+    wh.cherry_pick("lab", "cpt", "res", v1)
+    # provenance record expires out of retained history
+    wh.expire_snapshots("lab", "cpt", keep_last=1)
+    out = wh.merge_branch("lab", "cpt", "res")
+    assert out["strategy"] == "cherry_pick"
+    assert v1 in out["already_published"]  # fence-detected, not re-picked
+    assert out["picked"] == [v2]
+    got = wh.read("lab", "cpt")
+    assert got.filter(F.col("id").isin(300, 301)).count() == 2
+    assert got.count() == 23
+
+
+def test_legacy_head_seq_base_recovers_from_refs(cp_table, spark):
+    """ADVICE r10 (low): a LEGACY head (no last_seq) written by a
+    pre-upgrade fast_forward carries entries with branch seqs ABOVE its
+    version; defaulting seq to version+1 would stamp the next equality
+    delete BELOW them and it would silently skip the carried rows.
+    _seq_base must recover the counter from the refs (max_seq) or, for
+    refs predating max_seq, from one cached segment parse."""
+    import json as _json
+
+    wh = cp_table  # main at v2, seqs 1..2
+    wh.create_branch("lab", "cpt", "legacy")
+    for i in range(3):  # branch seqs 3,4,5
+        _mk_branch_append(wh, spark, "legacy", [(400 + i, "b")], f"bl{i}")
+    wh.fast_forward("lab", "cpt", "legacy")  # main v3, last_seq 5
+    head_path = os.path.join(wh._snap_dir("lab", "cpt"), "v000003.json")
+    with open(head_path) as f:
+        head = _json.load(f)
+    assert head["last_seq"] == 5
+    # simulate a pre-upgrade publish: strip last_seq AND ref max_seq
+    del head["last_seq"]
+    for r in head["segments"]:
+        r.pop("max_seq", None)
+    os.unlink(head_path)  # hard-linked CAS artifact; rewrite in place
+    with open(head_path, "w") as f:
+        _json.dump(head, f)
+    wh._seg_cache.clear()
+    assert wh._seq_base("lab", "cpt", head) == 5  # not version (3)
+    # the eq delete must now out-sequence the carried entries
+    wh.delete_by_keys("lab", "cpt", [(401,)], ["id"])
+    got = wh.read("lab", "cpt")
+    assert got.filter(F.col("id") == 401).count() == 0  # no seq skew
+    assert got.count() == 22
+    assert wh.head_snapshot("lab", "cpt")["last_seq"] == 6
