@@ -5380,6 +5380,150 @@ class ParquetWarehouse:
             "version": self._latest_version(schema, table),
         }
 
+    def rollback_to_snapshot(
+        self, schema: str, table: str, version: int | str, branch: str = "main"
+    ) -> dict:
+        """Move a ref's CURRENT state back to an earlier snapshot — the
+        Trino-Iceberg recovery procedure after a bad commit
+        (``CALL system.rollback_to_snapshot``; the reference's connector
+        ships it).  ``version`` is a snapshot number or a TAG name
+        (main only).  This is a METADATA-ONLY CAS commit: the new head
+        carries the TARGET version's segment refs, totals, and pending
+        merge-on-read delete set verbatim — no data file moves, history
+        is PRESERVED (the bad commits stay time-travelable until
+        ``expire_snapshots``), and the restored files stay GC-protected
+        because the new head references them.
+
+        Semantics pinned to Iceberg's:
+
+        - DDL is NOT reverted — the snapshot pointer moves, the table
+          schema stays current (the head carries the CURRENT schemas
+          superset + schema_id; the restored entries resolve through
+          their recorded sids as always).  A restored pending equality
+          delete whose key field was dropped since REFUSES — its keys
+          could no longer resolve (mirror of ``drop_column``'s guard).
+        - The sequence counter stays MONOTONE across the rollback
+          (max of both timelines' counters): new commits out-sequence
+          every entry either timeline ever stamped, so no future
+          equality delete can collide with a restored or abandoned seq.
+        - Works on branches (``branch=``); tags are main-namespace.
+
+        Within one ref our history is strictly linear (every commit's
+        parent is the previous head), so any retained version below the
+        head IS an ancestor — ``set_current_snapshot`` is the same
+        operation under Iceberg's other procedure name."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                f"{schema}.{table} does not keep snapshots "
+                "(snapshots=true) — nothing to roll back to"
+            )
+        if isinstance(version, str):
+            if branch != "main":
+                raise ValueError(
+                    "tags are main-namespace refs — pass a version "
+                    f"number to roll back branch {branch!r}"
+                )
+            version = self._resolve_version(schema, table, version)
+        cur_v = self._latest_version(schema, table, branch)
+        if cur_v is None:
+            raise ValueError(
+                f"{schema}.{table} has no snapshot"
+                + ("" if branch == "main" else f" on branch {branch!r}")
+            )
+        try:
+            target = self._load_head_light(schema, table, version, branch)
+        except KeyError:
+            raise ValueError(
+                f"cannot roll back {schema}.{table} to v{version}: that "
+                "snapshot is not retained (expired, or never existed) — "
+                "see history()"
+            )
+        import time as _time
+
+        while True:
+            head = self._load_head_light(schema, table, cur_v, branch)
+            if version >= head["version"]:
+                raise ValueError(
+                    f"cannot roll back {schema}.{table} to v{version}: "
+                    f"head is v{head['version']} — rollback targets an "
+                    "EARLIER snapshot"
+                )
+            if ("schemas" in head) != ("schemas" in target):
+                # legacy/modern mixed tracking cannot happen on one ref's
+                # linear history (schemas only ever appear at table
+                # creation) — refuse rather than guess
+                raise RuntimeError(
+                    f"cannot roll back {schema}.{table}: schema tracking "
+                    f"differs between v{version} and the head"
+                )
+            if "schemas" in head:
+                cur_ids = {
+                    f["id"] for f in head["schemas"][str(head["schema_id"])]
+                }
+                for d in self._head_deletes(schema, table, target):
+                    missing = sorted(set(d.get("eq_ids") or []) - cur_ids)
+                    if missing:
+                        raise ValueError(
+                            f"cannot roll back {schema}.{table} to "
+                            f"v{version}: its pending equality delete "
+                            f"{d['path']} keys on field id(s) {missing} "
+                            "dropped from the current schema — the keys "
+                            "could no longer resolve"
+                        )
+            manifest = {
+                "version": head["version"] + 1,
+                "parent": head["version"],
+                "operation": "rollback",
+                "ts": round(_time.time(), 3),
+                # counter monotone across the rollback — see docstring
+                "last_seq": max(
+                    self._seq_base(schema, table, head),
+                    self._seq_base(schema, table, target),
+                ),
+                "rolled_back_to": version,
+            }
+            # state carry from the TARGET (the restored truth): entries,
+            # totals, pending MoR deletes — every key a head writer must
+            # carry (CLAUDE.md's carry discipline), legacy inline shapes
+            # included
+            for k in (
+                "segments", "total_rows", "total_bytes",
+                "deletes", "delete_segments", "files",
+            ):
+                if k in target:
+                    manifest[k] = target[k]
+            # schema carry from the CURRENT head (DDL not reverted): its
+            # schemas dict is the superset of the target's (schemas only
+            # grow down a linear history), so restored sids keep resolving
+            if "schemas" in head:
+                manifest["schemas"] = head["schemas"]
+                manifest["schema_id"] = head["schema_id"]
+            path = os.path.join(
+                self._ref_dir(schema, table, branch),
+                f"v{manifest['version']:06d}.json",
+            )
+            if self._cas_link(manifest, path):
+                self._write_version_hint(
+                    schema, table, manifest["version"], branch
+                )
+                return manifest
+            # lost the race — the rollback applies to the NEW head (the
+            # user asked "make current = v{version}"; a commit that slid
+            # in between is exactly what rollback discards)
+            cur_v = self._latest_version(schema, table, branch)
+
+    def set_current_snapshot(
+        self, schema: str, table: str, version: int | str, branch: str = "main"
+    ) -> dict:
+        """Iceberg's other recovery procedure name
+        (``CALL system.set_current_snapshot``).  Within one ref our
+        history is strictly LINEAR, so every retained snapshot below the
+        head is an ancestor and this is exactly ``rollback_to_snapshot``
+        — both names ship for procedure parity with the reference's
+        Trino connector."""
+        return self.rollback_to_snapshot(schema, table, version, branch)
+
     # --- catalog-level refs: ONE versioned view over MANY tables ---------
     # Nessie's distinctive capability next to per-table branches (the
     # catalog the reference deploys, compose/docker-compose.yaml:61-70):

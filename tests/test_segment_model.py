@@ -81,6 +81,10 @@ OPS = st.lists(
                 # possibly-diverged main — exactly its delta joins main's
                 # model, whatever else happened since the fork
                 "cherry_pick",
+                # r11 rollback: restore a retained earlier snapshot's
+                # files AND pending-delete set exactly (metadata-only;
+                # schema NOT reverted), composing with everything above
+                "rollback",
             ]
         ),
         st.integers(0, 10),
@@ -105,6 +109,9 @@ def test_random_op_sequences_match_model(ops):
         seq_dels_model: dict[str, set[str]] = {}
         # branches: name -> {"files": set of rel paths, "fork": version}
         branches_model: dict[str, dict] = {}
+        # the model's OWN state at each main version (files, deletes,
+        # seq deletes) — what a rollback to that version must restore
+        states: dict[int, tuple] = {}
         batches: list[str] = []
         counter = 0
 
@@ -376,6 +383,22 @@ def test_random_op_sequences_match_model(ops):
                 name = sorted(tags_model)[pick % len(tags_model)]
                 wh.drop_tag("lab", "t", name)
                 del tags_model[name]
+            elif op == "rollback":
+                vs = wh._snapshot_versions("lab", "t")
+                cands = [v for v in vs[:-1] if v in states]
+                if len(vs) < 2 or not cands:
+                    continue
+                v = cands[pick % len(cands)]
+                out = wh.rollback_to_snapshot("lab", "t", v)
+                assert out["rolled_back_to"] == v
+                files, dels, seqd = states[v]
+                model.clear()
+                model |= set(files)
+                dels_model.clear()
+                dels_model.update({k: set(x) for k, x in dels.items()})
+                seq_dels_model.clear()
+                seq_dels_model.update({k: set(x) for k, x in seqd.items()})
+                # schema_model deliberately untouched: DDL not reverted
             elif op == "rewrite" and model:
                 wh.rewrite_manifests("lab", "t")
             elif op == "expire" and wh._snapshot_versions("lab", "t"):
@@ -430,6 +453,13 @@ def test_random_op_sequences_match_model(ops):
                 )
                 assert on_disk_dels == kept_dels
             check()
+            v = wh._latest_version("lab", "t")
+            if v is not None:
+                states[v] = (
+                    frozenset(model),
+                    {k: frozenset(x) for k, x in dels_model.items()},
+                    {k: frozenset(x) for k, x in seq_dels_model.items()},
+                )
 
         # the age-gated orphan sweep must never touch a live file
         if model:
@@ -452,6 +482,10 @@ DML_OPS = st.lists(
                 "cow_update", "mor_update",
                 "eq_delete", "mor_upsert",
                 "rename", "expire", "tag",
+                # r11: rollback interleaved with row-level DML — the read
+                # must equal the row model the table had at the target
+                # version, under the CURRENT (non-reverted) schema
+                "rollback",
             ]
         ),
         st.integers(0, 9),
@@ -475,6 +509,7 @@ def test_random_dml_sequences_match_row_model(spark, ops):
         vcol = "v"  # current name of the renamed column
         next_id = 0
         tagged: list[tuple[int, dict]] = []  # (version, rows snapshot)
+        states: dict[int, dict] = {}  # main version -> rows snapshot
 
         def check():
             if not wh._snapshot_versions("lab", "t"):
@@ -550,6 +585,17 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                         rows.pop(i, None)
                     else:
                         rows[i] = {"k": k, "v": v}
+            elif op == "rollback":
+                vs = wh._snapshot_versions("lab", "t")
+                cands = [v for v in vs[:-1] if v in states]
+                if len(vs) < 2 or not cands:
+                    continue
+                v = cands[pick % len(cands)]
+                wh.rollback_to_snapshot("lab", "t", v)
+                rows = {i: dict(r) for i, r in states[v].items()}
+                # vcol deliberately untouched: DDL is not reverted — the
+                # restored entries resolve via field ids under the
+                # current name
             elif op == "rename" and wh._snapshot_versions("lab", "t"):
                 new = "w" if vcol == "v" else "v"
                 wh.rename_column("lab", "t", vcol, new)
@@ -562,6 +608,9 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                     wh.create_tag("lab", "t", f"tg{v}")
                     tagged.append((v, {i: dict(r) for i, r in rows.items()}))
             check()
+            v = wh._latest_version("lab", "t")
+            if v is not None:
+                states[v] = {i: dict(r) for i, r in rows.items()}
 
         # tagged snapshots time-travel to their exact row sets (deletes,
         # updates, and schema all versioned together)
