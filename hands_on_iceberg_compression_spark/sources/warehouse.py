@@ -5714,6 +5714,197 @@ class ParquetWarehouse:
                 pins[(s, t)] = self.fast_forward(s, t, name)["version"]
         return self.commit_catalog(pins, operation=operation)
 
+    # --- catalog BRANCHES: ONE named ref staging a MULTI-TABLE pipeline --
+    # Completes the Nessie analogy (VERDICT r10 #4): before this, staging
+    # a two-table pipeline meant managing N per-table branches by hand
+    # plus one publish_tables call.  A catalog branch is a tiny head
+    # chain under _catalog/branch_<name>/ recording which tables are
+    # staged on it; the staged DATA lives on ordinary TABLE branches in a
+    # namespace the catalog branch owns ("catb_<name>"), so every
+    # existing branch mechanism — expiry retention of branch-referenced
+    # files, fast_forward, the _find_publish crash resume, DML branch
+    # threading — applies unchanged.  Publish = the existing
+    # publish_tables machinery + ONE catalog CAS commit: a crash midway
+    # never shows catalog readers a torn view, and the retry resumes.
+
+    def _catalog_branch_dir(self, name: str) -> str:
+        if not self._TAG_NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"invalid catalog branch name {name!r}: alphanumeric "
+                "start, then [A-Za-z0-9_-.], max 64 chars"
+            )
+        return os.path.join(self._catalog_dir(), f"branch_{name}")
+
+    @staticmethod
+    def catalog_branch_table_ref(name: str) -> str:
+        """The TABLE-branch name a catalog branch stages writes on —
+        pass it as ``branch=`` to append/read/DML (``
+        stage_on_catalog_branch`` returns it after registering)."""
+        return f"catb_{name}"
+
+    def _catalog_branch_versions(self, name: str) -> list[int]:
+        d = self._catalog_branch_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(fn[1:7])
+            for fn in os.listdir(d)
+            if fn.startswith("v") and fn.endswith(".json") and len(fn) == 12
+        )
+
+    def create_catalog_branch(self, name: str) -> dict:
+        """Fork a named catalog ref at the CURRENT catalog version.
+        Hard-link CAS: re-creating an existing branch raises."""
+        d = self._catalog_branch_dir(name)
+        os.makedirs(d, exist_ok=True)
+        import time as _time
+
+        record = {
+            "version": 1,
+            "parent": None,
+            "operation": "fork",
+            "ts": round(_time.time(), 3),
+            # the catalog version non-staged tables resolve through when
+            # reading the branch (None: no catalog commit exists yet)
+            "fork_catalog": self.latest_catalog_version(),
+            "tables": [],
+        }
+        if self._catalog_branch_versions(name) or not self._cas_link(
+            record, os.path.join(d, "v000001.json")
+        ):
+            raise ValueError(
+                f"catalog branch {name!r} already exists "
+                "(drop_catalog_branch first)"
+            )
+        return record
+
+    def catalog_branches(self) -> dict[str, dict]:
+        """{name: {head version, fork_catalog, staged tables}} for every
+        live catalog branch — head files only."""
+        d = self._catalog_dir()
+        out: dict[str, dict] = {}
+        if not os.path.isdir(d):
+            return out
+        for fn in os.listdir(d):
+            if fn.startswith("branch_") and os.path.isdir(
+                os.path.join(d, fn)
+            ):
+                name = fn[len("branch_"):]
+                h = self.catalog_branch_head(name)
+                out[name] = {
+                    "head": h["version"],
+                    "fork_catalog": h.get("fork_catalog"),
+                    "tables": list(h["tables"]),
+                }
+        return out
+
+    def catalog_branch_head(self, name: str) -> dict:
+        versions = self._catalog_branch_versions(name)
+        if not versions:
+            raise ValueError(f"no catalog branch {name!r}")
+        with open(
+            os.path.join(
+                self._catalog_branch_dir(name), f"v{versions[-1]:06d}.json"
+            )
+        ) as f:
+            return json.load(f)
+
+    def stage_on_catalog_branch(
+        self, name: str, schema: str, table: str
+    ) -> str:
+        """Register ``schema.table`` on catalog branch ``name`` and
+        return the TABLE-branch ref to write through (``catb_<name>``,
+        created on first use, forked from the table's current main
+        head).  Idempotent; CAS-retried, so concurrent stagers of
+        different tables both land.  The table must have a main snapshot
+        (branches always fork FROM a snapshot)."""
+        d = self._catalog_branch_dir(name)
+        tref = self.catalog_branch_table_ref(name)
+        key = self._catalog_key(schema, table)
+        head = self.catalog_branch_head(name)  # raises if no branch
+        if not self._snapshot_versions(schema, table, tref):
+            self.create_branch(schema, table, tref)
+        import time as _time
+
+        while True:
+            if key in head["tables"]:
+                return tref
+            manifest = {
+                "version": head["version"] + 1,
+                "parent": head["version"],
+                "operation": "stage",
+                "ts": round(_time.time(), 3),
+                "fork_catalog": head.get("fork_catalog"),
+                "tables": sorted(set(head["tables"]) | {key}),
+            }
+            if self._cas_link(
+                manifest,
+                os.path.join(d, f"v{manifest['version']:06d}.json"),
+            ):
+                return tref
+            head = self.catalog_branch_head(name)
+
+    def read_catalog_branch(self, name: str) -> dict[str, DataFrame]:
+        """The branch's CONSISTENT multi-table view: staged tables read
+        through their staging branches (uncommitted pipeline state);
+        tables the fork-time catalog pinned but this branch never wrote
+        read at their fork-pinned versions — the Nessie contract that a
+        branch reader sees fork state plus exactly this branch's own
+        writes, whatever landed on main since."""
+        head = self.catalog_branch_head(name)
+        tref = self.catalog_branch_table_ref(name)
+        out: dict[str, DataFrame] = {}
+        for key in head["tables"]:
+            s, t = key.split(".", 1)
+            out[key] = self.read(s, t, branch=tref)
+        if head.get("fork_catalog") is not None:
+            pinned = self.catalog_head(head["fork_catalog"])["tables"]
+            for key, v in pinned.items():
+                if key not in out:
+                    s, t = key.split(".", 1)
+                    out[key] = self.read_snapshot(s, t, v)
+        return out
+
+    def publish_catalog_branch(self, name: str) -> dict:
+        """Publish every table staged on the catalog branch: per-table
+        ``fast_forward`` (skipping halves an earlier crashed publish
+        already forwarded — the ``_find_publish`` walk inside
+        ``publish_tables``) then ONE catalog CAS commit pinning all the
+        published versions together.  The catalog commit is the
+        atomicity point: catalog readers never see a torn publish, and
+        re-running after any crash completes it.  Refuses (per table)
+        when main moved past the fork — resolve with per-table
+        ``merge_branch`` + ``commit_catalog``, the explicit-conflict
+        path.  The branch stays for inspection; ``drop_catalog_branch``
+        when done."""
+        head = self.catalog_branch_head(name)
+        if not head["tables"]:
+            raise ValueError(
+                f"catalog branch {name!r} has no staged tables"
+            )
+        tref = self.catalog_branch_table_ref(name)
+        branches = {
+            tuple(key.split(".", 1)): tref for key in head["tables"]
+        }
+        return self.publish_tables(
+            branches, operation=f"publish_branch:{name}"
+        )
+
+    def drop_catalog_branch(self, name: str) -> None:
+        """Remove the catalog branch AND its per-table staging branches.
+        Idempotent per table (a half-dropped branch re-drops cleanly);
+        staged-only files become orphans for the age-gated sweep, as
+        with any ``drop_branch``."""
+        head = self.catalog_branch_head(name)  # raises if absent
+        tref = self.catalog_branch_table_ref(name)
+        for key in head["tables"]:
+            s, t = key.split(".", 1)
+            try:
+                self.drop_branch(s, t, tref)
+            except ValueError:
+                pass  # already gone (crashed earlier drop)
+        shutil.rmtree(self._catalog_branch_dir(name), ignore_errors=True)
+
     def _catalog_pins(self, schema: str, table: str) -> set[int]:
         """Every version of this table some live catalog head pins —
         retained by ``expire_snapshots`` like tagged versions.
@@ -5765,7 +5956,10 @@ class ParquetWarehouse:
     def expire_catalog(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` catalog versions;
         returns removed count.  TAGGED catalog versions are retained
-        regardless of position until ``drop_catalog_tag``.  Table
+        regardless of position until ``drop_catalog_tag``, and so is the
+        FORK version of every live catalog branch (``read_catalog_branch``
+        resolves unstaged tables through it) until ``drop_catalog_branch``
+        — the same ref-retention contract as table tags/branches.  Table
         snapshots pinned ONLY by the dropped catalog versions become
         expirable by the next per-table ``expire_snapshots``."""
         if keep_last < 1:
@@ -5773,6 +5967,9 @@ class ParquetWarehouse:
         versions = self._catalog_versions()
         victims = versions[:-keep_last]
         tagged = set(self.catalog_tags().values())
+        for b in self.catalog_branches().values():
+            if b.get("fork_catalog") is not None:
+                tagged.add(b["fork_catalog"])
         if tagged:
             victims = [v for v in victims if v not in tagged]
         for v in victims:

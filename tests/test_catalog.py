@@ -195,6 +195,8 @@ CAT_OPS = st.lists(
                 "stage_publish",                # atomic two-table publish
                 "crash_publish",                # torn mid-publish + retry
                 "expire1", "expire_catalog",    # retention interplay
+                # r11 catalog branches: one named ref staging N tables
+                "cb_fork", "cb_stage", "cb_publish", "cb_drop",
             ]
         ),
         st.integers(0, 9),
@@ -212,8 +214,12 @@ def test_random_catalog_sequences_match_model(ops):
         # model: catalog version -> {table key: pinned version} (None =
         # expired); every LIVE head must match and stay materializable
         cat_model: dict[int, dict | None] = {}
+        # catalog branches: name -> {"fork_catalog", "tables": {key:
+        # {"fork": table version at stage time, "staged": [rel files]}}}
+        cb_model: dict[str, dict] = {}
         counter = 0
         stage_n = 0
+        cb_n = 0
 
         def table_v(t):
             return wh._latest_version("lab", t)
@@ -249,6 +255,21 @@ def test_random_catalog_sequences_match_model(ops):
                 for key, pv in head["tables"].items():
                     s, t = key.split(".", 1)
                     wh._load_snapshot(s, t, pv)  # stays materializable
+            got_cb = wh.catalog_branches()
+            assert set(got_cb) == set(cb_model)
+            for name, bm in cb_model.items():
+                assert got_cb[name]["tables"] == sorted(bm["tables"])
+                assert got_cb[name]["fork_catalog"] == bm["fork_catalog"]
+                tref = wh.catalog_branch_table_ref(name)
+                for key, tm in bm["tables"].items():
+                    s, t = key.split(".", 1)
+                    # the staging branch's file set = fork files + stages
+                    bh = wh._load_snapshot(
+                        s, t,
+                        wh._snapshot_versions(s, t, tref)[-1], tref,
+                    )
+                    got = {e["path"] for e in bh["files"]}
+                    assert got == tm["fork_files"] | set(tm["staged"])
 
         for op, pick in ops:
             if op in ("append1", "append2"):
@@ -310,6 +331,72 @@ def test_random_catalog_sequences_match_model(ops):
                 })
                 for t in ("t1", "t2"):
                     wh.drop_branch("lab", t, name)
+            elif op == "cb_fork":
+                cb_n += 1
+                name = f"cbr{cb_n:03d}"
+                wh.create_catalog_branch(name)
+                live = [v for v, m in cat_model.items() if m is not None]
+                cb_model[name] = {
+                    "fork_catalog": max(live) if live else None,
+                    "tables": {},
+                }
+            elif op == "cb_stage" and cb_model:
+                t = "t1" if pick % 2 else "t2"
+                if not table_v(t):
+                    continue
+                name = sorted(cb_model)[pick % len(cb_model)]
+                bm = cb_model[name]
+                key = f"lab.{t}"
+                tref = wh.stage_on_catalog_branch(name, "lab", t)
+                if key not in bm["tables"]:
+                    fork_head = wh._load_snapshot("lab", t, table_v(t))
+                    bm["tables"][key] = {
+                        "fork": table_v(t),
+                        "fork_files": {
+                            e["path"] for e in fork_head["files"]
+                        },
+                        "staged": [],
+                    }
+                counter += 1
+                f = _write_file(tdirs[t], f"cb{counter:03d}", "f0")
+                wh.commit_snapshot(
+                    "lab", t, "append", add_files=[f], branch=tref,
+                )
+                bm["tables"][key]["staged"].append(
+                    os.path.relpath(f, tdirs[t])
+                )
+            elif op == "cb_publish" and cb_model:
+                name = sorted(cb_model)[pick % len(cb_model)]
+                bm = cb_model[name]
+                if not bm["tables"]:
+                    with pytest.raises(ValueError, match="no staged"):
+                        wh.publish_catalog_branch(name)
+                elif any(
+                    table_v(k.split(".", 1)[1]) != tm["fork"]
+                    for k, tm in bm["tables"].items()
+                ):
+                    # main moved past a staged table's fork: the publish
+                    # refuses (possibly after forwarding non-diverged
+                    # halves — torn on direct reads, never at the
+                    # catalog, same contract as crash_publish)
+                    before = wh.latest_catalog_version()
+                    with pytest.raises(RuntimeError, match="diverged"):
+                        wh.publish_catalog_branch(name)
+                    assert wh.latest_catalog_version() == before
+                    wh.drop_catalog_branch(name)
+                    del cb_model[name]
+                else:
+                    wh.publish_catalog_branch(name)
+                    model_commit({
+                        key: table_v(key.split(".", 1)[1])
+                        for key in bm["tables"]
+                    })
+                    wh.drop_catalog_branch(name)
+                    del cb_model[name]
+            elif op == "cb_drop" and cb_model:
+                name = sorted(cb_model)[pick % len(cb_model)]
+                wh.drop_catalog_branch(name)
+                del cb_model[name]
             elif op == "expire1" and table_v("t1"):
                 wh.expire_snapshots("lab", "t1", keep_last=(pick % 2) + 1)
             elif op == "expire_catalog" and wh.latest_catalog_version():
@@ -317,9 +404,16 @@ def test_random_catalog_sequences_match_model(ops):
                 live = sorted(
                     v for v, m in cat_model.items() if m is not None
                 )
+                # catalog-branch forks are retained like tags
+                protected = {
+                    bm["fork_catalog"]
+                    for bm in cb_model.values()
+                    if bm["fork_catalog"] is not None
+                }
                 wh.expire_catalog(keep_last=keep)
                 for v in live[:-keep]:
-                    cat_model[v] = None
+                    if v not in protected:
+                        cat_model[v] = None
             check()
 
 
@@ -469,3 +563,134 @@ def test_commit_catalog_writes_no_hint(cat_wh):
     assert not os.path.exists(
         os.path.join(wh._catalog_dir(), "version-hint.txt")
     )
+
+
+# --- catalog BRANCHES (VERDICT r10 #4): one named ref, N staged tables --
+
+
+def test_catalog_branch_pipeline(cat_wh, spark):
+    """Fork -> stage two tables through ONE named ref -> read the
+    branch's consistent view -> publish with one catalog commit."""
+    wh = cat_wh
+    c0 = wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    wh.create_catalog_branch("rel1")
+    ref_o = wh.stage_on_catalog_branch("rel1", "shop", "orders")
+    ref_i = wh.stage_on_catalog_branch("rel1", "shop", "items")
+    assert ref_o == ref_i == "catb_rel1"
+    assert ref_o == wh.stage_on_catalog_branch("rel1", "shop", "orders")
+    wh.append(
+        "shop", "orders",
+        spark.createDataFrame([(100, "staged")], "id int, src string"),
+        batch_id="s0", branch=ref_o,
+    )
+    wh.append(
+        "shop", "items",
+        spark.createDataFrame([(200, "staged")], "id int, src string"),
+        batch_id="s1", branch=ref_i,
+    )
+    # mains and the catalog are untouched while staged
+    assert wh.read("shop", "orders").count() == 5
+    assert wh.read("shop", "items").count() == 5
+    assert wh.latest_catalog_version() == c0["version"]
+    # the branch view: staged state for both tables
+    view = wh.read_catalog_branch("rel1")
+    assert sorted(view) == ["shop.items", "shop.orders"]
+    assert view["shop.orders"].count() == 6
+    assert view["shop.items"].count() == 6
+    bl = wh.catalog_branches()
+    assert bl["rel1"]["tables"] == ["shop.items", "shop.orders"]
+    assert bl["rel1"]["fork_catalog"] == c0["version"]
+    # publish: ONE catalog commit pins both published versions
+    out = wh.publish_catalog_branch("rel1")
+    assert out["version"] == c0["version"] + 1
+    assert out["operation"] == "publish_branch:rel1"
+    assert wh.read("shop", "orders").count() == 6
+    assert wh.read("shop", "items").count() == 6
+    for key, v in out["tables"].items():
+        s, t = key.split(".", 1)
+        assert v == wh._latest_version(s, t)
+    # catalog time travel still sees the pre-publish instant
+    old = wh.read_catalog_as_of(c0["version"])
+    assert old["shop.orders"].count() == 5
+    wh.drop_catalog_branch("rel1")
+    assert "rel1" not in wh.catalog_branches()
+    assert "catb_rel1" not in wh.branches("shop", "orders")
+    with pytest.raises(ValueError, match="no catalog branch"):
+        wh.read_catalog_branch("rel1")
+
+
+def test_catalog_branch_fork_view_for_unstaged_tables(cat_wh, spark):
+    """A table the fork catalog pinned but the branch never wrote reads
+    at its FORK-pinned version — main movement since is invisible."""
+    wh = cat_wh
+    c0 = wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    wh.create_catalog_branch("iso")
+    ref = wh.stage_on_catalog_branch("iso", "shop", "orders")
+    wh.append(
+        "shop", "orders",
+        spark.createDataFrame([(101, "staged")], "id int, src string"),
+        batch_id="s0", branch=ref,
+    )
+    # main of the UNSTAGED table moves after the fork
+    wh.append(
+        "shop", "items",
+        spark.createDataFrame([(300, "later")], "id int, src string"),
+        batch_id="m0",
+    )
+    view = wh.read_catalog_branch("iso")
+    assert view["shop.orders"].count() == 6   # staged write visible
+    assert view["shop.items"].count() == 5    # fork view, not main's 6
+    wh.drop_catalog_branch("iso")
+
+
+def test_catalog_branch_crashed_publish_never_torn(cat_wh, spark, monkeypatch):
+    """A crash between the two table fast-forwards leaves catalog
+    readers on the old pins; the re-run resumes past the published half
+    (the _find_publish walk) and completes with ONE catalog commit."""
+    wh = cat_wh
+    c0 = wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    wh.create_catalog_branch("rel2")
+    for t in ("orders", "items"):
+        ref = wh.stage_on_catalog_branch("rel2", "shop", t)
+        wh.append(
+            "shop", t,
+            spark.createDataFrame([(400, "staged")], "id int, src string"),
+            batch_id="s0", branch=ref,
+        )
+    real_ff = ParquetWarehouse.fast_forward
+    calls = []
+
+    def crashing_ff(self, schema, table, name):
+        calls.append(table)
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash mid-publish")
+        return real_ff(self, schema, table, name)
+
+    monkeypatch.setattr(ParquetWarehouse, "fast_forward", crashing_ff)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        wh.publish_catalog_branch("rel2")
+    monkeypatch.setattr(ParquetWarehouse, "fast_forward", real_ff)
+    # torn on direct table reads, UNTOUCHED for catalog readers
+    assert wh.latest_catalog_version() == c0["version"]
+    assert wh.read_catalog_as_of()["shop.orders"].count() == 5
+    items_v = wh._latest_version("shop", "items")
+    out = wh.publish_catalog_branch("rel2")  # resume
+    assert wh._latest_version("shop", "items") == items_v  # skipped half
+    assert out["tables"]["shop.items"] == items_v
+    assert wh.read_catalog_as_of()["shop.orders"].count() == 6
+    assert wh.read_catalog_as_of()["shop.items"].count() == 6
+    wh.drop_catalog_branch("rel2")
+
+
+def test_catalog_branch_refusals(cat_wh):
+    wh = cat_wh
+    wh.create_catalog_branch("dup")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.create_catalog_branch("dup")
+    with pytest.raises(ValueError, match="no staged tables"):
+        wh.publish_catalog_branch("dup")
+    with pytest.raises(ValueError, match="no catalog branch"):
+        wh.stage_on_catalog_branch("ghost", "shop", "orders")
+    with pytest.raises(ValueError, match="invalid catalog branch"):
+        wh.create_catalog_branch("bad/name")
+    wh.drop_catalog_branch("dup")
