@@ -537,6 +537,87 @@ class ParquetWarehouse:
             return not head.get("files") and not head.get("segments")
         return not self._data_files(schema, table)
 
+    def count_rows(self, schema: str, table: str, branch: str = "main") -> int:
+        """Exact row count, O(metadata) when the manifest can prove it —
+        the monitoring-query fast path under pending merge-on-read
+        deletes (VERDICT r10 "what's wrong" #1; A/B in PERF.md round
+        11).  With no pending deletes the head's totals answer without
+        materializing entries.  Pending POSITION deletes subtract their
+        per-target tuple counts (``target_counts``, recorded at write
+        time — one commit's victims are distinct rows, so the per-file
+        counts are exact).  Falls back to the full delete-applied read
+        whenever arithmetic could lie:
+
+        - a pending EQUALITY delete reaches any live file (how many rows
+          match the keys is unknowable without reading),
+        - two pos-delete entries target one live file WITHOUT a proven
+          read chain: each entry records ``rv_seq``, the seq of the
+          delete-applied head its victims were computed from — an entry
+          whose rv_seq covers an earlier entry's seq cannot re-tuple its
+          rows (sequential deletes always chain; RACING overlapping
+          deletes may tuple the same row twice, reads de-duplicate but
+          subtraction would double-count, so a broken chain falls back),
+        - a legacy pos entry predating ``target_counts``.
+
+        Dir-mode tables fall back too (no manifest totals; the parquet
+        footer-count scan there is already metadata-cheap)."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            return self.read(schema, table).count()
+        head = self._head_light(schema, table, branch)
+        if head is None:
+            raise ValueError(
+                f"log-mode table {schema}.{table} has no committed snapshot"
+                if branch == "main"
+                else f"no branch {branch!r} on {schema}.{table}"
+            )
+        dels = self._head_deletes(schema, table, head)
+        if not dels:
+            if head.get("total_rows") is not None:
+                return head["total_rows"]
+            return sum(e["rows"] for e in head.get("files") or [])
+        files = self._materialize(schema, table, head)["files"]
+        live = {e["path"] for e in files}
+        min_seq = min((e.get("seq", 0) for e in files), default=0)
+        total = sum(e["rows"] for e in files)
+        by_file: dict[str, list[dict]] = {}
+        for d in dels:
+            if d.get("kind", "pos") == "eq":
+                t = d.get("targets")
+                reaches = (
+                    min_seq < d.get("seq", 0)
+                    if t is None  # seq-scoped: applies below its commit
+                    else bool(set(t) & live)
+                )
+                if reaches:
+                    return self.read(schema, table, branch).count()
+                continue  # dead eq delete: every reachable file dropped
+            tc = d.get("target_counts")
+            if tc is None:  # legacy entry: counts unknown
+                return self.read(schema, table, branch).count()
+            for t in d.get("targets") or []:
+                if t not in live:
+                    continue  # tuples of dropped files can never match
+                if t not in tc:
+                    return self.read(schema, table, branch).count()
+                by_file.setdefault(t, []).append(d)
+        sub = 0
+        for t, ents in by_file.items():
+            if len(ents) > 1:
+                # exact-subtraction proof: sorted by commit seq, every
+                # later entry's read (rv_seq) must cover the earlier
+                # entry — its victim scan then saw that delete applied
+                # and cannot re-tuple the same rows.  Same-seq entries
+                # are one commit's disjoint part files.
+                ents.sort(key=lambda d: d.get("seq", 0))
+                for prev, nxt in zip(ents, ents[1:]):
+                    if nxt.get("seq", 0) != prev.get("seq", 0) and (
+                        nxt.get("rv_seq", -1) < prev.get("seq", 0)
+                    ):
+                        return self.read(schema, table, branch).count()
+            sub += sum(d["target_counts"][t] for d in ents)
+        return total - sub
+
     # --- C7/C8: metrology ($files-equivalent) ----------------------------
     def _live_data_dir(self, schema: str, table: str) -> str:
         """data/, healing first: if a crash during optimize()'s swap left only
@@ -1121,12 +1202,12 @@ class ParquetWarehouse:
                 if n == 0:
                     os.unlink(p)
                     continue
-                targets = sorted(
-                    set(
-                        pq.read_table(p, columns=["file_path"])
-                        .column("file_path")
-                        .to_pylist()
-                    )
+                from collections import Counter
+
+                counts = Counter(
+                    pq.read_table(p, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
                 )
                 entries.append(
                     {
@@ -1134,7 +1215,16 @@ class ParquetWarehouse:
                         "bytes": os.stat(p).st_size,
                         "rows": n,
                         "kind": "pos",
-                        "targets": targets,
+                        "targets": sorted(counts),
+                        # per-target tuple counts: one commit's victims
+                        # are DISTINCT rows, so these are exact per-file
+                        # deleted-row counts — count_rows() subtracts
+                        # them without touching data (a dict, not an
+                        # aligned list: fold rewrites prune "targets"
+                        # and a dict stays correct un-rewritten)
+                        "target_counts": {
+                            k: counts[k] for k in sorted(counts)
+                        },
                     }
                 )
         if not entries:
@@ -1822,6 +1912,13 @@ class ParquetWarehouse:
                 del_root, del_entries = self._write_pos_deletes(
                     schema, table, tuples
                 )
+                # read-position stamp: victims were computed from the
+                # delete-APPLIED read at this head, so these tuples are
+                # provably disjoint from every delete entry with
+                # seq <= rv_seq — count_rows' exact-subtraction proof
+                rv = self._seq_base(schema, table, head)
+                for d in del_entries:
+                    d["rv_seq"] = rv
                 rows_marked = sum(e["rows"] for e in del_entries)
             if not del_entries and not drop_paths:
                 # nothing matched: no commit (same no-op guarantee as the
@@ -2104,6 +2201,9 @@ class ParquetWarehouse:
             del_root, del_entries = self._write_pos_deletes(
                 schema, table, tuples
             )
+            rv = self._seq_base(schema, table, head)  # see delete_where
+            for d in del_entries:
+                d["rv_seq"] = rv
             rows_marked = sum(e["rows"] for e in del_entries)
             if rows_marked != rows_new:
                 # the two scans disagreeing means the predicate or an
@@ -2812,14 +2912,19 @@ class ParquetWarehouse:
         return [dict(f) for f in head["schemas"][str(head["schema_id"])]]
 
     def _commit_schema_change(
-        self, schema: str, table: str, operation: str, mutate
+        self, schema: str, table: str, operation: str, mutate,
+        branch: str = "main",
     ) -> dict:
         """CAS-commit a METADATA-ONLY schema change: the new head carries
         the parent's segment refs verbatim (no entry is parsed, no data
         file touched — O(refs) bytes), the schema list grows by one, and
         ``schema_id`` moves.  Old schema ids are never removed or reused:
         live files written under them resolve through the mapping
-        forever, and time travel needs them."""
+        forever, and time travel needs them.  ``branch=`` stages the DDL
+        on a named ref (field ids allocate above every id any schema on
+        THAT ref ever used; publishing is ``fast_forward`` at the fork
+        or ``merge_branch``'s commuting schema adoption after main
+        moved)."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -2827,11 +2932,16 @@ class ParquetWarehouse:
                 "table — dir-mode parquet has no metadata log to version "
                 "schemas in"
             )
-        snap_dir = self._snap_dir(schema, table)
+        snap_dir = self._ref_dir(schema, table, branch)
         import time as _time
 
         while True:
-            head = self._head_light(schema, table)
+            head = self._head_light(schema, table, branch)
+            if head is None and branch != "main":
+                raise ValueError(
+                    f"no branch {branch!r} on {schema}.{table} — "
+                    "create_branch() first"
+                )
             if head is None or "schemas" not in head:
                 raise ValueError(
                     f"{schema}.{table} has no recorded schema to evolve — "
@@ -2882,7 +2992,7 @@ class ParquetWarehouse:
                 manifest["delete_segments"] = head["delete_segments"]
             path = os.path.join(snap_dir, f"v{version:06d}.json")
             if self._cas_link(manifest, path):
-                self._write_version_hint(schema, table, version)
+                self._write_version_hint(schema, table, version, branch)
                 return manifest
             # lost the race — re-derive from the winner's head
 
@@ -2905,7 +3015,10 @@ class ParquetWarehouse:
                 f"table sort order {meta.sort_order}"
             )
 
-    def add_column(self, schema: str, table: str, name: str, dtype: str) -> dict:
+    def add_column(
+        self, schema: str, table: str, name: str, dtype: str,
+        branch: str = "main",
+    ) -> dict:
         """ALTER TABLE ... ADD COLUMN (metadata-only commit): existing
         files never carry the column and read NULL for it; appends may
         populate it from the next write on.  The field id is allocated
@@ -2934,9 +3047,14 @@ class ParquetWarehouse:
             )
             return cur + [{"id": next_id, "name": name, "type": dtype}]
 
-        return self._commit_schema_change(schema, table, "add_column", mutate)
+        return self._commit_schema_change(
+            schema, table, "add_column", mutate, branch
+        )
 
-    def rename_column(self, schema: str, table: str, old: str, new: str) -> dict:
+    def rename_column(
+        self, schema: str, table: str, old: str, new: str,
+        branch: str = "main",
+    ) -> dict:
         """ALTER TABLE ... RENAME COLUMN (metadata-only commit): the field
         id is unchanged, so files written under the old name keep
         resolving — reads alias through the id mapping, no rewrite."""
@@ -2952,7 +3070,9 @@ class ParquetWarehouse:
                 {**f, "name": new} if f["name"] == old else f for f in cur
             ]
 
-        return self._commit_schema_change(schema, table, "rename_column", mutate)
+        return self._commit_schema_change(
+            schema, table, "rename_column", mutate, branch
+        )
 
     # Iceberg's legal primitive type promotions (Spec "Schema Evolution"):
     # widening only, value-preserving, so files written at the narrow type
@@ -2966,7 +3086,8 @@ class ParquetWarehouse:
     }
 
     def update_column_type(
-        self, schema: str, table: str, name: str, new_type: str
+        self, schema: str, table: str, name: str, new_type: str,
+        branch: str = "main",
     ) -> dict:
         """ALTER TABLE ... ALTER COLUMN ... TYPE (metadata-only commit):
         only Iceberg's value-preserving WIDENINGS are legal (int family
@@ -3000,10 +3121,12 @@ class ParquetWarehouse:
             ]
 
         return self._commit_schema_change(
-            schema, table, "update_column_type", mutate
+            schema, table, "update_column_type", mutate, branch
         )
 
-    def drop_column(self, schema: str, table: str, name: str) -> dict:
+    def drop_column(
+        self, schema: str, table: str, name: str, branch: str = "main",
+    ) -> dict:
         """ALTER TABLE ... DROP COLUMN (metadata-only commit): data stays
         in the files (old snapshots still present it); the current schema
         simply stops selecting the field."""
@@ -3016,7 +3139,9 @@ class ParquetWarehouse:
             self._schema_change_guard(meta, name, "drop")
             return [f for f in cur if f["name"] != name]
 
-        return self._commit_schema_change(schema, table, "drop_column", mutate)
+        return self._commit_schema_change(
+            schema, table, "drop_column", mutate, branch
+        )
 
     # --- snapshot/manifest log (opt-in; Iceberg-manifest analogue) -------
     def _snap_dir(self, schema: str, table: str) -> str:
@@ -5295,6 +5420,99 @@ class ParquetWarehouse:
             "delete_files_added": len(added_dels),
         }
 
+    def _merge_adopt_schemas(
+        self, schema: str, table: str, name: str,
+        fork_rec: dict, bhead: dict,
+    ) -> dict | None:
+        """Commuting-DDL half of ``merge_branch`` (VERDICT r10 #5):
+        BRANCH-ONLY schema DDL over MAIN-ONLY data commits commutes —
+        replaying the branch's evolution onto main before the picks lets
+        data commits staged UNDER branch DDL merge (their sids then
+        exist identically on main, so cherry_pick's schema fence
+        passes).  The replay is ID-FAITHFUL by construction: instead of
+        re-running the DDL ops (which would re-allocate field ids/sids),
+        main ADOPTS the branch head's schemas dict + schema_id in one
+        metadata-only CAS commit — valid exactly when main's schemas
+        still equal the fork's (the branch dict is then a superset
+        extension of main's, and main entries keep resolving through
+        their sids).
+
+        Returns the adoption manifest, or None when there is nothing to
+        adopt (no branch DDL, or an earlier merge already adopted —
+        idempotent for crashed-merge re-runs).  REFUSES real conflicts:
+        - schema DDL on BOTH sides since the fork (field id / sid spaces
+          collided; even same-shaped changes would alias distinct ids),
+        - a branch drop of a field some MAIN pending equality delete
+          keys on (adoption would leave the delete unapplicable and its
+          rows would resurrect — the drop_column guard, merge flavor).
+        """
+        bsch = bhead.get("schemas")
+        fsch = fork_rec.get("schemas")
+        if bsch == fsch and bhead.get("schema_id") == fork_rec.get(
+            "schema_id"
+        ):
+            return None  # no branch-side DDL: nothing to replay
+        import time as _time
+
+        while True:
+            mhead = self._head_light(schema, table)
+            msch = mhead.get("schemas") if mhead else None
+            if (bsch is None) != (msch is None):
+                raise RuntimeError(
+                    f"cannot merge branch {name!r} of {schema}.{table}: "
+                    "schema tracking differs between branch and main"
+                )
+            if msch == bsch and mhead.get("schema_id") == bhead.get(
+                "schema_id"
+            ):
+                return None  # already adopted (crashed-merge re-run)
+            if msch != fsch or mhead.get("schema_id") != fork_rec.get(
+                "schema_id"
+            ):
+                raise RuntimeError(
+                    f"cannot merge branch {name!r} of {schema}.{table}: "
+                    "schema DDL happened on BOTH sides since the fork — "
+                    "field ids would alias; re-stage on a fresh branch"
+                )
+            cur_ids = {f["id"] for f in bsch[str(bhead["schema_id"])]}
+            for d in self._head_deletes(schema, table, mhead):
+                missing = sorted(set(d.get("eq_ids") or []) - cur_ids)
+                if missing:
+                    raise RuntimeError(
+                        f"cannot merge branch {name!r} of {schema}."
+                        f"{table}: it drops field id(s) {missing} that "
+                        f"main's pending equality delete {d['path']} "
+                        "keys on — optimize() main to fold it first"
+                    )
+            manifest = {
+                "version": mhead["version"] + 1,
+                "parent": mhead["version"],
+                "operation": "merge_schema",
+                "ts": round(_time.time(), 3),
+                "last_seq": self._seq_base(schema, table, mhead),
+                "from_branch": name,
+                "schemas": bsch,
+                "schema_id": bhead["schema_id"],
+            }
+            # every other head key carries from MAIN verbatim (the
+            # head-writer carry discipline: segments, totals, deletes)
+            for k in (
+                "segments", "total_rows", "total_bytes",
+                "deletes", "delete_segments", "files",
+            ):
+                if k in mhead:
+                    manifest[k] = mhead[k]
+            path = os.path.join(
+                self._snap_dir(schema, table),
+                f"v{manifest['version']:06d}.json",
+            )
+            if self._cas_link(manifest, path):
+                self._write_version_hint(
+                    schema, table, manifest["version"]
+                )
+                return manifest
+            # lost the race — re-validate against the winner's head
+
     def merge_branch(self, schema: str, table: str, name: str) -> dict:
         """Publish a branch whether or not main moved — the full Nessie
         merge: ``fast_forward`` when main still sits at the fork point
@@ -5303,10 +5521,14 @@ class ParquetWarehouse:
         a conflicting pick raises mid-way and the commits already picked
         stay published — re-running resumes, because picks record
         ``from_branch``/``picked`` in their manifests and the resume walk
-        skips them).  Metadata-only branch commits (DDL) are skipped and
-        reported — re-apply DDL on main directly; a branch whose LATER
-        data commits depend on branch-side DDL refuses at that pick's
-        schema fence.  The resume walk covers RETAINED main history
+        skips them).  BRANCH-ONLY schema DDL over main-only data commits
+        COMMUTES: main adopts the branch's schema evolution in one
+        metadata-only commit BEFORE the picks (``_merge_adopt_schemas``),
+        so data commits staged under branch DDL merge too; the DDL
+        commits themselves stay in ``skipped_metadata_only`` (their
+        effect is the adoption).  DDL on BOTH sides since the fork still
+        refuses — field ids would alias.  The resume walk covers
+        RETAINED main history
         (fork..head); if that window expired between a crash and the
         re-run, commits that ADD files are still safe — cherry_pick's
         duplicate-pick fence refuses them and the refusal folds into
@@ -5331,7 +5553,14 @@ class ParquetWarehouse:
         # commit is harmless — cherry_pick's duplicate-pick fence
         # refuses it and the refusal is folded into already_published
         # below (pre-fence, a re-pick could resurrect deleted rows).
-        fid = self._load_head_light(schema, table, fork, name).get("ts")
+        fork_rec = self._load_head_light(schema, table, fork, name)
+        fid = fork_rec.get("ts")
+        # commuting DDL: adopt branch-only schema evolution BEFORE the
+        # picks (idempotent; refuses both-sides DDL and guarded drops)
+        adopted = self._merge_adopt_schemas(
+            schema, table, name, fork_rec,
+            self._load_head_light(schema, table, versions[-1], name),
+        )
         already: set[int] = set()
         v = main_v
         while v is not None and v > fork:
@@ -5377,6 +5606,7 @@ class ParquetWarehouse:
             "picked": picked,
             "skipped_metadata_only": skipped,
             "already_published": sorted(already & set(versions[1:])),
+            "schema_adopted": adopted["version"] if adopted else None,
             "version": self._latest_version(schema, table),
         }
 

@@ -257,6 +257,87 @@ def mor_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def count_fastpath_probe(n_rows: int, workdir: str) -> None:
+    """A/B for VERDICT r10 "what's wrong" #1 (measure-first): the
+    monitoring count over a table with PENDING position deletes —
+    join-plan ``read().count()`` vs manifest-arithmetic ``count_rows()``
+    (per-target tuple counts recorded at delete-write time).  Shape
+    mirrors the --mor-steady pending point: ``n_rows`` keyed rows, 3
+    un-folded MoR delete batches of ~200k rows each.  Also measures the
+    post-fold head-total path and documents the eq-delete NEGATIVE:
+    pending equality deletes make the count unknowable from metadata
+    (matched-row cardinality needs the read), so count_rows falls back
+    there by design — the CDC steady state keeps paying the join plan.
+    Prints one JSON line."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="count-fastpath-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    schema, table = "lab", "cnt_ab"
+    wh.create_table(schema, table, "zstd", 1, properties={"snapshots": "true"})
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        (F.col("id") % 997).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).repartition(32)
+    t0 = time.perf_counter()
+    wh.append(schema, table, df, batch_id="base")
+    load_sec = time.perf_counter() - t0
+    batch = max(1, n_rows // 200)  # ~0.5% per delete batch
+    del_secs = []
+    for i in range(3):
+        lo = i * batch
+        t0 = time.perf_counter()
+        wh.delete_where(
+            schema, table, f"id >= {lo} AND id < {lo + batch}",
+            mode="merge-on-read",
+        )
+        del_secs.append(round(time.perf_counter() - t0, 3))
+    pending = wh.delete_files_report(schema, table)
+
+    def best3(fn):
+        return min(_timed(fn) for _ in range(3))
+
+    def _timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    expect = n_rows - 3 * batch
+    got_join = [None]
+    join_sec = best3(lambda: got_join.__setitem__(
+        0, wh.read(schema, table).count()
+    ))
+    fast = [None]
+    fast_sec = best3(lambda: fast.__setitem__(
+        0, wh.count_rows(schema, table)
+    ))
+    assert got_join[0] == fast[0] == expect, (got_join, fast, expect)
+    # negative side: one pending eq delete ON A LIVE KEY forces the
+    # fallback (a key outside every file's bounds prunes to zero
+    # targets and the fast path legitimately survives)
+    wh.delete_by_keys(schema, table, [(n_rows - 1,)], ["id"])
+    eq_fallback_sec = best3(lambda: wh.count_rows(schema, table))
+    t0 = time.perf_counter()
+    wh.optimize(schema, table)
+    fold_sec = time.perf_counter() - t0
+    folded_sec = best3(lambda: wh.count_rows(schema, table))
+    print(json.dumps({
+        "probe": "count_fastpath",
+        "n_rows": n_rows,
+        "load_sec": round(load_sec, 3),
+        "mor_delete_batch_rows": batch,
+        "mor_delete_secs": del_secs,
+        "pending_delete_files": len(pending),
+        "count_pending_join_sec": round(join_sec, 4),
+        "count_pending_fastpath_sec": round(fast_sec, 4),
+        "speedup": round(join_sec / max(fast_sec, 1e-9), 1),
+        "count_pending_eq_fallback_sec": round(eq_fallback_sec, 4),
+        "fold_sec": round(fold_sec, 3),
+        "count_folded_sec": round(folded_sec, 4),
+    }))
+    spark.stop()
+
+
 def mor_steady_probe(n_rows: int, workdir: str) -> None:
     """Steady-state merge-on-read CDC at scale (VERDICT r8 #5): a keyed
     snapshot table of ``n_rows`` keys maintained by
@@ -926,6 +1007,9 @@ def main() -> None:
         return
     if "--percol-ab" in sys.argv:
         percol_ab_probe(n_rows, workdir)
+        return
+    if "--count-fastpath" in sys.argv:
+        count_fastpath_probe(n_rows if args else 40_000_000, workdir)
         return
     if "--mor-steady" in sys.argv:
         # positional arg = base-table KEYS; 40M default (VERDICT r8 #5)

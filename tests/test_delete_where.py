@@ -325,3 +325,127 @@ def test_delete_prunes_through_rename_without_losing_rows(spark, tmp_path):
     # rename to the recorded per-sid bounds key)
     assert out["files_rewritten"] == 1 and out["files_kept"] == 2
     assert wh.read("lab", "evp").count() == 20
+
+
+# --- count_rows: the O(metadata) monitoring fast path (r11) -------------
+
+
+def _no_read(wh, monkeypatch):
+    """Assert the fast path never falls back to the join-plan read."""
+    def boom(*a, **k):
+        raise AssertionError("count_rows fell back to a full read")
+    monkeypatch.setattr(type(wh), "read", boom)
+
+
+def test_count_rows_pos_delete_arithmetic(day_table, monkeypatch):
+    """Pending position deletes: count = head totals minus per-target
+    tuple counts, with ZERO data IO — no fallback read."""
+    wh = day_table
+    assert wh.count_rows("lab", "deltab") == 30
+    wh.delete_where(
+        "lab", "deltab", "v >= 3 AND v <= 4", mode="merge-on-read"
+    )  # 2 rows/gen0 file x 3 days = 6 rows, data untouched
+    expect = wh.read("lab", "deltab").count()
+    assert expect == 24
+    _no_read(wh, monkeypatch)
+    assert wh.count_rows("lab", "deltab") == 24
+    monkeypatch.undo()
+    # a second MoR delete hits DIFFERENT files (gen1) -> still exact
+    wh.delete_where("lab", "deltab", "v >= 103", mode="merge-on-read")
+    expect = wh.read("lab", "deltab").count()
+    _no_read(wh, monkeypatch)
+    assert wh.count_rows("lab", "deltab") == expect == 18
+    monkeypatch.undo()
+    # fold clears the delete set -> head-total path
+    wh.optimize("lab", "deltab")
+    _no_read(wh, monkeypatch)
+    assert wh.count_rows("lab", "deltab") == 18
+
+
+def test_count_rows_sequential_overlap_stays_exact(day_table, monkeypatch):
+    """Two SEQUENTIAL MoR deletes targeting the SAME live files: the
+    second's victim scan saw the first applied (rv_seq chain), so the
+    per-target counts are provably disjoint — still the fast path, no
+    read.  This is the steady-state shape (hot files hit repeatedly
+    between maintenance ticks)."""
+    wh = day_table
+    wh.delete_where("lab", "deltab", "v = 0", mode="merge-on-read")
+    wh.delete_where("lab", "deltab", "v = 1", mode="merge-on-read")
+    dels = wh.delete_files_report("lab", "deltab")
+    assert len(dels) == 2
+    assert set(dels[0]["targets"]) & set(dels[1]["targets"])
+    expect = wh.read("lab", "deltab").count()
+    _no_read(wh, monkeypatch)
+    assert wh.count_rows("lab", "deltab") == expect == 24
+
+
+def test_count_rows_falls_back_when_arithmetic_could_lie(day_table, monkeypatch):
+    """A BROKEN rv_seq chain (racing overlapping deletes may tuple the
+    same row twice) and pending EQUALITY deletes both fall back to the
+    delete-applied read — never a wrong number."""
+    import json
+
+    wh = day_table
+    wh.delete_where("lab", "deltab", "v = 0", mode="merge-on-read")
+    wh.delete_where("lab", "deltab", "v = 1", mode="merge-on-read")
+    # simulate the race: every entry's read predates every commit
+    # (rv_seq = 0 breaks the chain for the shared targets)
+    head = wh._head_light("lab", "deltab")
+    for ref in head["delete_segments"]:
+        p = os.path.join(wh._snap_dir("lab", "deltab"), ref["path"])
+        with open(p) as f:
+            seg = json.load(f)
+        for d in seg["files"]:
+            d["rv_seq"] = 0
+        with open(p, "w") as f:
+            json.dump(seg, f)
+        wh._seg_cache.pop(p, None)
+    calls = []
+    real_read = type(wh).read
+
+    def counting_read(self, *a, **k):
+        calls.append(1)
+        return real_read(self, *a, **k)
+
+    monkeypatch.setattr(type(wh), "read", counting_read)
+    assert wh.count_rows("lab", "deltab") == 24
+    assert calls, "broken rv_seq chain must fall back to the read"
+    calls.clear()
+    # pending eq delete: matched-row count unknowable from metadata
+    wh.optimize("lab", "deltab")
+    wh.delete_by_keys("lab", "deltab", [(100,)], ["v"])
+    assert wh.count_rows("lab", "deltab") == 21
+    assert calls, "pending eq delete must fall back to the read"
+
+
+def test_count_rows_legacy_entry_falls_back(day_table):
+    """A pos entry without target_counts (pre-r11) can't subtract —
+    falls back, still exact."""
+    import json
+
+    wh = day_table
+    wh.delete_where("lab", "deltab", "v = 2", mode="merge-on-read")
+    # strip target_counts from the delete segment (simulate legacy)
+    head = wh._head_light("lab", "deltab")
+    ref = head["delete_segments"][0]
+    p = os.path.join(wh._snap_dir("lab", "deltab"), ref["path"])
+    with open(p) as f:
+        seg = json.load(f)
+    for d in seg["files"]:
+        d.pop("target_counts", None)
+    with open(p, "w") as f:
+        json.dump(seg, f)
+    wh._seg_cache.pop(p, None)
+    assert wh.count_rows("lab", "deltab") == 27
+
+
+def test_count_rows_branch_and_empty(day_table, spark):
+    wh = day_table
+    wh.create_branch("lab", "deltab", "wip")
+    wh.delete_where(
+        "lab", "deltab", "v < 100", mode="merge-on-read", branch="wip"
+    )
+    assert wh.count_rows("lab", "deltab", branch="wip") == 15
+    assert wh.count_rows("lab", "deltab") == 30  # main untouched
+    with pytest.raises(ValueError, match="no branch"):
+        wh.count_rows("lab", "deltab", branch="ghost")

@@ -85,6 +85,11 @@ OPS = st.lists(
                 # files AND pending-delete set exactly (metadata-only;
                 # schema NOT reverted), composing with everything above
                 "rollback",
+                # r11 commuting-DDL merge: DDL staged ON a branch, then
+                # merge_branch — fast-forward at the fork, schema
+                # adoption + picks after main moved, BOTH-sides DDL
+                # refusal — against the same models
+                "branch_ddl", "merge",
             ]
         ),
         st.integers(0, 10),
@@ -114,6 +119,7 @@ def test_random_op_sequences_match_model(ops):
         states: dict[int, tuple] = {}
         batches: list[str] = []
         counter = 0
+        ddl_epoch = 0  # bumps on every MAIN DDL (both-sides detection)
 
         def prune_dels(gone: set[str]) -> None:
             # mirror of commit_snapshot's delete-carry: dropped files
@@ -201,6 +207,7 @@ def test_random_op_sequences_match_model(ops):
             elif op in ("add_col", "rename_col", "drop_col", "widen_col"):
                 if not wh._snapshot_versions("lab", "t") or not schema_model:
                     continue  # DDL needs a recorded schema
+                ddl_epoch += 1
                 head_before = wh._head_light("lab", "t")
                 if op == "add_col":
                     name = f"c{counter:03d}"
@@ -321,6 +328,8 @@ def test_random_op_sequences_match_model(ops):
                     "fork": wh._latest_version("lab", "t"),
                     "staged": [],  # (branch version, rel path) per commit
                     "picked": set(),  # branch versions already picked
+                    "ddl_cols": [],  # columns added by branch-side DDL
+                    "fork_ddl_epoch": ddl_epoch,
                 }
             elif op == "branch_commit" and branches_model:
                 name = sorted(branches_model)[pick % len(branches_model)]
@@ -333,9 +342,69 @@ def test_random_op_sequences_match_model(ops):
                 branches_model[name]["staged"].append(
                     (wh._snapshot_versions("lab", "t", name)[-1], rel)
                 )
+            elif op == "branch_ddl" and branches_model:
+                name = sorted(branches_model)[pick % len(branches_model)]
+                bh = wh._head_light("lab", "t", name)
+                if "schemas" not in bh:
+                    continue  # branch forked before any recorded schema
+                col = f"bd{counter:03d}"
+                wh.add_column("lab", "t", col, "int", branch=name)
+                branches_model[name]["ddl_cols"].append(col)
+                # branch DDL is invisible on main until merged
+                assert not any(
+                    f["name"] == col for f in wh.table_schema("lab", "t")
+                ) if schema_model else True
+            elif op == "merge" and branches_model:
+                # constrained to branches with NO prior partial picks and
+                # no staged file already on main — keeps the model
+                # deterministic; partial-resume shapes are covered by the
+                # dedicated merge/cherry-pick unit tests
+                cands = [
+                    n
+                    for n, bm in sorted(branches_model.items())
+                    if not bm["picked"]
+                    and all(rel not in model for _, rel in bm["staged"])
+                ]
+                if not cands:
+                    continue
+                name = cands[pick % len(cands)]
+                bm = branches_model[name]
+                main_v = wh._latest_version("lab", "t")
+                if main_v == bm["fork"]:
+                    out = wh.merge_branch("lab", "t", name)
+                    assert out["strategy"] == "fast_forward"
+                    model.clear()
+                    model |= bm["files"]
+                    for c in bm["ddl_cols"]:
+                        schema_model.append({"name": c, "type": "int"})
+                elif bm["ddl_cols"] and ddl_epoch != bm["fork_ddl_epoch"]:
+                    # DDL on both sides since the fork: refuse, never
+                    # mutate main
+                    import pytest as _pytest
+
+                    head_v = wh._latest_version("lab", "t")
+                    with _pytest.raises(RuntimeError, match="BOTH sides"):
+                        wh.merge_branch("lab", "t", name)
+                    assert wh._latest_version("lab", "t") == head_v
+                else:
+                    out = wh.merge_branch("lab", "t", name)
+                    assert out["strategy"] == "cherry_pick"
+                    if bm["ddl_cols"]:
+                        assert out["schema_adopted"] is not None
+                        for c in bm["ddl_cols"]:
+                            schema_model.append(
+                                {"name": c, "type": "int"}
+                            )
+                    model |= {rel for _, rel in bm["staged"]}
+                wh.drop_branch("lab", "t", name)
+                del branches_model[name]
             elif op == "cherry_pick" and branches_model:
                 name = sorted(branches_model)[pick % len(branches_model)]
                 bm = branches_model[name]
+                if bm["ddl_cols"]:
+                    # staged-under-branch-DDL commits need the merge path
+                    # (adoption); a lone pick refuses at the schema fence
+                    continue
                 cands = [
                     (v, rel)
                     for v, rel in bm["staged"]
@@ -361,6 +430,8 @@ def test_random_op_sequences_match_model(ops):
                     # carry verbatim, so their target sets are unchanged
                     model.clear()
                     model |= bm["files"]
+                    for c in bm["ddl_cols"]:  # branch DDL publishes too
+                        schema_model.append({"name": c, "type": "int"})
                 else:
                     import pytest as _pytest
 
