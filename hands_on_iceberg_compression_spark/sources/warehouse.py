@@ -575,6 +575,8 @@ class ParquetWarehouse:
         if not dels:
             if head.get("total_rows") is not None:
                 return head["total_rows"]
+            if "segments" in head:  # legacy no-total_rows segmented head
+                return sum(r["rows"] for r in head["segments"])
             return sum(e["rows"] for e in head.get("files") or [])
         files = self._materialize(schema, table, head)["files"]
         live = {e["path"] for e in files}
@@ -4441,17 +4443,31 @@ class ParquetWarehouse:
                     # pick of the same commit published first, and
                     # re-adding it at a higher seq would un-apply any
                     # equality delete committed in between
+                    add_paths = {e["path"] for e in entries}
                     dup = sorted(
-                        {e["path"] for e in entries}
+                        add_paths
                         & self._head_live_paths(schema, table, head)
                     )
+                    if dup and len(dup) == len(add_paths):
+                        # FULL overlap: a concurrent duplicate pick won —
+                        # the same "already published" marker as
+                        # cherry_pick's pre-check, so merge_branch's
+                        # resume dispatch folds BOTH fence flavors
+                        # (review r11 #6)
+                        raise RuntimeError(
+                            f"cherry-pick of {schema}.{table} already "
+                            "published: every file this commit adds is "
+                            "already live — a concurrent commit "
+                            "published the same entries"
+                        )
                     if dup:
                         raise RuntimeError(
                             f"concurrent commit conflict on "
-                            f"{schema}.{table}: {len(dup)} file(s) this "
-                            "commit adds are already live (e.g. "
-                            f"{dup[0]!r}) — a concurrent commit published "
-                            "the same entries (duplicate cherry-pick?)"
+                            f"{schema}.{table}: {len(dup)} of "
+                            f"{len(add_paths)} file(s) this commit adds "
+                            f"are already live (e.g. {dup[0]!r}) — "
+                            "partial overlap with a concurrent commit; "
+                            "inspect history() before retrying"
                         )
                 dropped_rel: set[str] = set()
                 dropped_prefix_rel: str | None = None
@@ -5275,6 +5291,14 @@ class ParquetWarehouse:
             for d in self._head_deletes(schema, table, bhead)
             if d["path"] not in pdel
         ]
+        for d in added_dels:
+            # rv_seq is a BRANCH-timeline read position; the pick
+            # re-stamps seq onto MAIN's timeline, so a carried rv_seq
+            # could numerically "cover" a main delete the branch never
+            # saw and count_rows would subtract an overlapping victim
+            # twice — strip it so chains involving picked deletes fall
+            # back to the join plan (review r11 #1)
+            d.pop("rv_seq", None)
         if not added and not dropped and not added_dels:
             raise ValueError(
                 f"branch {name!r} commit v{version} has no data delta "
@@ -5528,13 +5552,18 @@ class ParquetWarehouse:
         commits themselves stay in ``skipped_metadata_only`` (their
         effect is the adoption).  DDL on BOTH sides since the fork still
         refuses — field ids would alias.  The resume walk covers
-        RETAINED main history
-        (fork..head); if that window expired between a crash and the
-        re-run, commits that ADD files are still safe — cherry_pick's
+        RETAINED main history (fork..head) and stops at a ``rollback``
+        commit (picks above it were undone and must re-pick).  If that
+        window expired between a crash and the re-run, commits that ADD
+        files are safe while their files are still live — cherry_pick's
         duplicate-pick fence refuses them and the refusal folds into
-        ``already_published`` — but a pure-delete commit (no adds)
-        could replay and reach rows appended since the first pick, so
-        rerun promptly or drop the branch after a completed merge."""
+        ``already_published`` — but the fence sees NOTHING once main
+        compacted the picked files away (optimize rewrote them into new
+        paths): a re-pick then duplicates the rows, and a PARTIAL
+        compaction leaves the merge permanently refusing.  Pure-delete
+        commits (no adds) replay at pick time and can reach rows
+        appended since the first pick.  So: rerun a crashed merge
+        promptly, and drop the branch after a completed one."""
         versions = self._snapshot_versions(schema, table, name)
         if not versions:
             raise ValueError(f"no branch {name!r} on {schema}.{table}")
@@ -5568,6 +5597,14 @@ class ParquetWarehouse:
                 h = self._load_head_light(schema, table, v)
             except (FileNotFoundError, KeyError):
                 break  # expired history: can't see older picks
+            if h.get("operation") == "rollback":
+                # picks recorded ABOVE the walk but BELOW the rollback
+                # were UNDONE by it — treating them as published would
+                # silently never republish the branch (review r11 #3).
+                # Stop here: undone picks re-pick cleanly (their files
+                # are no longer live), retained ones fold through the
+                # duplicate-pick fence.
+                break
             if h.get("from_branch") == name:
                 if (
                     h.get("operation") == "fast_forward"
@@ -5899,6 +5936,13 @@ class ParquetWarehouse:
                 h = self._load_head_light(schema, table, v)
             except (FileNotFoundError, KeyError):
                 return None  # expired history: can't verify
+            if h.get("operation") == "rollback":
+                # a rollback UNDID everything recorded above this point
+                # in the chain — a publish found there would pin a state
+                # the user explicitly discarded (review r11 #3); the
+                # retry then re-forwards (or refuses on divergence,
+                # surfacing the conflict instead of hiding it)
+                return None
             if (
                 h.get("operation") == "fast_forward"
                 and h.get("from_branch") == name
@@ -6020,6 +6064,11 @@ class ParquetWarehouse:
                 os.path.join(d, fn)
             ):
                 name = fn[len("branch_"):]
+                if not self._catalog_branch_versions(name):
+                    # crashed create_catalog_branch leftover (dir made,
+                    # v1 never CAS-linked): skip, or every maintenance
+                    # path that lists branches bricks (review r11 #4)
+                    continue
                 h = self.catalog_branch_head(name)
                 out[name] = {
                     "head": h["version"],
@@ -6044,10 +6093,14 @@ class ParquetWarehouse:
     ) -> str:
         """Register ``schema.table`` on catalog branch ``name`` and
         return the TABLE-branch ref to write through (``catb_<name>``,
-        created on first use, forked from the table's current main
-        head).  Idempotent; CAS-retried, so concurrent stagers of
-        different tables both land.  The table must have a main snapshot
-        (branches always fork FROM a snapshot)."""
+        created on first use, forked from the table's CURRENT main head
+        — deliberately not from the fork-catalog pin: staging means
+        "new work on top of the table as it is now", and forking at an
+        older pinned version would make every publish refuse as
+        diverged whenever main moved between the catalog fork and the
+        first stage).  Idempotent; CAS-retried, so concurrent stagers
+        of different tables both land.  The table must have a main
+        snapshot (branches always fork FROM a snapshot)."""
         d = self._catalog_branch_dir(name)
         tref = self.catalog_branch_table_ref(name)
         key = self._catalog_key(schema, table)
@@ -6075,12 +6128,15 @@ class ParquetWarehouse:
             head = self.catalog_branch_head(name)
 
     def read_catalog_branch(self, name: str) -> dict[str, DataFrame]:
-        """The branch's CONSISTENT multi-table view: staged tables read
-        through their staging branches (uncommitted pipeline state);
-        tables the fork-time catalog pinned but this branch never wrote
-        read at their fork-pinned versions — the Nessie contract that a
-        branch reader sees fork state plus exactly this branch's own
-        writes, whatever landed on main since."""
+        """The branch's multi-table view: STAGED tables read through
+        their staging branches — the table's main state at stage time
+        plus exactly this branch's writes (staging forks from the
+        CURRENT head, see ``stage_on_catalog_branch``); UNSTAGED tables
+        the fork-time catalog pinned read at their fork-pinned versions,
+        frozen however main moves.  Staged and unstaged tables thus
+        anchor at different instants — the consistency contract is
+        "fork view plus this branch's staged work", not a single
+        cross-table snapshot (that is ``read_catalog_as_of``)."""
         head = self.catalog_branch_head(name)
         tref = self.catalog_branch_table_ref(name)
         out: dict[str, DataFrame] = {}
@@ -6122,10 +6178,17 @@ class ParquetWarehouse:
 
     def drop_catalog_branch(self, name: str) -> None:
         """Remove the catalog branch AND its per-table staging branches.
-        Idempotent per table (a half-dropped branch re-drops cleanly);
-        staged-only files become orphans for the age-gated sweep, as
-        with any ``drop_branch``."""
-        head = self.catalog_branch_head(name)  # raises if absent
+        Idempotent per table (a half-dropped branch re-drops cleanly,
+        and a crashed ``create_catalog_branch`` leftover — dir without a
+        head — just removes the dir); staged-only files become orphans
+        for the age-gated sweep, as with any ``drop_branch``."""
+        d = self._catalog_branch_dir(name)
+        if not self._catalog_branch_versions(name):
+            if not os.path.isdir(d):
+                raise ValueError(f"no catalog branch {name!r}")
+            shutil.rmtree(d, ignore_errors=True)  # crashed-create leftover
+            return
+        head = self.catalog_branch_head(name)
         tref = self.catalog_branch_table_ref(name)
         for key in head["tables"]:
             s, t = key.split(".", 1)

@@ -694,3 +694,18 @@ def test_catalog_branch_refusals(cat_wh):
     with pytest.raises(ValueError, match="invalid catalog branch"):
         wh.create_catalog_branch("bad/name")
     wh.drop_catalog_branch("dup")
+
+
+def test_crashed_create_catalog_branch_leftover_is_recoverable(cat_wh):
+    """Review r11 #4: a dir made by a crashed create_catalog_branch
+    (no head CAS-linked) must not brick catalog_branches/expire/drop."""
+    wh = cat_wh
+    os.makedirs(os.path.join(wh._catalog_dir(), "branch_ghost"))
+    assert "ghost" not in wh.catalog_branches()  # skipped, not raised
+    wh.commit_catalog([("shop", "orders")])
+    wh.expire_catalog(keep_last=1)  # iterates branches — must not raise
+    wh.drop_catalog_branch("ghost")  # removes the leftover dir
+    with pytest.raises(ValueError, match="no catalog branch"):
+        wh.drop_catalog_branch("ghost")
+    wh.create_catalog_branch("ghost")  # name reusable afterwards
+    wh.drop_catalog_branch("ghost")

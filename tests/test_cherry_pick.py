@@ -556,3 +556,84 @@ def test_legacy_head_seq_base_recovers_from_refs(cp_table, spark):
     assert got.filter(F.col("id") == 401).count() == 0  # no seq skew
     assert got.count() == 22
     assert wh.head_snapshot("lab", "cpt")["last_seq"] == 6
+
+
+def test_picked_pos_delete_does_not_fool_count_arithmetic(cp_table, spark):
+    """Review r11 #1: a cherry-picked pos delete keeps a BRANCH-timeline
+    rv_seq while its seq is re-stamped onto main's — left in place, the
+    rv could numerically 'cover' a main delete the branch never saw and
+    count_rows would subtract one shared victim twice.  The pick strips
+    rv_seq, so chains involving picked deletes fall back to the read."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "cnt")
+    # inflate the branch seq past main's upcoming delete seq
+    _mk_branch_append(wh, spark, "cnt", [(300, "s")], "bc0")
+    _mk_branch_append(wh, spark, "cnt", [(301, "s")], "bc1")
+    wh.delete_where("lab", "cpt", "id = 3", mode="merge-on-read", branch="cnt")
+    picked_v = wh._snapshot_versions("lab", "cpt", "cnt")[-1]
+    # main deletes the SAME row on its own timeline
+    wh.delete_where("lab", "cpt", "id = 3", mode="merge-on-read")
+    wh.cherry_pick("lab", "cpt", "cnt", picked_v)
+    dels = wh.delete_files_report("lab", "cpt")
+    assert len(dels) == 2  # both pending, one shared victim row
+    expect = wh.read("lab", "cpt").count()
+    assert expect == 19  # reads de-duplicate the (file,pos) tuple
+    assert wh.count_rows("lab", "cpt") == 19  # NOT 18
+
+
+def test_merge_resumes_after_rollback_undid_the_picks(cp_table, spark):
+    """Review r11 #3: rollback undoes published picks, but the pick
+    records stay in retained history — the provenance walk must stop at
+    the rollback commit or the re-merge would skip the undone commits
+    forever (silent data loss)."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "rb")
+    v1 = _mk_branch_append(wh, spark, "rb", [(400, "s")], "br0")
+    wh.append(
+        "lab", "cpt",
+        spark.createDataFrame([(900, "m")], "id int, src string"),
+        batch_id="m0",
+    )
+    pre_merge = wh._latest_version("lab", "cpt")
+    out = wh.merge_branch("lab", "cpt", "rb")
+    assert out["picked"] == [v1]
+    assert wh.read("lab", "cpt").filter(F.col("id") == 400).count() == 1
+    # undo the merge
+    wh.rollback_to_snapshot("lab", "cpt", pre_merge)
+    assert wh.read("lab", "cpt").filter(F.col("id") == 400).count() == 0
+    # the re-merge must RE-PICK, not skip on stale provenance
+    out2 = wh.merge_branch("lab", "cpt", "rb")
+    assert out2["picked"] == [v1]
+    assert out2["already_published"] == []
+    assert wh.read("lab", "cpt").filter(F.col("id") == 400).count() == 1
+
+
+def test_publish_retry_after_rollback_refuses_instead_of_pinning_undone(
+    cp_table, spark
+):
+    """_find_publish flavor of review r11 #3: a publish retry after the
+    user rolled the fast-forward back must NOT pin the undone version —
+    it surfaces the divergence instead."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "pp")
+    _mk_branch_append(wh, spark, "pp", [(500, "s")], "bp0")
+    pre = wh._latest_version("lab", "cpt")
+    wh.publish_tables({("lab", "cpt"): "pp"})
+    wh.rollback_to_snapshot("lab", "cpt", pre)
+    with pytest.raises(RuntimeError, match="diverged"):
+        wh.publish_tables({("lab", "cpt"): "pp"})
+
+
+def test_cas_loop_duplicate_add_fence_says_already_published(cp_table):
+    """Review r11 #6: the CAS-loop flavor of the duplicate-pick fence
+    must carry the same 'already published' marker as the pre-check on
+    FULL overlap, so merge_branch's resume dispatch folds both."""
+    wh = cp_table
+    head = wh.head_snapshot("lab", "cpt")
+    live_entry = dict(head["files"][0])
+    with pytest.raises(RuntimeError, match="already published"):
+        wh.commit_snapshot(
+            "lab", "cpt", "x",
+            add_files=[live_entry],
+            adds_read_version=head["version"] - 1,  # force the re-check
+        )

@@ -449,3 +449,20 @@ def test_count_rows_branch_and_empty(day_table, spark):
     assert wh.count_rows("lab", "deltab") == 30  # main untouched
     with pytest.raises(ValueError, match="no branch"):
         wh.count_rows("lab", "deltab", branch="ghost")
+
+
+def test_count_rows_legacy_head_without_total_rows(day_table):
+    """Review r11 #2: a legacy segmented head with no total_rows must
+    sum the segment refs' rows, not silently report 0."""
+    import json
+
+    wh = day_table
+    v = wh._latest_version("lab", "deltab")
+    p = os.path.join(wh._snap_dir("lab", "deltab"), f"v{v:06d}.json")
+    with open(p) as f:
+        head = json.load(f)
+    del head["total_rows"]
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(head, f)
+    assert wh.count_rows("lab", "deltab") == 30
