@@ -276,6 +276,15 @@ def partition_source_columns(partitioning: list[str]) -> set[str]:
     return out
 
 
+class AlreadyPublishedError(RuntimeError):
+    """A cherry-pick whose ADDED files are all already live on the
+    target ref — the commit was already picked/published.  Raised by
+    both duplicate-pick fence flavors (cherry_pick's pre-check and
+    commit_snapshot's CAS-loop re-validation) so ``merge_branch``'s
+    resume dispatch folds either into ``already_published`` by TYPE,
+    not by error-message substring (review r11 second pass)."""
+
+
 @dataclass
 class FileStat:
     """One data file — mirrors Iceberg ``$files`` columns we consume
@@ -4450,11 +4459,10 @@ class ParquetWarehouse:
                     )
                     if dup and len(dup) == len(add_paths):
                         # FULL overlap: a concurrent duplicate pick won —
-                        # the same "already published" marker as
-                        # cherry_pick's pre-check, so merge_branch's
-                        # resume dispatch folds BOTH fence flavors
-                        # (review r11 #6)
-                        raise RuntimeError(
+                        # same TYPED error as cherry_pick's pre-check, so
+                        # merge_branch's resume dispatch folds BOTH fence
+                        # flavors (review r11 #6 + second pass)
+                        raise AlreadyPublishedError(
                             f"cherry-pick of {schema}.{table} already "
                             "published: every file this commit adds is "
                             "already live — a concurrent commit "
@@ -5349,7 +5357,7 @@ class ParquetWarehouse:
         if added:
             dup = sorted(e["path"] for e in added if e["path"] in mlive)
             if dup and len(dup) == len(added):
-                raise RuntimeError(
+                raise AlreadyPublishedError(
                     f"cherry-pick of {schema}.{table} {name}@v{version} "
                     "already published: every file it adds is already "
                     "live on main — re-adding would re-stamp the entries "
@@ -5598,13 +5606,19 @@ class ParquetWarehouse:
             except (FileNotFoundError, KeyError):
                 break  # expired history: can't see older picks
             if h.get("operation") == "rollback":
-                # picks recorded ABOVE the walk but BELOW the rollback
-                # were UNDONE by it — treating them as published would
-                # silently never republish the branch (review r11 #3).
-                # Stop here: undone picks re-pick cleanly (their files
-                # are no longer live), retained ones fold through the
-                # duplicate-pick fence.
-                break
+                # picks recorded ABOVE the rollback's target were UNDONE
+                # by it — treating them as published would silently
+                # never republish the branch (review r11 #3) — but picks
+                # AT or BELOW the target are still in effect and must
+                # keep skipping (second pass: an unconditional break
+                # re-picked a still-effective pure-delete commit at a
+                # new top seq — data loss the other way).  Jump the walk
+                # to the restored version and continue.
+                rbt = h.get("rolled_back_to")
+                if rbt is None:
+                    break  # malformed rollback head: be conservative
+                v = rbt
+                continue
             if h.get("from_branch") == name:
                 if (
                     h.get("operation") == "fast_forward"
@@ -5628,15 +5642,14 @@ class ParquetWarehouse:
                     skipped.append(bv)  # DDL/metadata-only commit
                     continue
                 raise
-            except RuntimeError as e:
-                if "already published" in str(e):
-                    # the duplicate-pick fence caught a commit whose
-                    # files are all live on main — a crashed earlier
-                    # merge published it but its provenance record fell
-                    # out of retained history; resume past it
-                    already.add(bv)
-                    continue
-                raise
+            except AlreadyPublishedError:
+                # the duplicate-pick fence caught a commit whose files
+                # are all live on main — a crashed earlier merge
+                # published it but its provenance record fell out of
+                # retained history; resume past it (typed, so message
+                # rewording can never flip this dispatch)
+                already.add(bv)
+                continue
             picked.append(bv)
         return {
             "strategy": "cherry_pick",
@@ -5937,12 +5950,19 @@ class ParquetWarehouse:
             except (FileNotFoundError, KeyError):
                 return None  # expired history: can't verify
             if h.get("operation") == "rollback":
-                # a rollback UNDID everything recorded above this point
-                # in the chain — a publish found there would pin a state
-                # the user explicitly discarded (review r11 #3); the
-                # retry then re-forwards (or refuses on divergence,
-                # surfacing the conflict instead of hiding it)
-                return None
+                # a rollback UNDID everything recorded ABOVE its target
+                # — a publish found there would pin a state the user
+                # explicitly discarded (review r11 #3) — but a publish
+                # AT or BELOW the target is untouched and the retry must
+                # still find it (second pass: returning None here made a
+                # crashed publish_tables retry raise 'diverged' forever
+                # when an unrelated later commit was rolled back).  Jump
+                # to the restored version and keep walking.
+                rbt = h.get("rolled_back_to")
+                if rbt is None:
+                    return None  # malformed rollback head: conservative
+                v = rbt
+                continue
             if (
                 h.get("operation") == "fast_forward"
                 and h.get("from_branch") == name
@@ -6028,29 +6048,42 @@ class ParquetWarehouse:
 
     def create_catalog_branch(self, name: str) -> dict:
         """Fork a named catalog ref at the CURRENT catalog version.
-        Hard-link CAS: re-creating an existing branch raises."""
+        Hard-link CAS: re-creating an existing branch raises.  The fork
+        pin is RE-VALIDATED after publishing: an ``expire_catalog``
+        racing this create cannot see the branch yet, so it may drop
+        the fork version between computing it and the CAS — the create
+        then undoes itself and retries at the new head (review r11
+        second pass #3)."""
         d = self._catalog_branch_dir(name)
-        os.makedirs(d, exist_ok=True)
         import time as _time
 
-        record = {
-            "version": 1,
-            "parent": None,
-            "operation": "fork",
-            "ts": round(_time.time(), 3),
-            # the catalog version non-staged tables resolve through when
-            # reading the branch (None: no catalog commit exists yet)
-            "fork_catalog": self.latest_catalog_version(),
-            "tables": [],
-        }
-        if self._catalog_branch_versions(name) or not self._cas_link(
-            record, os.path.join(d, "v000001.json")
-        ):
-            raise ValueError(
-                f"catalog branch {name!r} already exists "
-                "(drop_catalog_branch first)"
-            )
-        return record
+        for _ in range(3):
+            os.makedirs(d, exist_ok=True)
+            record = {
+                "version": 1,
+                "parent": None,
+                "operation": "fork",
+                "ts": round(_time.time(), 3),
+                # the catalog version non-staged tables resolve through
+                # when reading the branch (None: no catalog commit yet)
+                "fork_catalog": self.latest_catalog_version(),
+                "tables": [],
+            }
+            if self._catalog_branch_versions(name) or not self._cas_link(
+                record, os.path.join(d, "v000001.json")
+            ):
+                raise ValueError(
+                    f"catalog branch {name!r} already exists "
+                    "(drop_catalog_branch first)"
+                )
+            fc = record["fork_catalog"]
+            if fc is None or fc in self._catalog_versions():
+                return record
+            shutil.rmtree(d, ignore_errors=True)  # fork expired: redo
+        raise RuntimeError(
+            f"could not pin a fork catalog version for branch {name!r} "
+            "after 3 attempts (racing expire_catalog?) — retry"
+        )
 
     def catalog_branches(self) -> dict[str, dict]:
         """{name: {head version, fork_catalog, staged tables}} for every
@@ -6186,6 +6219,19 @@ class ParquetWarehouse:
         if not self._catalog_branch_versions(name):
             if not os.path.isdir(d):
                 raise ValueError(f"no catalog branch {name!r}")
+            # AGE-GATED leftover cleanup (the r06 orphan-sweep lesson:
+            # in-flight work has files on disk before its CAS) — a young
+            # headless dir may be a concurrent create about to link v1;
+            # rmtree'ing it would delete a live branch head or crash the
+            # create mid-link (review r11 second pass #3)
+            import time as _time
+
+            if _time.time() - os.stat(d).st_mtime < 60:
+                raise ValueError(
+                    f"catalog branch dir {name!r} has no head yet but is "
+                    "younger than 60s — possibly an in-flight "
+                    "create_catalog_branch; retry the drop later"
+                )
             shutil.rmtree(d, ignore_errors=True)  # crashed-create leftover
             return
         head = self.catalog_branch_head(name)

@@ -697,15 +697,53 @@ def test_catalog_branch_refusals(cat_wh):
 
 
 def test_crashed_create_catalog_branch_leftover_is_recoverable(cat_wh):
-    """Review r11 #4: a dir made by a crashed create_catalog_branch
-    (no head CAS-linked) must not brick catalog_branches/expire/drop."""
+    """Review r11 #4 + second pass: a dir made by a crashed
+    create_catalog_branch (no head CAS-linked) must not brick
+    catalog_branches/expire/drop — but the cleanup is AGE-GATED, so a
+    YOUNG headless dir (possibly an in-flight create about to link v1)
+    refuses the drop instead of racing it."""
+    import time
+
     wh = cat_wh
-    os.makedirs(os.path.join(wh._catalog_dir(), "branch_ghost"))
+    d = os.path.join(wh._catalog_dir(), "branch_ghost")
+    os.makedirs(d)
     assert "ghost" not in wh.catalog_branches()  # skipped, not raised
     wh.commit_catalog([("shop", "orders")])
     wh.expire_catalog(keep_last=1)  # iterates branches — must not raise
+    with pytest.raises(ValueError, match="younger than 60s"):
+        wh.drop_catalog_branch("ghost")  # fresh dir: in-flight guard
+    os.utime(d, (time.time() - 120, time.time() - 120))  # age it out
     wh.drop_catalog_branch("ghost")  # removes the leftover dir
     with pytest.raises(ValueError, match="no catalog branch"):
         wh.drop_catalog_branch("ghost")
     wh.create_catalog_branch("ghost")  # name reusable afterwards
     wh.drop_catalog_branch("ghost")
+
+
+def test_publish_retry_survives_unrelated_rollback(cat_wh, spark):
+    """Review r11 second pass #2: a crashed publish's retry must still
+    find its fast-forward when a LATER unrelated commit was rolled back
+    — the provenance walk jumps to rolled_back_to and keeps walking
+    instead of refusing 'diverged' forever."""
+    wh = cat_wh
+    wh.commit_catalog([("shop", "orders"), ("shop", "items")])
+    wh.create_branch("shop", "orders", "rp")
+    wh.append(
+        "shop", "orders",
+        spark.createDataFrame([(700, "staged")], "id int, src string"),
+        batch_id="s0", branch="rp",
+    )
+    # half-publish: the table forwarded, the catalog commit "crashed"
+    ff_v = wh.fast_forward("shop", "orders", "rp")["version"]
+    # unrelated commit lands on top, then is rolled back
+    wh.append(
+        "shop", "orders",
+        spark.createDataFrame([(701, "bad")], "id int, src string"),
+        batch_id="m0",
+    )
+    wh.rollback_to_snapshot("shop", "orders", ff_v)
+    # the retry finds the still-effective publish below the rollback
+    out = wh.publish_tables({("shop", "orders"): "rp"})
+    assert out["tables"]["shop.orders"] == ff_v
+    assert wh._latest_version("shop", "orders") != ff_v  # no re-forward
+    assert wh.read_catalog_as_of()["shop.orders"].count() == 6

@@ -637,3 +637,43 @@ def test_cas_loop_duplicate_add_fence_says_already_published(cp_table):
             add_files=[live_entry],
             adds_read_version=head["version"] - 1,  # force the re-check
         )
+
+
+def test_rollback_of_unrelated_commit_keeps_pick_provenance(cp_table, spark):
+    """Review r11 second pass #1: a rollback whose TARGET is above a
+    pick leaves that pick in effect — the provenance walk must jump to
+    rolled_back_to and keep finding the record, or the re-merge would
+    re-pick a pure-delete commit at a new top seq and delete rows that
+    legitimately survived the first pick."""
+    wh = cp_table
+    wh.create_branch("lab", "cpt", "sd")
+    wh.delete_by_keys("lab", "cpt", [(5,)], ["id"], branch="sd")
+    bdel_v = wh._snapshot_versions("lab", "cpt", "sd")[-1]
+    wh.append(  # diverge main
+        "lab", "cpt",
+        spark.createDataFrame([(900, "m")], "id int, src string"),
+        batch_id="m0",
+    )
+    out = wh.merge_branch("lab", "cpt", "sd")
+    assert out["picked"] == [bdel_v]
+    assert wh.read("lab", "cpt").filter(F.col("id") == 5).count() == 0
+    # the key is REVIVED after the pick (higher seq: survives the delete)
+    wh.append(
+        "lab", "cpt",
+        spark.createDataFrame([(5, "revived")], "id int, src string"),
+        batch_id="m1",
+    )
+    good_v = wh._latest_version("lab", "cpt")
+    wh.append(  # a bad commit, then undo it
+        "lab", "cpt",
+        spark.createDataFrame([(999, "bad")], "id int, src string"),
+        batch_id="m2",
+    )
+    wh.rollback_to_snapshot("lab", "cpt", good_v)
+    # the re-merge must SKIP the still-effective pick, not replay it
+    out2 = wh.merge_branch("lab", "cpt", "sd")
+    assert out2["picked"] == []
+    assert out2["already_published"] == [bdel_v]
+    assert wh.read("lab", "cpt").filter(
+        F.col("id") == 5
+    ).count() == 1  # the revived row survives
