@@ -1,0 +1,194 @@
+"""CDC changelog scan (r11): ``read_changes`` — the Iceberg
+``create_changelog_view`` analogue.  ``read_incremental`` REFUSES
+windows containing deletes/rewrites; this emits them with
+``_change_type`` / ``_commit_version`` / ``_change_ordinal``.
+
+The gold contract (pinned here AND appended to the randomized DML
+model): read_snapshot(from) + window inserts − window deletes ==
+read_snapshot(to), as a MULTISET under the window-end schema —
+whatever mix of appends, replays, CoW rewrites, MoR position deletes,
+equality deletes, MoR updates, CDC upserts, compactions, and DDL the
+window contains.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+
+def _multiset(df, cols):
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _invariant(wh, schema, table, fv, new_cols=()):
+    """start + inserts - deletes == end, multiset, window-end schema."""
+    tv = wh._latest_version(schema, table)
+    end = wh.read(schema, table)
+    cols = end.columns
+    start = wh.read_snapshot(schema, table, fv)
+    for c, t in new_cols:  # columns added by in-window DDL: NULL-fill
+        start = start.withColumn(c, F.lit(None).cast(t))
+    ch = wh.read_changes(schema, table, fv, tv)
+    assert set(ch.columns) == set(
+        cols + ["_change_type", "_commit_version", "_change_ordinal"]
+    )
+    ins = _multiset(ch.filter(F.col("_change_type") == "insert"), cols)
+    dels = _multiset(ch.filter(F.col("_change_type") == "delete"), cols)
+    got = _multiset(start.select(cols), cols)
+    got.update(ins)
+    got.subtract(dels)
+    got = +got  # drop zero/negative counts; negatives assert below
+    assert all(v >= 0 for v in (ins | dels).values())
+    assert got == _multiset(end, cols)
+    return ch
+
+
+@pytest.fixture()
+def ch_table(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "cht", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame(
+            [(i, i % 3, 0) for i in range(12)], "id int, k int, v int"
+        ),
+        batch_id="b0",
+    )
+    return wh
+
+
+def test_changelog_invariant_across_all_dml_kinds(ch_table, spark):
+    wh = ch_table
+    fv = wh._latest_version("lab", "cht")  # window starts AFTER the base
+    wh.append(  # plain append
+        "lab", "cht",
+        spark.createDataFrame([(100, 0, 1), (101, 1, 1)], "id int, k int, v int"),
+        batch_id="b1",
+    )
+    wh.delete_where("lab", "cht", "k = 2", mode="merge-on-read")  # MoR pos
+    wh.delete_by_keys("lab", "cht", [(7,)], ["id"])  # equality delete
+    wh.update_where(  # MoR update: delete old images + insert new
+        "lab", "cht", "id = 100", {"v": "v + 10"}, mode="merge-on-read"
+    )
+    wh.optimize("lab", "cht")  # compaction: must emit NOTHING
+    wh.delete_where("lab", "cht", "k = 1")  # CoW rewrite: file-level
+    wh.merge_upsert(  # CDC batch: images + eq delete of batch keys
+        "lab", "cht",
+        spark.createDataFrame([(0, 0, 99), (500, 0, 5)], "id int, k int, v int"),
+        ["id"], mode="merge-on-read",
+    )
+    wh.add_column("lab", "cht", "note", "string")  # DDL: metadata-only
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame(
+            [(600, 0, 6, "hi")], "id int, k int, v int, note string"
+        ),
+        batch_id="b2",
+    )
+    ch = _invariant(wh, "lab", "cht", fv, new_cols=[("note", "string")])
+    # spot semantics: the MoR pos-delete commit emitted EXACT rows
+    by_ver = {
+        r["_commit_version"]: r["cnt"]
+        for r in ch.groupBy("_commit_version")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert len(by_ver) >= 6
+    # optimize's version emitted nothing: its version absent from the map
+    hist = {h["version"]: h["operation"] for h in wh.history("lab", "cht")}
+    for v, op in hist.items():
+        if op in ("optimize", "add_column"):
+            assert v not in by_ver
+    # ordinals are dense over LOGICAL commits only
+    ords = sorted(
+        r["_change_ordinal"]
+        for r in ch.select("_change_ordinal").distinct().collect()
+    )
+    assert ords == list(range(1, len(ords) + 1))
+
+
+def test_changelog_mor_delete_is_row_exact(ch_table, spark):
+    """A MoR delete commit emits EXACTLY the matched visible rows —
+    not file-level noise."""
+    wh = ch_table
+    fv = wh._latest_version("lab", "cht")
+    wh.delete_where("lab", "cht", "id >= 9", mode="merge-on-read")
+    ch = wh.read_changes("lab", "cht", fv)
+    rows = sorted(
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    )
+    assert rows == [(9, "delete"), (10, "delete"), (11, "delete")]
+
+
+def test_changelog_cow_rewrite_emits_delete_insert_pairs(ch_table, spark):
+    """File-level semantics on copy-on-write: rewritten-but-unchanged
+    rows appear as delete+insert pairs (Iceberg overwrite-snapshot
+    changelog behavior); the NET change is still exact."""
+    wh = ch_table
+    fv = wh._latest_version("lab", "cht")
+    wh.delete_where("lab", "cht", "id = 0")  # CoW: rewrites id 0's file
+    ch = wh.read_changes("lab", "cht", fv)
+    net = _multiset(
+        ch.filter(F.col("_change_type") == "delete"), ["id"]
+    )
+    net.subtract(
+        _multiset(ch.filter(F.col("_change_type") == "insert"), ["id"])
+    )
+    assert +net == Counter({(0,): 1})  # net effect: exactly id=0 gone
+    _invariant(wh, "lab", "cht", fv)
+
+
+def test_changelog_refusals_and_empty(ch_table, spark):
+    wh = ch_table
+    v1 = wh._latest_version("lab", "cht")
+    # empty window: schema-stable empty frame
+    ch = wh.read_changes("lab", "cht", v1, v1)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
+    # rollback in window refuses
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(200, 0, 2)], "id int, k int, v int"),
+        batch_id="r0",
+    )
+    wh.rollback_to_snapshot("lab", "cht", v1)
+    with pytest.raises(ValueError, match="rollback"):
+        wh.read_changes("lab", "cht", v1)
+    # expired mid-window commit refuses with a clear error
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(201, 0, 2)], "id int, k int, v int"),
+        batch_id="r1",
+    )
+    wh.create_tag("lab", "cht", "old", version=v1)
+    wh.expire_snapshots("lab", "cht", keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_changes("lab", "cht", v1)
+
+
+def test_changelog_replay_supersession(ch_table, spark):
+    """A replayed batch id supersedes its prior generation: the
+    changelog emits the old generation's visible rows as deletes and
+    the new generation as inserts."""
+    wh = ch_table
+    fv = wh._latest_version("lab", "cht")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(300, 0, 3)], "id int, k int, v int"),
+        batch_id="rp",
+    )
+    wh.append(  # replay the same batch id with different content
+        "lab", "cht",
+        spark.createDataFrame([(301, 0, 3)], "id int, k int, v int"),
+        batch_id="rp",
+    )
+    ch = _invariant(wh, "lab", "cht", fv)
+    rows = sorted((r["id"], r["_change_type"]) for r in ch.collect())
+    assert rows == [
+        (300, "delete"), (300, "insert"), (301, "insert")
+    ]

@@ -691,3 +691,47 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                 for r in wh.read_snapshot("lab", "t", v).collect()
             }
             assert got_ids == set(snap_rows)
+
+        # r11 changelog invariant over the longest contiguous retained
+        # window: start + inserts - deletes == end (multiset), renamed
+        # columns mapped by FIELD ID — whatever DML the ops mixed in
+        versions = wh._snapshot_versions("lab", "t")
+        if len(versions) >= 2:
+            fv = versions[-1]
+            for pv in reversed(versions[:-1]):
+                if pv == fv - 1:
+                    fv = pv
+                else:
+                    break  # tag retention gap: window must be dense
+            if fv != versions[-1]:
+                try:
+                    ch = wh.read_changes("lab", "t", fv)
+                except ValueError as e:
+                    assert "rollback" in str(e)  # the one legal refusal
+                else:
+                    from collections import Counter
+
+                    end = wh.read("lab", "t")
+                    cols = end.columns
+                    id2new = {
+                        f["id"]: f["name"]
+                        for f in wh.table_schema("lab", "t")
+                    }
+                    start = wh.read_snapshot("lab", "t", fv)
+                    start = start.select(*[
+                        start[f["name"]].alias(id2new[f["id"]])
+                        for f in wh.table_schema("lab", "t", fv)
+                        if f["id"] in id2new
+                    ])
+
+                    def ms(df):
+                        return Counter(
+                            tuple(r[c] for c in cols)
+                            for r in df.select(*cols).collect()
+                        )
+
+                    got = ms(start)
+                    got.update(ms(ch.filter("_change_type = 'insert'")))
+                    got.subtract(ms(ch.filter("_change_type = 'delete'")))
+                    assert +got == ms(end)
+                    assert not -got  # no over-deletion either
