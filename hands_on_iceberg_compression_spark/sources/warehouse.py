@@ -978,6 +978,96 @@ class ParquetWarehouse:
             )
         return stats
 
+    def _zorder_key(self, df: DataFrame, cols: list[str]):
+        """Morton (Z-curve) interleave of 16-bit normalized ranks of up
+        to 4 columns — the clustering key behind
+        ``optimize(zorder=...)`` (Iceberg ``rewrite_data_files``
+        strategy 'sort' with a z-order; Delta OPTIMIZE ZORDER BY).
+        Numeric/timestamp/date columns normalize LINEARLY between their
+        global min/max (one tiny agg job; heavily skewed dimensions
+        cluster less evenly — the usual z-order caveat); string and
+        other types take ``xxhash64 & 0xffff``, which trades range
+        locality for point-predicate clustering.  NULLs land in bucket
+        0.  Interleaving is plain shift/and/or column arithmetic —
+        whole-stage-codegen JVM expressions, no Python in the path."""
+        if not 2 <= len(cols) <= 4:
+            raise ValueError(
+                "zorder needs 2-4 columns (one column is plain "
+                "sort_order; >4 halves each dimension's resolution)"
+            )
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder column(s) {missing} not in table")
+        linear_types = ("int", "bigint", "smallint", "tinyint", "double",
+                        "float", "decimal", "date", "timestamp")
+        dtypes = dict(df.dtypes)
+        aggs = []
+        for c in cols:
+            if dtypes[c].startswith(linear_types):
+                v = F.col(c).cast("double")
+                aggs.append(F.min(v).alias(f"mn_{c}"))
+                aggs.append(F.max(v).alias(f"mx_{c}"))
+        stats = df.agg(*aggs).first().asDict() if aggs else {}
+        k = len(cols)
+        buckets = []
+        for c in cols:
+            if dtypes[c].startswith(linear_types):
+                mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+                if mn is None or mx is None or mx <= mn:
+                    buckets.append(F.lit(0).cast("long"))
+                    continue
+                v = F.col(c).cast("double")
+                b = F.floor((v - F.lit(mn)) / F.lit(mx - mn) * 65535.0)
+                buckets.append(
+                    F.coalesce(
+                        F.greatest(
+                            F.lit(0), F.least(F.lit(65535), b)
+                        ).cast("long"),
+                        F.lit(0).cast("long"),
+                    )
+                )
+            else:
+                buckets.append(
+                    F.coalesce(
+                        F.xxhash64(F.col(c)).bitwiseAND(F.lit(65535)),
+                        F.lit(0).cast("long"),
+                    )
+                )
+        # 16 bits/col fits 3 cols in 48 bits; 4 cols use 15 bits each so
+        # the top interleaved bit (position 59, not 63) never reaches
+        # the long's SIGN bit — a signed top bit would invert the
+        # z-curve's coarsest split under range partitioning
+        nbits = 16 if k <= 3 else 15
+        shift_in = 16 - nbits
+        key = F.lit(0).cast("long")
+        for i, b in enumerate(buckets):
+            if shift_in:
+                b = F.shiftright(b, shift_in)
+            for bit in range(nbits):
+                key = key.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                        bit * k + i,
+                    )
+                )
+        return key
+
+    def _zorder_cluster(
+        self, df: DataFrame, cols: list[str], n_files: int
+    ) -> DataFrame:
+        """Range-partition + in-partition sort by the Morton key, then
+        drop it: each output file covers one compact Z-curve segment,
+        so its manifest/parquet [min,max] bounds are TIGHT on EVERY
+        z-ordered column at once — multi-dimensional box predicates
+        skip files that a single-column sort cannot."""
+        key = self._zorder_key(df, cols)
+        return (
+            df.withColumn("__zkey", key)
+            .repartitionByRange(n_files, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+
     # --- C6: compaction (ALTER TABLE ... EXECUTE optimize) ---------------
     def optimize(
         self,
@@ -986,6 +1076,7 @@ class ParquetWarehouse:
         target_file_size_bytes: int = 128 * 1024 * 1024,
         partition_filter: dict | None = None,
         branch: str = "main",
+        zorder: list[str] | None = None,
     ) -> int:
         """Rewrite the table's data files toward the target size; returns the
         resulting file count.  Iceberg twin: CALL system.rewrite_data_files
@@ -1000,8 +1091,22 @@ class ParquetWarehouse:
         untouched.  Victims are selected from the manifest (no footer
         opens), rewritten into one new generation, and committed as a
         DELTA (add + drop_files): concurrent appends retry-merge, while a
-        concurrent rewrite of the same files raises."""
+        concurrent rewrite of the same files raises.
+
+        ``zorder=["a", "b"]`` clusters the rewrite on a Morton
+        interleave of the named columns instead of ``sort_order``
+        (Delta OPTIMIZE ZORDER BY / Iceberg z-order rewrite): every
+        output file gets TIGHT manifest bounds on every listed column
+        at once, so multi-dimensional box predicates prune files a
+        single-column sort cannot (measured: PERF.md round 11).  Full
+        rewrites only for now — combine with ``partition_filter`` by
+        scoping first, z-ordering after."""
         meta = self.table_meta(schema, table)
+        if zorder and partition_filter:
+            raise ValueError(
+                "zorder is a full-rewrite clustering pass — run the "
+                "partition-scoped compaction first, then zorder"
+            )
         if partition_filter:
             if not self._log_mode(meta):
                 raise ValueError(
@@ -1048,7 +1153,10 @@ class ParquetWarehouse:
             # allocated at commit time (CAS), so a concurrent writer can't
             # collide on the path either.
             gen_dir = os.path.join(data_dir, f"compact_{uuid.uuid4().hex[:8]}")
-            if meta.sort_order:
+            if zorder:
+                df = self._zorder_cluster(df, zorder, n_files)
+                writer = df.write.mode("error")
+            elif meta.sort_order:
                 # same WRITE ORDERED BY contract as dir mode: disjoint
                 # per-file [min,max] on the sort keys for file skipping
                 sort_cols = [F.col(c) for c in meta.sort_order]
@@ -1076,7 +1184,10 @@ class ParquetWarehouse:
             )
             return len(new)
         tmp_dir = os.path.join(self._tdir(schema, table), "_optimize_tmp")
-        if meta.sort_order:
+        if zorder:
+            df = self._zorder_cluster(df, zorder, n_files)
+            writer = df.write.mode("overwrite")
+        elif meta.sort_order:
             # range-partition + in-partition sort: files get disjoint
             # [min,max] on the sort keys, so range predicates skip whole
             # files/row-groups via parquet stats
@@ -6348,6 +6459,7 @@ class ParquetWarehouse:
         table: str,
         from_version: int | str,
         to_version: int | str | None = None,
+        net: bool = False,
     ) -> DataFrame:
         """CDC CHANGELOG scan (Iceberg ``create_changelog_view`` /
         Spark's changelog reader): every row-level change committed
@@ -6380,13 +6492,21 @@ class ParquetWarehouse:
           log does not record row-by-row; diff the endpoint snapshots
           instead.
 
+        ``net=True`` collapses the window to its NET effect (Iceberg's
+        changelog ``net_changes``): identical insert+delete rows cancel
+        — a copy-on-write rewrite's unchanged-row pairs vanish, an
+        in-window insert-then-delete vanishes — and what remains is the
+        exact multiset difference end-minus-start.  Net rows carry the
+        LAST contributing ``_commit_version``/``_change_ordinal``.
+
         The INVARIANT (pinned by tests): read_snapshot(from) plus the
         window's inserts minus its deletes equals read_snapshot(to) as
-        a multiset, under the window-end schema.  Every commit in the
-        window must still be retained (dense versions; expiring
-        mid-window history raises).  Plan width is O(logical commits in
-        window) — the CDC consumer pattern is frequent small pulls with
-        a checkpointed version, same as ``read_incremental``."""
+        a multiset, under the window-end schema — with or without
+        ``net``.  Every commit in the window must still be retained
+        (dense versions; expiring mid-window history raises).  Plan
+        width is O(logical commits in window) — the CDC consumer
+        pattern is frequent small pulls with a checkpointed version,
+        same as ``read_incremental``."""
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             raise ValueError(
@@ -6530,7 +6650,40 @@ class ParquetWarehouse:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not net:
+            return out
+        # net collapse: one hash aggregation on the data columns (NULLs
+        # group as equal — multiset semantics); |net| > 1 rows replicate
+        # via array_repeat so the output stays one-row-per-change
+        data_cols = [
+            c for c in out.columns
+            if c not in ("_change_type", "_commit_version", "_change_ordinal")
+        ]
+        signed = out.groupBy(*data_cols).agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("__net"),
+            F.max("_commit_version").alias("_commit_version"),
+            F.max("_change_ordinal").alias("_change_ordinal"),
+        )
+        return (
+            signed.filter(F.col("__net") != 0)
+            .withColumn(
+                "_change_type",
+                F.when(F.col("__net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .withColumn(
+                "__dup",
+                F.explode(F.expr("array_repeat(1, int(abs(__net)))")),
+            )
+            .drop("__net", "__dup")
+            .select(
+                *data_cols,
+                "_change_type", "_commit_version", "_change_ordinal",
+            )
+        )
 
     def read_incremental(
         self,

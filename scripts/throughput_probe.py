@@ -257,6 +257,77 @@ def mor_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def zorder_probe(n_rows: int, workdir: str) -> None:
+    """Measure z-order clustering (r11, optimize(zorder=[...])): one
+    table, three layouts over identical rows — unsorted compaction,
+    single-column sort_order, 2-column Morton z-order — each pruned and
+    timed on the same 2D box predicate (~1/8 of each dimension).  The
+    z-curve's promise: per-file bounds tight on BOTH columns, so the
+    box skips ~(1/8 x 1/8) of files where the linear sort skips only
+    ~1/8.  Prints one JSON line."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="zorder-probe")
+
+    def build(name, sort_order=None):
+        wh = ParquetWarehouse(spark, os.path.join(workdir, name))
+        wh.create_table(
+            "lab", name, "zstd", 1,
+            properties={"snapshots": "true"}, sort_order=sort_order,
+        )
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            (F.xxhash64(F.col("id"), F.lit(1)) % 100_000).alias("x"),
+            (F.xxhash64(F.col("id"), F.lit(2)) % 100_000).alias("y"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        ).repartition(32)
+        wh.append("lab", name, df, batch_id="base")
+        head = wh.head_snapshot("lab", name)
+        target = max(1, sum(e["bytes"] for e in head["files"]) // 64)
+        return wh, target
+
+    box = {"x": (-100_000, -75_000), "y": (25_000, 50_000)}  # 1/8 x 1/8
+    cond = ("x >= -100000 AND x <= -75000 AND y >= 25000 AND y <= 50000")
+
+    def best3(fn):
+        return min(
+            (lambda t0: (fn(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(3)
+        )
+
+    out = {"probe": "zorder", "n_rows": n_rows, "layouts": {}}
+    for name, sort_order, zorder in (
+        ("plain", None, None),
+        ("linear", ["x"], None),
+        ("zord", None, ["x", "y"]),
+    ):
+        wh, target = build(name, sort_order)
+        t0 = time.perf_counter()
+        n_files = wh.optimize(
+            "lab", name, target_file_size_bytes=target, zorder=zorder
+        )
+        opt_sec = time.perf_counter() - t0
+        kept, total = wh.prune_files("lab", name, box)
+        cnt = [None]
+        read_sec = best3(lambda: cnt.__setitem__(
+            0, wh.read_pruned("lab", name, box).where(cond).count()
+        ))
+        out["layouts"][name] = {
+            "files": n_files,
+            "optimize_sec": round(opt_sec, 2),
+            "files_kept": len(kept),
+            "files_total": total,
+            "skip_pct": round(100 * (total - len(kept)) / max(1, total), 1),
+            "box_count_sec": round(read_sec, 4),
+            "box_rows": cnt[0],
+        }
+    counts = {v["box_rows"] for v in out["layouts"].values()}
+    assert len(counts) == 1, counts  # identical rows, identical answer
+    print(json.dumps(out))
+    spark.stop()
+
+
 def count_fastpath_probe(n_rows: int, workdir: str) -> None:
     """A/B for VERDICT r10 "what's wrong" #1 (measure-first): the
     monitoring count over a table with PENDING position deletes —
@@ -1007,6 +1078,9 @@ def main() -> None:
         return
     if "--percol-ab" in sys.argv:
         percol_ab_probe(n_rows, workdir)
+        return
+    if "--zorder" in sys.argv:
+        zorder_probe(n_rows if args else 10_000_000, workdir)
         return
     if "--count-fastpath" in sys.argv:
         count_fastpath_probe(n_rows if args else 40_000_000, workdir)

@@ -192,3 +192,33 @@ def test_changelog_replay_supersession(ch_table, spark):
     assert rows == [
         (300, "delete"), (300, "insert"), (301, "insert")
     ]
+
+
+def test_changelog_net_collapses_rewrite_noise(ch_table, spark):
+    """net=True cancels identical insert+delete pairs: a CoW rewrite's
+    unchanged rows vanish, in-window insert-then-delete vanishes, and
+    the remainder is exactly end-minus-start."""
+    wh = ch_table
+    fv = wh._latest_version("lab", "cht")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(400, 0, 4)], "id int, k int, v int"),
+        batch_id="n0",
+    )
+    wh.delete_where("lab", "cht", "id = 400", mode="merge-on-read")
+    wh.delete_where("lab", "cht", "id = 0")  # CoW: rewrites a base file
+    net = wh.read_changes("lab", "cht", fv, net=True)
+    rows = sorted((r["id"], r["_change_type"]) for r in net.collect())
+    assert rows == [(0, "delete")]  # all rewrite/appear-disappear noise gone
+    # raw form of the same window is noisy but net-equivalent
+    raw = wh.read_changes("lab", "cht", fv)
+    assert raw.count() > 1
+    d = _multiset(raw.filter("_change_type = 'delete'"), ["id", "k", "v"])
+    d.subtract(_multiset(raw.filter("_change_type = 'insert'"), ["id", "k", "v"]))
+    assert +d == Counter({(0, 0, 0): 1})
+    # invariant holds for the net form too
+    cols = ["id", "k", "v"]
+    start = _multiset(wh.read_snapshot("lab", "cht", fv), cols)
+    start.update(_multiset(net.filter("_change_type = 'insert'"), cols))
+    start.subtract(_multiset(net.filter("_change_type = 'delete'"), cols))
+    assert +start == _multiset(wh.read("lab", "cht"), cols)

@@ -1,0 +1,121 @@
+"""Z-order compaction (r11): ``optimize(zorder=["a", "b"])`` clusters
+the rewrite on a Morton interleave of the named columns — Delta
+OPTIMIZE ZORDER BY / Iceberg's z-order rewrite strategy.  The payoff is
+MULTI-dimensional file skipping: each output file covers one compact
+Z-curve segment, so its manifest bounds are tight on every z-ordered
+column at once, and a 2D box predicate prunes files a single-column
+sort cannot.  Measured at 10M in PERF.md round 11; pinned here at test
+scale:
+
+- rows are exactly preserved (multiset) and time travel still serves
+  the pre-rewrite snapshot;
+- a 2D box prunes STRICTLY more files than the same box over a
+  single-column-sorted rewrite of the same data, and both beat
+  unsorted;
+- ``read_pruned`` over the box equals the full filtered read;
+- NULLs and string columns are legal dimensions (hash-bucketed);
+- refusals: <2 or >4 columns, unknown columns, zorder+partition_filter.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+N = 120_000
+FILES = 64
+
+
+def _mk(spark, root, name, sort_order=None):
+    wh = ParquetWarehouse(spark, root)
+    wh.create_table(
+        "lab", name, "zstd", 1,
+        properties={"snapshots": "true"}, sort_order=sort_order,
+    )
+    # x and y independent uniform -> no accidental correlation; id is
+    # the audit key
+    df = spark.range(N).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id"), F.lit(1)) % 10_000).alias("x"),
+        (F.xxhash64(F.col("id"), F.lit(2)) % 10_000).alias("y"),
+    ).repartition(8)
+    wh.append("lab", name, df, batch_id="b0")
+    return wh
+
+
+def _target(wh, name):
+    head = wh.head_snapshot("lab", name)
+    total = sum(e["bytes"] for e in head["files"])
+    return max(1, total // FILES)
+
+
+def test_zorder_preserves_rows_and_prunes_2d_boxes(spark, tmp_path):
+    wh = _mk(spark, str(tmp_path / "wz"), "zt")
+    before = wh.read("lab", "zt").agg(
+        F.count("*"), F.sum("id"), F.sum("x"), F.sum("y")
+    ).first()
+    v_before = wh._latest_version("lab", "zt")
+    n = wh.optimize("lab", "zt", target_file_size_bytes=_target(wh, "zt"),
+                    zorder=["x", "y"])
+    assert n >= 16
+    after = wh.read("lab", "zt").agg(
+        F.count("*"), F.sum("id"), F.sum("x"), F.sum("y")
+    ).first()
+    assert tuple(before) == tuple(after)  # rows exactly preserved
+    # time travel still serves the pre-rewrite snapshot
+    assert wh.read_snapshot("lab", "zt", v_before).count() == N
+
+    # single-column-sorted twin over the SAME rows
+    ws = _mk(spark, str(tmp_path / "ws"), "st", sort_order=["x"])
+    ws.optimize("lab", "st", target_file_size_bytes=_target(ws, "st"))
+
+    box = {"x": (-5000, -3800), "y": (1200, 2400)}  # ~1/8 x ~1/8
+    kept_z, total_z = wh.prune_files("lab", "zt", box)
+    kept_s, _total_s = ws.prune_files("lab", "st", box)
+    # the z-ordered layout prunes strictly harder on the 2D box
+    assert len(kept_z) < len(kept_s)
+    assert len(kept_z) <= total_z // 4  # real skipping, not noise
+    # and the pruned read is still exactly the filtered read
+    cond = (
+        (F.col("x") >= -5000) & (F.col("x") <= -3800)
+        & (F.col("y") >= 1200) & (F.col("y") <= 2400)
+    )
+    want = wh.read("lab", "zt").filter(cond).count()
+    got = wh.read_pruned("lab", "zt", box).filter(cond).count()
+    assert got == want > 0
+
+
+def test_zorder_handles_strings_and_nulls(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wn"))
+    wh.create_table("lab", "nt", "zstd", 1, properties={"snapshots": "true"})
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 100).alias("x"),
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("s"),
+    )
+    wh.append("lab", "nt", df, batch_id="b0")
+    n = wh.optimize(
+        "lab", "nt", target_file_size_bytes=10_000, zorder=["x", "s"]
+    )
+    assert n >= 2
+    got = wh.read("lab", "nt")
+    assert got.count() == 20_000
+    assert got.filter(F.col("x").isNull()).count() == 20_000 // 7 + 1
+    # point predicate on the hash-bucketed string column still prunes
+    kept, total = wh.prune_files("lab", "nt", {"s": ("u7", "u7")})
+    assert len(kept) <= total  # bounds exist; skipping depends on clustering
+
+
+def test_zorder_refusals(spark, tmp_path):
+    wh = _mk(spark, str(tmp_path / "wr"), "rt")
+    with pytest.raises(ValueError, match="2-4 columns"):
+        wh.optimize("lab", "rt", zorder=["x"])
+    with pytest.raises(ValueError, match="not in table"):
+        wh.optimize("lab", "rt", zorder=["x", "nope"])
+    with pytest.raises(ValueError, match="full-rewrite"):
+        wh.optimize(
+            "lab", "rt", zorder=["x", "y"], partition_filter={"x": (0, 1)}
+        )
