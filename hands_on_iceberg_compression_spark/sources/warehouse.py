@@ -1001,10 +1001,19 @@ class ParquetWarehouse:
         linear_types = ("int", "bigint", "smallint", "tinyint", "double",
                         "float", "decimal", "date", "timestamp")
         dtypes = dict(df.dtypes)
+
+        def linear_val(c):
+            # DATE cannot cast to double directly (analysis error);
+            # route through timestamp, which casts to epoch seconds
+            v = F.col(c)
+            if dtypes[c] == "date":
+                v = v.cast("timestamp")
+            return v.cast("double")
+
         aggs = []
         for c in cols:
             if dtypes[c].startswith(linear_types):
-                v = F.col(c).cast("double")
+                v = linear_val(c)
                 aggs.append(F.min(v).alias(f"mn_{c}"))
                 aggs.append(F.max(v).alias(f"mx_{c}"))
         stats = df.agg(*aggs).first().asDict() if aggs else {}
@@ -1016,15 +1025,21 @@ class ParquetWarehouse:
                 if mn is None or mx is None or mx <= mn:
                     buckets.append(F.lit(0).cast("long"))
                     continue
-                v = F.col(c).cast("double")
-                b = F.floor((v - F.lit(mn)) / F.lit(mx - mn) * 65535.0)
+                b = F.floor(
+                    (linear_val(c) - F.lit(mn))
+                    / F.lit(mx - mn) * 65535.0
+                )
+                # coalesce INSIDE the clamp: greatest/least skip NULL
+                # args, so a NULL value would otherwise clamp to 65535
+                # and co-cluster with the max (review r11 #3)
                 buckets.append(
-                    F.coalesce(
-                        F.greatest(
-                            F.lit(0), F.least(F.lit(65535), b)
-                        ).cast("long"),
-                        F.lit(0).cast("long"),
-                    )
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(65535),
+                            F.coalesce(b, F.lit(0).cast("long")),
+                        ),
+                    ).cast("long")
                 )
             else:
                 buckets.append(
@@ -6460,6 +6475,7 @@ class ParquetWarehouse:
         from_version: int | str,
         to_version: int | str | None = None,
         net: bool = False,
+        branch: str = "main",
     ) -> DataFrame:
         """CDC CHANGELOG scan (Iceberg ``create_changelog_view`` /
         Spark's changelog reader): every row-level change committed
@@ -6512,11 +6528,21 @@ class ParquetWarehouse:
             raise ValueError(
                 "read_changes requires a log-mode (snapshots=true) table"
             )
+        if branch != "main" and (
+            isinstance(from_version, str) or isinstance(to_version, str)
+        ):
+            raise ValueError(
+                "tags are main-namespace refs — pass version numbers "
+                f"to changelog branch {branch!r}"
+            )
         fv = self._resolve_version(schema, table, from_version)
         if to_version is None:
-            tv = self._latest_version(schema, table)
+            tv = self._latest_version(schema, table, branch)
             if tv is None:
-                raise ValueError(f"{schema}.{table} has no snapshot")
+                raise ValueError(
+                    f"{schema}.{table} has no snapshot"
+                    + ("" if branch == "main" else f" on branch {branch!r}")
+                )
         else:
             tv = self._resolve_version(schema, table, to_version)
         if tv < fv:
@@ -6526,7 +6552,7 @@ class ParquetWarehouse:
 
         def _load(v):
             try:
-                return self._load_head_light(schema, table, v)
+                return self._load_head_light(schema, table, v, branch)
             except KeyError:
                 raise ValueError(
                     f"read_changes window v{fv}..v{tv} of {schema}."
@@ -6579,7 +6605,13 @@ class ParquetWarehouse:
                     "instead".format(fv, tv)
                 )
             if op in self._CHANGELOG_SKIP_OPS:
-                prev, prev_files = h, None
+                # DDL/merge_schema/rewrite_manifests preserve the ENTRY
+                # SET (refs carried or re-merged verbatim) — keep the
+                # cached materialization; only optimize/rewrite actually
+                # move files (review r11 #6)
+                prev = h
+                if op in ("optimize", "rewrite"):
+                    prev_files = None
                 continue
             if prev_files is None:
                 prev_files = {
@@ -6607,10 +6639,17 @@ class ParquetWarehouse:
                 continue
             ordinal += 1
             if added:
+                # added files read under the commit's OWN delete set: a
+                # fast_forward/merge publish carries a branch's added
+                # files AND its pending deletes on them in ONE commit —
+                # reading raw would emit phantom inserts for rows the
+                # carried deletes hide (review r11 #1).  Same-commit CDC
+                # images are safe either way (an equality delete never
+                # reaches its own commit's files — seq rule).
                 parts.append(stamp(
                     self._read_entries(
-                        schema, table, meta, hyb({}), added,
-                        apply_deletes=False,
+                        schema, table, meta, hyb(h), added,
+                        apply_deletes=True,
                     ),
                     "insert", v, ordinal,
                 ))
@@ -6623,8 +6662,22 @@ class ParquetWarehouse:
                     "delete", v, ordinal,
                 ))
             if new_dels:
+                # scope the before/after diff to files the new deletes
+                # can TOUCH: pos entries and legacy eq entries carry
+                # explicit targets; only seq-scoped eq deletes (no
+                # target list) can reach any older file (review r11 #4)
+                touch: set[str] = set()
+                unscoped = False
+                for d in new_dels:
+                    t = d.get("targets")
+                    if t is None:
+                        unscoped = True
+                        break
+                    touch.update(t)
                 common = [
-                    cur_files[p] for p in cur_files if p in prev_files
+                    cur_files[p]
+                    for p in cur_files
+                    if p in prev_files and (unscoped or p in touch)
                 ]
                 if common:
                     before = self._read_entries(
@@ -6659,6 +6712,16 @@ class ParquetWarehouse:
             c for c in out.columns
             if c not in ("_change_type", "_commit_version", "_change_ordinal")
         ]
+        ungroupable = [
+            c for c, t in out.dtypes
+            if c in data_cols and t.startswith("map<")
+        ]
+        if ungroupable:
+            raise ValueError(
+                f"net=True groups by every data column and map-typed "
+                f"column(s) {ungroupable} cannot be grouping keys — "
+                "read the raw changelog and collapse downstream"
+            )
         signed = out.groupBy(*data_cols).agg(
             F.sum(
                 F.when(F.col("_change_type") == "insert", 1).otherwise(-1)

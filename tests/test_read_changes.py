@@ -42,9 +42,8 @@ def _invariant(wh, schema, table, fv, new_cols=()):
     got = _multiset(start.select(cols), cols)
     got.update(ins)
     got.subtract(dels)
-    got = +got  # drop zero/negative counts; negatives assert below
-    assert all(v >= 0 for v in (ins | dels).values())
-    assert got == _multiset(end, cols)
+    assert not -got, "over-deletion: a delete was emitted for a row not present"
+    assert +got == _multiset(end, cols)
     return ch
 
 
@@ -222,3 +221,95 @@ def test_changelog_net_collapses_rewrite_noise(ch_table, spark):
     start.update(_multiset(net.filter("_change_type = 'insert'"), cols))
     start.subtract(_multiset(net.filter("_change_type = 'delete'"), cols))
     assert +start == _multiset(wh.read("lab", "cht"), cols)
+
+
+def test_changelog_publish_with_pending_branch_deletes(ch_table, spark):
+    """Review r11 #1 (confirmed bug): a fast_forward/merge publish
+    carries a branch's ADDED files and its pending deletes ON those
+    files in ONE commit — the added files must be read under the
+    commit's own delete set or the changelog emits phantom inserts for
+    rows the deletes hide."""
+    wh = ch_table
+    fv = wh._latest_version("lab", "cht")
+    wh.create_branch("lab", "cht", "wip")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame(
+            [(700, 0, 7), (701, 0, 7), (702, 0, 7)], "id int, k int, v int"
+        ),
+        batch_id="w0", branch="wip",
+    )
+    wh.delete_where(
+        "lab", "cht", "id = 701", mode="merge-on-read", branch="wip"
+    )
+    wh.fast_forward("lab", "cht", "wip")  # ONE commit: adds + deletes
+    ch = _invariant(wh, "lab", "cht", fv)
+    rows = sorted((r["id"], r["_change_type"]) for r in ch.collect())
+    assert rows == [(700, "insert"), (702, "insert")]  # 701 never appears
+    # same shape through the diverged-merge path
+    fv2 = wh._latest_version("lab", "cht")
+    wh.create_branch("lab", "cht", "wip2")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(710, 0, 7), (711, 0, 7)], "id int, k int, v int"),
+        batch_id="w1", branch="wip2",
+    )
+    wh.delete_where(
+        "lab", "cht", "id = 711", mode="merge-on-read", branch="wip2"
+    )
+    wh.append(  # diverge main
+        "lab", "cht",
+        spark.createDataFrame([(799, 0, 7)], "id int, k int, v int"),
+        batch_id="m9",
+    )
+    wh.merge_branch("lab", "cht", "wip2")
+    # the merge publishes TWO main commits (the append pick, then the
+    # delete pick) — so unlike the single fast_forward commit above,
+    # 711 legitimately appears as insert-then-delete in the raw form...
+    ch2 = _invariant(wh, "lab", "cht", fv2)
+    got = sorted((r["id"], r["_change_type"]) for r in ch2.collect())
+    assert got == [
+        (710, "insert"), (711, "delete"), (711, "insert"), (799, "insert")
+    ]
+    # ... and net=True collapses the appear-then-vanish row away
+    net = wh.read_changes("lab", "cht", fv2, net=True)
+    assert sorted((r["id"], r["_change_type"]) for r in net.collect()) == [
+        (710, "insert"), (799, "insert")
+    ]
+
+
+def test_changelog_on_branch(ch_table, spark):
+    """Review r11 #8: the CDC-on-branch mainline gets changelog access
+    (branch=), and tags refuse on branches like every other branch read."""
+    wh = ch_table
+    wh.create_branch("lab", "cht", "cdc")
+    fv = wh._snapshot_versions("lab", "cht", "cdc")[-1]
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(800, 0, 8)], "id int, k int, v int"),
+        batch_id="c0", branch="cdc",
+    )
+    wh.delete_where("lab", "cht", "id = 3", mode="merge-on-read", branch="cdc")
+    ch = wh.read_changes("lab", "cht", fv, branch="cdc")
+    rows = sorted((r["id"], r["_change_type"]) for r in ch.collect())
+    assert rows == [(3, "delete"), (800, "insert")]
+    # main is untouched and sees no changes in that window shape
+    assert wh.read("lab", "cht").count() == 12
+    with pytest.raises(ValueError, match="main-namespace"):
+        wh.read_changes("lab", "cht", "sometag", branch="cdc")
+
+
+def test_changelog_net_refuses_map_columns(ch_table, spark):
+    wh = ch_table
+    wh.add_column("lab", "cht", "attrs", "map<string,int>")
+    fv = wh._latest_version("lab", "cht")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame(
+            [(900, 0, 9, {"a": 1})], "id int, k int, v int, attrs map<string,int>"
+        ),
+        batch_id="mm0",
+    )
+    assert wh.read_changes("lab", "cht", fv).count() == 1  # raw works
+    with pytest.raises(ValueError, match="map-typed"):
+        wh.read_changes("lab", "cht", fv, net=True)
