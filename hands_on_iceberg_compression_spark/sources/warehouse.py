@@ -998,21 +998,29 @@ class ParquetWarehouse:
         missing = [c for c in cols if c not in df.columns]
         if missing:
             raise ValueError(f"zorder column(s) {missing} not in table")
-        linear_types = ("int", "bigint", "smallint", "tinyint", "double",
-                        "float", "decimal", "date", "timestamp")
         dtypes = dict(df.dtypes)
 
+        def is_linear(c):
+            # EXACT type names, not prefixes: 'interval day...' would
+            # prefix-match 'int' and timestamp_ntz needs its own cast
+            # route — both die on a bare cast-to-double (review r11)
+            t = dtypes[c]
+            return t in (
+                "int", "bigint", "smallint", "tinyint", "double",
+                "float", "date", "timestamp", "timestamp_ntz",
+            ) or t.startswith("decimal")
+
         def linear_val(c):
-            # DATE cannot cast to double directly (analysis error);
-            # route through timestamp, which casts to epoch seconds
+            # DATE/TIMESTAMP_NTZ cannot cast to double directly
+            # (analysis error); route through timestamp -> epoch seconds
             v = F.col(c)
-            if dtypes[c] == "date":
+            if dtypes[c] in ("date", "timestamp_ntz"):
                 v = v.cast("timestamp")
             return v.cast("double")
 
         aggs = []
         for c in cols:
-            if dtypes[c].startswith(linear_types):
+            if is_linear(c):
                 v = linear_val(c)
                 aggs.append(F.min(v).alias(f"mn_{c}"))
                 aggs.append(F.max(v).alias(f"mx_{c}"))
@@ -1020,7 +1028,7 @@ class ParquetWarehouse:
         k = len(cols)
         buckets = []
         for c in cols:
-            if dtypes[c].startswith(linear_types):
+            if is_linear(c):
                 mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
                 if mn is None or mx is None or mx <= mn:
                     buckets.append(F.lit(0).cast("long"))
@@ -6535,6 +6543,12 @@ class ParquetWarehouse:
                 "tags are main-namespace refs — pass version numbers "
                 f"to changelog branch {branch!r}"
             )
+        if branch != "main" and not self._snapshot_versions(
+            schema, table, branch
+        ):
+            # validate the ref NAME up front — otherwise a typo'd branch
+            # surfaces as a misleading "commit expired" window error
+            raise ValueError(f"no branch {branch!r} on {schema}.{table}")
         fv = self._resolve_version(schema, table, from_version)
         if to_version is None:
             tv = self._latest_version(schema, table, branch)
@@ -6605,12 +6619,18 @@ class ParquetWarehouse:
                     "instead".format(fv, tv)
                 )
             if op in self._CHANGELOG_SKIP_OPS:
-                # DDL/merge_schema/rewrite_manifests preserve the ENTRY
-                # SET (refs carried or re-merged verbatim) — keep the
-                # cached materialization; only optimize/rewrite actually
-                # move files (review r11 #6)
+                # keep the cached materialization ONLY for ops known to
+                # preserve the entry set (DDL/merge_schema carry refs
+                # verbatim, rewrite_manifests re-merges them); anything
+                # else — optimize, rewrite, future skip ops — drops the
+                # cache and recomputes.  FAIL-SAFE DIRECTION: an op
+                # wrongly on this allowlist costs corruption, wrongly
+                # off it costs one re-materialize (review r11 pass 2)
                 prev = h
-                if op in ("optimize", "rewrite"):
+                if op not in (
+                    "rewrite_manifests", "merge_schema", "add_column",
+                    "rename_column", "drop_column", "update_column_type",
+                ):
                     prev_files = None
                 continue
             if prev_files is None:
@@ -6680,6 +6700,21 @@ class ParquetWarehouse:
                     if p in prev_files and (unscoped or p in touch)
                 ]
                 if common:
+                    maps = [
+                        f["name"]
+                        for f in (t_fields or [])
+                        if str(f["type"]).replace(" ", "").startswith("map<")
+                    ]
+                    if maps:
+                        # exceptAll (a set operation) cannot handle map
+                        # columns — refuse clearly instead of surfacing
+                        # Spark's opaque SET_OPERATION_ON_MAP_TYPE
+                        raise ValueError(
+                            f"read_changes cannot diff a merge-on-read "
+                            f"delete commit (v{v}) on a table with "
+                            f"map-typed column(s) {maps} — drop/serialize "
+                            "the column or use copy-on-write deletes"
+                        )
                     before = self._read_entries(
                         schema, table, meta, hyb(prev), common,
                         apply_deletes=True,

@@ -313,3 +313,17 @@ def test_changelog_net_refuses_map_columns(ch_table, spark):
     assert wh.read_changes("lab", "cht", fv).count() == 1  # raw works
     with pytest.raises(ValueError, match="map-typed"):
         wh.read_changes("lab", "cht", fv, net=True)
+
+
+def test_changelog_mor_diff_refuses_map_columns(ch_table, spark):
+    """Review r11 pass 2 #1: the raw changelog's before/after diff is a
+    SET OPERATION Spark refuses on map columns — refuse with a clear
+    error at the MoR-delete commit, not an opaque AnalysisException."""
+    wh = ch_table
+    wh.add_column("lab", "cht", "attrs", "map<string,int>")
+    fv = wh._latest_version("lab", "cht")
+    wh.delete_where("lab", "cht", "id = 1", mode="merge-on-read")
+    with pytest.raises(ValueError, match="map-typed"):
+        wh.read_changes("lab", "cht", fv).collect()
+    with pytest.raises(ValueError, match="no branch 'wpi'"):
+        wh.read_changes("lab", "cht", fv, to_version=fv + 1, branch="wpi")

@@ -155,3 +155,22 @@ def test_zorder_date_dimension_and_null_bucket(spark, tmp_path):
     )
     assert keys[0] == keys[1]  # NULL clusters with the minimum
     assert keys[2] > keys[1]
+
+
+def test_zorder_timestamp_ntz_dimension(spark, tmp_path):
+    """Review r11 pass 2 #2: timestamp_ntz (pyspark 4.1's native NANOS
+    read dtype) is a linear dimension via the timestamp cast route; a
+    bare cast-to-double is an analysis error."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wt"))
+    wh.create_table("lab", "tt", "zstd", 1, properties={"snapshots": "true"})
+    df = spark.range(4_000).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60)
+        .cast("timestamp_ntz").alias("ts"),
+        (F.col("id") % 500).alias("x"),
+    )
+    wh.append("lab", "tt", df, batch_id="b0")
+    assert wh.optimize(
+        "lab", "tt", target_file_size_bytes=8_000, zorder=["ts", "x"]
+    ) >= 2
+    assert wh.read("lab", "tt").count() == 4_000
