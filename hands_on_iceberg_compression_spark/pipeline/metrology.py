@@ -198,11 +198,18 @@ def measure_log_table(
         kept_paths, total = warehouse.prune_files(schema, table, prune_ranges)
         kept = len(kept_paths)
     dels = head.get("deletes", [])
+    # visible rows, exact, when the manifest can prove it (count_rows'
+    # fast path: pos-delete target_counts arithmetic); pending deletes
+    # it cannot price (eq keys) fall back to the DATA row total — still
+    # zero data IO, the "pend dels" column flags the pendings either way
+    visible = None
+    if dels:
+        visible = warehouse.count_rows(schema, table, fallback=False)
     return LogStatsRow(
         table=table,
         snapshots=len(versions),
         live_files=len(head["files"]),
-        live_rows=head["total_rows"],
+        live_rows=visible if visible is not None else head["total_rows"],
         head_bytes=head_bytes,
         segment_count=len(seg_files),
         segment_bytes=seg_bytes,

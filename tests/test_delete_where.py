@@ -466,3 +466,26 @@ def test_count_rows_legacy_head_without_total_rows(day_table):
     with open(p, "w") as f:
         json.dump(head, f)
     assert wh.count_rows("lab", "deltab") == 30
+
+
+def test_count_rows_metadata_only_mode_and_log_report(day_table, monkeypatch):
+    """fallback=False returns None instead of reading when arithmetic
+    is unprovable — the metadata-only contract log-report uses to show
+    the exact visible count under pending pos deletes."""
+    from hands_on_iceberg_compression_spark.pipeline.metrology import (
+        measure_log_table,
+    )
+
+    wh = day_table
+    wh.delete_where("lab", "deltab", "v <= 1", mode="merge-on-read")
+    _no_read(wh, monkeypatch)  # the whole path must stay metadata-only
+    assert wh.count_rows("lab", "deltab", fallback=False) == 24
+    row = measure_log_table(wh, "lab", "deltab")
+    assert row.live_rows == 24  # visible, not the 30 data rows
+    assert row.delete_files == 1
+    monkeypatch.undo()
+    wh.delete_by_keys("lab", "deltab", [(100,)], ["v"])  # unprovable now
+    _no_read(wh, monkeypatch)
+    assert wh.count_rows("lab", "deltab", fallback=False) is None
+    row = measure_log_table(wh, "lab", "deltab")
+    assert row.live_rows == 30  # falls back to the data-row total
