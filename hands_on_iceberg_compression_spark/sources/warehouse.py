@@ -6802,6 +6802,61 @@ class ParquetWarehouse:
             )
         )
 
+    def consume_changes(
+        self,
+        schema: str,
+        table: str,
+        checkpoint_file: str,
+        process,
+        net: bool = False,
+        branch: str = "main",
+        start_version: int | None = None,
+    ) -> dict:
+        """ONE at-least-once checkpointed CDC pull — the changelog
+        consumer loop (Iceberg/Flink CDC consumer pattern): load the
+        checkpointed version, compute ``read_changes(ckpt, head)``, run
+        ``process(df)``, and only THEN atomically advance the
+        checkpoint to head (tmp + rename).  A crash inside ``process``
+        or before the checkpoint write re-delivers the whole window on
+        the next pull — consumers de-duplicate on
+        ``(_commit_version, _change_ordinal)`` or write idempotently.
+
+        A missing checkpoint file initializes at the CURRENT head and
+        delivers nothing (standard bootstrap: consume from now on);
+        pass ``start_version`` to backfill from an older retained
+        snapshot instead.  Empty windows skip ``process`` entirely.
+        Returns {"from", "to", "delivered"}."""
+        head_v = self._latest_version(schema, table, branch)
+        if head_v is None:
+            raise ValueError(
+                f"{schema}.{table} has no snapshot"
+                + ("" if branch == "main" else f" on branch {branch!r}")
+            )
+        if os.path.exists(checkpoint_file):
+            with open(checkpoint_file) as f:
+                ckpt = json.load(f)
+            fv = ckpt["version"]
+        else:
+            fv = start_version if start_version is not None else head_v
+        delivered = False
+        if head_v > fv:
+            process(
+                self.read_changes(
+                    schema, table, fv, head_v, net=net, branch=branch
+                )
+            )
+            delivered = True
+        if head_v != fv or not os.path.exists(checkpoint_file):
+            os.makedirs(
+                os.path.dirname(os.path.abspath(checkpoint_file)),
+                exist_ok=True,
+            )
+            tmp = checkpoint_file + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"version": head_v, "branch": branch}, f)
+            os.replace(tmp, checkpoint_file)
+        return {"from": fv, "to": head_v, "delivered": delivered}
+
     def read_incremental(
         self,
         schema: str,

@@ -327,3 +327,56 @@ def test_changelog_mor_diff_refuses_map_columns(ch_table, spark):
         wh.read_changes("lab", "cht", fv).collect()
     with pytest.raises(ValueError, match="no branch 'wpi'"):
         wh.read_changes("lab", "cht", fv, to_version=fv + 1, branch="wpi")
+
+
+def test_consume_changes_checkpointed_at_least_once(ch_table, spark, tmp_path):
+    """The CDC consumer loop: bootstrap at head, pull deltas, advance
+    the checkpoint only AFTER process() succeeds — a crashed consumer
+    re-delivers the window (at-least-once)."""
+    wh = ch_table
+    ckpt = str(tmp_path / "cdc" / "ckpt.json")
+    seen = []
+
+    def sink(df):
+        seen.extend(
+            (r["id"], r["_change_type"]) for r in df.collect()
+        )
+
+    # bootstrap: initializes at head, delivers nothing
+    out = wh.consume_changes("lab", "cht", ckpt, sink)
+    assert out["delivered"] is False and seen == []
+    # changes land; the next pull delivers exactly them
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(950, 0, 9)], "id int, k int, v int"),
+        batch_id="c1",
+    )
+    wh.delete_where("lab", "cht", "id = 2", mode="merge-on-read")
+    out = wh.consume_changes("lab", "cht", ckpt, sink)
+    assert out["delivered"] is True
+    assert sorted(seen) == [(2, "delete"), (950, "insert")]
+    # idle pull: no delivery, checkpoint stable
+    assert wh.consume_changes("lab", "cht", ckpt, sink)["delivered"] is False
+    # crash inside process: checkpoint NOT advanced -> re-delivery
+    wh.delete_by_keys("lab", "cht", [(950,)], ["id"])
+
+    def boom(df):
+        raise RuntimeError("consumer crashed")
+
+    with pytest.raises(RuntimeError, match="consumer crashed"):
+        wh.consume_changes("lab", "cht", ckpt, boom)
+    seen.clear()
+    out = wh.consume_changes("lab", "cht", ckpt, sink)
+    assert out["delivered"] is True
+    assert seen == [(950, "delete")]
+    # backfill bootstrap from an explicit older version
+    ckpt2 = str(tmp_path / "cdc" / "ckpt2.json")
+    seen2 = []
+    wh.consume_changes(
+        "lab", "cht", ckpt2,
+        lambda df: seen2.extend(
+            (r["id"], r["_change_type"]) for r in df.collect()
+        ),
+        start_version=1,
+    )
+    assert (950, "insert") in seen2 and (950, "delete") in seen2
