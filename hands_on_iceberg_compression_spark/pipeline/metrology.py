@@ -199,17 +199,21 @@ def measure_log_table(
         kept = len(kept_paths)
     dels = head.get("deletes", [])
     # visible rows, exact, when the manifest can prove it (count_rows'
-    # fast path: pos-delete target_counts arithmetic); pending deletes
-    # it cannot price (eq keys) fall back to the DATA row total — still
-    # zero data IO, the "pend dels" column flags the pendings either way
-    visible = None
-    if dels:
-        visible = warehouse.count_rows(schema, table, fallback=False)
+    # fast path: pos-delete target_counts arithmetic; with no pending
+    # deletes it is the head totals, legacy no-total_rows heads
+    # included); pending deletes it cannot price (eq keys) fall back to
+    # the DATA row total — still zero data IO, the "pend dels" column
+    # flags the pendings either way
+    visible = warehouse.count_rows(schema, table, fallback=False)
+    if visible is None:
+        visible = head.get("total_rows")
+        if visible is None:  # legacy head: sum the materialized entries
+            visible = sum(e["rows"] for e in head["files"])
     return LogStatsRow(
         table=table,
         snapshots=len(versions),
         live_files=len(head["files"]),
-        live_rows=visible if visible is not None else head["total_rows"],
+        live_rows=visible,
         head_bytes=head_bytes,
         segment_count=len(seg_files),
         segment_bytes=seg_bytes,

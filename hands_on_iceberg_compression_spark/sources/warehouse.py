@@ -577,6 +577,14 @@ class ParquetWarehouse:
         ``fallback=False`` returns None instead of reading when the
         arithmetic cannot be proven — the metadata-only contract
         ``log-report`` needs (it promises to never touch a data file)."""
+        def _fb():
+            # the ONE fallback site: a full delete-applied read, or None
+            # under the metadata-only contract (fallback=False)
+            return (
+                self.read(schema, table, branch).count()
+                if fallback else None
+            )
+
         meta = self.table_meta(schema, table)
         if not self._log_mode(meta):
             return self.read(schema, table).count() if fallback else None
@@ -608,25 +616,16 @@ class ParquetWarehouse:
                     else bool(set(t) & live)
                 )
                 if reaches:
-                    return (
-                self.read(schema, table, branch).count()
-                if fallback else None
-            )
+                    return _fb()
                 continue  # dead eq delete: every reachable file dropped
             tc = d.get("target_counts")
             if tc is None:  # legacy entry: counts unknown
-                return (
-                self.read(schema, table, branch).count()
-                if fallback else None
-            )
+                return _fb()
             for t in d.get("targets") or []:
                 if t not in live:
                     continue  # tuples of dropped files can never match
                 if t not in tc:
-                    return (
-                self.read(schema, table, branch).count()
-                if fallback else None
-            )
+                    return _fb()
                 by_file.setdefault(t, []).append(d)
         sub = 0
         for t, ents in by_file.items():
@@ -641,10 +640,7 @@ class ParquetWarehouse:
                     if nxt.get("seq", 0) != prev.get("seq", 0) and (
                         nxt.get("rv_seq", -1) < prev.get("seq", 0)
                     ):
-                        return (
-                self.read(schema, table, branch).count()
-                if fallback else None
-            )
+                        return _fb()
             sub += sum(d["target_counts"][t] for d in ents)
         return total - sub
 
@@ -6822,10 +6818,21 @@ class ParquetWarehouse:
         ``(_commit_version, _change_ordinal)`` or write idempotently.
 
         A missing checkpoint file initializes at the CURRENT head and
-        delivers nothing (standard bootstrap: consume from now on);
-        pass ``start_version`` to backfill from an older retained
-        snapshot instead.  Empty windows skip ``process`` entirely.
-        Returns {"from", "to", "delivered"}."""
+        delivers nothing (standard bootstrap: consume from now on).
+        ``start_version`` backfills from an older retained snapshot on
+        bootstrap — and, when it EXCEEDS an existing checkpoint, SKIPS
+        the consumer forward past a poison window (a rollback commit or
+        an expired version inside the window makes ``read_changes``
+        raise on every pull; re-basing with
+        ``start_version=<current head>`` is the documented recovery,
+        no hand-editing of checkpoint files).  The checkpoint records
+        its REF and a pull against a different ``branch`` raises —
+        version counters are not comparable across refs.  A head BELOW
+        the checkpoint raises too (stale ref or a recreated table;
+        silently re-baselining would skip windows).  Windows with no
+        row-level changes (idle, or metadata/compaction commits only)
+        skip ``process`` — at the cost of one lightweight emptiness
+        probe job.  Returns {"from", "to", "delivered"}."""
         head_v = self._latest_version(schema, table, branch)
         if head_v is None:
             raise ValueError(
@@ -6835,17 +6842,33 @@ class ParquetWarehouse:
         if os.path.exists(checkpoint_file):
             with open(checkpoint_file) as f:
                 ckpt = json.load(f)
+            if ckpt.get("branch", "main") != branch:
+                raise ValueError(
+                    f"checkpoint {checkpoint_file!r} tracks ref "
+                    f"{ckpt.get('branch', 'main')!r}, not {branch!r} — "
+                    "version counters are not comparable across refs; "
+                    "use one checkpoint file per ref"
+                )
             fv = ckpt["version"]
+            if start_version is not None and start_version > fv:
+                fv = start_version  # explicit skip-forward (recovery)
         else:
             fv = start_version if start_version is not None else head_v
+        if head_v < fv:
+            raise ValueError(
+                f"{schema}.{table} head v{head_v} is BELOW the "
+                f"checkpointed v{fv} — stale ref or a recreated table; "
+                "delete the checkpoint deliberately if re-baselining "
+                "is intended"
+            )
         delivered = False
         if head_v > fv:
-            process(
-                self.read_changes(
-                    schema, table, fv, head_v, net=net, branch=branch
-                )
+            df = self.read_changes(
+                schema, table, fv, head_v, net=net, branch=branch
             )
-            delivered = True
+            if not df.isEmpty():
+                process(df)
+                delivered = True
         if head_v != fv or not os.path.exists(checkpoint_file):
             os.makedirs(
                 os.path.dirname(os.path.abspath(checkpoint_file)),

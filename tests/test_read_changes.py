@@ -380,3 +380,47 @@ def test_consume_changes_checkpointed_at_least_once(ch_table, spark, tmp_path):
         start_version=1,
     )
     assert (950, "insert") in seen2 and (950, "delete") in seen2
+
+
+def test_consume_changes_guards_and_recovery(ch_table, spark, tmp_path):
+    """Review r11 pass 3: the checkpoint pins its REF (cross-ref pulls
+    raise — version counters aren't comparable), a head BELOW the
+    checkpoint raises instead of silently re-baselining, start_version
+    skips FORWARD past a poison window, and metadata-only windows skip
+    process() (no phantom deliveries)."""
+    wh = ch_table
+    ckpt = str(tmp_path / "c" / "k.json")
+    wh.consume_changes("lab", "cht", ckpt, lambda df: None)  # bootstrap
+    wh.create_branch("lab", "cht", "b1")
+    with pytest.raises(ValueError, match="not comparable across refs"):
+        wh.consume_changes("lab", "cht", ckpt, lambda df: None, branch="b1")
+    # metadata-only window: checkpoint advances, process NOT called
+    wh.add_column("lab", "cht", "note", "string")
+    wh.optimize("lab", "cht")
+    called = []
+    out = wh.consume_changes("lab", "cht", ckpt, lambda df: called.append(1))
+    assert out["delivered"] is False and not called
+    # poison window: a rollback wedges the pull; start_version recovers
+    v_ok = wh._latest_version("lab", "cht")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame(
+            [(970, 0, 9, None)], "id int, k int, v int, note string"
+        ),
+        batch_id="p0",
+    )
+    wh.rollback_to_snapshot("lab", "cht", v_ok)
+    with pytest.raises(ValueError, match="rollback"):
+        wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+    head_now = wh._latest_version("lab", "cht")
+    out = wh.consume_changes(
+        "lab", "cht", ckpt, lambda df: None, start_version=head_now
+    )
+    assert out["from"] == head_now  # skipped forward, unwedged
+    # regressed head (recreated table / stale root) raises
+    import json as _json
+
+    with open(ckpt, "w") as f:
+        _json.dump({"version": 999, "branch": "main"}, f)
+    with pytest.raises(ValueError, match="BELOW the"):
+        wh.consume_changes("lab", "cht", ckpt, lambda df: None)
