@@ -6198,15 +6198,28 @@ class ParquetWarehouse:
     def create_catalog_branch(self, name: str) -> dict:
         """Fork a named catalog ref at the CURRENT catalog version.
         Hard-link CAS: re-creating an existing branch raises.  The fork
-        pin is RE-VALIDATED after publishing: an ``expire_catalog``
-        racing this create cannot see the branch yet, so it may drop
-        the fork version between computing it and the CAS — the create
-        then undoes itself and retries at the new head (review r11
-        second pass #3)."""
+        pin is validated BEFORE publishing and RE-VALIDATED after: an
+        ``expire_catalog`` racing this create cannot see the branch yet,
+        so it may drop the fork version between computing it and the CAS
+        (review r11 second pass #3).  When that happens the create
+        REPINS IN PLACE (an ordinary CAS commit moving ``fork_catalog``
+        to the now-current live version) — it never deletes the branch
+        dir: a concurrent ``stage_on_catalog_branch`` that read the
+        transient v1 head may already have landed a stage record and
+        created the ``catb_`` table branch, and an rmtree would orphan
+        both (ADVICE r11).  Repinning is semantically what a
+        delete-and-retry would have produced anyway (the expired pin was
+        never readable), minus the data loss."""
         d = self._catalog_branch_dir(name)
         import time as _time
 
-        for _ in range(3):
+        fc = self.latest_catalog_version()
+        for _ in range(10):
+            # pre-publish validation narrows the expiry race to the
+            # CAS instant; the post-publish re-check closes it
+            if fc is not None and fc not in self._catalog_versions():
+                fc = self.latest_catalog_version()
+                continue
             os.makedirs(d, exist_ok=True)
             record = {
                 "version": 1,
@@ -6215,7 +6228,7 @@ class ParquetWarehouse:
                 "ts": round(_time.time(), 3),
                 # the catalog version non-staged tables resolve through
                 # when reading the branch (None: no catalog commit yet)
-                "fork_catalog": self.latest_catalog_version(),
+                "fork_catalog": fc,
                 "tables": [],
             }
             if self._catalog_branch_versions(name) or not self._cas_link(
@@ -6225,13 +6238,51 @@ class ParquetWarehouse:
                     f"catalog branch {name!r} already exists "
                     "(drop_catalog_branch first)"
                 )
-            fc = record["fork_catalog"]
             if fc is None or fc in self._catalog_versions():
                 return record
-            shutil.rmtree(d, ignore_errors=True)  # fork expired: redo
+            return self._repin_catalog_branch(name)
         raise RuntimeError(
             f"could not pin a fork catalog version for branch {name!r} "
-            "after 3 attempts (racing expire_catalog?) — retry"
+            "after 10 attempts (racing expire_catalog?) — retry"
+        )
+
+    def _repin_catalog_branch(self, name: str) -> dict:
+        """Move a live branch's ``fork_catalog`` to a currently-retained
+        catalog version — the recovery when ``expire_catalog`` raced
+        ``create_catalog_branch`` and dropped the fork pin before the
+        branch was visible to expiry's retention scan.  Ordinary CAS
+        commit on the branch's head chain: staged work already landed by
+        concurrent stagers is carried forward untouched.  Once this
+        commit publishes, the branch is listing-visible and expiry
+        retains the new pin like any other."""
+        import time as _time
+
+        d = self._catalog_branch_dir(name)
+        for _ in range(10):
+            head = self.catalog_branch_head(name)
+            fc = self.latest_catalog_version()
+            if fc is not None and fc not in self._catalog_versions():
+                continue  # expiry racing again — re-read the head
+            record = {
+                "version": head["version"] + 1,
+                "parent": head["version"],
+                "operation": "repin",
+                "ts": round(_time.time(), 3),
+                "fork_catalog": fc,
+                "tables": list(head["tables"]),
+            }
+            if not self._cas_link(
+                record,
+                os.path.join(d, f"v{record['version']:06d}.json"),
+            ):
+                continue  # lost the CAS (concurrent stage) — retry on top
+            if fc is None or fc in self._catalog_versions():
+                return record
+            # pin expired between this commit and the re-check: another
+            # repin lands on top (head now includes this one)
+        raise RuntimeError(
+            f"could not repin catalog branch {name!r} after 10 attempts "
+            "(racing expire_catalog?) — retry"
         )
 
     def catalog_branches(self) -> dict[str, dict]:
@@ -6288,7 +6339,15 @@ class ParquetWarehouse:
         key = self._catalog_key(schema, table)
         head = self.catalog_branch_head(name)  # raises if no branch
         if not self._snapshot_versions(schema, table, tref):
-            self.create_branch(schema, table, tref)
+            try:
+                self.create_branch(schema, table, tref)
+            except ValueError:
+                # a concurrent stager of the SAME table won the branch
+                # create between our check and the CAS — staging is
+                # idempotent, so the loser proceeds on the winner's
+                # branch (ADVICE r11); re-raise anything else
+                if not self._snapshot_versions(schema, table, tref):
+                    raise
         import time as _time
 
         while True:
@@ -6849,17 +6908,25 @@ class ParquetWarehouse:
                     "version counters are not comparable across refs; "
                     "use one checkpoint file per ref"
                 )
-            fv = ckpt["version"]
+            stored_v = ckpt["version"]
+            fv = stored_v
             if start_version is not None and start_version > fv:
                 fv = start_version  # explicit skip-forward (recovery)
         else:
+            stored_v = None
             fv = start_version if start_version is not None else head_v
         if head_v < fv:
+            src = (
+                f"start_version={start_version}"
+                if start_version is not None and fv == start_version
+                and (stored_v is None or start_version > stored_v)
+                else f"the checkpointed v{fv}"
+            )
             raise ValueError(
-                f"{schema}.{table} head v{head_v} is BELOW the "
-                f"checkpointed v{fv} — stale ref or a recreated table; "
-                "delete the checkpoint deliberately if re-baselining "
-                "is intended"
+                f"{schema}.{table} head v{head_v} is BELOW {src} — "
+                "stale ref, a recreated table, or a too-new "
+                "start_version; delete the checkpoint deliberately if "
+                "re-baselining is intended"
             )
         delivered = False
         if head_v > fv:
@@ -6869,7 +6936,12 @@ class ParquetWarehouse:
             if not df.isEmpty():
                 process(df)
                 delivered = True
-        if head_v != fv or not os.path.exists(checkpoint_file):
+        # Rewrite whenever the STORED version differs from head — not
+        # just when fv != head.  A start_version skip-forward that lands
+        # exactly on the head (the documented poison-window recovery)
+        # would otherwise leave the old poisoned version on disk and the
+        # next plain pull would wedge again (ADVICE r11 medium).
+        if stored_v != head_v:
             os.makedirs(
                 os.path.dirname(os.path.abspath(checkpoint_file)),
                 exist_ok=True,

@@ -747,3 +747,90 @@ def test_publish_retry_survives_unrelated_rollback(cat_wh, spark):
     assert out["tables"]["shop.orders"] == ff_v
     assert wh._latest_version("shop", "orders") != ff_v  # no re-forward
     assert wh.read_catalog_as_of()["shop.orders"].count() == 6
+
+
+def test_stage_concurrent_create_branch_idempotent(cat_wh, monkeypatch):
+    """ADVICE r11: two concurrent stagers of the SAME table both see no
+    catb_ branch and both call create_branch — the loser must proceed
+    idempotently onto the winner's branch, not raise."""
+    wh = cat_wh
+    wh.create_catalog_branch("race")
+    real_create = wh.create_branch
+
+    def losing_create(schema, table, name, version=None):
+        # the winner lands the branch between our existence check and
+        # our create — then OUR create raises already-exists
+        real_create(schema, table, name, version)
+        raise ValueError(f"branch {name!r} already exists on "
+                         f"{schema}.{table} (drop_branch first)")
+
+    monkeypatch.setattr(wh, "create_branch", losing_create)
+    ref = wh.stage_on_catalog_branch("race", "shop", "orders")
+    assert ref == "catb_race"
+    assert "shop.orders" in wh.catalog_branch_head("race")["tables"]
+    # a genuinely different ValueError still propagates
+    monkeypatch.setattr(
+        wh, "create_branch",
+        lambda *a, **k: (_ for _ in ()).throw(ValueError("disk full")),
+    )
+    wh.drop_catalog_branch("race")
+    wh.create_catalog_branch("race2")
+    with pytest.raises(ValueError, match="disk full"):
+        wh.stage_on_catalog_branch("race2", "shop", "orders")
+
+
+def test_create_catalog_branch_repins_instead_of_rmtree(
+    cat_wh, spark, monkeypatch
+):
+    """ADVICE r11: when expire_catalog drops the fork pin between the
+    create's CAS and its re-check, the create must REPIN in place — the
+    old rmtree retry could delete a stage record a concurrent stager
+    already landed on the transient v1 head."""
+    wh = cat_wh
+    wh.commit_catalog([("shop", "orders")])
+    fc = wh.commit_catalog([("shop", "items")])["version"]
+    real_cas = wh._cas_link
+
+    def expiring_cas(record, path):
+        ok = real_cas(record, path)
+        if ok and path.endswith(os.path.join("branch_exp", "v000001.json")):
+            # a racing expire_catalog (which listed branches before this
+            # create published) drops the fork pin right after the CAS
+            os.unlink(os.path.join(wh._catalog_dir(), f"v{fc:06d}.json"))
+        return ok
+
+    monkeypatch.setattr(wh, "_cas_link", expiring_cas)
+    out = wh.create_catalog_branch("exp")
+    monkeypatch.setattr(wh, "_cas_link", real_cas)
+    # the branch SURVIVED (no rmtree) and was repinned to a live version
+    assert out["operation"] == "repin"
+    assert out["fork_catalog"] in wh._catalog_versions()
+    head = wh.catalog_branch_head("exp")
+    assert head["version"] == 2 and head["operation"] == "repin"
+    # fully functional afterward: stage, read, publish
+    ref = wh.stage_on_catalog_branch("exp", "shop", "orders")
+    wh.append(
+        "shop", "orders",
+        spark.createDataFrame([(900, "staged")], "id int, src string"),
+        batch_id="s0", branch=ref,
+    )
+    assert wh.read_catalog_branch("exp")["shop.orders"].count() == 6
+    # expiry now retains the REPINNED version like any fork pin
+    wh.commit_catalog([("shop", "orders")])
+    wh.expire_catalog(keep_last=1)
+    assert head["fork_catalog"] in wh._catalog_versions()
+
+
+def test_repin_carries_concurrently_staged_tables(cat_wh):
+    """_repin_catalog_branch directly: staged records landed between the
+    transient create and the repin are carried forward, never lost."""
+    wh = cat_wh
+    fc = wh.commit_catalog([("shop", "orders")])["version"]
+    wh.create_catalog_branch("keep")
+    wh.stage_on_catalog_branch("keep", "shop", "items")
+    # simulate the fork pin expiring AFTER a stage already landed
+    os.unlink(os.path.join(wh._catalog_dir(), f"v{fc:06d}.json"))
+    out = wh._repin_catalog_branch("keep")
+    assert out["tables"] == ["shop.items"]
+    assert out["fork_catalog"] != fc
+    assert wh.catalog_branch_head("keep")["tables"] == ["shop.items"]

@@ -424,3 +424,67 @@ def test_consume_changes_guards_and_recovery(ch_table, spark, tmp_path):
         _json.dump({"version": 999, "branch": "main"}, f)
     with pytest.raises(ValueError, match="BELOW the"):
         wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+
+
+def test_consume_changes_recovery_persists_checkpoint(
+    ch_table, spark, tmp_path
+):
+    """ADVICE r11 medium: a start_version skip-forward landing EXACTLY
+    on the current head must still rewrite the checkpoint — otherwise
+    the next plain pull re-reads the old poisoned version and wedges
+    again, contradicting the documented recovery."""
+    wh = ch_table
+    ckpt = str(tmp_path / "c2" / "k.json")
+    wh.consume_changes("lab", "cht", ckpt, lambda df: None)  # bootstrap
+    v_ok = wh._latest_version("lab", "cht")
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(971, 0, 9)], "id int, k int, v int"),
+        batch_id="p1",
+    )
+    wh.rollback_to_snapshot("lab", "cht", v_ok)  # poison the window
+    with pytest.raises(ValueError, match="rollback"):
+        wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+    head_now = wh._latest_version("lab", "cht")
+    # recover by skipping forward to EXACTLY the head (fv == head_v)
+    out = wh.consume_changes(
+        "lab", "cht", ckpt, lambda df: None, start_version=head_now
+    )
+    assert out["from"] == out["to"] == head_now
+    # the checkpoint MUST have been rewritten: a plain follow-up pull
+    # does not re-enter the poison window
+    out2 = wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+    assert out2["from"] == head_now and out2["delivered"] is False
+    # and after new commits it delivers normally
+    seen = []
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(972, 0, 9)], "id int, k int, v int"),
+        batch_id="p2",
+    )
+    wh.consume_changes(
+        "lab", "cht", ckpt,
+        lambda df: seen.extend(r["id"] for r in df.collect()),
+    )
+    assert seen == [972]
+
+
+def test_consume_changes_error_names_start_version(ch_table, tmp_path):
+    """ADVICE r11 low: when start_version (not the checkpoint) exceeds
+    the head, the error must say so — the misleading 'checkpointed'
+    wording hit users exactly during the recovery flow."""
+    wh = ch_table
+    head = wh._latest_version("lab", "cht")
+    ckpt = str(tmp_path / "c3" / "k.json")
+    with pytest.raises(ValueError, match="start_version=999"):
+        wh.consume_changes(
+            "lab", "cht", ckpt, lambda df: None, start_version=999
+        )
+    # checkpoint-sourced regression still names the checkpoint
+    wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+    import json as _json
+
+    with open(ckpt, "w") as f:
+        _json.dump({"version": head + 500, "branch": "main"}, f)
+    with pytest.raises(ValueError, match="checkpointed v"):
+        wh.consume_changes("lab", "cht", ckpt, lambda df: None)
