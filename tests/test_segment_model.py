@@ -90,6 +90,12 @@ OPS = st.lists(
                 # adoption + picks after main moved, BOTH-sides DDL
                 # refusal — against the same models
                 "branch_ddl", "merge",
+                # r12 partition-spec evolution: identity add/drop as
+                # metadata-only commits — EVERY head writer must carry
+                # specs/spec_id (the same carry class that bit
+                # rewrite_manifests for schemas in r07), and rename/drop
+                # of a spec source column (any spec ever) must refuse
+                "spec_ddl",
             ]
         ),
         st.integers(0, 10),
@@ -120,6 +126,8 @@ def test_random_op_sequences_match_model(ops):
         batches: list[str] = []
         counter = 0
         ddl_epoch = 0  # bumps on every MAIN DDL (both-sides detection)
+        spec_model: list[str] | None = None  # current spec (None: never evolved)
+        spec_guard: set[str] = set()  # spec source columns, any spec ever
 
         def prune_dels(gone: set[str]) -> None:
             # mirror of commit_snapshot's delete-carry: dropped files
@@ -167,6 +175,12 @@ def test_random_op_sequences_match_model(ops):
                 # every tagged snapshot must stay materializable (its head
                 # AND all its segments survived whatever expiry ran)
                 wh._load_snapshot("lab", "t", v)
+            if spec_model is not None:
+                # the spec carry discipline: EVERY head writer (appends,
+                # drops, DDL, rewrites, rollbacks, deletes) must keep the
+                # specs dict + current spec_id
+                assert head is not None and "specs" in head
+                assert head["specs"][str(head["spec_id"])] == spec_model
             assert set(wh.branches("lab", "t")) == set(branches_model)
             for b, bm in branches_model.items():
                 bh = wh.head_snapshot("lab", "t", branch=b)
@@ -216,14 +230,28 @@ def test_random_op_sequences_match_model(ops):
                 elif op == "rename_col":
                     f = schema_model[pick % len(schema_model)]
                     new = f"r{counter:03d}"
-                    wh.rename_column("lab", "t", f["name"], new)
-                    f["name"] = new
+                    if f["name"] in spec_guard:
+                        import pytest as _pytest
+
+                        with _pytest.raises(ValueError, match="partitioning"):
+                            wh.rename_column("lab", "t", f["name"], new)
+                        ddl_epoch -= 1  # nothing committed
+                    else:
+                        wh.rename_column("lab", "t", f["name"], new)
+                        f["name"] = new
                 elif op == "drop_col":
                     if len(schema_model) < 2:
                         continue
                     f = schema_model[pick % len(schema_model)]
-                    wh.drop_column("lab", "t", f["name"])
-                    schema_model.remove(f)
+                    if f["name"] in spec_guard:
+                        import pytest as _pytest
+
+                        with _pytest.raises(ValueError, match="partitioning"):
+                            wh.drop_column("lab", "t", f["name"])
+                        ddl_epoch -= 1  # nothing committed
+                    else:
+                        wh.drop_column("lab", "t", f["name"])
+                        schema_model.remove(f)
                 else:  # widen_col
                     cands = [f for f in schema_model if f["type"] == "int"]
                     if not cands:
@@ -446,6 +474,32 @@ def test_random_op_sequences_match_model(ops):
                 name = sorted(branches_model)[pick % len(branches_model)]
                 wh.drop_branch("lab", "t", name)
                 del branches_model[name]
+            elif op == "spec_ddl":
+                if not wh._snapshot_versions("lab", "t") or not schema_model:
+                    continue  # needs a recorded schema
+                ddl_epoch += 1
+                cur = spec_model if spec_model is not None else []
+                names = [f["name"] for f in schema_model]
+                addable = [n for n in names if n not in cur]
+                head_before = wh._head_light("lab", "t")
+                if cur and (pick % 2 or not addable):
+                    victim = cur[pick % len(cur)]
+                    wh.drop_partition_field("lab", "t", victim)
+                    spec_model = [t for t in cur if t != victim]
+                elif addable:
+                    col = addable[pick % len(addable)]
+                    wh.add_partition_field("lab", "t", col)
+                    spec_model = cur + [col]
+                    spec_guard.add(col)
+                else:
+                    ddl_epoch -= 1
+                    continue
+                head_after = wh._head_light("lab", "t")
+                # metadata-only: segment refs carried over VERBATIM
+                assert head_after["segments"] == head_before.get(
+                    "segments", head_after["segments"]
+                )
+                assert head_after["version"] == head_before["version"] + 1
             elif op == "tag" and wh._snapshot_versions("lab", "t"):
                 name = f"t{counter:03d}"
                 wh.create_tag("lab", "t", name)
@@ -552,6 +606,9 @@ DML_OPS = st.lists(
                 "cow_delete", "mor_delete",
                 "cow_update", "mor_update",
                 "eq_delete", "mor_upsert",
+                # r12 conditional MERGE: freshness-guarded update +
+                # tombstone delete clauses resolved against the model
+                "merge_into",
                 "rename", "expire", "tag",
                 # r11: rollback interleaved with row-level DML — the read
                 # must equal the row model the table had at the target
@@ -656,6 +713,34 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                         rows.pop(i, None)
                     else:
                         rows[i] = {"k": k, "v": v}
+            elif op == "merge_into" and rows:
+                # one matched row (fresh update, stale no-op, or
+                # tombstone — clause resolution under test) + one insert
+                tgt_id = sorted(rows)[pick % len(rows)]
+                cur_v = rows[tgt_id]["v"]
+                fresh = pick % 3 != 0
+                sv = cur_v + 1 if fresh else cur_v - 1
+                tomb = pick % 4 == 0
+                batch = [
+                    (tgt_id, rows[tgt_id]["k"], sv, "D" if tomb else "U"),
+                    (next_id, next_id % 3, pick, "U"),
+                ]
+                ins_id = next_id
+                next_id += 1
+                df = spark.createDataFrame(
+                    batch, f"id int, k int, {vcol} int, op string"
+                )
+                wh.merge_into(
+                    "lab", "t", df, ["id"],
+                    matched_condition=f"s.{vcol} > t.{vcol}",
+                    matched_delete="s.op = 'D'",
+                    mode="merge-on-read" if pick % 2 else "copy-on-write",
+                )
+                if tomb:
+                    rows.pop(tgt_id, None)
+                elif sv > cur_v:
+                    rows[tgt_id] = {"k": rows[tgt_id]["k"], "v": sv}
+                rows[ins_id] = {"k": ins_id % 3, "v": pick}
             elif op == "rollback":
                 vs = wh._snapshot_versions("lab", "t")
                 cands = [v for v in vs[:-1] if v in states]
