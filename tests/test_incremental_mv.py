@@ -1,0 +1,174 @@
+"""Changelog-driven incremental materialized view (VERDICT r11 #6):
+``maintain_keep_latest_mv`` — the batch-CDC twin of the streaming
+keep-latest sink.  Convergence contract, pinned over RANDOMIZED DML
+sequences: after ticking the maintainer to the source head, the MV
+equals the batch recompute ``keep_latest(read(source))`` exactly —
+whatever mix of appends, CoW/MoR deletes, updates, CDC upserts, and
+compactions produced the source state.  At-least-once composition is
+pinned too: re-delivering an already-applied window leaves the MV
+unchanged."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
+from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+    maintain_keep_latest_mv,
+)
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+)
+
+SCHEMA = "k int, ts int, eid int, v int"
+
+
+def _mk(spark, tmp_path, name):
+    wh = ParquetWarehouse(spark, str(tmp_path / name))
+    wh.create_table("lab", "src", "zstd", 1, properties={"snapshots": "true"})
+    wh.create_table("lab", "mv", "zstd", 1, properties={"snapshots": "true"})
+    return wh
+
+
+def _tick(wh, ckpt):
+    return maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+    )
+
+
+def _mv_rows(wh):
+    return sorted(
+        (r["k"], r["ts"], r["eid"], r["v"])
+        for r in wh.read("lab", "mv").collect()
+    )
+
+
+def _expected(wh):
+    if wh.is_empty("lab", "src"):
+        return []
+    return sorted(
+        (r["k"], r["ts"], r["eid"], r["v"])
+        for r in keep_latest(wh.read("lab", "src"), ["k"], "ts", "eid").collect()
+    )
+
+
+def test_scripted_lifecycle_and_at_least_once(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "s1")
+    ckpt = str(tmp_path / "s1" / "ck.json")
+    # bootstrap BEFORE any source commit: nothing to do
+    with pytest.raises(ValueError, match="no snapshot"):
+        _tick(wh, ckpt)
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(1, 10, 1, 100), (1, 20, 2, 101), (2, 10, 3, 200)], SCHEMA
+        ),
+        batch_id="b0",
+    )
+    # first tick = BOOTSTRAP: full refresh (the changelog cannot replay
+    # from before the first retained snapshot), checkpoint lands at head
+    out = _tick(wh, ckpt)
+    assert out["delivered"] is False and out["keys_refreshed"] == -1
+    assert _mv_rows(wh) == _expected(wh) == [(1, 20, 2, 101), (2, 10, 3, 200)]
+    # newer version of key 1 + a brand-new key
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 30, 4, 102), (3, 5, 5, 300)], SCHEMA),
+        batch_id="b1",
+    )
+    # the current MAX of key 2 is deleted -> the MV must fall back to
+    # the surviving older row (the arg-max case row-deltas can't serve)
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(2, 50, 6, 201)], SCHEMA),
+        batch_id="b2",
+    )
+    wh.delete_where("lab", "src", "eid = 6", mode="merge-on-read")
+    _tick(wh, ckpt)
+    assert _mv_rows(wh) == _expected(wh)
+    assert (2, 10, 3, 200) in _mv_rows(wh)
+    # a key vanishes entirely -> tombstoned out of the MV
+    wh.delete_where("lab", "src", "k = 3")
+    _tick(wh, ckpt)
+    assert _mv_rows(wh) == _expected(wh)
+    assert all(r[0] != 3 for r in _mv_rows(wh))
+    # at-least-once: re-deliver the whole history; the MV is unchanged
+    before = _mv_rows(wh)
+    with open(ckpt, "w") as f:
+        json.dump({"version": 1, "branch": "main"}, f)
+    _tick(wh, ckpt)
+    assert _mv_rows(wh) == before
+    # maintenance-only window: zero refreshes, checkpoint advances
+    wh.optimize("lab", "src")
+    out = _tick(wh, ckpt)
+    assert out["delivered"] is False and out["keys_refreshed"] == 0
+    assert _mv_rows(wh) == _expected(wh)
+
+
+DML = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "mor_delete", "cow_delete", "update", "upsert",
+             "optimize", "tick"]
+        ),
+        st.integers(0, 9),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=DML)
+def test_randomized_dml_converges(spark, tmp_path_factory, ops):
+    wh = _mk(spark, tmp_path_factory.mktemp("mvrand"), "r")
+    ckpt = str(tmp_path_factory.mktemp("mvrand") / "ck.json")
+    eid = 0
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(k, 0, k, k) for k in range(4)], SCHEMA),
+        batch_id="seed",
+    )
+    for op, pick in ops:
+        eid += 1
+        if op == "append":
+            wh.append(
+                "lab", "src",
+                spark.createDataFrame(
+                    [(pick % 5, eid * 10, eid, pick)], SCHEMA
+                ),
+                batch_id=f"b{eid}",
+            )
+        elif op == "mor_delete":
+            wh.delete_where(
+                "lab", "src", f"k = {pick % 5}", mode="merge-on-read"
+            )
+        elif op == "cow_delete":
+            wh.delete_where("lab", "src", f"eid = {pick}")
+        elif op == "update":
+            if wh.is_empty("lab", "src"):
+                continue
+            wh.update_where(
+                "lab", "src", f"k = {pick % 5}", {"v": "v + 1000"}
+            )
+        elif op == "upsert":
+            wh.merge_upsert(
+                "lab", "src",
+                spark.createDataFrame(
+                    [(pick % 5, eid * 10, eid, pick + 1)], SCHEMA
+                ),
+                ["k", "eid"], mode="merge-on-read",
+            )
+        elif op == "optimize":
+            wh.optimize("lab", "src")
+        else:
+            _tick(wh, ckpt)
+    # drain the log, then the MV must equal the batch recompute exactly
+    _tick(wh, ckpt)
+    assert _mv_rows(wh) == _expected(wh)
