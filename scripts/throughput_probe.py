@@ -1047,6 +1047,105 @@ def evolution_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def spec_evolution_probe(n_rows: int, workdir: str) -> None:
+    """Partition-spec-evolution read/prune economics at scale (r12): the
+    same rows in a UNIFORM table (days(ts) from creation) vs an EVOLVED
+    table whose first half was written UNPARTITIONED and second half
+    after ``add_partition_field("days(ts)")`` — the read takes the
+    (sid, pid)-grouped path with the derived column COMPUTED for the old
+    half.  Measures full reads, a ts_day point filter (prunable only on
+    the new half of the evolved table), manifest prune counts, and the
+    post-optimize convergence (one spec, full pruning).  Warm best-of-3;
+    one JSON line."""
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="spec-evolution-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    half = n_rows // 2
+
+    def gen(i: int):
+        return (
+            spark.range(i * half, (i + 1) * half)
+            .toDF("id")
+            .withColumn(
+                "ts",
+                F.expr(
+                    "timestamp'2024-01-01 00:00:00' "
+                    "+ make_interval(0,0,0,0,0,0, id % 1382400)"  # 16 days
+                ),
+            )
+            .withColumn("v", (F.col("id") % 1000).cast("double"))
+            .coalesce(8)
+        )
+
+    wh.create_table(
+        "lab", "uniform", "zstd", 1,
+        properties={"snapshots": "true"}, partitioning=["days(ts)"],
+    )
+    wh.create_table(
+        "lab", "evolved", "zstd", 1, properties={"snapshots": "true"}
+    )
+    for i in range(2):
+        wh.append("lab", "uniform", gen(i), batch_id=f"g{i}")
+    wh.append("lab", "evolved", gen(0), batch_id="g0")
+    wh.add_partition_field("lab", "evolved", "days(ts)")
+    wh.append("lab", "evolved", gen(1), batch_id="g1")
+
+    def best(fn) -> float:
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    day = "2024-01-05"
+    rng = {"ts_day": (day, day)}
+    out = {"probe": "spec_evolution", "rows": n_rows}
+    for name in ("uniform", "evolved"):
+        df = wh.read("lab", name)
+        assert df.count() == n_rows
+        assert df.filter(F.col("ts_day") != F.to_date("ts")).count() == 0
+        out[f"{name}_read_sec"] = best(lambda: wh.read("lab", name).count())
+        out[f"{name}_day_filter_sec"] = best(
+            lambda: wh.read("lab", name)
+            .filter(F.col("ts_day") == F.lit(day))
+            .count()
+        )
+        kept, total = wh.prune_files("lab", name, rng)
+        out[f"{name}_prune"] = f"{len(kept)}/{total}"
+        out[f"{name}_pruned_filter_sec"] = best(
+            lambda: wh.read_pruned("lab", name, rng)
+            .filter(F.col("ts_day") == F.lit(day))
+            .count()
+        )
+    # identical answers across layouts
+    u = wh.read("lab", "uniform").filter(
+        F.col("ts_day") == F.lit(day)
+    ).count()
+    e = wh.read("lab", "evolved").filter(
+        F.col("ts_day") == F.lit(day)
+    ).count()
+    assert u == e, (u, e)
+    out["day_rows"] = u
+    # remediation: compaction converges the evolved table to ONE spec
+    wh.optimize("lab", "evolved", target_file_size_bytes=32 * 1024 * 1024)
+    head = wh.head_snapshot("lab", "evolved")
+    out["compacted_pids"] = sorted({x.get("pid", 0) for x in head["files"]})
+    kept, total = wh.prune_files("lab", "evolved", rng)
+    out["evolved_compacted_prune"] = f"{len(kept)}/{total}"
+    out["evolved_compacted_pruned_filter_sec"] = best(
+        lambda: wh.read_pruned("lab", "evolved", rng)
+        .filter(F.col("ts_day") == F.lit(day))
+        .count()
+    )
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sorted_by_ts = "--sorted" in sys.argv
@@ -1072,6 +1171,9 @@ def main() -> None:
         return
     if "--prune" in sys.argv:
         prune_probe(n_rows, workdir)
+        return
+    if "--spec-evolution" in sys.argv:
+        spec_evolution_probe(n_rows if args else 10_000_000, workdir)
         return
     if "--evolution" in sys.argv:
         evolution_probe(n_rows if args else 1_000_000, workdir)

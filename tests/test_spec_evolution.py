@@ -140,6 +140,13 @@ def test_per_spec_pruning(wh3):
     assert sorted(r["id"] for r in pruned.collect()) == sorted(
         r["id"] for r in full.collect()
     )
+    # the pruned scan OPENS only the kept files (the footer-open
+    # counter: Spark's inputFiles is exactly the file set the plan
+    # will touch) — per-spec skipping happened before Spark saw a path
+    opened = {
+        "/" + p.split("file:")[-1].lstrip("/") for p in pruned.inputFiles()
+    }
+    assert opened == set(kept)
     # ts_day pruning only skips spec-2 files
     kept2, _t = wh.prune_files(
         "lab", "t", {"ts_day": ("2024-01-03", "2024-01-03")}
