@@ -57,6 +57,11 @@ def maintain_keep_latest_mv(
     merge-on-read keeps each tick O(window) IO."""
     import os
 
+    if not checkpoint_file:
+        raise ValueError(
+            "checkpoint_file is required — the maintainer's whole "
+            "contract is checkpointed changelog pulls"
+        )
     sschema, stable = src
     mschema, mtable = mv
     out = {"keys_refreshed": 0}
@@ -73,8 +78,12 @@ def maintain_keep_latest_mv(
         if n_keys == 0:
             return
         cur = wh.read(sschema, stable)
+        # no broadcast hint: a backfill or re-delivered window can touch
+        # millions of keys, and forcing a broadcast would OOM the driver
+        # on exactly the recovery path — below the auto-broadcast
+        # threshold Spark broadcasts anyway (review r12 #4)
         latest = keep_latest(
-            cur.join(F.broadcast(keys), key_cols, "leftsemi"),
+            cur.join(keys, key_cols, "leftsemi"),
             key_cols, ts_col, tie_col,
         )
         if not wh._snapshot_versions(mschema, mtable):

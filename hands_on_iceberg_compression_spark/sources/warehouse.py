@@ -719,48 +719,63 @@ class ParquetWarehouse:
     # rewritten — reads group them by (sid, pid) and give each group its
     # own hive layout, pruning consults each file's OWN spec's values.
 
-    @staticmethod
-    def _head_partitioning(meta: TableMeta, head: dict | None) -> list[str]:
-        """The CURRENT spec's transforms: the head's specs dict when the
-        table has spec-evolved, else the create-time meta spec."""
+    @classmethod
+    def _head_partitioning(
+        cls, meta: TableMeta, head: dict | None
+    ) -> list[str]:
+        """The CURRENT spec's transforms (CANONICALIZED — the meta
+        fallback may carry whitespace variants, and cross-ref fences
+        compare these lists): the head's specs dict when the table has
+        spec-evolved, else the create-time meta spec."""
         if head is not None and "specs" in head:
-            return list(head["specs"][str(head["spec_id"])])
-        return list(meta.partitioning or [])
+            sp = head["specs"][str(head["spec_id"])]
+        else:
+            sp = meta.partitioning or []
+        return [cls._canon_transform(t) for t in sp]
 
-    @staticmethod
+    @classmethod
     def _spec_transforms(
-        meta: TableMeta, head: dict | None, pid: int
+        cls, meta: TableMeta, head: dict | None, pid: int
     ) -> list[str]:
         """The transforms of spec ``pid`` (0 = create-time meta spec,
-        also the implicit '0' entry of an evolved specs dict)."""
+        also the implicit '0' entry of an evolved specs dict) —
+        canonicalized, so a ref whose specs dict was seeded by spec DDL
+        compares equal to a ref still on the verbatim meta fallback
+        (review r12: the cherry-pick pid-0 fence otherwise refuses
+        forever over a whitespace variant)."""
         if head is not None and "specs" in head:
             sp = head["specs"].get(str(pid))
             if sp is not None:
-                return list(sp)
+                return [cls._canon_transform(t) for t in sp]
         if pid == 0:
-            return list(meta.partitioning or [])
+            return [cls._canon_transform(t) for t in (meta.partitioning or [])]
         raise KeyError(f"no partition spec {pid} recorded")
 
-    @staticmethod
-    def _all_partitioning(meta: TableMeta, head: dict | None) -> list[str]:
+    @classmethod
+    def _all_partitioning(
+        cls, meta: TableMeta, head: dict | None
+    ) -> list[str]:
         """Union of every spec's transforms ever recorded (insertion-
-        ordered, deduped) — what static-type lookups and the schema-
-        change guard must consider: old specs' dir names live on in old
-        files however the current spec moved.  Two different transforms
-        can never share an output column name (add_partition_field
-        refuses the collision), so the union is unambiguous."""
+        ordered, canon-deduped) — what static-type lookups and the
+        schema-change guard must consider: old specs' dir names live on
+        in old files however the current spec moved.  Two different
+        transforms can never share an output column name
+        (add_partition_field refuses the collision), so the union is
+        unambiguous."""
         seen: set[str] = set()
         out: list[str] = []
         for t in meta.partitioning or []:
-            if t not in seen:
-                seen.add(t)
-                out.append(t)
+            c = cls._canon_transform(t)
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
         if head is not None and "specs" in head:
             for sid in sorted(head["specs"], key=int):
                 for t in head["specs"][sid]:
-                    if t not in seen:
-                        seen.add(t)
-                        out.append(t)
+                    c = cls._canon_transform(t)
+                    if c not in seen:
+                        seen.add(c)
+                        out.append(c)
         return out
 
     @staticmethod
@@ -3599,6 +3614,7 @@ class ParquetWarehouse:
                     f"{canon!r} is not a partition field of the current "
                     f"spec of {schema}.{table} (spec: {cur_spec})"
                 )
+            new_spec = [t for t in cur_spec if t != canon]
             schema_bump = None
             if fn is not None:
                 cur_schema = schemas[str(head["schema_id"])]
@@ -3607,13 +3623,30 @@ class ParquetWarehouse:
                         f"cannot drop partition field {canon!r}: its "
                         f"column {out_name!r} is in the table sort order"
                     )
+                # dropping the derived column would wedge every append
+                # if another transform still in the spec derives FROM it
+                # (review r12: add days(ts) -> add bucket(4, ts_day) ->
+                # drop days(ts) left a spec sourcing a column the schema
+                # no longer had)
+                dependents = [
+                    t
+                    for t in new_spec
+                    if out_name in partition_source_columns([t])
+                ]
+                if dependents:
+                    raise ValueError(
+                        f"cannot drop partition field {canon!r}: its "
+                        f"column {out_name!r} is the source of remaining "
+                        f"partition field(s) {dependents} — drop those "
+                        "first"
+                    )
                 if len(cur_schema) == 1:
                     raise ValueError("cannot drop the only column")
                 schema_bump = [
                     f for f in cur_schema if f["name"] != out_name
                 ]
             new_pid = max(int(k) for k in specs) + 1
-            specs[str(new_pid)] = [t for t in cur_spec if t != canon]
+            specs[str(new_pid)] = new_spec
             return specs, new_pid, schema_bump
 
         return self._commit_spec_change(
@@ -7984,7 +8017,23 @@ class ParquetWarehouse:
             raise ValueError(
                 "branch writes require a log-mode (snapshots=true) table"
             )
-        table_cols = self.read(schema, table, branch=branch).columns
+        # ONE head capture anchors the whole merge (review r12 #1): the
+        # column set, the current partition spec, and the copy-on-write
+        # replace's expected_parent all derive from head0, so a schema
+        # or spec DDL landing anywhere during the merge aborts the
+        # publish instead of mislabeling old-layout files with the
+        # post-DDL sid/pid
+        head0 = (
+            self._head_light(schema, table, branch)
+            if self._log_mode(meta)
+            else None
+        )
+        if head0 is not None and "schemas" in head0:
+            table_cols = [
+                f["name"] for f in head0["schemas"][str(head0["schema_id"])]
+            ]
+        else:
+            table_cols = self.read(schema, table, branch=branch).columns
         # updates drives several actions (stats aggregate, discovery scan,
         # the write); truncate its lineage once so a heavy upstream plan
         # (e.g. the streaming sink's keep-latest window) runs once, not 4x
@@ -8018,12 +8067,10 @@ class ParquetWarehouse:
         data_dir = self._live_data_dir(schema, table)
         tmp_dir = os.path.join(self._tdir(schema, table), "_merge_tmp")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        # new row images lay out by the CURRENT spec (partition-spec
+        # new row images lay out by head0's CURRENT spec (partition-spec
         # evolution); dir mode has no head and keeps the meta spec
         cur_part = (
-            self._head_partitioning(
-                meta, self._head_light(schema, table, branch)
-            )
+            self._head_partitioning(meta, head0)
             if self._log_mode(meta)
             else list(meta.partitioning or [])
         )
@@ -8172,8 +8219,18 @@ class ParquetWarehouse:
             # log mode (partitioned or not): the merged table is a new
             # generation + commit (same retention story as optimize) — no
             # swap, no deletion, time travel to the pre-merge snapshot
-            # keeps working until expiry
-            head_version = self.head_snapshot(schema, table, branch=branch)["version"]
+            # keeps working until expiry.  expected_parent is the head
+            # cur_part/table_cols were derived from — NOT a fresh read —
+            # so a spec/schema DDL that slid in during the batch stats
+            # aborts the replace instead of publishing old-layout files
+            # stamped with the new pid/sid (review r12 #1; a benign
+            # concurrent append aborts too, which a full REPLACE must)
+            if head0 is None:
+                raise ValueError(
+                    f"merge_upsert on {schema}.{table}: no committed "
+                    "snapshot to merge into — append first"
+                )
+            head_version = head0["version"]
             part_names = [n for n, _ in part_specs]
             kept = self.read(schema, table, branch=branch).join(
                 changed_keys, key_cols, "left_anti"
@@ -8428,6 +8485,13 @@ class ParquetWarehouse:
             if isinstance(not_matched_by_source_delete, str):
                 nm = nm.filter(F.expr(not_matched_by_source_delete))
             nmbs = nm.select(*key_cols)
+            try:
+                # the anti-join is a full target scan; checkpoint it so
+                # the count here and merge_upsert's materialization
+                # don't each pay it (review r12 #6)
+                nmbs = nmbs.localCheckpoint(eager=True)
+            except Exception:
+                pass
             n_del_nmbs = nmbs.count()
             del_keys = del_keys.unionByName(nmbs)
         combined = ups.unionByName(

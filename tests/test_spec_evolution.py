@@ -350,3 +350,71 @@ def test_cherry_pick_pid_fence(wh3, spark):
     wh.append("lab", "t", _batch(spark, 400), batch_id="m0")  # diverge
     with pytest.raises(RuntimeError, match="partition spec id"):
         wh.cherry_pick("lab", "t", "px", v)
+
+
+def test_drop_refuses_when_remaining_transform_depends(wh3):
+    """Review r12 #2: dropping days(ts) while bucket(4, ts_day) remains
+    in the spec would leave every append deriving from a column the
+    schema no longer has — refused; dropping the dependent first
+    unblocks."""
+    wh = wh3
+    wh.add_partition_field("lab", "t", "bucket(4, ts_day)")
+    with pytest.raises(ValueError, match="source of remaining"):
+        wh.drop_partition_field("lab", "t", "days(ts)")
+    wh.drop_partition_field("lab", "t", "bucket(4, ts_day)")
+    wh.drop_partition_field("lab", "t", "days(ts)")
+    assert wh.partition_spec("lab", "t")["transforms"] == ["src"]
+
+
+def test_cherry_pick_pid0_canon_equivalence(spark, tmp_path):
+    """Review r12 #3: a whitespace-variant create-time spec must compare
+    equal across refs once one side's specs dict is canon-seeded — a
+    branch data commit at pid 0 picks onto a spec-evolved main."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "c", "zstd", 1, properties={"snapshots": "true"},
+        partitioning=["bucket(4,src)"],  # note: no space
+    )
+    wh.append("lab", "c", _batch(spark, 0), batch_id="b0")
+    wh.create_branch("lab", "c", "dev")
+    wh.append("lab", "c", _batch(spark, 100), batch_id="s0", branch="dev")
+    v = wh._snapshot_versions("lab", "c", "dev")[-1]
+    # main spec-evolves (seeds a CANONICALIZED specs dict) and diverges
+    wh.add_partition_field("lab", "c", "days(ts)")
+    wh.append("lab", "c", _batch(spark, 200), batch_id="m0")
+    out = wh.cherry_pick("lab", "c", "dev", v)  # pid-0 entries: must pass
+    assert out["files_added"] > 0
+    df = wh.read("lab", "c")
+    assert df.count() == 60
+    assert df.filter(F.col("ts_day") != F.to_date("ts")).count() == 0
+
+
+def test_cow_merge_aborts_on_concurrent_spec_ddl(wh3, spark, monkeypatch):
+    """Review r12 #1: a copy-on-write merge whose plan was derived
+    before a concurrent spec DDL must ABORT at publish (expected_parent
+    anchored to the head the spec came from), never commit old-layout
+    files stamped with the new pid."""
+    wh = wh3
+    fired = []
+    real = wh._write_options
+
+    def ddl_mid_merge(meta):
+        if not fired:
+            fired.append(1)
+            wh.drop_partition_field("lab", "t", "days(ts)")
+        return real(meta)
+
+    monkeypatch.setattr(wh, "_write_options", ddl_mid_merge)
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        wh.merge_upsert(
+            "lab", "t",
+            spark.createDataFrame(
+                [(1, "zz", None)], "id int, src string, ts timestamp"
+            ),
+            ["id"], mode="copy-on-write",
+        )
+    monkeypatch.undo()
+    # the table is uncorrupted: pid/layout still coherent
+    df = wh.read("lab", "t")
+    assert df.count() == 60
+    assert df.filter(F.col("src") == "zz").count() == 0
