@@ -4245,6 +4245,7 @@ class ParquetWarehouse:
         table: str,
         ranges: dict,
         version: int | None = None,
+        branch: str = "main",
     ) -> DataFrame:
         """Read a log-mode table through manifest bounds pruning.  Pruning
         is an OPTIMIZATION, not a filter: the caller still applies the real
@@ -4252,7 +4253,7 @@ class ParquetWarehouse:
         ``read_pruned(...).filter(p)`` always equals ``read(...).filter(p)``."""
         meta = self.table_meta(schema, table)
         entries, _total, head = self._prune_entries(
-            schema, table, ranges, version=version
+            schema, table, ranges, version=version, branch=branch
         )
         if not entries:
             # schema-stable empty frame off the (non-empty) manifest list
@@ -8427,8 +8428,57 @@ class ParquetWarehouse:
         clash = [c for c in source.columns if c.startswith("__merge")]
         if clash:
             raise ValueError(f"source columns {clash} collide with MERGE internals")
+        # the MATCHED-clause join only needs target rows whose keys fall
+        # inside the source keys' envelope — prune the discovery scan
+        # through the manifest (pruning is conservative: a file holding
+        # a matching key is inside [min, max] by definition, so this can
+        # never lose a match; keys cast to recorded types FIRST, the
+        # ADVICE r8 lesson).  The not-matched-by-source clause below
+        # keeps the full read — it is about rows the source does NOT
+        # have.  Measured 4M/20k-batch MoR tick: 4.33 s -> see PERF.md.
+        t_join = tgt
+        meta_mi = self.table_meta(schema, table)
+        if self._log_mode(meta_mi):
+            try:
+                env_src = source
+                head_mi = self._head_light(schema, table, branch)
+                if head_mi is not None and "schemas" in head_mi:
+                    rec = {
+                        f["name"]: f["type"]
+                        for f in head_mi["schemas"][str(head_mi["schema_id"])]
+                    }
+                    env_src = source.select(
+                        *[
+                            F.col(k).cast(rec[k]).alias(k)
+                            if k in rec
+                            else F.col(k)
+                            for k in key_cols
+                        ]
+                    )
+                env = env_src.agg(
+                    *[
+                        f
+                        for k in key_cols
+                        for f in (
+                            F.min(k).alias(f"lo_{k}"),
+                            F.max(k).alias(f"hi_{k}"),
+                        )
+                    ]
+                ).collect()[0]
+                ranges = {
+                    k: (env[f"lo_{k}"], env[f"hi_{k}"])
+                    for k in key_cols
+                    if env[f"lo_{k}"] is not None
+                    and env[f"hi_{k}"] is not None
+                }
+                if ranges:
+                    t_join = self.read_pruned(
+                        schema, table, ranges, branch=branch
+                    )
+            except Exception:
+                t_join = tgt  # pruning is an optimization, never required
         s = source.alias("s")
-        t = tgt.alias("t")
+        t = t_join.alias("t")
         on = _reduce(
             lambda a, b: a & b,
             [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols],

@@ -409,6 +409,100 @@ def count_fastpath_probe(n_rows: int, workdir: str) -> None:
     spark.stop()
 
 
+def merge_into_probe(n_rows: int, workdir: str) -> None:
+    """Conditional-MERGE tick economics at scale (r12): a keyed snapshot
+    table of ``n_rows`` keys, then 8 CDC epochs of 20k rows applied two
+    ways — plain ``merge_upsert(mode='merge-on-read')`` (O(batch): no
+    target read) vs ``merge_into`` with a freshness guard + tombstone
+    clause (adds ONE key-join discovery pass over the delete-applied
+    target — the inherent price of conditional clauses, same as
+    Iceberg/Delta MERGE touched-row discovery).  Measures per-epoch p50
+    for both, so PERF.md records what a conditional clause actually
+    costs at the CDC steady state.  Prints one JSON line."""
+    import statistics
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="merge-into-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    wh.create_table("lab", "plain", "zstd", 1, properties={"snapshots": "true"})
+    wh.create_table("lab", "cond", "zstd", 1, properties={"snapshots": "true"})
+
+    def base(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("int").alias("ts"),
+                F.col("id").alias("eid"),
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            )
+            .repartition(32)
+        )
+
+    for t in ("plain", "cond"):
+        wh.append("lab", t, base(n_rows), batch_id="seed")
+        wh.optimize("lab", t, target_file_size_bytes=128 * 1024 * 1024)
+
+    batch_n = 20_000
+    plain_s, cond_s = [], []
+    for epoch in range(8):
+        upd = (
+            spark.range(batch_n)
+            .select(
+                ((F.col("id") * 7919 + epoch) % n_rows).alias("k"),
+                F.lit(epoch + 1).cast("int").alias("ts"),
+                (F.col("id") + (epoch + 1) * n_rows).alias("eid"),
+                F.sha2((F.col("id") + epoch).cast("string"), 256).alias(
+                    "payload"
+                ),
+                (F.col("id") % 20 == 0).alias("dead"),
+            )
+            .dropDuplicates(["k"])
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        wh.merge_upsert(
+            "lab", "plain", upd, ["k"], delete_col="dead",
+            mode="merge-on-read",
+        )
+        plain_s.append(time.perf_counter() - t0)
+        src = upd.withColumn(
+            "op", F.when(F.col("dead"), F.lit("D")).otherwise(F.lit("U"))
+        ).drop("dead")
+        t0 = time.perf_counter()
+        wh.merge_into(
+            "lab", "cond", src, ["k"],
+            matched_condition="s.ts > t.ts",
+            matched_delete="s.op = 'D'",
+            mode="merge-on-read",
+        )
+        cond_s.append(time.perf_counter() - t0)
+        if epoch % 4 == 3:
+            # the mor-steady maintenance cadence: fold the stacked CDC
+            # delete batches so the conditional tick's discovery read
+            # measures the steady state, not unbounded delete stacking
+            for t in ("plain", "cond"):
+                wh.optimize("lab", t, target_file_size_bytes=128 * 1024 * 1024)
+    out = {
+        "probe": "merge_into",
+        "base_keys": n_rows,
+        "batch_rows": batch_n,
+        "epochs": 8,
+        "plain_upsert_p50_sec": round(statistics.median(plain_s), 3),
+        "plain_upsert_p95_sec": round(sorted(plain_s)[-1], 3),
+        "merge_into_p50_sec": round(statistics.median(cond_s), 3),
+        "merge_into_p95_sec": round(sorted(cond_s)[-1], 3),
+        "conditional_tax": round(
+            statistics.median(cond_s) / statistics.median(plain_s), 2
+        ),
+        "plain_epochs_sec": [round(x, 3) for x in plain_s],
+        "merge_into_epochs_sec": [round(x, 3) for x in cond_s],
+    }
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def mor_steady_probe(n_rows: int, workdir: str) -> None:
     """Steady-state merge-on-read CDC at scale (VERDICT r8 #5): a keyed
     snapshot table of ``n_rows`` keys maintained by
@@ -1174,6 +1268,9 @@ def main() -> None:
         return
     if "--spec-evolution" in sys.argv:
         spec_evolution_probe(n_rows if args else 10_000_000, workdir)
+        return
+    if "--merge-into" in sys.argv:
+        merge_into_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--evolution" in sys.argv:
         evolution_probe(n_rows if args else 1_000_000, workdir)
