@@ -4259,7 +4259,7 @@ class ParquetWarehouse:
             # schema-stable empty frame off the (non-empty) manifest list
             if "schemas" in head:
                 return self._empty_frame(head["schemas"][str(head["schema_id"])])
-            return self.read(schema, table).limit(0)
+            return self.read(schema, table, branch=branch).limit(0)
         return self._read_entries(schema, table, meta, head, entries)
 
     def read_where(self, schema: str, table: str, condition: str) -> DataFrame:
@@ -8421,60 +8421,102 @@ class ParquetWarehouse:
         if matched_delete is None and not matched_update:
             if not_matched_by_source_delete is None and not not_matched_insert:
                 raise ValueError("every MERGE clause is disabled — no-op")
-        tgt = self.read(schema, table, branch=branch)
+        # pin EVERY discovery read of this MERGE to ONE snapshot (review
+        # r12 pass 2 #3: tgt and the pruned join otherwise resolve their
+        # own heads, and a concurrent commit between them gives the
+        # matched clauses and the not-matched-by-source clause two
+        # different views of the table — read skew inside one MERGE)
+        meta_mi = self.table_meta(schema, table)
+        head_mi = (
+            self._head_light(schema, table, branch)
+            if self._log_mode(meta_mi)
+            else None
+        )
+        if head_mi is not None:
+            tgt = self.read_snapshot(
+                schema, table, head_mi["version"], branch=branch
+            )
+        else:
+            tgt = self.read(schema, table, branch=branch)
         missing = [k for k in key_cols if k not in tgt.columns]
         if missing:
             raise ValueError(f"no key column(s) {missing} in {schema}.{table}")
+        # key dtypes must MATCH the target's exactly (review r12 pass 2
+        # #1): under Spark's implicit coercion a string '007' target key
+        # matches an int 7 source key in the join, but no single key
+        # representation can then serve both the keep-side anti-join
+        # (needs the target's '007') and the landing row (would write an
+        # int into a string table) — and the pruning envelope would
+        # compare under the recorded type while the join coerces.
+        # Refusing is the Delta posture: cast source keys explicitly.
+        tgt_types = {f.name: f.dataType.simpleString() for f in tgt.schema.fields}
+        src_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+        bad = [
+            (k, src_types[k], tgt_types[k])
+            for k in key_cols
+            if k in src_types and src_types[k] != tgt_types[k]
+        ]
+        if bad:
+            raise ValueError(
+                f"MERGE key dtype mismatch (col, source, target): {bad} — "
+                "cast the source keys explicitly; implicit coercion would "
+                "silently change match semantics and key representation"
+            )
+        # one materialization of the source: the envelope agg, the join,
+        # the NMBS anti-join, and merge_upsert all re-drive it, and a
+        # NON-DETERMINISTIC source evaluated twice could produce join
+        # keys outside the envelope it aggregated (review r12 pass 2 #2)
+        try:
+            source = source.localCheckpoint(eager=True)
+        except Exception:
+            pass
         clash = [c for c in source.columns if c.startswith("__merge")]
         if clash:
             raise ValueError(f"source columns {clash} collide with MERGE internals")
         # the MATCHED-clause join only needs target rows whose keys fall
         # inside the source keys' envelope — prune the discovery scan
-        # through the manifest (pruning is conservative: a file holding
-        # a matching key is inside [min, max] by definition, so this can
-        # never lose a match; keys cast to recorded types FIRST, the
-        # ADVICE r8 lesson).  The not-matched-by-source clause below
-        # keeps the full read — it is about rows the source does NOT
-        # have.  Measured 4M/20k-batch MoR tick: 4.33 s -> see PERF.md.
+        # through the manifest.  GATED on the source key dtypes EXACTLY
+        # matching the recorded types (review r12 pass 2 #1: the join
+        # compares under Spark's own coercion — string '007' == int 7 —
+        # while bounds compare under the recorded type, so a mismatched
+        # envelope could prune a file the join would match; with equal
+        # dtypes pruning is conservative by construction, a matching key
+        # is inside [min, max] by definition).  Pinned to head_mi's
+        # version — the same snapshot tgt reads.  The NMBS clause keeps
+        # the full read: it is about rows the source does NOT have.
         t_join = tgt
-        meta_mi = self.table_meta(schema, table)
-        if self._log_mode(meta_mi):
+        if head_mi is not None and "schemas" in head_mi:
             try:
-                env_src = source
-                head_mi = self._head_light(schema, table, branch)
-                if head_mi is not None and "schemas" in head_mi:
-                    rec = {
-                        f["name"]: f["type"]
-                        for f in head_mi["schemas"][str(head_mi["schema_id"])]
-                    }
-                    env_src = source.select(
-                        *[
-                            F.col(k).cast(rec[k]).alias(k)
-                            if k in rec
-                            else F.col(k)
-                            for k in key_cols
-                        ]
-                    )
-                env = env_src.agg(
-                    *[
-                        f
-                        for k in key_cols
-                        for f in (
-                            F.min(k).alias(f"lo_{k}"),
-                            F.max(k).alias(f"hi_{k}"),
-                        )
-                    ]
-                ).collect()[0]
-                ranges = {
-                    k: (env[f"lo_{k}"], env[f"hi_{k}"])
-                    for k in key_cols
-                    if env[f"lo_{k}"] is not None
-                    and env[f"hi_{k}"] is not None
+                rec = {
+                    f["name"]: f["type"]
+                    for f in head_mi["schemas"][str(head_mi["schema_id"])]
                 }
-                if ranges:
-                    t_join = self.read_pruned(
-                        schema, table, ranges, branch=branch
-                    )
+                src_types = {
+                    f.name: f.dataType.simpleString()
+                    for f in source.schema.fields
+                }
+                if all(src_types.get(k) == rec.get(k) for k in key_cols):
+                    env = source.agg(
+                        *[
+                            f
+                            for k in key_cols
+                            for f in (
+                                F.min(k).alias(f"lo_{k}"),
+                                F.max(k).alias(f"hi_{k}"),
+                            )
+                        ]
+                    ).collect()[0]
+                    ranges = {
+                        k: (env[f"lo_{k}"], env[f"hi_{k}"])
+                        for k in key_cols
+                        if env[f"lo_{k}"] is not None
+                        and env[f"hi_{k}"] is not None
+                    }
+                    if ranges:
+                        t_join = self.read_pruned(
+                            schema, table, ranges,
+                            version=head_mi["version"], branch=branch,
+                        )
             except Exception:
                 t_join = tgt  # pruning is an optimization, never required
         s = source.alias("s")
@@ -8521,9 +8563,18 @@ class ParquetWarehouse:
         ins_cond = ~mcol if not_matched_insert else false
         dc = "__merge_del"
         flagc = ["__merge_m", "__merge_d", "__merge_c"]
-        ups = proj.filter(upd_cond | ins_cond).drop(*flagc).withColumn(
-            dc, F.lit(False)
-        )
+        ups = proj.filter(upd_cond | ins_cond).drop(*flagc)
+        # UPDATE/INSERT SET * with a NARROWER source: table columns the
+        # source omits NULL-fill at the recorded type (the same posture
+        # as append's conform) — merge_upsert's copy-on-write path
+        # selects the full table column list and would otherwise fail to
+        # resolve them (surfaced by the delete-only coercion test)
+        for f in tgt.schema.fields:
+            if f.name not in ups.columns:
+                ups = ups.withColumn(
+                    f.name, F.lit(None).cast(f.dataType.simpleString())
+                )
+        ups = ups.withColumn(dc, F.lit(False))
         del_keys = proj.filter(del_cond).select(*key_cols)
         n_upd = ups.count()
         n_del_matched = del_keys.count()

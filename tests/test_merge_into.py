@@ -238,3 +238,70 @@ def test_noop_and_guards(spark, tmp_path):
             ),
             ["id"],
         )
+
+
+def test_pruned_discovery_equals_full_and_coercion_edge(spark, tmp_path):
+    """Review r12 pass 2 #1/#4: the envelope-pruned discovery join must
+    equal the full-scan result when pruning actually FIRES (clustered
+    multi-file table), and a source whose key dtype differs from the
+    recorded type must SKIP pruning — the join compares under Spark's
+    coercion (string '007' == int 7) while bounds compare under the
+    recorded type, so a mismatched envelope could prune a matching file."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "pr", "zstd", 1, properties={"snapshots": "true"})
+    # clustered key ranges, one file per batch -> the envelope prunes
+    for b in range(5):
+        wh.append(
+            "lab", "pr",
+            spark.createDataFrame(
+                [(b * 100 + i, f"v{b}", b) for i in range(100)],
+                "id int, v string, ts int",
+            ).coalesce(1),
+            batch_id=f"b{b}",
+        )
+    # sanity: the envelope for keys in [210, 240] keeps a strict subset
+    kept, total = wh.prune_files("lab", "pr", {"id": (210, 240)})
+    assert 0 < len(kept) < total
+    src = spark.createDataFrame(
+        [(210, "X", 99, "U"), (240, None, 99, "D"), (9999, "I", 99, "U")],
+        "id int, v string, ts int, op string",
+    )
+    out = wh.merge_into(
+        "lab", "pr", src, ["id"],
+        matched_condition="s.ts > t.ts", matched_delete="s.op = 'D'",
+    )
+    assert out["matched_deleted"] == 1
+    rows = {r["id"]: (r["v"], r["ts"]) for r in wh.read("lab", "pr").collect()}
+    assert rows[210] == ("X", 99) and 240 not in rows and rows[9999] == ("I", 99)
+    assert len(rows) == 500  # 500 - 1 delete + 1 insert
+    # coercion edge: STRING target key '007' vs INT source key 7 —
+    # under Spark's implicit coercion the join would match, but no
+    # single key representation then serves both the keep-side
+    # anti-join (needs '007') and the landing rows (int into a string
+    # table); merge_into REFUSES and demands an explicit cast
+    wh.create_table("lab", "co", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "co",
+        spark.createDataFrame(
+            [("007", "old", 0), ("900", "keep", 0)], "k string, v string, ts int"
+        ),
+        batch_id="b0",
+    )
+    with pytest.raises(ValueError, match="key dtype mismatch"):
+        wh.merge_into(
+            "lab", "co",
+            spark.createDataFrame([(7, 9, "D")], "k int, ts int, op string"),
+            ["k"],
+            matched_delete="s.op = 'D'", not_matched_insert=False,
+        )
+    # explicitly cast keys: exact string match semantics ('7' != '007')
+    out = wh.merge_into(
+        "lab", "co",
+        spark.createDataFrame(
+            [("007", 9, "D")], "k string, ts int, op string"
+        ),
+        ["k"],
+        matched_delete="s.op = 'D'", not_matched_insert=False,
+    )
+    assert out["matched_deleted"] == 1
+    assert [r["k"] for r in wh.read("lab", "co").collect()] == ["900"]
