@@ -127,6 +127,40 @@ def _cmd_catalog_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_spec_report(args: argparse.Namespace) -> int:
+    """Partition-spec evolution report (r12): the spec history and, per
+    spec id, how many live files/rows/bytes still carry that layout —
+    the "has maintenance converged the table yet?" ledger.  Pure
+    metadata: no SparkSession is started."""
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(None, args.warehouse)
+    sp = wh.partition_spec(args.schema_name, args.table)
+    head = wh.head_snapshot(args.schema_name, args.table)
+    agg: dict[int, dict] = {}
+    for e in (head["files"] if head else []):
+        a = agg.setdefault(
+            int(e.get("pid", 0)), {"files": 0, "rows": 0, "bytes": 0}
+        )
+        a["files"] += 1
+        a["rows"] += e["rows"]
+        a["bytes"] += e["bytes"]
+    for pid_s in sorted(sp["specs"], key=int):
+        pid = int(pid_s)
+        t = sp["specs"][pid_s]
+        lay = f"PARTITIONED BY ({', '.join(t)})" if t else "unpartitioned"
+        a = agg.get(pid, {"files": 0, "rows": 0, "bytes": 0})
+        mark = " <- current" if pid == sp["spec_id"] else ""
+        print(
+            f"spec {pid}: {lay}  files={a['files']} "
+            f"rows={a['rows']} bytes={a['bytes']}{mark}"
+        )
+    stale = sum(v["files"] for k, v in agg.items() if k != sp["spec_id"])
+    if stale:
+        print(f"{stale} file(s) on older specs — optimize() converges them")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hands_on_iceberg_compression_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -171,6 +205,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     cr.add_argument("--warehouse", default="warehouse")
     cr.set_defaults(fn=_cmd_catalog_report)
+
+    sr = sub.add_parser(
+        "spec-report",
+        help="partition-spec evolution report: per-spec live files",
+    )
+    sr.add_argument("--warehouse", default="warehouse")
+    sr.add_argument("--schema", dest="schema_name", required=True)
+    sr.add_argument("--table", required=True)
+    sr.set_defaults(fn=_cmd_spec_report)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -418,3 +418,19 @@ def test_cow_merge_aborts_on_concurrent_spec_ddl(wh3, spark, monkeypatch):
     df = wh.read("lab", "t")
     assert df.count() == 60
     assert df.filter(F.col("src") == "zz").count() == 0
+
+
+def test_spec_report_cli(wh3, capsys):
+    """`python -m ... spec-report` — per-spec live-file ledger, pure
+    metadata (no SparkSession started by the command)."""
+    from hands_on_iceberg_compression_spark.__main__ import main
+
+    rc = main([
+        "spec-report", "--warehouse", wh3.root,
+        "--schema", "lab", "--table", "t",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "spec 0: unpartitioned" in out
+    assert "spec 2: PARTITIONED BY (src, days(ts))" in out and "<- current" in out
+    assert "older specs" in out
