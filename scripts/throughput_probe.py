@@ -503,6 +503,96 @@ def merge_into_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def mv_steady_probe(n_rows: int, workdir: str) -> None:
+    """Incremental-MV maintenance economics at scale (r12, the order-#6
+    scale follow-up): a 20k-row CDC epoch lands on a ``n_rows``-key
+    SOURCE table, then ``maintain_keep_latest_mv`` ticks — 10 epochs,
+    MV maintenance fold every 4.  The delta-scoped refresh is O(touched
+    keys) in what it WRITES but reads the source through one semi-join
+    per tick (keys uniformly spread -> full scan; the same inherent
+    discovery cost as conditional MERGE), so the probe records the
+    honest tick wall time plus the batch-recompute time it replaces.
+    Prints one JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_keep_latest_mv,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="mv-steady-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    for t in ("src", "mv"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "src",
+        spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("int").alias("ts"),
+            F.col("id").alias("eid"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        ).repartition(32),
+        batch_id="seed",
+    )
+    wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
+    ckpt = os.path.join(workdir, "ck.json")
+    t0 = time.perf_counter()
+    out0 = maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+    )
+    bootstrap_s = time.perf_counter() - t0
+    assert out0["keys_refreshed"] == -1
+    batch_n = 20_000
+    ticks = []
+    for epoch in range(10):
+        wh.append(
+            "lab", "src",
+            spark.range(batch_n).select(
+                ((F.col("id") * 6151 + epoch) % n_rows).alias("k"),
+                F.lit(epoch + 1).cast("int").alias("ts"),
+                (F.col("id") + (epoch + 1) * n_rows).alias("eid"),
+                F.sha2((F.col("id") + epoch).cast("string"), 256).alias("v"),
+            ),
+            batch_id=f"e{epoch}",
+        )
+        t0 = time.perf_counter()
+        r = maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+        )
+        ticks.append(time.perf_counter() - t0)
+        assert r["delivered"] is True
+        if epoch % 4 == 3:
+            wh.optimize("lab", "mv", target_file_size_bytes=128 * 1024 * 1024)
+            wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
+    # the number the MV replaces: one full batch recompute + rewrite
+    t0 = time.perf_counter()
+    keep_latest(wh.read("lab", "src"), ["k"], "ts", "eid").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(workdir, "full_recompute"))
+    full_s = time.perf_counter() - t0
+    # convergence cross-check at scale
+    mv_n = wh.read("lab", "mv").count()
+    exp_n = keep_latest(wh.read("lab", "src"), ["k"], "ts", "eid").count()
+    assert mv_n == exp_n, (mv_n, exp_n)
+    print(json.dumps({
+        "probe": "mv_steady",
+        "source_keys": n_rows,
+        "batch_rows": batch_n,
+        "epochs": 10,
+        "bootstrap_sec": round(bootstrap_s, 3),
+        "tick_p50_sec": round(statistics.median(ticks), 3),
+        "tick_max_sec": round(max(ticks), 3),
+        "ticks_sec": [round(x, 3) for x in ticks],
+        "full_recompute_sec": round(full_s, 3),
+        "mv_rows": mv_n,
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def mor_steady_probe(n_rows: int, workdir: str) -> None:
     """Steady-state merge-on-read CDC at scale (VERDICT r8 #5): a keyed
     snapshot table of ``n_rows`` keys maintained by
@@ -1271,6 +1361,9 @@ def main() -> None:
         return
     if "--merge-into" in sys.argv:
         merge_into_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--mv-steady" in sys.argv:
+        mv_steady_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--evolution" in sys.argv:
         evolution_probe(n_rows if args else 1_000_000, workdir)
