@@ -609,6 +609,11 @@ DML_OPS = st.lists(
                 # r12 conditional MERGE: freshness-guarded update +
                 # tombstone delete clauses resolved against the model
                 "merge_into",
+                # r12 partition-spec evolution interleaved with row-level
+                # DML: every read after a toggle crosses MIXED layouts
+                # (per-(sid,pid) groups), metadata-only deletes fire per
+                # spec, rollback keeps the spec, the changelog skips it
+                "spec_ddl",
                 "rename", "expire", "tag",
                 # r11: rollback interleaved with row-level DML — the read
                 # must equal the row model the table had at the target
@@ -635,6 +640,7 @@ def test_random_dml_sequences_match_row_model(spark, ops):
         wh.spark = spark
         rows: dict[int, dict] = {}  # id -> {vcol: int, k: int}
         vcol = "v"  # current name of the renamed column
+        spec_on = False  # identity partition field on k currently active
         next_id = 0
         tagged: list[tuple[int, dict]] = []  # (version, rows snapshot)
         states: dict[int, dict] = {}  # main version -> rows snapshot
@@ -741,6 +747,17 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                 elif sv > cur_v:
                     rows[tgt_id] = {"k": rows[tgt_id]["k"], "v": sv}
                 rows[ins_id] = {"k": ins_id % 3, "v": pick}
+            elif op == "spec_ddl":
+                if not wh._snapshot_versions("lab", "t"):
+                    continue
+                if spec_on:
+                    wh.drop_partition_field("lab", "t", "k")
+                else:
+                    wh.add_partition_field("lab", "t", "k")
+                spec_on = not spec_on
+                assert wh.partition_spec("lab", "t")["transforms"] == (
+                    ["k"] if spec_on else []
+                )
             elif op == "rollback":
                 vs = wh._snapshot_versions("lab", "t")
                 cands = [v for v in vs[:-1] if v in states]
