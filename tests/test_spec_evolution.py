@@ -434,3 +434,22 @@ def test_spec_report_cli(wh3, capsys):
     assert "spec 0: unpartitioned" in out
     assert "spec 2: PARTITIONED BY (src, days(ts))" in out and "<- current" in out
     assert "older specs" in out
+
+
+def test_metadata_only_delete_fires_per_spec(spark, tmp_path):
+    """A partition-aligned DELETE is metadata-only exactly for files
+    whose OWN spec proves it: current-spec files drop without a rewrite,
+    pre-spec files (no src dirs) rewrite — and the result is right."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "md", "zstd", 1, properties={"snapshots": "true"})
+    wh.append("lab", "md", _batch(spark, 0), batch_id="b0")  # unpartitioned
+    wh.add_partition_field("lab", "md", "src")
+    wh.append("lab", "md", _batch(spark, 100), batch_id="b1")  # src dirs
+    out = wh.delete_where("lab", "md", "src = 's1'")
+    # b1's src=s1 files dropped outright (their pv proves every row
+    # matches); b0 files carry no src value and must rewrite
+    assert out["files_dropped_outright"] >= 1
+    assert out["files_rewritten"] >= 1
+    df = wh.read("lab", "md")
+    assert df.filter("src = 's1'").count() == 0
+    assert df.count() == 40 - 2 * sum(1 for _i, s, _t in ROWS if s == "s1")
