@@ -3219,14 +3219,16 @@ class ParquetWarehouse:
         return df.drop(self._EQ_K)
 
     def table_schema(
-        self, schema: str, table: str, version: int | None = None
+        self, schema: str, table: str, version: int | None = None,
+        branch: str = "main",
     ) -> list[dict]:
         """The table's recorded schema (``[{id, name, type}, ...]``) at
-        the head or at snapshot ``version`` — Iceberg ``$schema``."""
+        the head or at snapshot ``version`` — Iceberg ``$schema``;
+        ``branch=`` reads a named ref's head (staged DDL included)."""
         head = (
-            self._head_light(schema, table)
+            self._head_light(schema, table, branch)
             if version is None
-            else self._load_head_light(schema, table, version)
+            else self._load_head_light(schema, table, version, branch)
         )
         if head is None or "schemas" not in head:
             raise ValueError(
@@ -5850,7 +5852,8 @@ class ParquetWarehouse:
                 k: bhead[k]
                 for k in (
                     "segments", "total_rows", "total_bytes",
-                    "schemas", "schema_id", "deletes", "delete_segments",
+                    "schemas", "schema_id", "specs", "spec_id",
+                    "deletes", "delete_segments",
                     "files",  # legacy inline-files branch heads
                 )
                 if k in bhead

@@ -357,6 +357,10 @@ def test_random_op_sequences_match_model(ops):
                     "staged": [],  # (branch version, rel path) per commit
                     "picked": set(),  # branch versions already picked
                     "ddl_cols": [],  # columns added by branch-side DDL
+                    "spec_added": None,  # branch-side spec DDL transform
+                    "fork_spec": (
+                        list(spec_model) if spec_model is not None else None
+                    ),
                     "fork_ddl_epoch": ddl_epoch,
                 }
             elif op == "branch_commit" and branches_model:
@@ -375,13 +379,33 @@ def test_random_op_sequences_match_model(ops):
                 bh = wh._head_light("lab", "t", name)
                 if "schemas" not in bh:
                     continue  # branch forked before any recorded schema
-                col = f"bd{counter:03d}"
-                wh.add_column("lab", "t", col, "int", branch=name)
-                branches_model[name]["ddl_cols"].append(col)
-                # branch DDL is invisible on main until merged
-                assert not any(
-                    f["name"] == col for f in wh.table_schema("lab", "t")
-                ) if schema_model else True
+                bm = branches_model[name]
+                bspec = (
+                    bm["fork_spec"] if bm["fork_spec"] is not None else []
+                ) + ([bm["spec_added"]] if bm["spec_added"] else [])
+                cands = [
+                    f["name"] for f in wh.table_schema("lab", "t", branch=name)
+                    if f["name"] not in bspec
+                ] if pick % 3 == 0 and bm["spec_added"] is None else []
+                if cands:
+                    # branch-side SPEC DDL (identity): invisible on main
+                    # until published — fast_forward must carry
+                    # specs/spec_id verbatim (review r12 pass 3: its key
+                    # list silently dropped them)
+                    col = cands[pick % len(cands)]
+                    wh.add_partition_field("lab", "t", col, branch=name)
+                    bm["spec_added"] = col
+                    assert wh.partition_spec("lab", "t")["transforms"] == (
+                        spec_model if spec_model is not None else []
+                    )
+                else:
+                    col = f"bd{counter:03d}"
+                    wh.add_column("lab", "t", col, "int", branch=name)
+                    bm["ddl_cols"].append(col)
+                    # branch DDL is invisible on main until merged
+                    assert not any(
+                        f["name"] == col for f in wh.table_schema("lab", "t")
+                    ) if schema_model else True
             elif op == "merge" and branches_model:
                 # constrained to branches with NO prior partial picks and
                 # no staged file already on main — keeps the model
@@ -405,7 +429,16 @@ def test_random_op_sequences_match_model(ops):
                     model |= bm["files"]
                     for c in bm["ddl_cols"]:
                         schema_model.append({"name": c, "type": "int"})
-                elif bm["ddl_cols"] and ddl_epoch != bm["fork_ddl_epoch"]:
+                    if bm["spec_added"]:
+                        spec_model = (
+                            bm["fork_spec"] if bm["fork_spec"] is not None
+                            else []
+                        ) + [bm["spec_added"]]
+                        for tfm in spec_model:
+                            spec_guard.add(tfm)
+                elif (
+                    bm["ddl_cols"] or bm["spec_added"]
+                ) and ddl_epoch != bm["fork_ddl_epoch"]:
                     # DDL on both sides since the fork: refuse, never
                     # mutate main
                     import pytest as _pytest
@@ -423,15 +456,24 @@ def test_random_op_sequences_match_model(ops):
                             schema_model.append(
                                 {"name": c, "type": "int"}
                             )
+                    if bm["spec_added"]:
+                        assert out["schema_adopted"] is not None
+                        spec_model = (
+                            bm["fork_spec"] if bm["fork_spec"] is not None
+                            else []
+                        ) + [bm["spec_added"]]
+                        for tfm in spec_model:
+                            spec_guard.add(tfm)
                     model |= {rel for _, rel in bm["staged"]}
                 wh.drop_branch("lab", "t", name)
                 del branches_model[name]
             elif op == "cherry_pick" and branches_model:
                 name = sorted(branches_model)[pick % len(branches_model)]
                 bm = branches_model[name]
-                if bm["ddl_cols"]:
+                if bm["ddl_cols"] or bm["spec_added"]:
                     # staged-under-branch-DDL commits need the merge path
-                    # (adoption); a lone pick refuses at the schema fence
+                    # (adoption); a lone pick refuses at the schema/pid
+                    # fence
                     continue
                 cands = [
                     (v, rel)
@@ -460,6 +502,13 @@ def test_random_op_sequences_match_model(ops):
                     model |= bm["files"]
                     for c in bm["ddl_cols"]:  # branch DDL publishes too
                         schema_model.append({"name": c, "type": "int"})
+                    if bm["spec_added"]:  # branch spec DDL publishes too
+                        spec_model = (
+                            bm["fork_spec"] if bm["fork_spec"] is not None
+                            else []
+                        ) + [bm["spec_added"]]
+                        for tfm in spec_model:
+                            spec_guard.add(tfm)
                 else:
                     import pytest as _pytest
 

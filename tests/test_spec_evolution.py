@@ -453,3 +453,25 @@ def test_metadata_only_delete_fires_per_spec(spark, tmp_path):
     df = wh.read("lab", "md")
     assert df.filter("src = 's1'").count() == 0
     assert df.count() == 40 - 2 * sum(1 for _i, s, _t in ROWS if s == "s1")
+
+
+def test_fast_forward_carries_specs(wh3, spark):
+    """Review r12 pass 3 (the carry audit): fast_forward copies the
+    branch head VERBATIM — its key list must include specs/spec_id, or
+    publishing a branch with spec DDL at the fork silently un-evolves
+    the table and the carried entries' pids stop resolving."""
+    wh = wh3
+    wh.create_branch("lab", "t", "ff")
+    wh.add_partition_field("lab", "t", "years(ts)", branch="ff")
+    wh.append("lab", "t", _batch(spark, 300), batch_id="s0", branch="ff")
+    out = wh.fast_forward("lab", "t", "ff")  # main still at the fork
+    assert out["published"] == 2
+    sp = wh.partition_spec("lab", "t")
+    assert sp["spec_id"] == 3 and "years(ts)" in sp["transforms"]
+    df = wh.read("lab", "t")
+    assert df.count() == 80 and "ts_year" in df.columns
+    assert df.filter(F.col("ts_year") != F.year("ts")).count() == 0
+    # and appends after the publish lay out by the published spec
+    wh.append("lab", "t", _batch(spark, 400), batch_id="m1")
+    h = wh.head_snapshot("lab", "t")
+    assert {e.get("pid", 0) for e in h["files"]} == {0, 1, 2, 3}
