@@ -136,15 +136,22 @@ def _cmd_spec_report(args: argparse.Namespace) -> int:
 
     wh = ParquetWarehouse(None, args.warehouse)
     sp = wh.partition_spec(args.schema_name, args.table)
-    head = wh.head_snapshot(args.schema_name, args.table)
+    # partitions_report is the single per-(spec, partition) aggregation
+    # (it also refuses dir-mode tables honestly — zeros here would read
+    # as "converged" for a table that simply has no manifest)
     agg: dict[int, dict] = {}
-    for e in (head["files"] if head else []):
+    try:
+        report = wh.partitions_report(args.schema_name, args.table)
+    except ValueError as e:
+        print(e)
+        return 1
+    for row in report:
         a = agg.setdefault(
-            int(e.get("pid", 0)), {"files": 0, "rows": 0, "bytes": 0}
+            row["spec_id"], {"files": 0, "rows": 0, "bytes": 0}
         )
-        a["files"] += 1
-        a["rows"] += e["rows"]
-        a["bytes"] += e["bytes"]
+        a["files"] += row["files"]
+        a["rows"] += row["rows"]
+        a["bytes"] += row["bytes"]
     for pid_s in sorted(sp["specs"], key=int):
         pid = int(pid_s)
         t = sp["specs"][pid_s]
@@ -158,6 +165,12 @@ def _cmd_spec_report(args: argparse.Namespace) -> int:
     stale = sum(v["files"] for k, v in agg.items() if k != sp["spec_id"])
     if stale:
         print(f"{stale} file(s) on older specs — optimize() converges them")
+    head = wh.head_snapshot(args.schema_name, args.table)
+    if head and (head.get("deletes") or head.get("delete_segments")):
+        print(
+            "note: rows are write-time counts; pending merge-on-read "
+            "deletes are not subtracted (log-report shows live rows)"
+        )
     return 0
 
 

@@ -3230,6 +3230,11 @@ class ParquetWarehouse:
             if version is None
             else self._load_head_light(schema, table, version, branch)
         )
+        if head is None and branch != "main":
+            raise ValueError(
+                f"no branch {branch!r} on {schema}.{table} — "
+                "create_branch() first"
+            )
         if head is None or "schemas" not in head:
             raise ValueError(
                 f"{schema}.{table} has no recorded schema (no commit yet, "

@@ -436,34 +436,67 @@ def test_random_op_sequences_match_model(ops):
                         ) + [bm["spec_added"]]
                         for tfm in spec_model:
                             spec_guard.add(tfm)
-                elif (
-                    bm["ddl_cols"] or bm["spec_added"]
-                ) and ddl_epoch != bm["fork_ddl_epoch"]:
-                    # DDL on both sides since the fork: refuse, never
-                    # mutate main
-                    import pytest as _pytest
-
-                    head_v = wh._latest_version("lab", "t")
-                    with _pytest.raises(RuntimeError, match="BOTH sides"):
-                        wh.merge_branch("lab", "t", name)
-                    assert wh._latest_version("lab", "t") == head_v
                 else:
+                    # dispatch prediction from the HEAD DDL states (the
+                    # ddl_epoch heuristic flaked two ways — review r12
+                    # pass 4: identical identity spec adds on both sides
+                    # make the states EQUAL and the merge legitimately
+                    # proceeds; and publishing branch A's DDL moves
+                    # main's state without bumping any epoch, so a later
+                    # branch-B merge refuses where the heuristic expected
+                    # success).  Only the CONTROL path is predicted from
+                    # heads; every post-merge EFFECT is still asserted
+                    # against the pure-Python models.
+                    def dstate(h):
+                        return (
+                            h.get("schemas"), h.get("schema_id"),
+                            h.get("specs"), h.get("spec_id"),
+                        )
+
+                    mstate = dstate(wh._head_light("lab", "t"))
+                    bstate = dstate(wh._head_light("lab", "t", name))
+                    fstate = dstate(
+                        wh._load_head_light("lab", "t", bm["fork"], name)
+                    )
+                    if (
+                        mstate != fstate
+                        and bstate != fstate
+                        and mstate != bstate
+                    ):
+                        # genuinely divergent DDL: refuse, never mutate
+                        import pytest as _pytest
+
+                        head_v = wh._latest_version("lab", "t")
+                        with _pytest.raises(RuntimeError, match="BOTH sides"):
+                            wh.merge_branch("lab", "t", name)
+                        assert wh._latest_version("lab", "t") == head_v
+                        wh.drop_branch("lab", "t", name)
+                        del branches_model[name]
+                        check()
+                        v = wh._latest_version("lab", "t")
+                        if v is not None:
+                            states[v] = {i: dict(r) for i, r in rows.items()}
+                        continue
                     out = wh.merge_branch("lab", "t", name)
                     assert out["strategy"] == "cherry_pick"
-                    if bm["ddl_cols"]:
-                        assert out["schema_adopted"] is not None
+                    if out.get("schema_adopted") is not None:
+                        # branch-only DDL adopted: apply its effects to
+                        # the models (states-equal merges changed nothing
+                        # main's own ops hadn't already applied)
                         for c in bm["ddl_cols"]:
                             schema_model.append(
                                 {"name": c, "type": "int"}
                             )
-                    if bm["spec_added"]:
-                        assert out["schema_adopted"] is not None
-                        spec_model = (
-                            bm["fork_spec"] if bm["fork_spec"] is not None
-                            else []
-                        ) + [bm["spec_added"]]
-                        for tfm in spec_model:
-                            spec_guard.add(tfm)
+                        if bm["spec_added"]:
+                            spec_model = (
+                                bm["fork_spec"]
+                                if bm["fork_spec"] is not None
+                                else []
+                            ) + [bm["spec_added"]]
+                            for tfm in spec_model:
+                                spec_guard.add(tfm)
+                    else:
+                        assert not bm["ddl_cols"] or mstate == bstate
                     model |= {rel for _, rel in bm["staged"]}
                 wh.drop_branch("lab", "t", name)
                 del branches_model[name]

@@ -475,3 +475,40 @@ def test_fast_forward_carries_specs(wh3, spark):
     wh.append("lab", "t", _batch(spark, 400), batch_id="m1")
     h = wh.head_snapshot("lab", "t")
     assert {e.get("pid", 0) for e in h["files"]} == {0, 1, 2, 3}
+
+
+def test_identical_spec_ddl_both_sides_merges_as_noop(spark, tmp_path):
+    """Review r12 pass 4 #1: IDENTICAL identity spec adds on both sides
+    make the DDL states equal — merge_branch proceeds (adoption no-op),
+    it is NOT a both-sides refusal (ids allocated identically cannot
+    alias)."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "i", "zstd", 1, properties={"snapshots": "true"})
+    wh.append("lab", "i", _batch(spark, 0), batch_id="b0")
+    wh.create_branch("lab", "i", "tw")
+    wh.add_partition_field("lab", "i", "src", branch="tw")
+    wh.append("lab", "i", _batch(spark, 100), batch_id="s0", branch="tw")
+    wh.add_partition_field("lab", "i", "src")  # main: the SAME add
+    out = wh.merge_branch("lab", "i", "tw")
+    assert out["strategy"] == "cherry_pick"
+    assert wh.read("lab", "i").count() == 40
+    assert wh.partition_spec("lab", "i")["transforms"] == ["src"]
+
+
+def test_published_ddl_fences_second_branch(spark, tmp_path):
+    """Review r12 pass 4 #2: after branch A's DDL publishes to main, a
+    second branch forked BEFORE the publish that carries its own DDL
+    must refuse as both-sides — main's state moved past B's fork."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "j", "zstd", 1, properties={"snapshots": "true"})
+    wh.append("lab", "j", _batch(spark, 0), batch_id="b0")
+    wh.create_branch("lab", "j", "a")
+    wh.create_branch("lab", "j", "b")
+    wh.add_partition_field("lab", "j", "src", branch="a")
+    wh.append("lab", "j", _batch(spark, 100), batch_id="sa", branch="a")
+    wh.merge_branch("lab", "j", "a")  # publishes A's spec DDL to main
+    wh.add_partition_field("lab", "j", "days(ts)", branch="b")
+    wh.append("lab", "j", _batch(spark, 200), batch_id="sb", branch="b")
+    with pytest.raises(RuntimeError, match="BOTH sides"):
+        wh.merge_branch("lab", "j", "b")
+    assert wh.read("lab", "j").count() == 40  # main untouched by refusal
