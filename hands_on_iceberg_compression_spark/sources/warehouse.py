@@ -8386,6 +8386,7 @@ class ParquetWarehouse:
         matched_update: bool = True,
         matched_delete: str | None = None,
         not_matched_insert: bool = True,
+        not_matched_condition: str | None = None,
         not_matched_by_source_delete: str | bool | None = None,
         mode: str | None = None,
         branch: str = "main",
@@ -8396,7 +8397,7 @@ class ParquetWarehouse:
             MERGE INTO t USING s ON <key_cols>
             WHEN MATCHED AND <matched_delete>      THEN DELETE
             WHEN MATCHED AND <matched_condition>   THEN UPDATE SET *
-            WHEN NOT MATCHED [AND not_matched_insert] THEN INSERT *
+            WHEN NOT MATCHED [AND <not_matched_condition>] THEN INSERT *
             WHEN NOT MATCHED BY SOURCE
                  AND <not_matched_by_source_delete> THEN DELETE
 
@@ -8556,6 +8557,13 @@ class ParquetWarehouse:
                 if matched_condition is not None
                 else F.lit(True)
             ).alias("__merge_c"),
+            (
+                # insert guard: source-row predicate (t.* is NULL on the
+                # unmatched rows this applies to — reference s. columns)
+                F.expr(not_matched_condition)
+                if not_matched_condition is not None
+                else F.lit(True)
+            ).alias("__merge_i"),
         )
         try:
             proj = proj.localCheckpoint(eager=True)
@@ -8568,9 +8576,13 @@ class ParquetWarehouse:
             if matched_update
             else false
         )
-        ins_cond = ~mcol if not_matched_insert else false
+        ins_cond = (
+            ~mcol & F.coalesce(F.col("__merge_i"), false)
+            if not_matched_insert
+            else false
+        )
         dc = "__merge_del"
-        flagc = ["__merge_m", "__merge_d", "__merge_c"]
+        flagc = ["__merge_m", "__merge_d", "__merge_c", "__merge_i"]
         ups = proj.filter(upd_cond | ins_cond).drop(*flagc)
         # UPDATE/INSERT SET * with a NARROWER source: table columns the
         # source omits NULL-fill at the recorded type (the same posture

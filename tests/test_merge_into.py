@@ -305,3 +305,23 @@ def test_pruned_discovery_equals_full_and_coercion_edge(spark, tmp_path):
     )
     assert out["matched_deleted"] == 1
     assert [r["k"] for r in wh.read("lab", "co").collect()] == ["900"]
+
+
+def test_not_matched_insert_condition(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT — conditional inserts
+    (only fresh-enough unmatched rows land; NULL condition no-fires)."""
+    wh = _mk(spark, tmp_path, "ni")
+    src = spark.createDataFrame(
+        [(9, "I", 99, "U"), (10, "J", 1, "U"), (11, "K", None, "U")],
+        "id int, v string, ts int, op string",
+    )
+    out = wh.merge_into(
+        "lab", "ni", src, ["id"],
+        matched_update=False,
+        not_matched_condition="s.ts > 50",
+    )
+    assert out["upserts"] == 1
+    got = _table_rows(wh, "ni")
+    assert (9, "I", 99) in got
+    assert all(t[0] not in (10, 11) for t in got)  # stale + NULL: no-fire
+    assert len(got) == len(TARGET) + 1
