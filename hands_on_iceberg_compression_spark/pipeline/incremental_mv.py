@@ -65,9 +65,27 @@ def maintain_keep_latest_mv(
     sschema, stable = src
     mschema, mtable = mv
     out = {"keys_refreshed": 0}
-    bootstrap = not os.path.exists(checkpoint_file)
+    # Bootstrap whenever the checkpoint is missing OR the MV has never
+    # committed (ADVICE r12 medium): a crash between consume_changes'
+    # checkpoint init and the bootstrap refresh leaves the checkpoint in
+    # place over an empty MV — keying bootstrap off the checkpoint file
+    # alone would then go incremental-only forever and pre-existing
+    # source rows would never reach the MV.  The MV transitions from
+    # uncommitted to committed ONLY via the full refresh/reconcile below
+    # (process() skips writes on bootstrap ticks), so any crash inside a
+    # bootstrap tick re-triggers bootstrap on the next one.
+    bootstrap = not os.path.exists(checkpoint_file) or not wh._snapshot_versions(
+        mschema, mtable
+    )
 
     def process(ch: DataFrame) -> None:
+        if bootstrap:
+            # the trailing full refresh/reconcile reads the source AT or
+            # AFTER this window's end, covering every key the window
+            # touched — a partial per-window write here would let a
+            # crash strand a half-seeded-but-committed MV that later
+            # ticks treat as bootstrapped
+            return
         keys = ch.select(*key_cols).distinct()
         try:
             keys = keys.localCheckpoint(eager=True)
@@ -86,11 +104,6 @@ def maintain_keep_latest_mv(
             cur.join(keys, key_cols, "leftsemi"),
             key_cols, ts_col, tie_col,
         )
-        if not wh._snapshot_versions(mschema, mtable):
-            # never-committed MV: plain append (merge_upsert needs a
-            # readable target schema); vanished keys need no tombstone
-            wh.append(mschema, mtable, latest, batch_id="mv_refresh")
-            return
         gone = keys.join(latest.select(*key_cols), key_cols, "left_anti")
         batch = latest.withColumn(_DEL, F.lit(False)).unionByName(
             gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True

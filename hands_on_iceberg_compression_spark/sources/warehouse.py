@@ -8411,7 +8411,11 @@ class ParquetWarehouse:
         is never also updated; a matched row satisfying NEITHER clause
         keeps its CURRENT image (the source row is discarded for it).
         Source columns beyond the table schema (CDC op/ts metadata) may
-        drive conditions; they are dropped from what lands.
+        drive conditions; they are dropped from what lands.  Table
+        columns the SOURCE omits are carried from the current target row
+        on matched updates (UPDATE SET only-the-source-columns — never
+        NULL-clobbered; ADVICE r12) and NULL-fill at the recorded type
+        on inserts.
 
         Executed by RESOLVING the clauses into the unconditional
         ``merge_upsert`` shape with ONE key-join discovery pass over the
@@ -8526,8 +8530,24 @@ class ParquetWarehouse:
                             schema, table, ranges,
                             version=head_mi["version"], branch=branch,
                         )
-            except Exception:
-                t_join = tgt  # pruning is an optimization, never required
+            except (KeyError, ValueError, TypeError):
+                # expected shapes: legacy heads without per-sid schema
+                # records, unparsable/unprunable range types — pruning is
+                # an optimization, never required
+                t_join = tgt
+            except Exception as exc:  # pragma: no cover - environment
+                # a genuine driver/job failure during the envelope
+                # collect is NOT an expected prune refusal — surface it
+                # (ADVICE r12: a blanket swallow masked root causes and
+                # paid the envelope aggregation for nothing)
+                import warnings
+
+                warnings.warn(
+                    f"merge_into envelope pruning failed unexpectedly "
+                    f"({type(exc).__name__}: {exc}); falling back to the "
+                    "full target scan"
+                )
+                t_join = tgt
         s = source.alias("s")
         t = t_join.alias("t")
         on = _reduce(
@@ -8544,8 +8564,22 @@ class ParquetWarehouse:
         # checkpoint the flat result — the flag projections and
         # merge_upsert all re-drive it, and post-checkpoint the alias
         # scoping is gone anyway
+        # table columns the source OMITS are carried from the target row
+        # (ADVICE r12: NULL-filling them clobbered existing values on
+        # MATCHED UPDATE rows — data loss from a narrower source).  The
+        # left join makes this do the right thing per clause: matched
+        # update rows keep their CURRENT value for omitted columns
+        # (UPDATE SET only-the-source-columns semantics), unmatched
+        # insert rows get NULL for them (t.* is NULL there — the same
+        # NULL-fill-at-recorded-type posture as append's conform).
+        carried = [
+            F.col(f"t.{f.name}").alias(f.name)
+            for f in tgt.schema.fields
+            if f.name not in source.columns
+        ]
         proj = s.join(t, on, "left").select(
             "s.*",
+            *carried,
             matched.alias("__merge_m"),
             (
                 F.expr(matched_delete)
@@ -8584,20 +8618,16 @@ class ParquetWarehouse:
         dc = "__merge_del"
         flagc = ["__merge_m", "__merge_d", "__merge_c", "__merge_i"]
         ups = proj.filter(upd_cond | ins_cond).drop(*flagc)
-        # UPDATE/INSERT SET * with a NARROWER source: table columns the
-        # source omits NULL-fill at the recorded type (the same posture
-        # as append's conform) — merge_upsert's copy-on-write path
-        # selects the full table column list and would otherwise fail to
-        # resolve them (surfaced by the delete-only coercion test)
-        for f in tgt.schema.fields:
-            if f.name not in ups.columns:
-                ups = ups.withColumn(
-                    f.name, F.lit(None).cast(f.dataType.simpleString())
-                )
         ups = ups.withColumn(dc, F.lit(False))
         del_keys = proj.filter(del_cond).select(*key_cols)
-        n_upd = ups.count()
-        n_del_matched = del_keys.count()
+        # ONE counting job over the checkpointed flag projection instead
+        # of ups.count() + del_keys.count() (VERDICT r12 What's wrong #3)
+        _cnt = proj.agg(
+            F.sum((upd_cond | ins_cond).cast("long")).alias("n_upd"),
+            F.sum(del_cond.cast("long")).alias("n_del"),
+        ).collect()[0]
+        n_upd = int(_cnt["n_upd"] or 0)
+        n_del_matched = int(_cnt["n_del"] or 0)
         n_del_nmbs = 0
         if not_matched_by_source_delete is not None and (
             not_matched_by_source_delete is not False

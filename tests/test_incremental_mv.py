@@ -172,3 +172,48 @@ def test_randomized_dml_converges(spark, tmp_path_factory, ops):
     # drain the log, then the MV must equal the batch recompute exactly
     _tick(wh, ckpt)
     assert _mv_rows(wh) == _expected(wh)
+
+
+def test_bootstrap_crash_between_checkpoint_and_refresh(spark, tmp_path):
+    """ADVICE r12 (medium): a crash between consume_changes' checkpoint
+    init and the bootstrap full refresh used to leave the checkpoint in
+    place over an EMPTY MV — every later tick saw bootstrap=False and
+    went incremental-only, so pre-existing source rows never reached the
+    MV.  Bootstrap now also fires whenever the MV has no committed
+    snapshot, and the MV only transitions to committed via the full
+    refresh path (process() skips writes on bootstrap ticks)."""
+    wh = _mk(spark, tmp_path, "cr")
+    ckpt = str(tmp_path / "cr" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(1, 10, 1, 100), (2, 10, 2, 200)], SCHEMA
+        ),
+        batch_id="b0",
+    )
+    # simulate the crash: the checkpoint is initialized at the current
+    # head (exactly what the maintainer's consume_changes call does
+    # first) but the bootstrap refresh never ran — MV is empty
+    wh.consume_changes("lab", "src", ckpt, lambda ch: None)
+    assert wh.is_empty("lab", "mv")
+    # source advances past the checkpointed head, so the recovery tick
+    # also has a non-empty changelog window to (correctly) skip
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 20, 3, 101), (3, 5, 4, 300)], SCHEMA),
+        batch_id="b1",
+    )
+    out = _tick(wh, ckpt)
+    assert out["keys_refreshed"] == -1  # full refresh, not incremental
+    assert _mv_rows(wh) == _expected(wh) == [
+        (1, 20, 3, 101), (2, 10, 2, 200), (3, 5, 4, 300),
+    ]
+    # steady state afterwards: plain incremental ticks
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(2, 30, 5, 201)], SCHEMA),
+        batch_id="b2",
+    )
+    out = _tick(wh, ckpt)
+    assert out["keys_refreshed"] == 1
+    assert _mv_rows(wh) == _expected(wh)

@@ -307,6 +307,32 @@ def test_pruned_discovery_equals_full_and_coercion_edge(spark, tmp_path):
     assert [r["k"] for r in wh.read("lab", "co").collect()] == ["900"]
 
 
+def test_narrower_source_carries_target_columns(spark, tmp_path):
+    """ADVICE r12: a source omitting table columns must NOT NULL-clobber
+    them on MATCHED UPDATE rows — omitted columns carry the target's
+    current value (UPDATE SET only-the-source-columns), while INSERT
+    rows still NULL-fill them (no target row to carry from)."""
+    wh = _mk(spark, tmp_path, "nw")
+    # source has only (id, ts): v is omitted
+    src = spark.createDataFrame([(2, 999), (9, 900)], "id int, ts int")
+    out = wh.merge_into("lab", "nw", src, ["id"])
+    assert out["upserts"] == 2
+    rows = {r["id"]: (r["v"], r["ts"]) for r in wh.read("lab", "nw").collect()}
+    assert rows[2] == ("b", 999)      # v carried, ts updated
+    assert rows[9] == (None, 900)     # insert: NULL-fill for omitted v
+    assert rows[1] == ("a", 10)       # untouched
+    # conditional flavor: the carried column also survives a
+    # freshness-guarded update and a merge-on-read write mode
+    src2 = spark.createDataFrame([(2, 1), (3, 888)], "id int, ts int")
+    wh.merge_into(
+        "lab", "nw", src2, ["id"],
+        matched_condition="s.ts > t.ts", mode="merge-on-read",
+    )
+    rows = {r["id"]: (r["v"], r["ts"]) for r in wh.read("lab", "nw").collect()}
+    assert rows[2] == ("b", 999)      # stale: kept entirely
+    assert rows[3] == ("c", 888)      # fresh: v carried, ts updated
+
+
 def test_not_matched_insert_condition(spark, tmp_path):
     """WHEN NOT MATCHED AND <cond> THEN INSERT — conditional inserts
     (only fresh-enough unmatched rows land; NULL condition no-fires)."""
