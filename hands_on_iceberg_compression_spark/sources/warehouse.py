@@ -357,6 +357,10 @@ class ParquetWarehouse:
         # written, so caching is always safe); bounded LRU in _load_segment
         self._seg_cache: dict[str, list] = {}
         self._seg_parses = 0  # cache-miss counter (test observability)
+        # bloom sidecar blobs (VERDICT r12 #1): immutable once written,
+        # same LRU contract as segments; _bloom_loads counts file parses
+        self._bloom_cache: dict[str, tuple] = {}
+        self._bloom_loads = 0
         # None = unverified; set by _predict_uris' probe to (resolved
         # base dir, verdict) — a wrong URI prediction would silently
         # un-apply MoR deletes, and the verdict is only valid for the
@@ -1516,6 +1520,13 @@ class ParquetWarehouse:
     # the delete carries (the key VALUES live in the parquet, not the
     # manifest).
     EQ_KEY_RANGES_SET_MAX = 64
+
+    # merge_into discovery: batches up to this many DISTINCT keys prune
+    # the target scan by exact membership (discrete sets -> partition +
+    # bloom pruning); larger batches keep the min/max envelope — past a
+    # few thousand uniform keys every live file genuinely contains some
+    # of them and file-level membership cannot discriminate.
+    MERGE_DISCRETE_KEYS_MAX = 2048
 
     @classmethod
     def _store_key_ranges(cls, ranges: dict) -> dict:
@@ -3109,11 +3120,18 @@ class ParquetWarehouse:
             self._all_partitioning(meta, head)
         )
         bmaps = self._bounds_maps(head)
+        bloom_memo: dict = {}
         return {
             p
             for p in cand
             if not self._entry_excluded(
-                entry_by_path[p], norm, static_types, bmaps
+                schema,
+                table,
+                entry_by_path[p],
+                norm,
+                static_types,
+                bmaps,
+                bloom_memo,
             )
         }
 
@@ -3412,9 +3430,24 @@ class ParquetWarehouse:
                 {**f, "name": new} if f["name"] == old else f for f in cur
             ]
 
-        return self._commit_schema_change(
+        out = self._commit_schema_change(
             schema, table, "rename_column", mutate, branch
         )
+        # bloom_columns is configured by CURRENT name (filters for new
+        # files are built under the write-time schema): track the rename
+        # so the property keeps selecting the same field — old files'
+        # filters stay keyed by their write-time name and keep resolving
+        # through the field-id mapping, like bounds
+        meta = self.table_meta(schema, table)
+        bcols = self._bloom_columns(meta)
+        if old in bcols:
+            self.alter_table_properties(
+                schema, table,
+                bloom_columns=",".join(
+                    new if c == old else c for c in bcols
+                ),
+            )
+        return out
 
     # Iceberg's legal primitive type promotions (Spec "Schema Evolution"):
     # widening only, value-preserving, so files written at the narrow type
@@ -3941,6 +3974,235 @@ class ParquetWarehouse:
                 out[name] = total
         return out
 
+    # --- per-file key BLOOM filters (VERDICT r12 #1) ----------------------
+    # Membership pruning for equality/IN predicates on HIGH-CARDINALITY key
+    # columns — the case [lower, upper] envelopes provably cannot touch
+    # (PERF.md r12: envelope pruning bought ZERO for uniformly distributed
+    # CDC keys; every file's min/max spans the whole keyspace).  Iceberg's
+    # puffin-blob posture: the filter BITS live in a sidecar binary blob
+    # next to the data (``<table>/blooms/bl_*.bin``), and the manifest
+    # entry records only the path — inlining even a 100k-key filter
+    # (~200 KB) in a JSON segment would re-import the per-commit IO the
+    # manifest-list layer removed (measured 2-3 KB/commit).  Opt-in via
+    # the table property ``bloom_columns`` ("col1,col2"): absent property
+    # = zero new work, and entries WITHOUT a bloom are conservatively
+    # kept (legacy tables keep the full scan).
+    #
+    # Sizing: 16 bits/key, k=7 probes -> FPR ~7e-4 (measured in
+    # test_bloom_pruning).  Bits are capped at 2^25 (4 MB) per file per
+    # column; beyond ~2M distinct keys per file the FPR degrades
+    # gracefully (never wrong — a bloom only ever says "maybe present").
+    # Only int- and string-typed columns are recorded: those are the key
+    # shapes CDC/dedup pipelines prune by, and both hash deterministically
+    # from stdlib primitives (splitmix64 / crc32 — no library whose
+    # version drift could silently flip membership and over-prune).
+    _BLOOM_BITS_PER_KEY = 16
+    _BLOOM_K = 7
+    _BLOOM_MIN_BITS = 1 << 10
+    _BLOOM_MAX_BITS = 1 << 25
+    _BLOOM_MAGIC = b"BLM1"
+    _BLOOM_CACHE_MAX = 64
+    _BLOOM_ALGO_INT = 1  # int64 value -> splitmix64 (h1), reseeded (h2)
+    _BLOOM_ALGO_STR = 2  # utf-8 bytes -> crc32 (h1), crc32 seeded (h2)
+
+    @staticmethod
+    def _splitmix64(x):
+        """Vectorized splitmix64 over a uint64 numpy array (public-domain
+        finalizer, Steele et al.) — deterministic forever, unlike library
+        hashes whose defaults can drift between versions."""
+        import numpy as np
+
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    @classmethod
+    def _bloom_hash_ints(cls, vals):
+        """(h1, h2) uint64 arrays for an int64 numpy array; h2 is forced
+        odd so the Kirsch-Mitzenmacher probe sequence h1 + i*h2 walks
+        distinct positions for any power-of-two m."""
+        import numpy as np
+
+        x = vals.astype(np.uint64)
+        h1 = cls._splitmix64(x)
+        h2 = cls._splitmix64(x ^ np.uint64(0xA0761D6478BD642F)) | np.uint64(1)
+        return h1, h2
+
+    @classmethod
+    def _bloom_hash_strs(cls, vals):
+        """(h1, h2) uint64 arrays for a sequence of str: stdlib crc32 +
+        byte length packed into 64 bits, then BOTH probe hashes derived
+        through splitmix64 exactly like the int path.  Never two crc
+        passes: crc32 is GF(2)-linear, so ``crc32(b, seed)`` differs
+        from ``crc32(b)`` by a constant for same-length inputs — the
+        "independent" second hash collapses to h1 XOR const on
+        fixed-width keys (the common case) and the FPR blows past its
+        design point (caught by test_bloom_pruning's string probe).
+        crc32 collisions (~n^2/2^33) merely merge two keys' bit sets —
+        no false negatives, immaterial FP impact."""
+        import zlib
+
+        import numpy as np
+
+        base = np.empty(len(vals), dtype=np.uint64)
+        for i, s in enumerate(vals):
+            b = s.encode("utf-8")
+            base[i] = zlib.crc32(b) | ((len(b) & 0xFFFFFFFF) << 32)
+        h1 = cls._splitmix64(base)
+        h2 = cls._splitmix64(base ^ np.uint64(0xA0761D6478BD642F)) | np.uint64(1)
+        return h1, h2
+
+    @classmethod
+    def _bloom_positions(cls, h1, h2, k: int, m: int):
+        """(V, k) bit positions; m must be a power of two."""
+        import numpy as np
+
+        i = np.arange(k, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m - 1)
+
+    @classmethod
+    def _build_bloom_blob(cls, column) -> bytes | None:
+        """Serialize one column of one parquet file to a bloom blob:
+        magic + <algo, k, m_bits> header + little-bit-order packed bits.
+        ``column`` is a pyarrow ChunkedArray; NULLs are dropped (SQL
+        equality never matches NULL — an all-null column yields an
+        empty filter, which correctly excludes every equality probe).
+        Returns None for unsupported types (float/bool/date/nested:
+        either pruning-hostile or ambiguous to hash portably)."""
+        import struct
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = column.type
+        arr = pc.drop_null(column)
+        if pa.types.is_integer(t):
+            algo = cls._BLOOM_ALGO_INT
+            vals = arr.combine_chunks().to_numpy(zero_copy_only=False)
+            h1, h2 = cls._bloom_hash_ints(vals.astype(np.int64))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            algo = cls._BLOOM_ALGO_STR
+            h1, h2 = cls._bloom_hash_strs(arr.to_pylist())
+        else:
+            return None
+        n = len(h1)
+        m = cls._BLOOM_MIN_BITS
+        while m < n * cls._BLOOM_BITS_PER_KEY and m < cls._BLOOM_MAX_BITS:
+            m <<= 1
+        k = cls._BLOOM_K
+        bits = np.zeros(m, dtype=bool)
+        if n:
+            # bool scatter + packbits: duplicate positions are safe under
+            # fancy assignment (unlike |= on a packed byte array)
+            bits[cls._bloom_positions(h1, h2, k, m).ravel()] = True
+        packed = np.packbits(bits, bitorder="little")
+        return (
+            cls._BLOOM_MAGIC
+            + struct.pack("<BBI", algo, k, m)
+            + packed.tobytes()
+        )
+
+    def _load_bloom(self, schema: str, table: str, rel: str):
+        """Parse one bloom blob (LRU-memoized — blobs are immutable once
+        written, same contract as segments).  Returns (algo, k, m, bits
+        uint8 array) or None when the blob is missing/corrupt — the
+        caller keeps the file (pruning stays conservative)."""
+        import struct
+
+        import numpy as np
+
+        key = os.path.join(self._tdir(schema, table), rel)
+        hit = self._bloom_cache.get(key)
+        if hit is not None:
+            self._bloom_cache.pop(key)
+            self._bloom_cache[key] = hit
+            return hit
+        try:
+            with open(key, "rb") as f:
+                raw = f.read()
+            if raw[:4] != self._BLOOM_MAGIC:
+                return None
+            algo, k, m = struct.unpack("<BBI", raw[4:10])
+            bits = np.frombuffer(raw[10:], dtype=np.uint8)
+            if len(bits) != m >> 3:
+                return None
+        except (OSError, struct.error):
+            return None
+        self._bloom_loads += 1
+        while len(self._bloom_cache) >= self._BLOOM_CACHE_MAX:
+            self._bloom_cache.pop(next(iter(self._bloom_cache)))
+        self._bloom_cache[key] = (algo, k, m, bits)
+        return (algo, k, m, bits)
+
+    @classmethod
+    def _bloom_probe_hashes(cls, spec):
+        """Probe-side (h1, h2, algo) for a membership-testable filter
+        spec: a discrete value list, or a point range (v, v).  Returns
+        None when the spec isn't membership-shaped or its values aren't
+        uniformly int/str (mixed, NULL, float, datetime: not
+        bloom-provable — same endpoint-type contract as bounds).  The
+        caller memoizes per prune call: hashes are independent of each
+        file's m, so one hash pass serves every entry."""
+        import numpy as np
+
+        if isinstance(spec, list):
+            vals = spec
+        elif (
+            isinstance(spec, tuple)
+            and spec[0] is not None
+            and spec[0] == spec[1]
+        ):
+            vals = [spec[0]]
+        else:
+            return None
+        if not vals:
+            return None
+        if all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            iv = np.array(vals, dtype=np.int64)
+            # values outside int64 can't round-trip the build-side cast
+            if any(int(iv[i]) != v for i, v in enumerate(vals)):
+                return None
+            h1, h2 = cls._bloom_hash_ints(iv)
+            return h1, h2, cls._BLOOM_ALGO_INT
+        if all(isinstance(v, str) for v in vals):
+            h1, h2 = cls._bloom_hash_strs(vals)
+            return h1, h2, cls._BLOOM_ALGO_STR
+        return None
+
+    def _bloom_excluded(
+        self, schema: str, table: str, rel: str, spec, memo: dict, col: str
+    ) -> bool:
+        """True iff the file's bloom PROVES no spec value is present.
+        One hash pass per (prune call, column) via ``memo``; per file the
+        probe is a vectorized gather over the blob's bits."""
+        import numpy as np
+
+        if col not in memo:
+            memo[col] = self._bloom_probe_hashes(spec)
+        hashes = memo[col]
+        if hashes is None:
+            return False
+        bl = self._load_bloom(schema, table, rel)
+        if bl is None:
+            return False
+        algo, k, m, bits = bl
+        h1, h2, probe_algo = hashes
+        if algo != probe_algo:
+            return False  # spec value type != written column type: keep
+        pos = self._bloom_positions(h1, h2, k, m)
+        hit = (bits[pos >> np.uint64(3)] >> (pos & np.uint64(7))) & 1
+        return not bool(hit.all(axis=1).any())
+
+    def _bloom_columns(self, meta: TableMeta) -> list[str]:
+        """Columns the ``bloom_columns`` table property configures for
+        per-file membership filters; empty = feature off (default)."""
+        raw = (meta.properties or {}).get("bloom_columns", "")
+        return [c.strip() for c in str(raw).split(",") if c.strip()]
+
     @staticmethod
     def _pv_disjoint(pv: str, lo, hi, static_type: str | None) -> bool:
         """True iff a file's recorded partition VALUE (dir-encoding string)
@@ -4134,13 +4396,16 @@ class ParquetWarehouse:
             self._all_partitioning(meta, head)
         )
         bmaps = self._bounds_maps(head)
+        bloom_memo: dict = {}  # one hash pass per column per prune call
         kept: list[dict] = []
 
         def file_pass(entries: list[dict]) -> None:
             kept.extend(
                 e
                 for e in entries
-                if not self._entry_excluded(e, norm, static_types, bmaps)
+                if not self._entry_excluded(
+                    schema, table, e, norm, static_types, bmaps, bloom_memo
+                )
             )
 
         if "files" in head:  # legacy inline-files head
@@ -4172,22 +4437,34 @@ class ParquetWarehouse:
             bmaps[int(sid_str)] = {f["name"]: by_id.get(f["id"]) for f in tgt}
         return bmaps
 
-    @classmethod
     def _entry_excluded(
-        cls, e: dict, norm: dict, static_types: dict, bmaps: dict | None
+        self,
+        schema: str,
+        table: str,
+        e: dict,
+        norm: dict,
+        static_types: dict,
+        bmaps: dict | None,
+        bloom_memo: dict | None = None,
     ) -> bool:
         """One manifest entry vs a normalized conjunctive filter spec:
         True iff the entry's partition values / column bounds / null
-        counts PROVE no row can satisfy it.  Conservative by
-        construction — missing stats or incomparable types keep the
-        file.  Shared by ``_prune_entries`` (planning-time skipping) and
-        equality-delete read-time narrowing."""
+        counts / key BLOOM filter PROVE no row can satisfy it.
+        Conservative by construction — missing stats or incomparable
+        types keep the file.  Shared by ``_prune_entries``
+        (planning-time skipping) and equality-delete read-time
+        narrowing.  Blooms are consulted LAST (they cost a sidecar read
+        where bounds/partitions are in-memory) and only for
+        membership-shaped specs — a discrete value list or a point
+        range; ``bloom_memo`` (one dict per prune call) holds the
+        spec-value hashes so the hash pass runs once however many
+        entries are tested."""
         emap = bmaps.get(int(e.get("sid", 0))) if bmaps is not None else None
         for col, spec in norm.items():
             pv = e.get("partitions", {}).get(col)
             try:
                 if pv is not None:
-                    if cls._pv_excluded(pv, spec, static_types.get(col)):
+                    if self._pv_excluded(pv, spec, static_types.get(col)):
                         return True
                     continue
                 bcol = col if emap is None else emap.get(col, col)
@@ -4206,9 +4483,16 @@ class ParquetWarehouse:
                         return True
                     continue
                 b = e.get("bounds", {}).get(bcol)
-                if b is None:
-                    continue
-                if cls._bounds_excluded(b, spec):
+                if b is not None and self._bounds_excluded(b, spec):
+                    return True
+                bl = e.get("bloom", {}).get(bcol)
+                if (
+                    bl is not None
+                    and bloom_memo is not None
+                    and self._bloom_excluded(
+                        schema, table, bl, spec, bloom_memo, col
+                    )
+                ):
                     return True
             except (TypeError, ValueError):
                 # endpoint type doesn't match the recorded value (int
@@ -4850,6 +5134,18 @@ class ParquetWarehouse:
             if spec_transforms is not None
             else None
         )
+        # per-file key bloom filters (VERDICT r12 #1): configured columns
+        # get a membership sidecar recorded at the same place bounds are —
+        # the single choke point every writer's fresh entries pass through
+        # (append, CoW rewrites, optimize, merge), so rewritten files
+        # re-derive their filters automatically
+        bloom_cols = self._bloom_columns(
+            meta_for_spec
+            if meta_for_spec is not None
+            else self.table_meta(schema, table)
+        )
+        created_blooms: list[str] = []  # blob abspaths, GC'd on abort
+        bloom_warned = [False]
         fresh_list: list[dict] = []  # entries NEW this commit (seq-stamped)
 
         def fresh_entry(p: str, parent_by_path: dict) -> dict:
@@ -4885,6 +5181,37 @@ class ParquetWarehouse:
             parts = self._file_partitions(rel)
             if parts:
                 entry["partitions"] = parts
+            if bloom_cols:
+                blooms: dict[str, str] = {}
+                for c in bloom_cols:
+                    try:
+                        if pf.schema_arrow.get_field_index(c) < 0:
+                            continue  # column absent in this file's schema
+                        blob = self._build_bloom_blob(
+                            pf.read(columns=[c]).column(c)
+                        )
+                        if blob is None:
+                            continue  # unsupported column type
+                        brel = self._write_bloom_blob(schema, table, blob)
+                        created_blooms.append(
+                            os.path.join(self._tdir(schema, table), brel)
+                        )
+                        blooms[c] = brel
+                    except Exception as exc:
+                        # a bloom is an optimization — never fail the
+                        # commit over it, but never swallow silently
+                        # either (the ADVICE r12 posture)
+                        if not bloom_warned[0]:
+                            bloom_warned[0] = True
+                            import warnings
+
+                            warnings.warn(
+                                f"bloom build failed for {rel}:{c} "
+                                f"({type(exc).__name__}: {exc}); entry "
+                                "recorded without a filter (conservative)"
+                            )
+                if blooms:
+                    entry["bloom"] = blooms
             fresh_list.append(entry)
             return entry
 
@@ -5364,7 +5691,27 @@ class ParquetWarehouse:
                 head = self._head_light(schema, table, branch)
         except BaseException:
             _gc(created)
+            # bloom blobs this commit wrote are referenced only by its
+            # (unpublished) entries — same abort-GC contract as segments
+            for bp in created_blooms:
+                self._bloom_cache.pop(bp, None)
+                try:
+                    os.unlink(bp)
+                except FileNotFoundError:
+                    pass
             raise
+
+    def _write_bloom_blob(self, schema: str, table: str, blob: bytes) -> str:
+        """Persist one bloom sidecar; returns its tdir-RELATIVE path (the
+        same path convention entries use for data files, so the expiry /
+        orphan GC set arithmetic covers blobs with the identical code
+        shape)."""
+        d = os.path.join(self._tdir(schema, table), "blooms")
+        os.makedirs(d, exist_ok=True)
+        name = f"bl_{uuid.uuid4().hex[:12]}.bin"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(blob)
+        return os.path.join("blooms", name)
 
     def _ref_dir(self, schema: str, table: str, branch: str = "main") -> str:
         """Directory holding a REF's head chain: ``main`` is the snapshot
@@ -7810,30 +8157,23 @@ class ParquetWarehouse:
             for b in self.branches(schema, table):
                 for bv in self._snapshot_versions(schema, table, b):
                     survivors.append(self._load_snapshot(schema, table, bv, b))
-            # position-delete files are GC'd under the same contract as
-            # data files: referenced by an expired head only -> dead
-            kept = {
-                os.path.join(tdir, f["path"])
-                for m in survivors
-                for f in m["files"]
-            } | {
-                os.path.join(tdir, d["path"])
-                for m in survivors
-                for d in m.get("deletes", [])
-            }
-            dead = (
-                {
-                    os.path.join(tdir, f["path"])
-                    for m in victims
-                    for f in m["files"]
-                }
-                | {
-                    os.path.join(tdir, d["path"])
-                    for m in victims
-                    for d in m.get("deletes", [])
-                }
-            ) - kept
+            # position-delete files and BLOOM sidecar blobs are GC'd
+            # under the same contract as data files: referenced by an
+            # expired head only -> dead
+            def _gc_paths(ms):
+                out = set()
+                for m in ms:
+                    for f in m["files"]:
+                        out.add(os.path.join(tdir, f["path"]))
+                        for brel in f.get("bloom", {}).values():
+                            out.add(os.path.join(tdir, brel))
+                    for d in m.get("deletes", []):
+                        out.add(os.path.join(tdir, d["path"]))
+                return out
+
+            dead = _gc_paths(victims) - _gc_paths(survivors)
             for p in dead:
+                self._bloom_cache.pop(p, None)
                 if os.path.isfile(p):
                     os.remove(p)
         if victims:
@@ -7899,24 +8239,35 @@ class ParquetWarehouse:
             os.path.join(tdir, d["path"])
             for m in snaps
             for d in m.get("deletes", [])
+        } | {
+            os.path.join(tdir, brel)
+            for m in snaps
+            for f in m["files"]
+            for brel in f.get("bloom", {}).values()
         }
         cutoff = time.time() - older_than_s
         removed = 0
         data_dir = self._live_data_dir(schema, table)
-        # deletes/ holds position-delete files — same orphan class as
-        # data (written before a CAS commit that crashed or aborted)
-        roots = [data_dir, os.path.join(tdir, "deletes")]
-        for root in roots:
+        # deletes/ holds position-delete files, blooms/ the membership
+        # sidecars — same orphan class as data (written before a CAS
+        # commit that crashed or aborted)
+        roots = [
+            (data_dir, ".parquet"),
+            (os.path.join(tdir, "deletes"), ".parquet"),
+            (os.path.join(tdir, "blooms"), ".bin"),
+        ]
+        for root, suffix in roots:
             if not os.path.isdir(root):
                 continue
             for base, _d, fns in os.walk(root):
                 for fn in fns:
                     p = os.path.join(base, fn)
                     if (
-                        fn.endswith(".parquet")
+                        fn.endswith(suffix)
                         and p not in referenced
                         and os.path.getmtime(p) < cutoff
                     ):
+                        self._bloom_cache.pop(p, None)
                         os.remove(p)
                         removed += 1
         # segment files no head references are the same orphan class
@@ -8509,22 +8860,48 @@ class ParquetWarehouse:
                     for f in source.schema.fields
                 }
                 if all(src_types.get(k) == rec.get(k) for k in key_cols):
-                    env = source.agg(
-                        *[
-                            f
-                            for k in key_cols
-                            for f in (
-                                F.min(k).alias(f"lo_{k}"),
-                                F.max(k).alias(f"hi_{k}"),
+                    # SMALL batches prune by EXACT membership: a discrete
+                    # key set feeds partition-value pruning AND the
+                    # per-file bloom filters — the uniform-key case where
+                    # a [min, max] envelope provably buys zero (VERDICT
+                    # r12 #1).  Above the cap, fall back to the envelope:
+                    # by then each live file genuinely contains batch
+                    # keys and file-level membership cannot discriminate
+                    # (the information-theoretic limit, not a tuning
+                    # knob — see PERF.md).
+                    cap = self.MERGE_DISCRETE_KEYS_MAX
+                    ranges: dict = {}
+                    distinct = (
+                        source.select(*key_cols)
+                        .distinct()
+                        .limit(cap + 1)
+                        .collect()
+                    )
+                    if len(distinct) <= cap:
+                        for k in key_cols:
+                            vals = sorted(
+                                {r[k] for r in distinct if r[k] is not None},
+                                key=repr,
                             )
-                        ]
-                    ).collect()[0]
-                    ranges = {
-                        k: (env[f"lo_{k}"], env[f"hi_{k}"])
-                        for k in key_cols
-                        if env[f"lo_{k}"] is not None
-                        and env[f"hi_{k}"] is not None
-                    }
+                            if vals:
+                                ranges[k] = vals
+                    else:
+                        env = source.agg(
+                            *[
+                                f
+                                for k in key_cols
+                                for f in (
+                                    F.min(k).alias(f"lo_{k}"),
+                                    F.max(k).alias(f"hi_{k}"),
+                                )
+                            ]
+                        ).collect()[0]
+                        ranges = {
+                            k: (env[f"lo_{k}"], env[f"hi_{k}"])
+                            for k in key_cols
+                            if env[f"lo_{k}"] is not None
+                            and env[f"hi_{k}"] is not None
+                        }
                     if ranges:
                         t_join = self.read_pruned(
                             schema, table, ranges,

@@ -503,6 +503,153 @@ def merge_into_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bloom_probe(n_rows: int, workdir: str) -> None:
+    """Per-file key-bloom membership pruning A/B (VERDICT r12 #1) on
+    UNIFORM keys — the case r12 MEASURED min/max envelopes buying zero
+    (every file's bounds span the whole keyspace).  Base table holds
+    ``n_rows`` EVEN keys (k = 2*id, round-robin partitioned so per-file
+    envelopes all overlap), compacted, twice: ``bloom_columns=k`` on vs
+    off.  Reports:
+
+    - prune_files with B present keys (B = 16 / 128 / 1024, spread):
+      files kept on vs off + planning ms — the planning-time skipping
+      merge_into discovery / delete_by_keys / read_where inherit;
+    - prune_files with 1024 ABSENT odd keys (inside every file's
+      bounds): surviving files are pure false positives -> empirical
+      per-probe FPR back-out;
+    - merge_into tick (freshness + tombstone clauses) p50 over 4 epochs
+      at B=1024, on vs off — the discovery-scan pruning for uniform
+      keys the r12 envelope could not touch;
+    - delete_by_keys files_pruned at B=1024, on vs off.
+
+    Batches past MERGE_DISCRETE_KEYS_MAX (2048) keep the envelope path
+    BY DESIGN: at 20k uniform keys over ~32 files every file genuinely
+    contains batch keys and file-level membership cannot discriminate —
+    an information-theoretic limit, recorded in PERF.md, not a knob.
+    Prints one JSON line."""
+    import statistics
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="bloom-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+
+    def seed(table: str, props: dict) -> None:
+        wh.create_table("lab", table, "zstd", 1, properties=props)
+        wh.append(
+            "lab", table,
+            spark.range(n_rows)
+            .select(
+                (F.col("id") * 2).alias("k"),
+                F.lit(0).cast("int").alias("ts"),
+                F.col("id").alias("eid"),
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            )
+            .repartition(32),
+            batch_id="seed",
+        )
+        wh.optimize("lab", table, target_file_size_bytes=128 * 1024 * 1024)
+
+    t0 = time.perf_counter()
+    seed("bl_on", {"snapshots": "true", "bloom_columns": "k"})
+    seed_on_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    seed("bl_off", {"snapshots": "true"})
+    seed_off_s = time.perf_counter() - t0
+
+    def spread_keys(b: int, even: bool, salt: int = 0) -> list[int]:
+        ks = [((i * 7919 + salt) % n_rows) * 2 for i in range(b)]
+        return sorted({k if even else k + 1 for k in ks})
+
+    out: dict = {
+        "probe": "bloom",
+        "base_keys": n_rows,
+        "seed_on_sec": round(seed_on_s, 3),
+        "seed_off_sec": round(seed_off_s, 3),
+        "prune": {},
+    }
+    for b in (16, 128, 1024):
+        keys = spread_keys(b, even=True)
+        row = {}
+        for table in ("bl_on", "bl_off"):
+            wh._bloom_cache.clear()
+            t0 = time.perf_counter()
+            kept, total = wh.prune_files("lab", table, {"k": keys})
+            cold_ms = (time.perf_counter() - t0) * 1000
+            t0 = time.perf_counter()
+            wh.prune_files("lab", table, {"k": keys})
+            warm_ms = (time.perf_counter() - t0) * 1000
+            row[table] = {
+                "kept": len(kept),
+                "total": total,
+                "plan_cold_ms": round(cold_ms, 1),
+                "plan_warm_ms": round(warm_ms, 1),
+            }
+        out["prune"][f"present_{b}"] = row
+    # absent keys INSIDE every file's bounds: survivors = pure FPs
+    absent = spread_keys(1024, even=False)
+    kept, total = wh.prune_files("lab", "bl_on", {"k": absent})
+    fp_file_rate = len(kept) / total
+    # per-probe fpr from P(file survives) = 1 - (1 - fpr)^B
+    import math
+
+    fpr = 1.0 - (1.0 - fp_file_rate) ** (1.0 / len(absent))
+    out["prune"]["absent_1024"] = {
+        "kept": len(kept),
+        "total": total,
+        "empirical_fpr_per_probe": round(fpr, 8),
+    }
+
+    # merge_into tick A/B at B=1024 (below the 2048 discrete cap)
+    ticks: dict[str, list[float]] = {"bl_on": [], "bl_off": []}
+    for epoch in range(4):
+        keys = spread_keys(1024, even=True, salt=epoch + 1)
+        src = (
+            spark.createDataFrame(
+                [(k, epoch + 1, "D" if k % 40 == 0 else "U") for k in keys],
+                "k bigint, ts int, op string",
+            )
+            .withColumn("eid", F.col("k"))
+            .withColumn("payload", F.sha2(F.col("k").cast("string"), 256))
+            .localCheckpoint(eager=True)
+        )
+        for table in ("bl_on", "bl_off"):
+            t0 = time.perf_counter()
+            wh.merge_into(
+                "lab", table, src, ["k"],
+                matched_condition="s.ts > t.ts",
+                matched_delete="s.op = 'D'",
+                mode="merge-on-read",
+            )
+            ticks[table].append(time.perf_counter() - t0)
+    out["merge_into_1024"] = {
+        t: {
+            "p50_sec": round(statistics.median(v), 3),
+            "epochs_sec": [round(x, 3) for x in v],
+        }
+        for t, v in ticks.items()
+    }
+    out["merge_into_speedup"] = round(
+        statistics.median(ticks["bl_off"]) / statistics.median(ticks["bl_on"]),
+        2,
+    )
+
+    # delete_by_keys target narrowing A/B (fresh spread keys)
+    dk = {}
+    for table in ("bl_on", "bl_off"):
+        keys = spread_keys(1024, even=True, salt=99)
+        t0 = time.perf_counter()
+        res = wh.delete_by_keys("lab", table, keys, eq_cols=["k"])
+        dk[table] = {
+            "files_pruned": res["files_pruned"],
+            "targets": res["targets"],
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    out["delete_by_keys_1024"] = dk
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def mv_steady_probe(n_rows: int, workdir: str) -> None:
     """Incremental-MV maintenance economics at scale (r12, the order-#6
     scale follow-up): a 20k-row CDC epoch lands on a ``n_rows``-key
@@ -1364,6 +1511,9 @@ def main() -> None:
         return
     if "--mv-steady" in sys.argv:
         mv_steady_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--bloom" in sys.argv:
+        bloom_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--evolution" in sys.argv:
         evolution_probe(n_rows if args else 1_000_000, workdir)

@@ -1,0 +1,296 @@
+"""Per-file key BLOOM filters in manifests (VERDICT r12 #1) — puffin-style
+membership pruning for equality/IN predicates on high-cardinality keys,
+the case [min, max] envelopes provably cannot touch (PERF.md r12: envelope
+pruning bought ZERO for uniformly distributed CDC keys, because every
+file's bounds span the whole keyspace).
+
+Design under test (sources/warehouse.py):
+- opt-in via the ``bloom_columns`` table property; filters are built at
+  the single fresh-entry choke point every writer passes through, so
+  appends, CoW rewrites, optimize and merge outputs all carry them;
+- the BITS live in sidecar blobs (``<table>/blooms/bl_*.bin``) — manifest
+  entries record only the path (inlining a 100k-key filter would blow up
+  the measured 2-3 KB/commit head IO);
+- ``_entry_excluded`` consults them for membership-shaped specs (discrete
+  value lists, point ranges), so prune_files / read_pruned / read_where /
+  delete_by_keys narrowing / equality-delete read-time narrowing all
+  inherit the skipping;
+- conservative everywhere: absent property, absent blob, unsupported
+  type, or mismatched probe type keep the file;
+- GC: abort unlinks a commit's own blobs; expiry and the age-gated
+  orphan sweep collect unreferenced ones (exactness is pinned by
+  test_segment_model's expire op).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+)
+
+N_FILES = 8
+ROWS_PER_FILE = 500
+
+
+def _mk_uniform(spark, tmp_path, name, props=None, key="bigint"):
+    """N_FILES appends with INTERLEAVED keys: file b holds ids
+    {b, b+N, b+2N, ...} so every file's [min, max] spans essentially the
+    whole keyspace — the uniform-key shape where envelope pruning keeps
+    everything and only membership can discriminate."""
+    wh = ParquetWarehouse(spark, str(tmp_path / f"wh_{name}"))
+    p = {"snapshots": "true"}
+    p.update(props or {})
+    wh.create_table("lab", name, "zstd", 1, properties=p)
+    for b in range(N_FILES):
+        ids = [b + j * N_FILES for j in range(ROWS_PER_FILE)]
+        rows = [(i, f"k{i:06d}", i % 7) for i in ids]
+        wh.append(
+            "lab", name,
+            spark.createDataFrame(
+                rows, f"id {key}, sk string, grp int"
+            ).coalesce(1),
+            batch_id=f"b{b}",
+        )
+    return wh
+
+
+def test_uniform_keys_membership_prunes_where_envelope_cannot(
+    spark, tmp_path
+):
+    wh = _mk_uniform(
+        spark, tmp_path, "u", props={"bloom_columns": "id,sk"}
+    )
+    # keys 3 and 11 both live in file b=3 (3 % 8 == 11 % 8 == 3)
+    probe = [3, 11]
+    kept, total = wh.prune_files("lab", "u", {"id": probe})
+    assert total == N_FILES
+    assert len(kept) == 1  # membership proves 7 of 8 files irrelevant
+    # the same probe as a RANGE envelope keeps everything — the r12
+    # measured blind spot this feature exists to close
+    kept_env, _ = wh.prune_files("lab", "u", {"id": (3, 11)})
+    assert len(kept_env) == N_FILES
+    # pruning is an optimization, never a filter: pruned+filter == full
+    got = sorted(
+        r["id"]
+        for r in wh.read_pruned("lab", "u", {"id": probe})
+        .filter("id in (3, 11)")
+        .collect()
+    )
+    assert got == probe
+    # DuckDB cross-check: the pruned+filtered read equals a second
+    # engine's scan of ALL live files with the same predicate
+    import duckdb
+
+    all_files, _ = wh.prune_files("lab", "u", {})
+    want = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT id FROM read_parquet($f) WHERE id IN (3, 11) ORDER BY id",
+            {"f": all_files},
+        )
+        .fetchall()
+    ]
+    assert got == want == probe
+    # string keys prune identically (crc32 algo path)
+    kept_s, _ = wh.prune_files("lab", "u", {"sk": ["k000003"]})
+    assert len(kept_s) == 1
+    # point-range spec shape (v, v) consults the bloom too
+    kept_p, _ = wh.prune_files("lab", "u", {"id": (11, 11)})
+    assert len(kept_p) == 1
+    # absent key INSIDE the bounds envelope: bounds keep every file,
+    # the bloom proves absence everywhere (modulo FPR — allow <= 1)
+    missing = 4001  # odd ids above 4000 were never written
+    kept_a, _ = wh.prune_files("lab", "u", {"id": [missing]})
+    assert len(kept_a) <= 1
+
+
+def test_conservative_paths_and_exactness(spark, tmp_path):
+    # no property -> no blooms recorded, membership spec keeps all files
+    wh0 = _mk_uniform(spark, tmp_path, "off")
+    kept, total = wh0.prune_files("lab", "off", {"id": [3, 11]})
+    assert len(kept) == total == N_FILES
+    head = wh0.head_snapshot("lab", "off")
+    assert all("bloom" not in e for e in head["files"])
+
+    wh = _mk_uniform(spark, tmp_path, "on", props={"bloom_columns": "id"})
+    # probe value type != written column type: bloom skipped, kept
+    kept, _ = wh.prune_files("lab", "on", {"id": ["3"]})
+    assert len(kept) == N_FILES
+    # NULL in the list: not bloom-provable, kept (bounds may still act)
+    kept, _ = wh.prune_files("lab", "on", {"id": [3, None]})
+    assert len(kept) == N_FILES
+    # open/real ranges never consult blooms (bounds still prune: files
+    # whose min exceeds the endpoint are legitimately excluded)
+    wh._bloom_cache.clear()
+    loads0 = wh._bloom_loads
+    kept, _ = wh.prune_files("lab", "on", {"id": (None, 3)})
+    assert len(kept) == 4 and wh._bloom_loads == loads0
+    # blob file missing on disk: conservative keep (bounds still prune
+    # the 4 files whose min exceeds 3), never a crash
+    bdir = os.path.join(wh._tdir("lab", "on"), "blooms")
+    for fn in os.listdir(bdir):
+        os.unlink(os.path.join(bdir, fn))
+    wh._bloom_cache.clear()
+    kept, _ = wh.prune_files("lab", "on", {"id": [3]})
+    assert len(kept) == 4
+
+
+def test_fpr_empirical_and_empty_column():
+    """Direct unit on the blob builder/prober: 100k int keys, 20k absent
+    probes -> measured FPR must stay near the designed ~7e-4 (16
+    bits/key, k=7); an all-NULL column yields an empty filter that
+    excludes every probe."""
+    import numpy as np
+    import pyarrow as pa
+
+    wh = ParquetWarehouse.__new__(ParquetWarehouse)
+    wh._bloom_cache, wh._bloom_loads = {}, 0
+    present = pa.chunked_array([pa.array(range(0, 200_000, 2), pa.int64())])
+    blob = wh._build_bloom_blob(present)
+    import struct
+
+    algo, k, m = struct.unpack("<BBI", blob[4:10])
+    bits = np.frombuffer(blob[10:], dtype=np.uint8)
+    assert algo == wh._BLOOM_ALGO_INT and k == wh._BLOOM_K
+    assert m >= 100_000 * wh._BLOOM_BITS_PER_KEY
+
+    def contains(vals):
+        h1, h2, _ = wh._bloom_probe_hashes(list(vals))
+        pos = wh._bloom_positions(h1, h2, k, m)
+        hit = (bits[pos >> np.uint64(3)] >> (pos & np.uint64(7))) & 1
+        return hit.all(axis=1)
+
+    assert contains(range(0, 1000, 2)).all()  # zero false negatives
+    fp = contains(range(1, 40_001, 2)).mean()  # 20k absent odd keys
+    assert fp < 3e-3, fp
+    # all-null column -> empty filter -> every probe excluded (correct:
+    # SQL equality never matches NULL)
+    empty = wh._build_bloom_blob(
+        pa.chunked_array([pa.array([None, None], pa.int64())])
+    )
+    algo_e, k_e, m_e = struct.unpack("<BBI", empty[4:10])
+    assert not np.frombuffer(empty[10:], dtype=np.uint8).any()
+    # unsupported types record nothing
+    assert wh._build_bloom_blob(
+        pa.chunked_array([pa.array([1.5], pa.float64())])
+    ) is None
+
+
+def test_rename_resolution_and_rewrite_rebuild(spark, tmp_path):
+    """Blooms are keyed by each file's WRITE-TIME column name (same as
+    bounds): after a rename, pruning under the new name must keep
+    resolving through the field-id mapping; an optimize() rewrite
+    re-derives filters for its output files under the new name."""
+    wh = _mk_uniform(spark, tmp_path, "rn", props={"bloom_columns": "id"})
+    wh.rename_column("lab", "rn", "id", "doc_id")
+    kept, total = wh.prune_files("lab", "rn", {"doc_id": [3, 11]})
+    assert total == N_FILES and len(kept) == 1
+    got = sorted(
+        r["doc_id"]
+        for r in wh.read_pruned("lab", "rn", {"doc_id": [3, 11]})
+        .filter("doc_id in (3, 11)")
+        .collect()
+    )
+    assert got == [3, 11]
+    # rewrite: output files carry fresh blooms under the current name
+    wh.optimize("lab", "rn")
+    head = wh.head_snapshot("lab", "rn")
+    assert all("doc_id" in e.get("bloom", {}) for e in head["files"])
+    for e in head["files"]:
+        assert os.path.isfile(
+            os.path.join(wh._tdir("lab", "rn"), e["bloom"]["doc_id"])
+        )
+    # compacted table: a point probe still reads exactly
+    got = [
+        r["doc_id"]
+        for r in wh.read_pruned("lab", "rn", {"doc_id": [11]})
+        .filter("doc_id = 11")
+        .collect()
+    ]
+    assert got == [11]
+
+
+def test_delete_by_keys_narrowing_uses_blooms(spark, tmp_path):
+    """delete_by_keys' commit-time target pruning passes the EXACT
+    discrete key set — with blooms on a uniform-key table it prunes
+    files the bounds envelope cannot, and the read stays exact."""
+    wh = _mk_uniform(spark, tmp_path, "dk", props={"bloom_columns": "id"})
+    out = wh.delete_by_keys("lab", "dk", [3, 11], eq_cols=["id"])
+    assert out["files_pruned"] == N_FILES - 1  # membership-pruned
+    ids = {r["id"] for r in wh.read("lab", "dk").collect()}
+    assert 3 not in ids and 11 not in ids
+    assert len(ids) == N_FILES * ROWS_PER_FILE - 2
+    # the blind-spot A/B: same table without blooms prunes nothing
+    wh0 = _mk_uniform(spark, tmp_path, "dk0")
+    out0 = wh0.delete_by_keys("lab", "dk0", [3, 11], eq_cols=["id"])
+    assert out0["files_pruned"] == 0
+
+
+def test_abort_gc_unlinks_commit_blobs(spark, tmp_path):
+    """A commit that aborts (schema fence) must unlink the bloom blobs
+    its fresh entries wrote — same contract as its segments."""
+    wh = _mk_uniform(spark, tmp_path, "ab", props={"bloom_columns": "id"})
+    bdir = os.path.join(wh._tdir("lab", "ab"), "blooms")
+    before = set(os.listdir(bdir))
+    # write a real data file, then force the commit to abort via the
+    # schema fence (expected_schema_id mismatch)
+    tdir = wh._tdir("lab", "ab")
+    d = os.path.join(tdir, "data", "zz", "g_abort")
+    os.makedirs(d)
+    p = os.path.join(d, "f0.parquet")
+    spark.createDataFrame([(999999, "x", 0)], "id bigint, sk string, grp int")\
+        .coalesce(1).write.mode("overwrite").parquet(d + "_tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(d + "_tmp/part-*.parquet")[0], p)
+    shutil.rmtree(d + "_tmp")
+    with pytest.raises(RuntimeError, match="schema"):
+        wh.commit_snapshot(
+            "lab", "ab", "append", add_files=[p], expected_schema_id=999
+        )
+    assert set(os.listdir(bdir)) == before  # the aborted blob is gone
+
+
+def test_expiry_gc_collects_dead_blobs(spark, tmp_path):
+    wh = _mk_uniform(spark, tmp_path, "gc", props={"bloom_columns": "id"})
+    bdir = os.path.join(wh._tdir("lab", "gc"), "blooms")
+    assert len(os.listdir(bdir)) == N_FILES
+    wh.optimize("lab", "gc")  # rewrite: new blobs, old entries superseded
+    n_after_opt = len(os.listdir(bdir))
+    assert n_after_opt > N_FILES  # old blobs retained for time travel
+    wh.expire_snapshots("lab", "gc", keep_last=1)
+    live = {
+        e["bloom"]["id"].split(os.sep)[-1]
+        for e in wh.head_snapshot("lab", "gc")["files"]
+    }
+    assert set(os.listdir(bdir)) == live  # exactly the live head's blobs
+    # reads still exact after GC
+    wh._bloom_cache.clear()
+    got = [
+        r["id"]
+        for r in wh.read_pruned("lab", "gc", {"id": [11]})
+        .filter("id = 11")
+        .collect()
+    ]
+    assert got == [11]
+
+
+def test_orphan_sweep_age_gates_blobs(spark, tmp_path):
+    wh = _mk_uniform(spark, tmp_path, "or", props={"bloom_columns": "id"})
+    bdir = os.path.join(wh._tdir("lab", "or"), "blooms")
+    orphan = os.path.join(bdir, "bl_orphanxxx.bin")
+    with open(orphan, "wb") as f:
+        f.write(b"BLM1junk")
+    # young orphan survives (in-flight commits write blobs pre-CAS)
+    wh.remove_orphan_files("lab", "or", older_than_s=3600)
+    assert os.path.isfile(orphan)
+    # aged orphan is collected; referenced blobs never are
+    removed = wh.remove_orphan_files("lab", "or", older_than_s=0)
+    assert removed == 1 and not os.path.isfile(orphan)
+    assert len(os.listdir(bdir)) == N_FILES

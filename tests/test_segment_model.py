@@ -32,7 +32,13 @@ from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehous
 def _mk_wh():
     root = tempfile.mkdtemp(prefix="seg_model_")
     wh = ParquetWarehouse(None, root)  # spark unused by the log layer
-    wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    # bloom_columns ON for the whole model: every op sequence now also
+    # exercises sidecar build (no-Spark pyarrow path), entry carry
+    # through every head writer, and exact blob GC (VERDICT r12 #1)
+    wh.create_table(
+        "lab", "t", "zstd", 1,
+        properties={"snapshots": "true", "bloom_columns": "id"},
+    )
     try:
         yield wh
     finally:
@@ -236,6 +242,9 @@ def test_random_op_sequences_match_model(ops):
                         with _pytest.raises(ValueError, match="partitioning"):
                             wh.rename_column("lab", "t", f["name"], new)
                         ddl_epoch -= 1  # nothing committed
+                        continue  # refused: the +1 version assertion
+                        # below is for committed DDL only (latent
+                        # fall-through surfaced by the r13 model edit)
                     else:
                         wh.rename_column("lab", "t", f["name"], new)
                         f["name"] = new
@@ -249,6 +258,7 @@ def test_random_op_sequences_match_model(ops):
                         with _pytest.raises(ValueError, match="partitioning"):
                             wh.drop_column("lab", "t", f["name"])
                         ddl_epoch -= 1  # nothing committed
+                        continue  # refused: no commit to assert on
                     else:
                         wh.drop_column("lab", "t", f["name"])
                         schema_model.remove(f)
@@ -475,7 +485,21 @@ def test_random_op_sequences_match_model(ops):
                         check()
                         v = wh._latest_version("lab", "t")
                         if v is not None:
-                            states[v] = {i: dict(r) for i, r in rows.items()}
+                            # the FIRST model's state tuple (files, dels,
+                            # seq dels) — a copy-paste of the DML model's
+                            # rows-dict shape sat here unexecuted until
+                            # the r13 example-DB reset reached this path
+                            states[v] = (
+                                frozenset(model),
+                                {
+                                    k: frozenset(x)
+                                    for k, x in dels_model.items()
+                                },
+                                {
+                                    k: frozenset(x)
+                                    for k, x in seq_dels_model.items()
+                                },
+                            )
                         continue
                     out = wh.merge_branch("lab", "t", name)
                     assert out["strategy"] == "cherry_pick"
@@ -659,6 +683,29 @@ def test_random_op_sequences_match_model(ops):
                     else set()
                 )
                 assert on_disk_dels == kept_dels
+                # exact bloom-blob GC (VERDICT r12 #1): on-disk sidecars
+                # are exactly the kept heads' entry references — expiry
+                # never strands a dead blob nor deletes a live one
+                kept_blobs = set()
+                for kv in wh._snapshot_versions("lab", "t"):
+                    for e in wh._load_snapshot("lab", "t", kv)["files"]:
+                        kept_blobs.update(e.get("bloom", {}).values())
+                for b in branches_model:
+                    for bv in wh._snapshot_versions("lab", "t", b):
+                        for e in wh._load_snapshot("lab", "t", bv, b)[
+                            "files"
+                        ]:
+                            kept_blobs.update(e.get("bloom", {}).values())
+                bdir = os.path.join(tdir, "blooms")
+                on_disk_blobs = (
+                    {
+                        os.path.join("blooms", fn)
+                        for fn in os.listdir(bdir)
+                    }
+                    if os.path.isdir(bdir)
+                    else set()
+                )
+                assert on_disk_blobs == kept_blobs
             check()
             v = wh._latest_version("lab", "t")
             if v is not None:
@@ -697,6 +744,10 @@ DML_OPS = st.lists(
                 # spec, rollback keeps the spec, the changelog skips it
                 "spec_ddl",
                 "rename", "expire", "tag",
+                # r13 per-file key blooms: a membership prune mid-history
+                # must consult the sidecars and stay EXACT whatever mix
+                # of DML/DDL produced the current file set
+                "bloom_prune",
                 # r11: rollback interleaved with row-level DML — the read
                 # must equal the row model the table had at the target
                 # version, under the CURRENT (non-reverted) schema
@@ -829,6 +880,22 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                 elif sv > cur_v:
                     rows[tgt_id] = {"k": rows[tgt_id]["k"], "v": sv}
                 rows[ins_id] = {"k": ins_id % 3, "v": pick}
+            elif op == "bloom_prune" and rows:
+                # point-membership prune through the bloom sidecars: the
+                # pruned+filtered read must equal the model exactly, and
+                # the blobs must actually be CONSULTED (cache cleared ->
+                # loads counted) — never over-prune, never skip silently
+                i = sorted(rows)[pick % len(rows)]
+                wh._bloom_cache.clear()
+                loads0 = wh._bloom_loads
+                got = {
+                    r["id"]
+                    for r in wh.read_pruned("lab", "t", {"id": [i]})
+                    .filter(f"id = {i}")
+                    .collect()
+                }
+                assert got == {i}
+                assert wh._bloom_loads > loads0
             elif op == "spec_ddl":
                 if not wh._snapshot_versions("lab", "t"):
                     continue
