@@ -442,6 +442,7 @@ class ParquetWarehouse:
         df: DataFrame,
         batch_id: str | None = None,
         branch: str = "main",
+        extra_meta: dict | None = None,
     ) -> None:
         """Append one batch.  ``branch`` (log mode only) commits onto a
         named writable ref created by ``create_branch`` — the staging leg
@@ -513,11 +514,20 @@ class ParquetWarehouse:
                 schema_fields=schema_fields,
                 spec_transforms=part_spec,
                 branch=branch,
+                extra_meta=extra_meta,
             )
             return
         if branch != "main":
             raise ValueError(
                 "branch writes require a log-mode (snapshots=true) table"
+            )
+        if extra_meta is not None:
+            # a caller-provided commit marker (e.g. the aggregate MV's
+            # applied-watermark) must land ATOMICALLY with the data —
+            # dir mode has no commit to carry it, and silently dropping
+            # a correctness marker is worse than refusing
+            raise ValueError(
+                "extra_meta requires a log-mode (snapshots=true) table"
             )
         writer_df, part_cols = apply_partition_transforms(df, meta.partitioning)
         if part_cols:
@@ -1527,6 +1537,13 @@ class ParquetWarehouse:
     # few thousand uniform keys every live file genuinely contains some
     # of them and file-level membership cannot discriminate.
     MERGE_DISCRETE_KEYS_MAX = 2048
+
+    # merge-on-read image writes at or below this many rows coalesce to
+    # ONE file: a small CDC tick otherwise writes one near-empty file per
+    # shuffle partition (measured ~20 files for a 64-row batch), each
+    # costing a manifest entry, footer stats, an optional bloom build,
+    # and read fan-in on every later scan.
+    MOR_IMAGE_COALESCE_ROWS = 100_000
 
     @classmethod
     def _store_key_ranges(cls, ranges: dict) -> dict:
@@ -8322,6 +8339,7 @@ class ParquetWarehouse:
         delete_col: str | None = None,
         mode: str | None = None,
         branch: str = "main",
+        extra_meta: dict | None = None,
     ) -> dict:
         """Upsert ``updates`` into the table by key (MERGE INTO analogue —
         parquet has no transaction log, so this is copy-on-write).
@@ -8376,6 +8394,10 @@ class ParquetWarehouse:
         if branch != "main" and not self._log_mode(meta):
             raise ValueError(
                 "branch writes require a log-mode (snapshots=true) table"
+            )
+        if extra_meta is not None and not self._log_mode(meta):
+            raise ValueError(
+                "extra_meta requires a log-mode (snapshots=true) table"
             )
         # ONE head capture anchors the whole merge (review r12 #1): the
         # column set, the current partition spec, and the copy-on-write
@@ -8452,7 +8474,10 @@ class ParquetWarehouse:
                 # empty table: a MoR upsert batch is just an append
                 # (append conforms and applies partition transforms)
                 if n_updates > n_deleted:
-                    self.append(schema, table, upserts, branch=branch)
+                    self.append(
+                        schema, table, upserts, branch=branch,
+                        extra_meta=extra_meta,
+                    )
                 result["mode"] = "merge-on-read"
                 result["delete_files_added"] = 0
                 return result
@@ -8510,6 +8535,13 @@ class ParquetWarehouse:
                 ups, schema_fields = self._conform_log_schema(
                     schema, table, ups.select(*table_cols), branch=branch
                 )
+                if n_updates <= self.MOR_IMAGE_COALESCE_ROWS:
+                    # small CDC batches: one image file, not one per
+                    # shuffle partition — a 64-row tick was writing ~20
+                    # near-empty files (measured in the r13 bloom probe),
+                    # each costing a manifest entry, a footer stat, an
+                    # optional bloom build, and read fan-in forever after
+                    ups = ups.coalesce(1)
                 gen_dir = os.path.join(
                     data_dir, f"merge_{uuid.uuid4().hex[:8]}"
                 )
@@ -8557,6 +8589,7 @@ class ParquetWarehouse:
                     ),
                     spec_transforms=cur_part if new else None,
                     branch=branch,
+                    extra_meta=extra_meta,
                 )
             except BaseException:
                 if del_root is not None:
@@ -8615,6 +8648,7 @@ class ParquetWarehouse:
             self.commit_snapshot(
                 schema, table, "merge_upsert", file_paths=new,
                 expected_parent=head_version, branch=branch,
+                extra_meta=extra_meta,
             )
             if part_names:
                 result["partitions_rewritten"] = len(
