@@ -27,15 +27,50 @@ convergence.  A pull that observes source commits NEWER than its window
 refreshes those keys early; the next pull re-refreshes them — monotone
 toward the source's keep-latest, exact once ticks drain the log (the
 convergence contract ``test_incremental_mv`` pins over randomized DML).
+
+CRASH ORDERING (ADVICE r13 medium): every bootstrap / lost-checkpoint
+reconcile COMMITS THE MV FIRST and only then initializes the checkpoint
+file, at the exact source version the recompute read.  The previous
+shape (consume_changes initializes the checkpoint at head, THEN the
+reconcile merges) left a window where a crash strands ckpt@head over an
+MV whose coverage is older — the skipped versions would never redeliver.
+With commit-before-checkpoint every crash point re-enters bootstrap or
+redelivers a window the MV already covers (idempotent for keep-latest,
+watermark-filtered for aggregates).
 """
 
 from __future__ import annotations
+
+import json
+import os
+import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
 from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 
 _DEL = "__mv_del"
+
+
+def _init_checkpoint(checkpoint_file: str, version: int) -> None:
+    """Atomically initialize a consume_changes checkpoint at ``version``
+    — same file format and tmp+rename protocol as consume_changes' own
+    writes.  Called ONLY after the covering MV commit has landed, so the
+    checkpoint can never point past what the MV has applied."""
+    os.makedirs(
+        os.path.dirname(os.path.abspath(checkpoint_file)), exist_ok=True
+    )
+    tmp = checkpoint_file + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "branch": "main"}, f)
+    os.replace(tmp, checkpoint_file)
+
+
+def _ckpt_version(checkpoint_file: str) -> int | None:
+    if not os.path.exists(checkpoint_file):
+        return None
+    with open(checkpoint_file) as f:
+        return json.load(f).get("version")
 
 
 def maintain_keep_latest_mv(
@@ -55,8 +90,6 @@ def maintain_keep_latest_mv(
     The MV table must exist (create_table); its first tick bootstraps
     it with a plain append.  ``mode`` is merge_upsert's write strategy —
     merge-on-read keeps each tick O(window) IO."""
-    import os
-
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -66,33 +99,59 @@ def maintain_keep_latest_mv(
     mschema, mtable = mv
     out = {"keys_refreshed": 0}
     # Bootstrap whenever the checkpoint is missing OR the MV has never
-    # committed (ADVICE r12 medium): a crash between consume_changes'
-    # checkpoint init and the bootstrap refresh leaves the checkpoint in
-    # place over an empty MV — keying bootstrap off the checkpoint file
-    # alone would then go incremental-only forever and pre-existing
-    # source rows would never reach the MV.  The MV transitions from
-    # uncommitted to committed ONLY via the full refresh/reconcile below
-    # (process() skips writes on bootstrap ticks), so any crash inside a
-    # bootstrap tick re-triggers bootstrap on the next one.
-    bootstrap = not os.path.exists(checkpoint_file) or not wh._snapshot_versions(
-        mschema, mtable
-    )
+    # committed (ADVICE r12 medium): a crash between a past checkpoint
+    # init and the bootstrap refresh must re-enter bootstrap, or
+    # pre-existing source rows would never reach the MV.
+    ckpt_v = _ckpt_version(checkpoint_file)
+    bootstrap = ckpt_v is None or not wh._snapshot_versions(mschema, mtable)
+    head_v = wh._latest_version(sschema, stable)
+    if bootstrap and head_v is not None and not (
+        ckpt_v is not None and ckpt_v > head_v
+    ):
+        # FULL refresh at a PINNED version, COMMITTED BEFORE the
+        # checkpoint moves (the ADVICE r13 ordering): the changelog
+        # cannot replay from before the log's first retained snapshot,
+        # so the bootstrap is a full refresh (initial load + incremental
+        # ever after, the standard MV pattern).  A crash before the
+        # commit re-enters bootstrap; a crash between the commit and the
+        # checkpoint init re-enters bootstrap too (reconcile is
+        # idempotent); after both, the incremental pull below resumes
+        # exactly at head_v.  (ckpt_v > head_v = recreated/stale source
+        # table — fall through so consume_changes raises its standard
+        # error without touching the MV.)
+        latest = keep_latest(
+            wh.read_snapshot(sschema, stable, head_v),
+            key_cols, ts_col, tie_col,
+        )
+        if not wh._snapshot_versions(mschema, mtable):
+            wh.append(mschema, mtable, latest, batch_id="mv_bootstrap")
+        else:
+            # MV survived a lost checkpoint: RECONCILE — refresh every
+            # key and tombstone MV keys the source no longer has
+            gone = (
+                wh.read(mschema, mtable)
+                .select(*key_cols)
+                .join(latest.select(*key_cols), key_cols, "left_anti")
+            )
+            batch = latest.withColumn(_DEL, F.lit(False)).unionByName(
+                gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
+            )
+            wh.merge_upsert(
+                mschema, mtable, batch, key_cols, delete_col=_DEL, mode=mode
+            )
+        out["keys_refreshed"] = -1  # full refresh marker
+        if ckpt_v is None:
+            _init_checkpoint(checkpoint_file, head_v)
 
     def process(ch: DataFrame) -> None:
-        if bootstrap:
-            # the trailing full refresh/reconcile reads the source AT or
-            # AFTER this window's end, covering every key the window
-            # touched — a partial per-window write here would let a
-            # crash strand a half-seeded-but-committed MV that later
-            # ticks treat as bootstrapped
-            return
         keys = ch.select(*key_cols).distinct()
         try:
             keys = keys.localCheckpoint(eager=True)
         except Exception:
             pass  # optimization only
         n_keys = keys.count()
-        out["keys_refreshed"] = n_keys
+        if out["keys_refreshed"] != -1:
+            out["keys_refreshed"] = n_keys
         if n_keys == 0:
             return
         cur = wh.read(sschema, stable)
@@ -112,38 +171,14 @@ def maintain_keep_latest_mv(
             mschema, mtable, batch, key_cols, delete_col=_DEL, mode=mode
         )
 
+    # Always-incremental pull — on a bootstrap tick the window is
+    # (head_v, current head]: normally empty, and any commit that raced
+    # in is refreshed here rather than silently skipped (the refresh is
+    # key-idempotent, so covering the bootstrap's own window twice is
+    # harmless).
     res = wh.consume_changes(
         sschema, stable, checkpoint_file, process, net=net
     )
-    if bootstrap:
-        # FIRST tick: consume_changes initialized the checkpoint at the
-        # current head and delivered nothing — the changelog cannot
-        # replay from before the log's first retained snapshot, so the
-        # bootstrap is a FULL refresh (initial load + incremental ever
-        # after, the standard MV pattern).  The refresh reads AT or
-        # AFTER the checkpointed head, so anything it over-reads is
-        # re-refreshed by the next window — monotone, never lossy.
-        latest = keep_latest(
-            wh.read(sschema, stable), key_cols, ts_col, tie_col
-        )
-        if not wh._snapshot_versions(mschema, mtable):
-            wh.append(mschema, mtable, latest, batch_id="mv_bootstrap")
-            out["keys_refreshed"] = -1  # full refresh marker
-        else:
-            # MV survived a lost checkpoint: RECONCILE — refresh every
-            # key and tombstone MV keys the source no longer has
-            gone = (
-                wh.read(mschema, mtable)
-                .select(*key_cols)
-                .join(latest.select(*key_cols), key_cols, "left_anti")
-            )
-            batch = latest.withColumn(_DEL, F.lit(False)).unionByName(
-                gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
-            )
-            wh.merge_upsert(
-                mschema, mtable, batch, key_cols, delete_col=_DEL, mode=mode
-            )
-            out["keys_refreshed"] = -1
     return {**res, **out}
 
 
@@ -157,10 +192,9 @@ def _mv_applied_version(wh, mschema: str, mtable: str) -> int:
     retained parent chain from the head until a commit carries the
     marker (usually the head itself; an optimize() between ticks pushes
     it one back).  -1 = nothing ever applied.  An expiry that swallowed
-    the whole marked history degrades to -1 — combined with a crash
-    between merge and checkpoint that re-applies a window, so retention
-    must outlive the tick cadence (documented; the checkpoint pins the
-    source side the same way)."""
+    the whole marked history degrades to -1, which the gap check in
+    ``maintain_agg_mv`` treats as un-provable coverage and heals with a
+    full reconcile (never a silent skip or double-apply)."""
     v = wh._latest_version(mschema, mtable)
     while v is not None:
         try:
@@ -209,9 +243,16 @@ def maintain_agg_mv(
       net pair spanning the applied boundary would mis-filter);
       cancelling pairs cost nothing anyway: they zero out inside the
       window's one groupBy;
-    - the bootstrap recompute reads ``read_snapshot(src, to)`` AT the
-      version the checkpoint just landed on and stamps it, so the next
-      window starts exactly where the recompute stopped.
+    - bootstrap/reconcile recomputes read ``read_snapshot(src, v)`` at
+      a pinned version, COMMIT (stamping ``mv_applied_to = v``), and
+      only then initialize the checkpoint at that same v — commit
+      before checkpoint (ADVICE r13 medium), so the checkpoint can
+      never run ahead of what the MV has applied;
+    - defense in depth: every normal tick cross-checks the watermark
+      against the checkpoint — if versions in (applied, ckpt] carried
+      row changes (a hand-moved checkpoint, an expired watermark
+      history), the tick heals with a full reconcile instead of
+      silently skipping them.
 
     MV schema (created here on bootstrap via append): group_cols +
     ``cnt`` + per sum column ``sum_<c>``/``nn_<c>``/``avg_<c>`` (avg is
@@ -223,10 +264,6 @@ def maintain_agg_mv(
     floating-point cancellation drift under heavy delete churn — use
     optimize()-triggered full refresh if exactness on doubles matters;
     int sums are exact."""
-    import os
-
-    from pyspark.sql import functions as F
-
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -236,9 +273,6 @@ def maintain_agg_mv(
     sschema, stable = src
     mschema, mtable = mv
     out = {"groups_refreshed": 0}
-    bootstrap = not os.path.exists(checkpoint_file) or not wh._snapshot_versions(
-        mschema, mtable
-    )
 
     def agg_exprs(sign):
         """The ONE set of aggregate expressions both the incremental
@@ -269,6 +303,75 @@ def maintain_agg_mv(
             )
         return df
 
+    def recompute_at(v: int) -> None:
+        """Full recompute of the MV from ``read_snapshot(src, v)``,
+        committed with ``mv_applied_to = v`` — the bootstrap AND the
+        lost-checkpoint / gap reconcile (idempotent: re-running after a
+        crash converges to the same state)."""
+        state = with_avgs(
+            wh.read_snapshot(sschema, stable, v)
+            .groupBy(*group_cols)
+            .agg(*agg_exprs(F.lit(1)))
+        )
+        if not wh._snapshot_versions(mschema, mtable):
+            wh.append(
+                mschema, mtable, state, batch_id="mv_bootstrap",
+                extra_meta={_APPLIED: v},
+            )
+        else:
+            # reconcile every group and tombstone MV groups the
+            # recompute no longer has
+            gone = (
+                wh.read(mschema, mtable)
+                .select(*group_cols)
+                .join(state.select(*group_cols), group_cols, "left_anti")
+            )
+            batch = state.withColumn(_DEL, F.lit(False)).unionByName(
+                gone.withColumn(_DEL, F.lit(True)),
+                allowMissingColumns=True,
+            )
+            wh.merge_upsert(
+                mschema, mtable, batch, group_cols, delete_col=_DEL,
+                mode=mode, extra_meta={_APPLIED: v},
+            )
+        out["groups_refreshed"] = -1  # full refresh marker
+
+    ckpt_v = _ckpt_version(checkpoint_file)
+    bootstrap = ckpt_v is None or not wh._snapshot_versions(mschema, mtable)
+    head_v = wh._latest_version(sschema, stable)
+    if head_v is not None and not (ckpt_v is not None and ckpt_v > head_v):
+        # (ckpt_v > head_v = recreated/stale source — fall through so
+        # consume_changes raises its standard error, MV untouched)
+        if bootstrap:
+            recompute_at(head_v)
+            if ckpt_v is None:
+                _init_checkpoint(checkpoint_file, head_v)
+        else:
+            # GAP CHECK (ADVICE r13 medium, defense in depth): versions
+            # in (applied, ckpt] were checkpointed past but are above
+            # the MV's watermark.  Normally that tail is metadata-only
+            # (the watermark is the window's max ROW-change version;
+            # trailing compaction/DDL commits sit above it) — O(tail)
+            # head-JSON reads, zero Spark jobs.  If the tail has
+            # non-skip ops, prove harmlessness from the changelog
+            # itself; row changes there mean the MV skipped versions it
+            # can never pull again — heal with a full reconcile.
+            applied = _mv_applied_version(wh, mschema, mtable)
+            if applied < ckpt_v and not wh._window_metadata_only(
+                sschema, stable, applied, ckpt_v, "main"
+            ):
+                try:
+                    missed = not wh.read_changes(
+                        sschema, stable, applied, ckpt_v, net=False
+                    ).isEmpty()
+                except Exception:
+                    # un-provable gap (expired versions, a rollback, or
+                    # applied = -1 from an expired watermark history):
+                    # reconcile rather than risk a silent skip
+                    missed = True
+                if missed:
+                    recompute_at(head_v)
+
     def incremental(ch) -> None:
         applied = _mv_applied_version(wh, mschema, mtable)
         ch = ch.filter(F.col("_commit_version") > F.lit(applied))
@@ -286,7 +389,8 @@ def maintain_agg_mv(
         head = delta.agg(
             F.count("*").alias("n"), F.max("_win_v").alias("v")
         ).collect()[0]
-        out["groups_refreshed"] = int(head["n"])
+        if out["groups_refreshed"] != -1:
+            out["groups_refreshed"] = int(head["n"])
         if head["n"] == 0:
             return
         win_v = int(head["v"])
@@ -325,44 +429,11 @@ def maintain_agg_mv(
             mode=mode, extra_meta={_APPLIED: win_v},
         )
 
-    def process(ch) -> None:
-        if bootstrap:
-            # the trailing recompute reads AT the checkpointed version
-            # and covers this window; a partial per-window write here
-            # could strand a half-seeded-but-committed MV (the
-            # keep-latest crash-hole lesson, ADVICE r12)
-            return
-        incremental(ch)
-
+    # Always-incremental pull: after a bootstrap/reconcile the window is
+    # (head_v, current head] — normally empty; a commit that raced in
+    # applies here (its rows are above the freshly stamped watermark),
+    # and anything at or below head_v filters out.
     res = wh.consume_changes(
-        sschema, stable, checkpoint_file, process, net=False
+        sschema, stable, checkpoint_file, incremental, net=False
     )
-    if bootstrap:
-        state = with_avgs(
-            wh.read_snapshot(sschema, stable, res["to"])
-            .groupBy(*group_cols)
-            .agg(*agg_exprs(F.lit(1)))
-        )
-        if not wh._snapshot_versions(mschema, mtable):
-            wh.append(
-                mschema, mtable, state, batch_id="mv_bootstrap",
-                extra_meta={_APPLIED: res["to"]},
-            )
-        else:
-            # MV survived a lost checkpoint: reconcile every group and
-            # tombstone MV groups the recompute no longer has
-            gone = (
-                wh.read(mschema, mtable)
-                .select(*group_cols)
-                .join(state.select(*group_cols), group_cols, "left_anti")
-            )
-            batch = state.withColumn(_DEL, F.lit(False)).unionByName(
-                gone.withColumn(_DEL, F.lit(True)),
-                allowMissingColumns=True,
-            )
-            wh.merge_upsert(
-                mschema, mtable, batch, group_cols, delete_col=_DEL,
-                mode=mode, extra_meta={_APPLIED: res["to"]},
-            )
-        out["groups_refreshed"] = -1  # full refresh marker
     return {**res, **out}

@@ -201,6 +201,104 @@ def test_bootstrap_crash_between_checkpoint_and_refresh(spark, tmp_path):
     assert all(r[0] != 2 for r in _mv_rows(wh))
 
 
+def test_reconcile_commits_before_checkpoint(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (medium): the lost-checkpoint reconcile must COMMIT
+    THE MV BEFORE the checkpoint file is (re)initialized.  The old
+    shape (consume_changes inits ckpt@head, then the reconcile merges)
+    let a crash in between strand ckpt@head over an MV whose watermark
+    is older — versions in (applied, ckpt] would never redeliver and
+    the counts stayed silently wrong forever.  Pin the ordering: a
+    reconcile that crashes leaves NO checkpoint, so the next tick
+    re-enters bootstrap and heals."""
+    import os
+
+    wh = _mk(spark, tmp_path, "ord")
+    ckpt = str(tmp_path / "ord" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10), (2, 0, 2, 5)], SCHEMA),
+        batch_id="b0",
+    )
+    _tick(wh, ckpt)
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 1, 3, 100)], SCHEMA),
+        batch_id="b1",
+    )
+    _tick(wh, ckpt)
+    want = _expected(wh)
+    # lose the checkpoint, then crash INSIDE the reconcile commit
+    os.unlink(ckpt)
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(3, 2, 4, 7)], SCHEMA),
+        batch_id="b2",
+    )
+    with monkeypatch.context() as m:
+        m.setattr(
+            wh, "merge_upsert",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+        )
+        with pytest.raises(RuntimeError, match="crash"):
+            _tick(wh, ckpt)
+    # the ordering contract: no commit -> no checkpoint written
+    assert not os.path.exists(ckpt)
+    assert _mv_rows(wh) == want  # MV untouched by the crashed tick
+    # next tick re-enters bootstrap and heals completely
+    out = _tick(wh, ckpt)
+    assert out["groups_refreshed"] == -1
+    assert _mv_rows(wh) == _expected(wh)
+    assert (3, 1, 7, 1, 7.0) in _mv_rows(wh)
+
+
+def test_checkpoint_ahead_of_watermark_heals_by_reconcile(spark, tmp_path):
+    """Defense in depth for the same hole class: if the on-disk state
+    the OLD code could produce ever appears anyway (checkpoint ahead of
+    the MV's applied watermark with ROW CHANGES in the gap — e.g. a
+    hand-moved/restored checkpoint file), a normal tick must detect it
+    from the watermark and heal with a full reconcile instead of
+    silently never delivering those versions."""
+    wh = _mk(spark, tmp_path, "gap")
+    ckpt = str(tmp_path / "gap" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10), (2, 0, 2, 5)], SCHEMA),
+        batch_id="b0",
+    )
+    _tick(wh, ckpt)
+    # row changes land AND the checkpoint jumps past them without any
+    # MV commit — the stranded state
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 1, 3, 100), (4, 1, 4, 1)], SCHEMA),
+        batch_id="b_gap",
+    )
+    head = wh._latest_version("lab", "src")
+    with open(ckpt, "w") as f:
+        json.dump({"version": head, "branch": "main"}, f)
+    # more commits after the strand point: the healing tick must cover
+    # BOTH the gap and the new window
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(2, 2, 5, 20)], SCHEMA),
+        batch_id="b_new",
+    )
+    out = _tick(wh, ckpt)
+    assert out["groups_refreshed"] == -1  # healed via full reconcile
+    assert _mv_rows(wh) == _expected(wh)
+    assert (1, 2, 110, 2, 55.0) in _mv_rows(wh)  # gap rows present
+    assert (2, 2, 25, 2, 12.5) in _mv_rows(wh)  # new-window rows present
+    # steady state resumes: the next tick is plain incremental again
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 3, 6, 1)], SCHEMA),
+        batch_id="b3",
+    )
+    out = _tick(wh, ckpt)
+    assert out["groups_refreshed"] == 1
+    assert _mv_rows(wh) == _expected(wh)
+
+
 DML = st.lists(
     st.tuples(
         st.sampled_from(

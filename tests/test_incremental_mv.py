@@ -111,6 +111,45 @@ def test_scripted_lifecycle_and_at_least_once(spark, tmp_path):
     assert _mv_rows(wh) == _expected(wh)
 
 
+def test_reconcile_commits_before_checkpoint(spark, tmp_path, monkeypatch):
+    """ADVICE r13: same ordering contract as the aggregate MV — the
+    lost-checkpoint reconcile commits the MV BEFORE the checkpoint is
+    reinitialized, so a crash inside the reconcile leaves no checkpoint
+    and the next tick re-enters bootstrap (keep-latest has no watermark
+    to DETECT a stranded checkpoint after the fact, so the ordering is
+    its only line of defense)."""
+    import os
+
+    wh = _mk(spark, tmp_path, "ord")
+    ckpt = str(tmp_path / "ord" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 10, 1, 100), (2, 10, 2, 200)], SCHEMA),
+        batch_id="b0",
+    )
+    _tick(wh, ckpt)
+    want = _mv_rows(wh)
+    os.unlink(ckpt)
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(3, 5, 3, 300)], SCHEMA),
+        batch_id="b1",
+    )
+    with monkeypatch.context() as m:
+        m.setattr(
+            wh, "merge_upsert",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+        )
+        with pytest.raises(RuntimeError, match="crash"):
+            _tick(wh, ckpt)
+    assert not os.path.exists(ckpt)  # no commit -> no checkpoint
+    assert _mv_rows(wh) == want
+    out = _tick(wh, ckpt)  # re-enters bootstrap and heals
+    assert out["keys_refreshed"] == -1
+    assert _mv_rows(wh) == _expected(wh)
+    assert (3, 5, 3, 300) in _mv_rows(wh)
+
+
 DML = st.lists(
     st.tuples(
         st.sampled_from(
