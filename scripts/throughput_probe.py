@@ -552,6 +552,13 @@ def bloom_probe(n_rows: int, workdir: str) -> None:
         # keys) and a 2-file table has nothing to prune at ANY batch size
         wh.optimize("lab", table, target_file_size_bytes=8 * 1024 * 1024)
 
+    # session warmup seed, not measured: the FIRST table of a session
+    # pays JIT/python-worker/page-cache warmup larger than the effect
+    # under test (the r13 order-bias lesson, which the merge ticks below
+    # already alternate for — seeding needs the same discipline; before
+    # this, bl_on seeded first and the A/B charged session warmup to the
+    # bloom write path)
+    seed("bl_warm", {"snapshots": "true"})
     t0 = time.perf_counter()
     seed("bl_on", {"snapshots": "true", "bloom_columns": "k"})
     seed_on_s = time.perf_counter() - t0
@@ -662,6 +669,118 @@ def bloom_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def merge_batched_probe(n_rows: int, workdir: str) -> None:
+    """Batched changelog->MERGE application curve (VERDICT r12 #4 /
+    r13 #3): merge_into pays a fixed per-call discovery tax (~5.3x a
+    plain read for 20k ticks, three host-days) — ``merge_into_batched``
+    accumulates source CDC commits and fires once per ``max_lag_commits``
+    window.  Per window size W in (1, 2, 4, 8): fresh 4M source+mirror
+    pair, 8 epochs of one 20k-row MoR CDC upsert (2.5% deletes) each,
+    one poll per epoch.  Reports per-W total apply time, per-epoch
+    amortized cost, p50 fire cost, and the mirror-equality check (the
+    at-least-once batching must not change WHAT lands).  A warmup pair
+    runs first (the r13 order-bias lesson).  Prints one JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
+        merge_into_batched,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="merge-batched-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    EPOCHS = 8
+
+    def seed_pair(tag: str) -> tuple[str, str]:
+        src, tgt = f"s_{tag}", f"t_{tag}"
+        base = (
+            spark.range(n_rows)
+            .select(
+                (F.col("id") * 2).alias("k"),
+                F.lit(0).cast("int").alias("ts"),
+                F.col("id").alias("event_id"),
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            )
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
+        for t in (src, tgt):
+            wh.create_table(
+                "lab", t, "zstd", 1, properties={"snapshots": "true"}
+            )
+            wh.append("lab", t, base, batch_id="seed")
+            wh.optimize("lab", t, target_file_size_bytes=32 * 1024 * 1024)
+        base.unpersist()
+        return src, tgt
+
+    def batch(epoch: int, salt: int):
+        ks = sorted({((i * 7919 + salt) % n_rows) * 2 for i in range(20_000)})
+        return (
+            spark.createDataFrame([(k,) for k in ks], "k bigint")
+            .select(
+                "k",
+                F.lit(epoch).cast("int").alias("ts"),
+                (F.col("k") + epoch * 10 * n_rows).alias("event_id"),
+                F.sha2((F.col("k") + epoch).cast("string"), 256).alias(
+                    "payload"
+                ),
+                (F.col("k") % 80 == 0).alias("del"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def run_pair(tag: str, w: int, epochs: int) -> dict:
+        src, tgt = seed_pair(tag)
+        ck = os.path.join(workdir, f"ck_{tag}.json")
+        merge_into_batched(wh, ("lab", src), ("lab", tgt), ["k"], ck)
+        polls: list[float] = []
+        fires: list[float] = []
+        for epoch in range(1, epochs + 1):
+            wh.merge_upsert(
+                "lab", src, batch(epoch, epoch * 13 + w), ["k"],
+                delete_col="del", mode="merge-on-read",
+            )
+            t0 = time.perf_counter()
+            r = merge_into_batched(
+                wh, ("lab", src), ("lab", tgt), ["k"], ck,
+                max_lag_commits=w,
+            )
+            dt = time.perf_counter() - t0
+            polls.append(dt)
+            if r["fired"]:
+                fires.append(dt)
+        # drain any tail lag, then the mirror must equal the source
+        merge_into_batched(
+            wh, ("lab", src), ("lab", tgt), ["k"], ck, max_lag_commits=1
+        )
+        s_df, t_df = wh.read("lab", src), wh.read("lab", tgt)
+        diff = int(
+            s_df.exceptAll(t_df).count() + t_df.exceptAll(s_df).count()
+        )
+        return {
+            "fires": len(fires),
+            "apply_total_sec": round(sum(polls), 3),
+            "per_epoch_sec": round(sum(polls) / epochs, 3),
+            "fire_p50_sec": (
+                round(statistics.median(fires), 3) if fires else None
+            ),
+            "mirror_diff_rows": diff,
+        }
+
+    run_pair("warm", 1, 2)  # session warmup, not reported
+    out = {
+        "probe": "merge_batched",
+        "base_rows": n_rows,
+        "epochs": EPOCHS,
+        "windows": {},
+    }
+    for w in (1, 2, 4, 8):
+        out["windows"][str(w)] = run_pair(f"w{w}", w, EPOCHS)
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def agg_mv_probe(n_rows: int, workdir: str) -> None:
     """Self-maintainable aggregate-MV tick economics (VERDICT r12 #3):
     a count/sum/avg-per-group view maintained purely from changelog
@@ -704,6 +823,25 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
     t0 = time.perf_counter()
     tick()  # bootstrap: full recompute at the checkpointed version
     bootstrap_s = time.perf_counter() - t0
+    # the zero-source-re-read claim, made assertable (VERDICT r13 #1):
+    # count full-table source reads during steady-state ticks — the agg
+    # maintainer must do NONE (only the changelog window is read); the
+    # keep-latest maintainer pays exactly one per tick (its touched-keys
+    # semi-join reads the source's current state)
+    src_full_reads = [0]
+    real_read, real_snap = wh.read, wh.read_snapshot
+
+    def counting_read(schema, table, *a, **k):
+        if (schema, table) == ("lab", "src"):
+            src_full_reads[0] += 1
+        return real_read(schema, table, *a, **k)
+
+    def counting_snap(schema, table, *a, **k):
+        if (schema, table) == ("lab", "src"):
+            src_full_reads[0] += 1
+        return real_snap(schema, table, *a, **k)
+
+    wh.read, wh.read_snapshot = counting_read, counting_snap
     ticks = []
     for epoch in range(10):
         wh.append(
@@ -722,6 +860,8 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
         out = tick()
         ticks.append(time.perf_counter() - t0)
         assert out["groups_refreshed"] == 200
+    wh.read, wh.read_snapshot = real_read, real_snap
+    assert src_full_reads[0] == 0, src_full_reads
     # the cost a tick replaces: one full groupBy recompute of the source
     t0 = time.perf_counter()
     full = (
@@ -741,6 +881,7 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
         "tick_max_sec": round(max(ticks), 3),
         "ticks_sec": [round(x, 3) for x in ticks],
         "full_recompute_sec": round(full_s, 3),
+        "src_full_reads_during_ticks": src_full_reads[0],
         "mv_rows_covered": int(mv_total),
     }
     print(json.dumps(out))
@@ -1615,6 +1756,9 @@ def main() -> None:
         return
     if "--agg-mv" in sys.argv:
         agg_mv_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--merge-batched" in sys.argv:
+        merge_batched_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--evolution" in sys.argv:
         evolution_probe(n_rows if args else 1_000_000, workdir)

@@ -294,3 +294,110 @@ def test_orphan_sweep_age_gates_blobs(spark, tmp_path):
     removed = wh.remove_orphan_files("lab", "or", older_than_s=0)
     assert removed == 1 and not os.path.isfile(orphan)
     assert len(os.listdir(bdir)) == N_FILES
+
+
+def test_corrupt_non_power_of_two_header_keeps_file(spark, tmp_path):
+    """ADVICE r13 (low): _bloom_positions masks probe positions with
+    m-1, so a corrupt-but-length-consistent header with a
+    NON-power-of-two m would probe WRONG positions and could falsely
+    exclude a live file — the one corruption shape the conservative
+    keep-on-absence contract didn't cover.  Such blobs must parse to
+    None (file kept)."""
+    import struct
+
+    wh = _mk_uniform(spark, tmp_path, "po2", props={"bloom_columns": "id"})
+    head = wh.head_snapshot("lab", "po2")
+    # overwrite every blob with a length-consistent m=24 header (3 bytes
+    # of bits) — all-ones bits so a WRONG-position probe would happily
+    # "hit" and a masked probe could just as easily miss
+    for e in head["files"]:
+        blob = (
+            wh._BLOOM_MAGIC
+            + struct.pack("<BBI", wh._BLOOM_ALGO_INT, wh._BLOOM_K, 24)
+            + b"\xff\xff\xff"
+        )
+        with open(os.path.join(wh._tdir("lab", "po2"), e["bloom"]["id"]), "wb") as f:
+            f.write(blob)
+    wh._bloom_cache.clear()
+    # corrupt header parses to None — file kept as if it had no filter
+    assert wh._load_bloom("lab", "po2", head["files"][0]["bloom"]["id"]) is None
+    kept, total = wh.prune_files("lab", "po2", {"id": [3]})
+    # bounds still prune (files 0-3 have min <= 3 <= max); the corrupt
+    # bloom must exclude NOTHING further — before the fix a masked probe
+    # could miss and falsely drop the file that holds id=3
+    assert total == N_FILES and len(kept) == 4
+    got = [
+        r["id"]
+        for r in wh.read_pruned("lab", "po2", {"id": [3]})
+        .filter("id = 3").collect()
+    ]
+    assert got == [3]
+
+
+def test_stale_bloom_property_heals_after_rename_crash(spark, tmp_path):
+    """ADVICE r13 (low): rename_column's bloom_columns follow-up is a
+    second non-CAS write — simulate the crash between the schema commit
+    and the property update by restoring the OLD property value.  New
+    files must STILL get filters: commit_snapshot resolves stale names
+    through the schema history by field id."""
+    wh = _mk_uniform(spark, tmp_path, "st", props={"bloom_columns": "id"})
+    wh.rename_column("lab", "st", "id", "doc_id")
+    # simulate the lost follow-up: property back to the pre-rename name
+    wh.alter_table_properties("lab", "st", bloom_columns="id")
+    wh.append(
+        "lab", "st",
+        spark.createDataFrame(
+            [(900001, "k900001", 0)], "doc_id bigint, sk string, grp int"
+        ).coalesce(1),
+        batch_id="post_rename",
+    )
+    head = wh.head_snapshot("lab", "st")
+    fresh = [e for e in head["files"] if e["rows"] == 1]
+    assert fresh and all("doc_id" in e.get("bloom", {}) for e in fresh)
+    # and the filter actually prunes under the current name
+    kept, total = wh.prune_files("lab", "st", {"doc_id": [900001]})
+    assert len(kept) < total
+    got = [
+        r["doc_id"]
+        for r in wh.read_pruned("lab", "st", {"doc_id": [900001]})
+        .filter("doc_id = 900001").collect()
+    ]
+    assert got == [900001]
+
+
+def test_branch_rename_leaves_shared_property_and_still_filters(spark, tmp_path):
+    """ADVICE r13 (low): a branch-scoped rename must NOT rewrite the
+    SHARED bloom_columns property (main still has the old name).  Both
+    refs keep building filters: main matches the property directly,
+    the branch resolves the stale name through its own schema history."""
+    wh = _mk_uniform(spark, tmp_path, "br", props={"bloom_columns": "id"})
+    wh.create_branch("lab", "br", "feature")
+    wh.rename_column("lab", "br", "id", "doc_id", branch="feature")
+    assert wh.table_meta("lab", "br").properties["bloom_columns"] == "id"
+    # main append: property name matches main's schema directly
+    wh.append(
+        "lab", "br",
+        spark.createDataFrame(
+            [(910001, "a", 0)], "id bigint, sk string, grp int"
+        ).coalesce(1),
+        batch_id="main_post",
+    )
+    main_fresh = [
+        e for e in wh.head_snapshot("lab", "br")["files"] if e["rows"] == 1
+    ]
+    assert main_fresh and all("id" in e.get("bloom", {}) for e in main_fresh)
+    # branch append: stale property name resolves to the branch's new name
+    wh.append(
+        "lab", "br",
+        spark.createDataFrame(
+            [(920001, "b", 0)], "doc_id bigint, sk string, grp int"
+        ).coalesce(1),
+        batch_id="branch_post",
+        branch="feature",
+    )
+    br_fresh = [
+        e
+        for e in wh.head_snapshot("lab", "br", branch="feature")["files"]
+        if e["rows"] == 1
+    ]
+    assert br_fresh and all("doc_id" in e.get("bloom", {}) for e in br_fresh)
