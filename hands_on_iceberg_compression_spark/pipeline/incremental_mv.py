@@ -51,6 +51,15 @@ from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 
 _DEL = "__mv_del"
 
+# Route the keep-latest refresh's source read through manifest pruning
+# when the window touched at most this many keys: the touched-key set
+# becomes a discrete membership spec that bounds AND per-file bloom
+# filters can skip files by (VERDICT r13 #6 — small windows are exactly
+# the B <= file-count regime where membership discriminates).  Above
+# the cap, collecting keys to the driver stops paying for itself and
+# most files genuinely contain window keys anyway (the B-vs-F law).
+_MV_PRUNE_KEYS_MAX = 1024
+
 
 def _init_checkpoint(checkpoint_file: str, version: int) -> None:
     """Atomically initialize a consume_changes checkpoint at ``version``
@@ -83,13 +92,18 @@ def maintain_keep_latest_mv(
     checkpoint_file: str = "",
     mode: str = "merge-on-read",
     net: bool = True,
+    prune_source: bool = True,
 ) -> dict:
     """ONE maintenance tick: pull the source changelog since the
     checkpoint and refresh exactly the touched keys in the MV.  Returns
     consume_changes' {"from", "to", "delivered"} plus "keys_refreshed".
     The MV table must exist (create_table); its first tick bootstraps
     it with a plain append.  ``mode`` is merge_upsert's write strategy —
-    merge-on-read keeps each tick O(window) IO."""
+    merge-on-read keeps each tick O(window) IO.  ``prune_source`` routes
+    the refresh's source read through manifest pruning for windows of
+    <= _MV_PRUNE_KEYS_MAX keys (bounds + bloom membership file skipping
+    on the hot tick path; pruning is conservative and the semi-join
+    stays the exact filter, so results are identical either way)."""
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -154,7 +168,20 @@ def maintain_keep_latest_mv(
             out["keys_refreshed"] = n_keys
         if n_keys == 0:
             return
-        cur = wh.read(sschema, stable)
+        cur = None
+        if prune_source and n_keys <= _MV_PRUNE_KEYS_MAX:
+            try:
+                kv = keys.collect()  # <= 1024 tuples, already materialized
+                # conjunctive per-column membership spec — a SUPERSET of
+                # the exact tuple set for composite keys, so pruning is
+                # conservative; files are skipped via bounds AND bloom
+                # sidecars, and the semi-join below stays the exact filter
+                spec = {c: list({r[c] for r in kv}) for c in key_cols}
+                cur = wh.read_pruned(sschema, stable, spec)
+            except Exception:
+                cur = None  # dir-mode/legacy table: full read below
+        if cur is None:
+            cur = wh.read(sschema, stable)
         # no broadcast hint: a backfill or re-delivered window can touch
         # millions of keys, and forcing a broadcast would OOM the driver
         # on exactly the recovery path — below the auto-broadcast

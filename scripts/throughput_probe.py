@@ -669,6 +669,118 @@ def bloom_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def mv_bloom_probe(n_rows: int, workdir: str) -> None:
+    """Keep-latest MV tick A/B with BLOOM-PRUNED source refresh
+    (VERDICT r13 #6): the maintainer's touched-keys refresh read now
+    routes through read_pruned for windows <= 1024 keys, so a
+    bloom-enabled source skips files at exactly the B <= file-count
+    regime where membership discriminates.  Source: ``n_rows`` uniform
+    bigint keys (bloom_columns=k), compacted to ~8 MB files; per B in
+    (8, 64): 8 epochs of one B-row append + one tick into TWO
+    independent MVs — prune_source on vs off — ALTERNATING order per
+    epoch (the r13 order-bias lesson).  Both MVs must equal the
+    keep-latest recompute at the end.  Prints one JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_keep_latest_mv,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="mv-bloom-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    wh.create_table(
+        "lab", "src", "zstd", 1,
+        properties={"snapshots": "true", "bloom_columns": "k"},
+    )
+    wh.append(
+        "lab", "src",
+        spark.range(n_rows)
+        .select(
+            (F.col("id") * 2).alias("k"),
+            F.lit(0).cast("int").alias("ts"),
+            F.col("id").alias("event_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartition(32),
+        batch_id="seed",
+    )
+    wh.optimize("lab", "src", target_file_size_bytes=8 * 1024 * 1024)
+    cks = {}
+    for name in ("mv_p", "mv_f"):
+        wh.create_table(
+            "lab", name, "zstd", 1, properties={"snapshots": "true"}
+        )
+        cks[name] = os.path.join(workdir, f"ck_{name}.json")
+
+    def tick(name: str) -> float:
+        t0 = time.perf_counter()
+        maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", name), ["k"],
+            ts_col="ts", tie_col="event_id",
+            checkpoint_file=cks[name], prune_source=(name == "mv_p"),
+        )
+        return time.perf_counter() - t0
+
+    boot = {name: round(tick(name), 3) for name in ("mv_p", "mv_f")}
+    out = {
+        "probe": "mv_bloom",
+        "base_keys": n_rows,
+        "bootstrap_sec": boot,
+        "ticks": {},
+    }
+    salt = 0
+    for b in (8, 64):
+        ticks: dict[str, list[float]] = {"mv_p": [], "mv_f": []}
+        for epoch in range(8):
+            salt += 1
+            ks = sorted({((i * 7919 + salt) % n_rows) * 2 for i in range(b)})
+            wh.append(
+                "lab", "src",
+                spark.createDataFrame([(k,) for k in ks], "k bigint")
+                .select(
+                    "k",
+                    F.lit(salt).cast("int").alias("ts"),
+                    (F.col("k") + salt * 10 * n_rows).alias("event_id"),
+                    F.sha2((F.col("k") + salt).cast("string"), 256).alias(
+                        "payload"
+                    ),
+                )
+                .coalesce(1),
+                batch_id=f"e{salt}",
+            )
+            order = (
+                ("mv_p", "mv_f") if epoch % 2 else ("mv_f", "mv_p")
+            )
+            for name in order:
+                ticks[name].append(tick(name))
+        out["ticks"][f"B{b}"] = {
+            name: {
+                "p50_sec": round(statistics.median(v), 3),
+                "epochs_sec": [round(x, 3) for x in v],
+            }
+            for name, v in ticks.items()
+        }
+        out["ticks"][f"B{b}"]["speedup"] = round(
+            statistics.median(ticks["mv_f"])
+            / statistics.median(ticks["mv_p"]),
+            3,
+        )
+    # convergence: both MVs must equal the keep-latest recompute exactly
+    want = keep_latest(wh.read("lab", "src"), ["k"], "ts", "event_id")
+    for name in ("mv_p", "mv_f"):
+        got = wh.read("lab", name)
+        out[f"{name}_diff_rows"] = int(
+            want.exceptAll(got).count() + got.exceptAll(want).count()
+        )
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def merge_batched_probe(n_rows: int, workdir: str) -> None:
     """Batched changelog->MERGE application curve (VERDICT r12 #4 /
     r13 #3): merge_into pays a fixed per-call discovery tax (~5.3x a
@@ -1759,6 +1871,9 @@ def main() -> None:
         return
     if "--merge-batched" in sys.argv:
         merge_batched_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--mv-bloom" in sys.argv:
+        mv_bloom_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--evolution" in sys.argv:
         evolution_probe(n_rows if args else 1_000_000, workdir)

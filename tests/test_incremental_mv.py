@@ -111,6 +111,71 @@ def test_scripted_lifecycle_and_at_least_once(spark, tmp_path):
     assert _mv_rows(wh) == _expected(wh)
 
 
+def test_bloom_pruned_refresh_converges_identically(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #6: small-window ticks route the refresh's source
+    read through manifest pruning (bounds + bloom membership).  Pruning
+    is conservative and the touched-keys semi-join stays the exact
+    filter, so the MV must converge IDENTICALLY with pruning on, and
+    with it forced off (threshold 0) — and the pruned path must actually
+    be taken."""
+    import hands_on_iceberg_compression_spark.pipeline.incremental_mv as mv_mod
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "bl"))
+    wh.create_table(
+        "lab", "src", "zstd", 1,
+        properties={"snapshots": "true", "bloom_columns": "k"},
+    )
+    wh.create_table("lab", "mv", "zstd", 1, properties={"snapshots": "true"})
+    # interleaved keys across files: every file's [min, max] spans the
+    # keyspace, so only bloom membership can skip files
+    for b in range(6):
+        rows = [(b + j * 6, 0, b * 1000 + j, b) for j in range(50)]
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame(rows, SCHEMA).coalesce(1),
+            batch_id=f"b{b}",
+        )
+    ckpt = str(tmp_path / "bl" / "ck.json")
+    _tick(wh, ckpt)  # bootstrap
+    assert _mv_rows(wh) == _expected(wh)
+    # blooms discriminate on this shape: 2 keys live in <= 2 base files
+    kept, total = wh.prune_files("lab", "src", {"k": [7, 20]})
+    assert len(kept) < total
+    calls = [0]
+    real_rp = wh.read_pruned
+
+    def counting_rp(*a, **kw):
+        calls[0] += 1
+        return real_rp(*a, **kw)
+
+    monkeypatch.setattr(wh, "read_pruned", counting_rp)
+    # small-window epochs: newer versions of 2 keys + a delete
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(7, 10, 9001, 70), (20, 10, 9002, 200)], SCHEMA),
+        batch_id="e1",
+    )
+    _tick(wh, ckpt)
+    assert calls[0] == 1  # pruned path taken
+    assert _mv_rows(wh) == _expected(wh)
+    wh.delete_where("lab", "src", "k = 7", mode="merge-on-read")
+    _tick(wh, ckpt)
+    assert calls[0] == 2
+    assert _mv_rows(wh) == _expected(wh)
+    assert all(r[0] != 7 for r in _mv_rows(wh))
+    # forced-off path (threshold 0) converges to the same state
+    monkeypatch.setattr(mv_mod, "_MV_PRUNE_KEYS_MAX", 0)
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(20, 11, 9003, 201)], SCHEMA),
+        batch_id="e2",
+    )
+    _tick(wh, ckpt)
+    assert calls[0] == 2  # full read this time
+    assert _mv_rows(wh) == _expected(wh)
+    assert (20, 11, 9003, 201) in _mv_rows(wh)
+
+
 def test_reconcile_commits_before_checkpoint(spark, tmp_path, monkeypatch):
     """ADVICE r13: same ordering contract as the aggregate MV — the
     lost-checkpoint reconcile commits the MV BEFORE the checkpoint is
