@@ -3189,6 +3189,65 @@ class ParquetWarehouse:
             )
         }
 
+    def _eq_diff_candidates(
+        self, schema: str, table: str, head: dict, new_dels: list[dict],
+        t_fields: list[dict] | None,
+    ):
+        """SUPERSET row filter for a delete commit's changelog diff
+        (r14): returns f(df) keeping exactly the rows whose keys match
+        any of the commit's EQUALITY deletes, or None when no filter
+        applies (a pos-kind delete in the set, missing schema, or any
+        resolution failure — the unfiltered diff is always correct,
+        just larger).
+
+        Correctness posture: the filter only needs to be a SUPERSET of
+        the rows the deletes actually remove — both diff sides filter
+        identically, so over-keeping cancels in exceptAll and can never
+        corrupt; the dangerous direction (missing a truly-deleted row)
+        cannot happen because the kept set is key-equality against the
+        delete's own key values, cast to the current column types the
+        same way the production anti-join casts (widenings are
+        value-preserving).  NULL keys match nothing on either path (SQL
+        equality).  Multiset-exact across multiple deletes via a
+        hit/remainder chain (a plain union would double-count rows
+        matching two key sets)."""
+        if self.spark is None or not new_dels or t_fields is None:
+            return None
+        types = {f["name"]: f["type"] for f in t_fields}
+        groups: list[tuple[list[str], DataFrame]] = []
+        try:
+            for d in new_dels:
+                if d.get("kind") != "eq":
+                    return None
+                cols = self._eq_current_names(head, d)
+                if not all(c in types for c in cols):
+                    return None
+                kdf = self.spark.read.parquet(
+                    os.path.join(self._tdir(schema, table), d["path"])
+                )
+                groups.append((
+                    cols,
+                    kdf.select(
+                        *[
+                            F.col(w).cast(types[c]).alias(c)
+                            for w, c in zip(d["eq_cols"], cols)
+                        ]
+                    ).distinct(),
+                ))
+        except Exception:
+            return None
+
+        def flt(df: DataFrame) -> DataFrame:
+            out = None
+            rem = df
+            for cols, keys in groups:
+                hit = rem.join(F.broadcast(keys), cols, "leftsemi")
+                out = hit if out is None else out.unionByName(hit)
+                rem = rem.join(F.broadcast(keys), cols, "leftanti")
+            return out
+
+        return flt
+
     def _apply_eq_deletes(
         self,
         schema: str,
@@ -7839,21 +7898,31 @@ class ParquetWarehouse:
             if new_dels:
                 # scope the before/after diff to files the new deletes
                 # can TOUCH: pos entries and legacy eq entries carry
-                # explicit targets; only seq-scoped eq deletes (no
-                # target list) can reach any older file (review r11 #4)
-                touch: set[str] = set()
-                unscoped = False
+                # explicit targets; seq-scoped eq deletes (no target
+                # list) reach strictly-older files, narrowed through
+                # their stored key_ranges vs manifest bounds/partitions/
+                # BLOOMS — the same proven `_narrow_eq_targets` the read
+                # path uses (r14: the diff used to fall back to ALL
+                # common files for any seq-scoped delete, making each
+                # MoR CDC commit's changelog O(table scan))
+                cand_all = {p for p in cur_files if p in prev_files}
+                touched: set[str] = set()
                 for d in new_dels:
                     t = d.get("targets")
-                    if t is None:
-                        unscoped = True
-                        break
-                    touch.update(t)
-                common = [
-                    cur_files[p]
-                    for p in cur_files
-                    if p in prev_files and (unscoped or p in touch)
-                ]
+                    if t is not None:
+                        touched |= set(t) & cand_all
+                        continue
+                    c = {
+                        p
+                        for p in cand_all
+                        if prev_files[p].get("seq", 0) < d.get("seq", 0)
+                    }
+                    if c and d.get("key_ranges"):
+                        c = self._narrow_eq_targets(
+                            schema, table, meta, hyb(h), d, c, prev_files
+                        )
+                    touched |= c
+                common = [cur_files[p] for p in cand_all if p in touched]
                 if common:
                     maps = [
                         f["name"]
@@ -7878,6 +7947,20 @@ class ParquetWarehouse:
                         schema, table, meta, hyb(h), common,
                         apply_deletes=True,
                     )
+                    # bound the diff's exceptAll to rows whose keys the
+                    # commit's equality deletes can match (r14): the
+                    # visibility delta between prev and h is BY
+                    # CONSTRUCTION confined to rows the new deletes
+                    # remove, so any SUPERSET row filter applied to both
+                    # sides leaves the diff exact — non-matching rows
+                    # are identical on both sides and cancel.  Turns a
+                    # 20k-key CDC commit's changelog from an O(table)
+                    # exceptAll into an O(matching rows) one.
+                    flt = self._eq_diff_candidates(
+                        schema, table, hyb(h), new_dels, t_fields
+                    )
+                    if flt is not None:
+                        before, after = flt(before), flt(after)
                     parts.append(stamp(
                         before.exceptAll(after), "delete", v, ordinal
                     ))
