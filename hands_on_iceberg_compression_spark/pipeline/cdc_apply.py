@@ -37,24 +37,30 @@ _META = ("_change_type", "_commit_version", "_change_ordinal")
 
 
 def pending_rows_estimate(wh, schema: str, table: str, fv: int, tv: int) -> int:
-    """Upper-bound-ish estimate of the change rows in (fv, tv] from head
-    JSONs ALONE (zero Spark jobs — the idle-poll cost contract): sum of
-    positive ``total_rows`` deltas.  Appends and CDC image commits grow
-    total_rows by exactly their batch size; CoW rewrites/compactions
-    keep or shrink it (clamped to 0); heads without totals (legacy) or
-    expired heads contribute 0 — under-estimating only delays the
-    rows-triggered fire, never corrupts (max_lag_commits still bounds
-    staleness)."""
+    """Estimate of the change rows in (fv, tv] from head JSONs ALONE
+    (zero Spark jobs — the idle-poll cost contract).  Changelog-skip ops
+    (compaction, DDL) contribute 0; data commits contribute their
+    snapshot-summary ``added_rows`` (r14 heads; exact for appends and
+    MoR image commits, and the right order of magnitude for CoW
+    rewrites, whose changelog genuinely emits O(rewritten rows)); older
+    heads without the summary fall back to the positive ``total_rows``
+    delta (exact for appends, 0 for CoW updates — under-estimating only
+    delays the rows-triggered fire, never corrupts: max_lag_commits
+    still bounds staleness)."""
     est = 0
     prev: int | None = None
     for v in range(fv, tv + 1):
         try:
-            t = wh._load_head_light(schema, table, v).get("total_rows")
+            h = wh._load_head_light(schema, table, v)
         except KeyError:
             prev = None
             continue
-        if v > fv and prev is not None and t is not None and t > prev:
-            est += t - prev
+        t = h.get("total_rows")
+        if v > fv and h.get("operation") not in wh._CHANGELOG_SKIP_OPS:
+            if "added_rows" in h:
+                est += h["added_rows"]
+            elif prev is not None and t is not None and t > prev:
+                est += t - prev
         prev = t
     return est
 

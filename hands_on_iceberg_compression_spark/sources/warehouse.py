@@ -4331,6 +4331,101 @@ class ParquetWarehouse:
         raw = (meta.properties or {}).get("bloom_columns", "")
         return [c.strip() for c in str(raw).split(",") if c.strip()]
 
+    @classmethod
+    def _bloom_ndv(cls, blob: bytes) -> int | None:
+        """Distinct-count ESTIMATE from a bloom blob's fill level — the
+        standard bits-set inversion ndv = -(m/k) * ln(1 - X/m) for X of
+        m bits set by k probes per key (duplicates re-set the same bits,
+        so the fill tracks DISTINCT keys; this is the zero-extra-IO
+        analog of Iceberg's puffin theta-sketch NDV blobs — the column
+        was already decoded to build the filter).  None for a saturated
+        filter (X == m: beyond the cap, unknowable) or a corrupt
+        header.  Relative error at the designed 16 bits/key fill is a
+        few percent (pinned in test_bloom_pruning)."""
+        import math
+        import struct
+
+        import numpy as np
+
+        try:
+            _algo, k, m = struct.unpack("<BBI", blob[4:10])
+            if k == 0 or m == 0 or m & (m - 1):
+                return None
+            x = int(
+                np.unpackbits(np.frombuffer(blob[10:], dtype=np.uint8)).sum()
+            )
+        except (struct.error, ValueError):
+            return None
+        if x >= m:
+            return None
+        return int(round(-(m / k) * math.log(1.0 - x / m)))
+
+    def distinct_estimate(
+        self, schema: str, table: str, col: str, branch: str = "main"
+    ) -> dict:
+        """Planning-time TABLE-LEVEL distinct-count estimate for a bloom
+        column, from manifest sidecars alone — no data file is opened
+        (the $puffin-statistics consumer shape: join-order/skew decisions
+        want NDV without a scan).  Per covered live file the entry's
+        fill-derived ``ndv`` gives bounds: the max is a LOWER bound for
+        the union, the sum an UPPER bound; when every covered filter
+        shares one geometry (algo, k, m — the common case: equal-sized
+        files get equal m) the union's distinct count is estimated
+        exactly by OR-ing the bit arrays and inverting the union fill.
+        Returns {"files_total", "files_covered", "lower", "upper",
+        "est"} — ``est`` None when geometries differ or any filter is
+        saturated/corrupt; files without filters are reported via
+        coverage, never guessed."""
+        import math
+
+        import numpy as np
+
+        head = self.head_snapshot(schema, table, branch)
+        if head is None:
+            raise ValueError(f"{schema}.{table} has no snapshot")
+        files = head["files"]
+        out = {
+            "files_total": len(files),
+            "files_covered": 0,
+            "lower": 0,
+            "upper": 0,
+            "est": None,
+        }
+        geoms: set = set()
+        loaded: list[tuple[tuple, object]] = []
+        per_file: list[int] = []
+        for e in files:
+            rel = (e.get("bloom") or {}).get(col)
+            if rel is None:
+                continue
+            bl = self._load_bloom(schema, table, rel)
+            if bl is None:
+                geoms.add(None)  # unreadable: union estimate off
+                continue
+            algo, k, m, bits = bl
+            out["files_covered"] += 1
+            x = int(np.unpackbits(bits).sum())
+            if x >= m:
+                geoms.add(None)
+                continue
+            per_file.append(int(round(-(m / k) * math.log(1.0 - x / m))))
+            geoms.add((algo, k, m))
+            loaded.append(((algo, k, m), bits))
+        if per_file:
+            out["lower"] = max(per_file)
+            out["upper"] = sum(per_file)
+        # union only over ONE geometry — OR of differently-sized bit
+        # arrays is meaningless (and a shape error)
+        if len(geoms) == 1 and loaded:
+            _algo, k, m = next(iter(geoms))
+            union_bits = loaded[0][1].copy()
+            for _g, bits in loaded[1:]:
+                union_bits |= bits
+            x = int(np.unpackbits(union_bits).sum())
+            if x < m:
+                out["est"] = int(round(-(m / k) * math.log(1.0 - x / m)))
+        return out
+
     def _resolve_bloom_columns(self, cols: list[str], head) -> list[str]:
         """Map configured ``bloom_columns`` names through the schema
         history to their CURRENT names (ADVICE r13: rename_column's
@@ -4438,14 +4533,22 @@ class ParquetWarehouse:
                         "without a filter (conservative)"
                     )
             refs: dict[str, str] = {}
+            ndvs: dict[str, int] = {}
             for c, blob in blobs.items():
                 brel = self._write_bloom_blob(schema, table, blob)
                 created_blooms.append(
                     os.path.join(self._tdir(schema, table), brel)
                 )
                 refs[c] = brel
+                nd = self._bloom_ndv(blob)
+                if nd is not None:
+                    ndvs[c] = nd
             if refs:
                 entry["bloom"] = refs
+            if ndvs:
+                # free puffin-style per-file NDV: derived from the
+                # filter's fill level, no extra decode
+                entry["ndv"] = ndvs
 
     @staticmethod
     def _pv_disjoint(pv: str, lo, hi, static_type: str | None) -> bool:
@@ -5835,6 +5938,15 @@ class ParquetWarehouse:
                     "segments": refs,
                     "total_rows": sum(r["rows"] for r in refs),
                     "total_bytes": sum(r["bytes"] for r in refs),
+                    # Iceberg snapshot-summary counts (added-data-files /
+                    # added-records): PER-COMMIT provenance, deliberately
+                    # not carried by other head writers — each head
+                    # describes its own commit and DDL/rollback commits
+                    # add nothing.  Exact source for the CDC batching
+                    # gate's pending-rows estimate (totals deltas
+                    # under-count CoW updates, which keep totals flat).
+                    "added_files": len(fresh_list),
+                    "added_rows": sum(e["rows"] for e in fresh_list),
                 }
                 # schema carry-forward: the winner's schema list is the
                 # superset (schemas only ever grow), so entries stamped

@@ -401,3 +401,45 @@ def test_branch_rename_leaves_shared_property_and_still_filters(spark, tmp_path)
         if e["rows"] == 1
     ]
     assert br_fresh and all("doc_id" in e.get("bloom", {}) for e in br_fresh)
+
+
+def test_ndv_estimates_per_file_and_table_union(spark, tmp_path):
+    """r14: per-file NDV derived from the bloom's fill level (the
+    zero-extra-IO analog of puffin theta NDV blobs) and the manifest-only
+    table-level `distinct_estimate` — exactness pinned: per-file within
+    10% of truth, equal-geometry union within 15% (high-fill inversion
+    is noisier), bounds always bracket, saturated/mixed geometries
+    degrade to bounds-only, uncovered columns report coverage honestly."""
+    wh = _mk_uniform(
+        spark, tmp_path, "nd", props={"bloom_columns": "id,grp"}
+    )
+    head = wh.head_snapshot("lab", "nd")
+    for e in head["files"]:
+        # each file holds 500 distinct ids and 7 distinct grp values
+        assert abs(e["ndv"]["id"] - ROWS_PER_FILE) / ROWS_PER_FILE < 0.10
+        assert e["ndv"]["grp"] == 7
+    est_id = wh.distinct_estimate("lab", "nd", "id")
+    truth = N_FILES * ROWS_PER_FILE
+    assert est_id["files_covered"] == est_id["files_total"] == N_FILES
+    assert est_id["lower"] <= truth * 1.1 and est_id["upper"] >= truth * 0.9
+    assert est_id["est"] is not None
+    assert abs(est_id["est"] - truth) / truth < 0.15
+    est_grp = wh.distinct_estimate("lab", "nd", "grp")
+    assert est_grp["est"] == 7  # tiny fill: exact
+    # column with no filters: coverage reported, nothing guessed
+    est_sk = wh.distinct_estimate("lab", "nd", "sk")
+    assert est_sk["files_covered"] == 0 and est_sk["est"] is None
+    # mixed geometry (a smaller file gets a smaller m): union estimate
+    # off, bounds still valid
+    wh.append(
+        "lab", "nd",
+        spark.createDataFrame(
+            [(10_000 + i, f"x{i}", 0) for i in range(100)],
+            "id bigint, sk string, grp int",
+        ).coalesce(1),
+        batch_id="small",
+    )
+    est2 = wh.distinct_estimate("lab", "nd", "id")
+    assert est2["files_covered"] == N_FILES + 1
+    assert est2["est"] is None
+    assert est2["lower"] >= 400 and est2["upper"] >= truth + 80
