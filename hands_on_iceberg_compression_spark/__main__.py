@@ -174,6 +174,34 @@ def _cmd_spec_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ndv_report(args: argparse.Namespace) -> int:
+    """Manifest-only NDV report (r14): the table-level distinct-count
+    estimate for a bloom column — per-file fill-derived estimates give
+    [max, sum] bounds, equal-geometry filters union exactly.  Pure
+    metadata: no data file is opened, no SparkSession is started."""
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(None, args.warehouse)
+    try:
+        out = wh.distinct_estimate(args.schema_name, args.table, args.column)
+    except ValueError as e:
+        print(e)
+        return 1
+    est = out["est"] if out["est"] is not None else "-"
+    print(
+        f"{args.schema_name}.{args.table}.{args.column}: "
+        f"covered {out['files_covered']}/{out['files_total']} files  "
+        f"ndv est={est}  bounds=[{out['lower']}, {out['upper']}]"
+    )
+    if out["files_covered"] < out["files_total"]:
+        print(
+            "note: uncovered files have no bloom filter for this column "
+            "(legacy files or bloom_columns set later) — optimize() "
+            "rewrites them with filters"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hands_on_iceberg_compression_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -227,6 +255,16 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--schema", dest="schema_name", required=True)
     sr.add_argument("--table", required=True)
     sr.set_defaults(fn=_cmd_spec_report)
+
+    nr = sub.add_parser(
+        "ndv-report",
+        help="manifest-only distinct-count estimate for a bloom column",
+    )
+    nr.add_argument("--warehouse", default="warehouse")
+    nr.add_argument("--schema", dest="schema_name", required=True)
+    nr.add_argument("--table", required=True)
+    nr.add_argument("--column", required=True)
+    nr.set_defaults(fn=_cmd_ndv_report)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
     merge_into_batched,
@@ -197,3 +199,58 @@ def test_min_batch_rows_fires_early_and_estimate_tracks(spark, tmp_path):
     assert out["fired"] is True
     assert _rows(wh, "tgt") == _rows(wh, "src")
     assert len(_rows(wh, "tgt")) == 63
+
+
+DML = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["upsert", "mor_delete", "cow_delete", "optimize",
+             "poll1", "poll2", "poll4"]
+        ),
+        st.integers(0, 9),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=DML)
+def test_randomized_dml_mirror_converges(spark, tmp_path_factory, ops):
+    """Randomized interleaving of source DML with batched polls at
+    MIXED window sizes (the poll cadence a real deployment would have:
+    sometimes the gate fires, sometimes it accumulates), then a drain —
+    the mirror must equal the source exactly whatever history ran."""
+    wh = _mk(spark, tmp_path_factory.mktemp("cdcrand"), "r")
+    ckpt = str(tmp_path_factory.mktemp("cdcrand") / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(k, 0, k, k * 10) for k in range(5)], SCHEMA),
+        batch_id="seed",
+    )
+    _poll(wh, ckpt)  # bootstrap
+    wh.append("lab", "tgt", wh.read("lab", "src"), batch_id="mirror_seed")
+    eid = 0
+    for op, pick in ops:
+        eid += 1
+        if op == "upsert":
+            wh.merge_upsert(
+                "lab", "src",
+                spark.createDataFrame(
+                    [(pick % 7, eid, eid + 100, pick)], SCHEMA
+                ),
+                ["k"], mode="merge-on-read",
+            )
+        elif op == "mor_delete":
+            wh.delete_where(
+                "lab", "src", f"k = {pick % 7}", mode="merge-on-read"
+            )
+        elif op == "cow_delete":
+            wh.delete_where("lab", "src", f"event_id = {pick}")
+        elif op == "optimize":
+            wh.optimize("lab", "src")
+        else:
+            _poll(wh, ckpt, max_lag_commits=int(op[-1]))
+    # drain, then exact mirror equality
+    _poll(wh, ckpt, max_lag_commits=1)
+    assert _rows(wh, "tgt") == _rows(wh, "src")
