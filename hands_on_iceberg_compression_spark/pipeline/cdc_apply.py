@@ -78,6 +78,7 @@ def merge_into_batched(
     max_lag_commits: int = 1,
     matched_condition: str | None = None,
     mode: str = "merge-on-read",
+    keys_only: bool = True,
 ) -> dict:
     """ONE poll of the batched CDC apply loop: mirror ``src``'s keyed
     state into ``tgt`` via accumulated ``merge_into`` calls.
@@ -99,7 +100,21 @@ def merge_into_batched(
     freshness guard (default ``s.ts > t.ts OR (s.ts = t.ts AND s.tie >
     t.tie)``; override via ``matched_condition``), tombstone delete, and
     insert-only-non-tombstones clauses.  The discovery tax is paid once
-    per fire instead of once per source commit.
+    per fire instead of once per source commit.  The default guard
+    assumes per-key MONOTONE (ts, tie) — the CDC norm; a source whose
+    updates can regress ts needs ``matched_condition`` overridden (at
+    the cost of redelivered windows rewriting rows instead of no-oping).
+
+    ``keys_only`` (default, r14) pulls the KEYS-ONLY changelog
+    (``warehouse.touched_keys`` — conservative superset, column-pruned,
+    no per-delete-commit row diffs) and re-derives each touched key's
+    FINAL state from the source table itself (keep_latest over a
+    key-pruned read; keys absent from the source become tombstones) —
+    the same delta-scoped-refresh shape as the keep-latest MV, applied
+    through conditional MERGE.  Refreshing an over-approximated key is
+    a no-op under the freshness guard, so the superset is free; a
+    legacy pre-schema source falls back to the row-exact net changelog
+    automatically (the ``keys_only=False`` path, kept for A/B).
 
     Bootstrap (no checkpoint): initializes at the current head and
     applies nothing — the standard consume-from-now contract; seed the
@@ -147,34 +162,67 @@ def merge_into_batched(
         f"(s.{ts_col} = t.{ts_col} AND s.{tie_col} > t.{tie_col})"
     )
 
-    def process(ch) -> None:
-        data_cols = [c for c in ch.columns if c not in _META]
-        ch = ch.select(*data_cols, "_change_type")
-        try:
-            # the window read feeds two branches + the MERGE's own
-            # multi-pass machinery: evaluate it once
-            ch = ch.localCheckpoint(eager=True)
-        except Exception:
-            pass
-        # net inserts = rows LIVE at window end for touched keys; a key
-        # replayed at-least-once can surface duplicates, keep_latest
-        # reduces to THE final row deterministically
-        latest = keep_latest(
-            ch.filter(F.col("_change_type") == "insert").drop("_change_type"),
-            key_cols, ts_col, tie_col,
-        )
-        # keys whose net is a bare delete (no surviving row): tombstone.
-        # key-only rows — merge_into NULL-fills the rest and the delete
-        # clause fires before any insert/update could see the NULLs
-        gone = (
-            ch.filter(F.col("_change_type") == "delete")
-            .select(*key_cols)
-            .distinct()
-            .join(latest.select(*key_cols), key_cols, "left_anti")
-        )
-        batch = latest.withColumn(_DEL, F.lit(False)).unionByName(
+    def reduce_to_batch(ch):
+        """The window, reduced to ONE row per touched key: final state
+        rows + key-only tombstone rows flagged ``__mib_del``."""
+        if "_change_type" not in ch.columns:
+            # keys-only shape (touched_keys): re-derive each key's final
+            # state from the SOURCE itself — key-pruned read (bounds +
+            # blooms) for small key sets, the delta-scoped-refresh shape
+            try:
+                ch = ch.localCheckpoint(eager=True)
+            except Exception:
+                pass
+            cur = None
+            n = ch.count()
+            if 0 < n <= 1024:
+                try:
+                    kv = ch.collect()
+                    spec = {c: list({r[c] for r in kv}) for c in key_cols}
+                    cur = wh.read_pruned(sschema, stable, spec)
+                except Exception:
+                    cur = None
+            if cur is None:
+                cur = wh.read(sschema, stable)
+            latest = keep_latest(
+                cur.join(ch, key_cols, "leftsemi"),
+                key_cols, ts_col, tie_col,
+            )
+            gone = ch.join(latest.select(*key_cols), key_cols, "left_anti")
+        else:
+            data_cols = [c for c in ch.columns if c not in _META]
+            ch = ch.select(*data_cols, "_change_type")
+            try:
+                # the window read feeds two branches + the MERGE's own
+                # multi-pass machinery: evaluate it once
+                ch = ch.localCheckpoint(eager=True)
+            except Exception:
+                pass
+            # net inserts = rows LIVE at window end for touched keys; a
+            # key replayed at-least-once can surface duplicates,
+            # keep_latest reduces to THE final row deterministically
+            latest = keep_latest(
+                ch.filter(F.col("_change_type") == "insert").drop(
+                    "_change_type"
+                ),
+                key_cols, ts_col, tie_col,
+            )
+            # keys whose net is a bare delete (no surviving row)
+            gone = (
+                ch.filter(F.col("_change_type") == "delete")
+                .select(*key_cols)
+                .distinct()
+                .join(latest.select(*key_cols), key_cols, "left_anti")
+            )
+        # tombstones are key-only rows — merge_into NULL-fills the rest
+        # and the delete clause fires before any insert/update could see
+        # the NULLs
+        return latest.withColumn(_DEL, F.lit(False)).unionByName(
             gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
         )
+
+    def process(ch) -> None:
+        batch = reduce_to_batch(ch)
         res = wh.merge_into(
             tschema, ttable, batch, key_cols,
             matched_condition=freshness,
@@ -189,8 +237,15 @@ def merge_into_batched(
         )
         out["tombstones"] = res.get("matched_deleted", 0)
 
+    def keys_changelog(s, t, fv, tv, net=True, branch="main"):
+        df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
+        if df is None:  # legacy pre-schema source: row-exact fallback
+            df = wh.read_changes(s, t, fv, tv, net=True, branch=branch)
+        return df
+
     res = wh.consume_changes(
-        sschema, stable, checkpoint_file, process, net=True
+        sschema, stable, checkpoint_file, process, net=True,
+        changelog_fn=keys_changelog if keys_only else None,
     )
     if not out["fired"]:
         # the accumulated window netted to zero row changes (or was

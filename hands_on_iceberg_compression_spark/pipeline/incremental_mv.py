@@ -93,6 +93,7 @@ def maintain_keep_latest_mv(
     mode: str = "merge-on-read",
     net: bool = True,
     prune_source: bool = True,
+    keys_only: bool = True,
 ) -> dict:
     """ONE maintenance tick: pull the source changelog since the
     checkpoint and refresh exactly the touched keys in the MV.  Returns
@@ -103,7 +104,14 @@ def maintain_keep_latest_mv(
     the refresh's source read through manifest pruning for windows of
     <= _MV_PRUNE_KEYS_MAX keys (bounds + bloom membership file skipping
     on the hot tick path; pruning is conservative and the semi-join
-    stays the exact filter, so results are identical either way)."""
+    stays the exact filter, so results are identical either way).
+    ``keys_only`` (default, r14) pulls the KEYS-ONLY changelog
+    (``warehouse.touched_keys`` — a conservative superset, column-pruned,
+    no per-delete-commit row diffs) instead of the row-exact changelog:
+    this maintainer only ever uses the window's DISTINCT keys, and
+    refreshing an over-approximated key is a no-op, so the cheap
+    substrate is exactly sufficient (legacy pre-schema sources fall back
+    to the row-exact pull automatically)."""
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -198,13 +206,20 @@ def maintain_keep_latest_mv(
             mschema, mtable, batch, key_cols, delete_col=_DEL, mode=mode
         )
 
+    def keys_changelog(s, t, fv, tv, net=net, branch="main"):
+        df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
+        if df is None:  # legacy pre-schema source: row-exact fallback
+            df = wh.read_changes(s, t, fv, tv, net=net, branch=branch)
+        return df
+
     # Always-incremental pull — on a bootstrap tick the window is
     # (head_v, current head]: normally empty, and any commit that raced
     # in is refreshed here rather than silently skipped (the refresh is
     # key-idempotent, so covering the bootstrap's own window twice is
     # harmless).
     res = wh.consume_changes(
-        sschema, stable, checkpoint_file, process, net=net
+        sschema, stable, checkpoint_file, process, net=net,
+        changelog_fn=keys_changelog if keys_only else None,
     )
     return {**res, **out}
 

@@ -8133,6 +8133,193 @@ class ParquetWarehouse:
             )
         )
 
+    def touched_keys(
+        self,
+        schema: str,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
+        branch: str = "main",
+    ) -> DataFrame | None:
+        """KEYS-ONLY changelog (r14): DISTINCT ``key_cols`` tuples that
+        are a CONSERVATIVE SUPERSET of the keys whose visible rows
+        changed in ``(from_version, to_version]`` — the cheap substrate
+        for keyed consumers (delta-scoped MV refresh, CDC mirror apply)
+        that re-derive state from the source and only need WHICH keys to
+        refresh: refreshing an untouched key is a no-op there, so
+        over-approximation is free, while the row-exact ``read_changes``
+        pays a per-delete-commit before/after diff this never does.
+
+        Key sources, all COLUMN-PRUNED to ``key_cols``:
+        - files ADDED in-window (insert/update images, CoW rewrite
+          outputs) and files DROPPED in-window (CoW rewrite inputs —
+          their rows may have vanished or moved), read RAW (no delete
+          application: deletes never add keys);
+        - equality-delete parquets whose key columns COVER ``key_cols``
+          (the exact key tuples of every row they delete — the CDC
+          delete-on-the-key case);
+        - other delete entries (position deletes, non-covering equality
+          deletes) fall back to their VICTIM FILES' keys — explicit
+          targets for pos/legacy entries, seq-scoped + key_ranges
+          narrowing (bounds/partitions/blooms) for eq entries.
+
+        Same window contracts as ``read_changes``: changelog-skip ops
+        (compaction, DDL) contribute nothing, a rollback in-window
+        raises, expired commits raise.  Returns None for legacy
+        pre-schema tables (no recorded schema to resolve keys under) —
+        callers fall back to the row-exact changelog."""
+        if not key_cols:
+            raise ValueError("key_cols is required")
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "touched_keys requires a log-mode (snapshots=true) table"
+            )
+        fv = self._resolve_version(schema, table, from_version)
+        if to_version is None:
+            tv = self._latest_version(schema, table, branch)
+            if tv is None:
+                raise ValueError(
+                    f"{schema}.{table} has no snapshot"
+                    + ("" if branch == "main" else f" on branch {branch!r}")
+                )
+        else:
+            tv = self._resolve_version(schema, table, to_version)
+        if tv < fv:
+            raise ValueError(
+                f"to_version v{tv} precedes from_version v{fv}"
+            )
+
+        def _load(v):
+            try:
+                return self._load_head_light(schema, table, v, branch)
+            except KeyError:
+                raise ValueError(
+                    f"touched_keys window v{fv}..v{tv} of {schema}."
+                    f"{table} needs every commit retained, but v{v} "
+                    "expired — shrink the window or diff snapshots"
+                )
+
+        tvh = _load(tv)
+        if "schemas" not in tvh:
+            return None  # legacy: no schema to resolve keys under
+        t_fields = tvh["schemas"][str(tvh["schema_id"])]
+        names = {f["name"] for f in t_fields}
+        missing = [c for c in key_cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"no key column(s) {missing} in {schema}.{table}'s "
+                "window-end schema"
+            )
+        types = {f["name"]: f["type"] for f in t_fields}
+        # window-end schema, NO delete refs: raw column-pruned reads
+        raw_head = {
+            k: v
+            for k, v in tvh.items()
+            if k not in ("deletes", "delete_segments")
+        }
+        prev = _load(fv)
+        prev_files: dict | None = None
+        touched: dict[str, dict] = {}
+        key_frames: list[DataFrame] = []
+        for v in range(fv + 1, tv + 1):
+            h = _load(v)
+            op = h.get("operation")
+            if op == "rollback":
+                raise ValueError(
+                    f"touched_keys window v{fv}..v{tv} of {schema}."
+                    f"{table} contains a rollback at v{v} — diff "
+                    "snapshots instead"
+                )
+            if op in self._CHANGELOG_SKIP_OPS:
+                prev = h
+                if op not in (
+                    "rewrite_manifests", "merge_schema", "add_column",
+                    "rename_column", "drop_column", "update_column_type",
+                ):
+                    prev_files = None
+                continue
+            if prev_files is None:
+                prev_files = {
+                    e["path"]: e
+                    for e in self._materialize(schema, table, prev)["files"]
+                }
+            cur_files = {
+                e["path"]: e
+                for e in self._materialize(schema, table, h)["files"]
+            }
+            for p, e in cur_files.items():
+                if p not in prev_files:
+                    touched[p] = e
+            for p, e in prev_files.items():
+                if p not in cur_files:
+                    touched[p] = e
+            prev_del_paths = {
+                d["path"] for d in self._head_deletes(schema, table, prev)
+            }
+            for d in self._head_deletes(schema, table, h):
+                if d["path"] in prev_del_paths:
+                    continue
+                if d.get("kind") == "eq":
+                    try:
+                        cur_names = self._eq_current_names(tvh, d)
+                    except RuntimeError:
+                        cur_names = None  # dropped field: victim fallback
+                    if cur_names is not None and set(key_cols) <= set(
+                        cur_names
+                    ):
+                        try:
+                            kdf = self.spark.read.parquet(
+                                os.path.join(
+                                    self._tdir(schema, table), d["path"]
+                                )
+                            )
+                            key_frames.append(
+                                kdf.select(
+                                    *[
+                                        F.col(w).cast(types[c]).alias(c)
+                                        for w, c in zip(
+                                            d["eq_cols"], cur_names
+                                        )
+                                        if c in key_cols
+                                    ]
+                                ).select(*key_cols)
+                            )
+                            continue
+                        except Exception:
+                            pass  # unreadable: victim fallback below
+                # victim-file fallback (pos, non-covering/unreadable eq)
+                t = d.get("targets")
+                if t is not None:
+                    cand = set(t) & set(prev_files)
+                else:
+                    cand = {
+                        p
+                        for p in prev_files
+                        if prev_files[p].get("seq", 0) < d.get("seq", 0)
+                    }
+                    if cand and d.get("key_ranges"):
+                        cand = self._narrow_eq_targets(
+                            schema, table, meta, tvh, d, cand, prev_files
+                        )
+                for p in cand:
+                    touched.setdefault(p, prev_files[p])
+            prev, prev_files = h, cur_files
+        if touched:
+            key_frames.append(
+                self._read_entries(
+                    schema, table, meta, raw_head,
+                    list(touched.values()), apply_deletes=False,
+                ).select(*key_cols)
+            )
+        if not key_frames:
+            return self._empty_frame(t_fields).select(*key_cols).limit(0)
+        out = key_frames[0]
+        for kf in key_frames[1:]:
+            out = out.unionByName(kf)
+        return out.distinct()
+
     def consume_changes(
         self,
         schema: str,
@@ -8142,6 +8329,7 @@ class ParquetWarehouse:
         net: bool = False,
         branch: str = "main",
         start_version: int | None = None,
+        changelog_fn=None,
     ) -> dict:
         """ONE at-least-once checkpointed CDC pull — the changelog
         consumer loop (Iceberg/Flink CDC consumer pattern): load the
@@ -8169,7 +8357,11 @@ class ParquetWarehouse:
         windows are detected from the head JSONs alone (ZERO Spark
         jobs — the poll-loop steady state through maintenance ticks);
         row-level windows that net to empty still pay one lightweight
-        emptiness-probe job.  Returns {"from", "to", "delivered"}."""
+        emptiness-probe job.  ``changelog_fn`` (r14) swaps the window
+        reader — same signature as ``read_changes`` — so keyed consumers
+        can pull the cheap keys-only changelog (``touched_keys``)
+        through the identical checkpoint/skip/raise machinery.  Returns
+        {"from", "to", "delivered"}."""
         head_v = self._latest_version(schema, table, branch)
         if head_v is None:
             raise ValueError(
@@ -8210,7 +8402,7 @@ class ParquetWarehouse:
         if head_v > fv and not self._window_metadata_only(
             schema, table, fv, head_v, branch
         ):
-            df = self.read_changes(
+            df = (changelog_fn or self.read_changes)(
                 schema, table, fv, head_v, net=net, branch=branch
             )
             if not df.isEmpty():

@@ -1,0 +1,126 @@
+"""Keys-only changelog (r14): ``touched_keys`` returns a CONSERVATIVE
+SUPERSET of the keys whose visible rows changed in a window, column-
+pruned and with NO per-delete-commit row diffs — the substrate the
+keyed consumers (keep-latest MV refresh, batched CDC mirror apply) pull
+by default.  Pinned here:
+
+- SUPERSET vs the row-exact changelog over a mixed window (appends,
+  covering eq deletes, NON-covering eq deletes, CoW rewrites);
+- TIGHTNESS (exact equality) for windows of covering ops only;
+- compaction contributes nothing; rollback raises; empty windows give
+  an empty keyed frame; legacy pre-schema heads return None.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+)
+
+SCHEMA = "k int, ts int, event_id int, v int"
+
+
+def _mk(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    for b in range(3):
+        wh.append(
+            "lab", "t",
+            spark.createDataFrame(
+                [(b + j * 3, 0, b * 100 + j, b) for j in range(20)], SCHEMA
+            ).coalesce(1),
+            batch_id=f"b{b}",
+        )
+    return wh
+
+
+def _keys(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_superset_tightness_and_window_contracts(spark, tmp_path):
+    wh = _mk(spark, tmp_path)
+    v0 = wh._latest_version("lab", "t")
+
+    # covering ops: an append and a MoR upsert (eq delete ON k)
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(100, 1, 900, 1), (101, 1, 901, 1)], SCHEMA),
+        batch_id="a1",
+    )
+    wh.merge_upsert(
+        "lab", "t",
+        spark.createDataFrame([(1, 2, 902, 11)], SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    v_cov = wh._latest_version("lab", "t")
+    got = _keys(wh.touched_keys("lab", "t", v0, v_cov, ["k"]))
+    # TIGHT for covering ops: exactly the changelog's keys
+    want = sorted(
+        {
+            r["k"]
+            for r in wh.read_changes("lab", "t", v0, v_cov)
+            .select("k")
+            .collect()
+        }
+    )
+    assert got == want == [1, 100, 101]
+
+    # NON-covering eq delete (keys on event_id, consumer keys on k):
+    # victim-file fallback — superset, must still contain the true key
+    wh.delete_by_keys("lab", "t", [5], eq_cols=["event_id"])
+    # CoW delete: file rewrite (dropped + added files)
+    wh.delete_where("lab", "t", "k = 2")
+    v1 = wh._latest_version("lab", "t")
+    touched = set(_keys(wh.touched_keys("lab", "t", v0, v1, ["k"])))
+    true_changed = {
+        r["k"]
+        for r in wh.read_changes("lab", "t", v0, v1).select("k").collect()
+    }
+    assert true_changed <= touched  # the superset contract
+    # event_id=5 is row (k=15, eid=5) in file b=0: its key must be in
+    # the superset even though the delete's keys don't mention k
+    assert 15 in touched and 2 in touched
+
+    # compaction contributes nothing (changelog-skip op)
+    wh.optimize("lab", "t")
+    v2 = wh._latest_version("lab", "t")
+    assert _keys(wh.touched_keys("lab", "t", v1, v2, ["k"])) == []
+
+    # empty window: empty frame with the key schema
+    empty = wh.touched_keys("lab", "t", v2, v2, ["k"])
+    assert empty.columns == ["k"] and empty.count() == 0
+
+    # unknown key column
+    with pytest.raises(ValueError, match="no key column"):
+        wh.touched_keys("lab", "t", v0, v2, ["nope"])
+
+    # rollback in-window raises (same contract as read_changes)
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(200, 3, 903, 1)], SCHEMA),
+        batch_id="a2",
+    )
+    wh.rollback_to_snapshot("lab", "t", v2)
+    v3 = wh._latest_version("lab", "t")
+    with pytest.raises(ValueError, match="rollback"):
+        wh.touched_keys("lab", "t", v2, v3, ["k"])
+
+
+def test_legacy_pre_schema_head_returns_none(spark, tmp_path):
+    wh = _mk(spark, tmp_path)
+    v = wh._latest_version("lab", "t")
+    # fabricate a legacy head: strip the recorded schemas in place
+    hp = os.path.join(wh._ref_dir("lab", "t"), f"v{v:06d}.json")
+    with open(hp) as f:
+        h = json.load(f)
+    h.pop("schemas", None)
+    h.pop("schema_id", None)
+    with open(hp, "w") as f:
+        json.dump(h, f)
+    assert wh.touched_keys("lab", "t", v - 1, v, ["k"]) is None
