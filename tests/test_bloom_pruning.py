@@ -443,3 +443,30 @@ def test_ndv_estimates_per_file_and_table_union(spark, tmp_path):
     assert est2["files_covered"] == N_FILES + 1
     assert est2["est"] is None
     assert est2["lower"] >= 400 and est2["upper"] >= truth + 80
+
+
+def test_dropped_bloom_column_degrades_cleanly(spark, tmp_path):
+    """A bloom_columns entry whose field was DROPPED must neither crash
+    the commit nor resurrect: resolution passes the unresolvable name
+    through, it matches no file column, and remaining configured columns
+    keep getting filters."""
+    wh = _mk_uniform(
+        spark, tmp_path, "dc", props={"bloom_columns": "id,grp"}
+    )
+    wh.drop_column("lab", "dc", "grp")
+    wh.append(
+        "lab", "dc",
+        spark.createDataFrame(
+            [(990001, "z")], "id bigint, sk string"
+        ).coalesce(1),
+        batch_id="post_drop",
+    )
+    fresh = [
+        e for e in wh.head_snapshot("lab", "dc")["files"] if e["rows"] == 1
+    ]
+    assert fresh
+    for e in fresh:
+        assert "id" in e.get("bloom", {})  # surviving column still filters
+        assert "grp" not in e.get("bloom", {})
+    kept, total = wh.prune_files("lab", "dc", {"id": [990001]})
+    assert len(kept) < total
