@@ -124,3 +124,41 @@ def test_legacy_pre_schema_head_returns_none(spark, tmp_path):
     with open(hp, "w") as f:
         json.dump(h, f)
     assert wh.touched_keys("lab", "t", v - 1, v, ["k"]) is None
+
+
+def test_changelog_fn_failure_leaves_checkpoint_untouched(spark, tmp_path):
+    """consume_changes' at-least-once foundation must hold for SWAPPED
+    window readers too: an exception from changelog_fn (or from process
+    over its frame) propagates BEFORE the checkpoint rewrite, so the
+    window redelivers on the next pull."""
+    wh = _mk(spark, tmp_path)
+    ckpt = str(tmp_path / "ck.json")
+    wh.consume_changes("lab", "t", ckpt, lambda ch: None)  # init at head
+    with open(ckpt) as f:
+        before = json.load(f)
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(500, 1, 999, 1)], SCHEMA),
+        batch_id="a1",
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("reader crash")
+
+    with pytest.raises(RuntimeError, match="reader crash"):
+        wh.consume_changes(
+            "lab", "t", ckpt, lambda ch: None, changelog_fn=boom
+        )
+    with open(ckpt) as f:
+        assert json.load(f) == before  # not advanced: window redelivers
+    # healthy keys reader: window delivers and the checkpoint advances
+    seen = []
+    wh.consume_changes(
+        "lab", "t", ckpt,
+        lambda ch: seen.extend(r["k"] for r in ch.collect()),
+        changelog_fn=lambda s, t, fv, tv, net=False, branch="main":
+            wh.touched_keys(s, t, fv, tv, ["k"], branch=branch),
+    )
+    assert seen == [500]
+    with open(ckpt) as f:
+        assert json.load(f)["version"] > before["version"]
