@@ -142,6 +142,17 @@ def merge_into_batched(
             "lag_commits": 0, "pending_rows_est": 0, **res,
         }
     lag = head_v - ckpt_v
+    if lag < 0:
+        # ADVICE r14: a head BELOW the checkpoint (stale ref, recreated
+        # table) must raise like consume_changes does — silently
+        # returning a zero-lag non-firing poll would report "in sync"
+        # forever while the mirror diverges
+        raise ValueError(
+            f"{sschema}.{stable} head v{head_v} is BELOW the "
+            f"checkpointed v{ckpt_v} — stale ref or a recreated table; "
+            "delete the checkpoint deliberately if re-baselining is "
+            "intended"
+        )
     est = (
         pending_rows_estimate(wh, sschema, stable, ckpt_v, head_v)
         if lag > 0

@@ -170,6 +170,24 @@ def test_redelivered_accumulated_window_is_noop(spark, tmp_path):
     assert (5, 2, 6, 51) in _rows(wh, "tgt")
 
 
+def test_head_below_checkpoint_raises(spark, tmp_path):
+    """ADVICE r14: a source head BELOW the checkpoint (stale ref or a
+    recreated table) must raise — the silent shape returned
+    {fired: False, lag_commits: 0} forever, reporting "in sync" while
+    the mirror diverged.  consume_changes already raises here; the
+    batched poll must surface the same error, not mask it."""
+    wh = _mk(spark, tmp_path, "hb")
+    ckpt = str(tmp_path / "hb" / "ck.json")
+    _seed_and_bootstrap(wh, spark, ckpt)
+    with open(ckpt) as f:
+        state = json.load(f)
+    state["version"] = state["version"] + 5  # recreated-table shape
+    with open(ckpt, "w") as f:
+        json.dump(state, f)
+    with pytest.raises(ValueError, match="BELOW the checkpointed"):
+        _poll(wh, ckpt, max_lag_commits=100)
+
+
 def test_min_batch_rows_fires_early_and_estimate_tracks(spark, tmp_path):
     wh = _mk(spark, tmp_path, "mb")
     ckpt = str(tmp_path / "mb" / "ck.json")
