@@ -986,3 +986,22 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                     got.subtract(ms(ch.filter("_change_type = 'delete'")))
                     assert +got == ms(end)
                     assert not -got  # no over-deletion either
+
+                    # r15 (VERDICT r14 #3): the keys-only changelog must
+                    # be a SUPERSET of the row-exact changelog's keys
+                    # over the same window — including renamed key
+                    # columns, spec DDL, and every DML mix the ops drew
+                    # (key on (id, vcol): a rename-in-window forces the
+                    # field-id resolution path)
+                    tk = wh.touched_keys("lab", "t", fv, key_cols=["id", vcol])
+                    assert tk is not None
+                    touched = {
+                        (r["id"], r[vcol]) for r in tk.collect()
+                    }
+                    true_changed = {
+                        (r["id"], r[vcol])
+                        for r in ch.select("id", vcol).collect()
+                    }
+                    assert true_changed <= touched, (
+                        true_changed - touched
+                    )

@@ -112,6 +112,83 @@ def test_superset_tightness_and_window_contracts(spark, tmp_path):
         wh.touched_keys("lab", "t", v2, v3, ["k"])
 
 
+def test_rename_of_key_column_in_window(spark, tmp_path):
+    """Schema DDL INSIDE the window (VERDICT r14 what's-wrong #2): a
+    rename of the key column between two appends must not lose keys —
+    files written before the rename store the OLD column name and must
+    resolve via field ids under the window-END schema, and a covering
+    eq delete committed before the rename must keep covering (its
+    eq_ids resolve to the new name)."""
+    wh = _mk(spark, tmp_path)
+    v0 = wh._latest_version("lab", "t")
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(300, 1, 910, 1)], SCHEMA),
+        batch_id="pre_rename",
+    )
+    # covering eq delete BEFORE the rename (delete keys stored as "k")
+    wh.delete_by_keys("lab", "t", [4], eq_cols=["k"])
+    wh.rename_column("lab", "t", "k", "kk")
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame(
+            [(301, 2, 911, 1)], "kk int, ts int, event_id int, v int"
+        ),
+        batch_id="post_rename",
+    )
+    v1 = wh._latest_version("lab", "t")
+    got = wh.touched_keys("lab", "t", v0, v1, ["kk"])
+    assert got.columns == ["kk"]
+    keys = sorted(r["kk"] for r in got.collect())
+    # pre-rename append (300), eq-deleted key (4), post-rename append
+    # (301) — all present under the window-end name
+    assert keys == [4, 300, 301]
+    # superset vs the row-exact changelog (also window-end schema)
+    true_changed = {
+        r["kk"]
+        for r in wh.read_changes("lab", "t", v0, v1).select("kk").collect()
+    }
+    assert true_changed <= set(keys)
+    # asking for the OLD name must refuse (window-end schema rules)
+    with pytest.raises(ValueError, match="no key column"):
+        wh.touched_keys("lab", "t", v0, v1, ["k"])
+
+
+def test_spec_ddl_in_window(spark, tmp_path):
+    """Partition-spec DDL INSIDE the window: files appended under
+    different specs (unpartitioned, then identity on k) must both
+    contribute their keys — the raw read crosses mixed hive layouts."""
+    wh = _mk(spark, tmp_path)
+    v0 = wh._latest_version("lab", "t")
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(400, 1, 920, 1)], SCHEMA),
+        batch_id="pre_spec",
+    )
+    wh.add_partition_field("lab", "t", "k")
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(401, 2, 921, 1), (402, 2, 922, 1)], SCHEMA),
+        batch_id="post_spec",
+    )
+    # MoR delete under the new spec: victim fallback crosses specs too
+    wh.delete_by_keys("lab", "t", [921], eq_cols=["event_id"])
+    v1 = wh._latest_version("lab", "t")
+    touched = set(r["k"] for r in wh.touched_keys(
+        "lab", "t", v0, v1, ["k"]
+    ).collect())
+    true_changed = {
+        r["k"]
+        for r in wh.read_changes("lab", "t", v0, v1).select("k").collect()
+    }
+    assert true_changed <= touched
+    assert {400, 401, 402} <= touched
+    # spec DDL itself contributes nothing: empty tail window
+    wh.drop_partition_field("lab", "t", "k")
+    v2 = wh._latest_version("lab", "t")
+    assert _keys(wh.touched_keys("lab", "t", v1, v2, ["k"])) == []
+
+
 def test_legacy_pre_schema_head_returns_none(spark, tmp_path):
     wh = _mk(spark, tmp_path)
     v = wh._latest_version("lab", "t")
