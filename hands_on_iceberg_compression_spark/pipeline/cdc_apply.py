@@ -179,16 +179,14 @@ def merge_into_batched(
         if "_change_type" not in ch.columns:
             # keys-only shape (touched_keys): re-derive each key's final
             # state from the SOURCE itself — key-pruned read (bounds +
-            # blooms) for small key sets, the delta-scoped-refresh shape
-            try:
-                ch = ch.localCheckpoint(eager=True)
-            except Exception:
-                pass
+            # blooms) for small key sets, the delta-scoped-refresh shape.
+            # The frame arrives checkpointed (keys_changelog); ONE
+            # bounded collect answers emptiness + the pruning key set
+            # (count()+collect() was two fixed jobs per fire — r15)
             cur = None
-            n = ch.count()
-            if 0 < n <= 1024:
+            kv = ch.limit(1025).collect()
+            if 0 < len(kv) <= 1024:
                 try:
-                    kv = ch.collect()
                     spec = {c: list({r[c] for r in kv}) for c in key_cols}
                     cur = wh.read_pruned(sschema, stable, spec)
                 except Exception:
@@ -251,12 +249,18 @@ def merge_into_batched(
     def keys_changelog(s, t, fv, tv, net=True, branch="main"):
         df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
         if df is None:  # legacy pre-schema source: row-exact fallback
-            df = wh.read_changes(s, t, fv, tv, net=True, branch=branch)
+            return wh.read_changes(s, t, fv, tv, net=True, branch=branch)
+        try:
+            # one execution shared by the emptiness probe and the fire
+            df = df.localCheckpoint(eager=True)
+        except Exception:
+            pass
         return df
 
     res = wh.consume_changes(
         sschema, stable, checkpoint_file, process, net=True,
         changelog_fn=keys_changelog if keys_only else None,
+        superset_changelog=keys_only,
     )
     if not out["fired"]:
         # the accumulated window netted to zero row changes (or was

@@ -925,11 +925,16 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
     )
     wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
     ckpt = os.path.join(workdir, "ck.json")
+    # --cow: maintain the MV copy-on-write — for a SMALL aggregate MV
+    # (hundreds of groups, one file) rewriting it per tick beats
+    # stacking MoR delete entries whose anti-joins every subsequent
+    # tick's MV read then pays (r15 tick-floor decomposition)
+    mode = "copy-on-write" if "--cow" in sys.argv else "merge-on-read"
 
     def tick():
         return maintain_agg_mv(
             wh, ("lab", "src"), ("lab", "mv"), ["grp"], sum_cols=["v"],
-            checkpoint_file=ckpt,
+            checkpoint_file=ckpt, mode=mode,
         )
 
     t0 = time.perf_counter()
@@ -986,6 +991,7 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
     mv_total = wh.read("lab", "mv").agg(F.sum("cnt")).collect()[0][0]
     out = {
         "probe": "agg_mv",
+        "mv_mode": mode,
         "source_rows": n_rows + 10 * 20_000,
         "groups": n_groups,
         "bootstrap_sec": round(bootstrap_s, 3),
@@ -996,6 +1002,172 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
         "src_full_reads_during_ticks": src_full_reads[0],
         "mv_rows_covered": int(mv_total),
     }
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def tick_jobs_probe(n_rows: int, workdir: str) -> None:
+    """Decompose maintainer ticks into their SPARK JOBS (VERDICT r14 #1:
+    the ~2.5-2.9 s steady-state tick floor is ~8-10 fixed jobs, not
+    data volume — attack it by folding jobs).  Runs keep-latest and agg
+    MV ticks under a job group per tick and reports, per tick, the job
+    count plus each job's action callsite (result-stage name), so the
+    before/after of a fold is visible job by job.  Job counts are scale-
+    independent; run small (default 500k) for fast iteration and read
+    wall-clock p50 from --mv-steady/--agg-mv at 4M."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_agg_mv,
+        maintain_keep_latest_mv,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="tick-jobs-probe")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def job_sites(group: str) -> list[str]:
+        sites = []
+        for jid in sorted(tracker.getJobIdsForGroup(group)):
+            info = tracker.getJobInfo(jid)
+            name = "?"
+            if info is not None and info.stageIds:
+                st = tracker.getStageInfo(max(info.stageIds))
+                if st is not None:
+                    name = st.name.split(os.sep)[-1]
+            sites.append(name)
+        return sites
+
+    out = {"probe": "tick_jobs", "source_rows": n_rows}
+    for kind in ("keep_latest", "agg"):
+        wh = ParquetWarehouse(spark, os.path.join(workdir, f"wh_{kind}"))
+        for t in ("src", "mv"):
+            wh.create_table(
+                "lab", t, "zstd", 1, properties={"snapshots": "true"}
+            )
+        wh.append(
+            "lab", "src",
+            spark.range(n_rows).select(
+                (F.col("id") % max(n_rows // 20, 200)).alias("k"),
+                (F.col("id") % 200).cast("int").alias("grp"),
+                F.lit(0).cast("int").alias("ts"),
+                F.col("id").alias("eid"),
+                (F.col("id") % 1000).cast("int").alias("v"),
+            ).repartition(8),
+            batch_id="seed",
+        )
+        ckpt = os.path.join(workdir, f"ck_{kind}.json")
+
+        def tick():
+            if kind == "keep_latest":
+                return maintain_keep_latest_mv(
+                    wh, ("lab", "src"), ("lab", "mv"), ["k"],
+                    ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+                )
+            return maintain_agg_mv(
+                wh, ("lab", "src"), ("lab", "mv"), ["grp"],
+                sum_cols=["v"], checkpoint_file=ckpt,
+            )
+
+        tick()  # bootstrap (not decomposed)
+        counts, times, last_sites = [], [], []
+        for epoch in range(6):
+            wh.append(
+                "lab", "src",
+                spark.range(2_000).select(
+                    ((F.col("id") * 31 + epoch) % max(n_rows // 20, 200))
+                    .alias("k"),
+                    ((F.col("id") + epoch) % 200).cast("int").alias("grp"),
+                    F.lit(epoch + 1).cast("int").alias("ts"),
+                    (F.col("id") + (epoch + 1) * n_rows).alias("eid"),
+                    (F.col("id") % 777).cast("int").alias("v"),
+                ).coalesce(1),
+                batch_id=f"e{epoch}",
+            )
+            group = f"{kind}_tick{epoch}"
+            sc.setJobGroup(group, f"{kind} maintainer tick {epoch}")
+            t0 = time.perf_counter()
+            tick()
+            times.append(time.perf_counter() - t0)
+            sc.setJobGroup(None, None)
+            last_sites = job_sites(group)
+            counts.append(len(last_sites))
+        out[kind] = {
+            "jobs_per_tick": counts,
+            "jobs_p50": statistics.median(counts),
+            "tick_p50_sec": round(statistics.median(times), 3),
+            "last_tick_jobs": last_sites,
+        }
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def touched_poll_probe(n_files: int, workdir: str) -> None:
+    """touched_keys poll cost vs LIVE-FILE count (VERDICT r14 #2): the
+    r14 window walk materialized the full O(live files) entry dict per
+    window commit; the r15 segment-level diff opens only the segments a
+    commit changed, so a W-commit CDC poll should cost O(changed files)
+    — FLAT as the table grows.  Builds tables at ``n_files`` and
+    8x``n_files`` live files, lands W=8 small MoR upsert commits, and
+    times the touched_keys call (plan build = the driver metadata walk)
+    plus the full pull (collect).  Prints one JSON line."""
+    import statistics
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="touched-poll-probe")
+    out = {"probe": "touched_poll", "w": 8, "points": []}
+    for mult in (1, 8):
+        nf = n_files * mult
+        wh = ParquetWarehouse(spark, os.path.join(workdir, f"wh{mult}"))
+        wh.create_table(
+            "lab", "t", "zstd", 1, properties={"snapshots": "true"}
+        )
+        wh.append(
+            "lab", "t",
+            spark.range(nf * 200).select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("int").alias("ts"),
+                F.col("id").alias("eid"),
+                (F.col("id") % 997).cast("int").alias("v"),
+            ).repartition(nf),
+            batch_id="seed",
+        )
+        v0 = wh._latest_version("lab", "t")
+        for e in range(8):
+            wh.merge_upsert(
+                "lab", "t",
+                spark.range(50).select(
+                    ((F.col("id") * 9973 + e) % (nf * 200)).alias("k"),
+                    F.lit(e + 1).cast("int").alias("ts"),
+                    (F.col("id") + (e + 1) * nf * 200).alias("eid"),
+                    F.lit(e).cast("int").alias("v"),
+                ).coalesce(1),
+                ["k"], mode="merge-on-read",
+            )
+        v1 = wh._latest_version("lab", "t")
+        # cold-ish walk: new warehouse instance (empty head/segment cache)
+        build_s, pull_s, n_keys = [], [], 0
+        for _rep in range(5):
+            wh2 = ParquetWarehouse(spark, os.path.join(workdir, f"wh{mult}"))
+            t0 = time.perf_counter()
+            df = wh2.touched_keys("lab", "t", v0, v1, ["k"])
+            build_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            n_keys = df.count()
+            pull_s.append(time.perf_counter() - t0)
+        out["points"].append({
+            "live_files": nf,
+            "touched_keys_build_ms_p50": round(
+                statistics.median(build_s) * 1000, 2
+            ),
+            "pull_sec_p50": round(statistics.median(pull_s), 3),
+            "keys": n_keys,
+        })
+    b = [p["touched_keys_build_ms_p50"] for p in out["points"]]
+    out["build_ratio_8x_files"] = round(b[1] / b[0], 2) if b[0] else None
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -1868,6 +2040,13 @@ def main() -> None:
         return
     if "--agg-mv" in sys.argv:
         agg_mv_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--tick-jobs" in sys.argv:
+        tick_jobs_probe(n_rows if args else 500_000, workdir)
+        return
+    if "--touched-poll" in sys.argv:
+        # positional arg means base FILE COUNT here (second point is 8x)
+        touched_poll_probe(n_rows if args else 256, workdir)
         return
     if "--merge-batched" in sys.argv:
         merge_batched_probe(n_rows if args else 4_000_000, workdir)
