@@ -1575,6 +1575,49 @@ class ParquetWarehouse:
     # of them and file-level membership cannot discriminate.
     MERGE_DISCRETE_KEYS_MAX = 2048
 
+    # ... and below the cap, membership is attempted only when the
+    # per-file NDV stats predict it can actually skip at least this
+    # fraction of live files (r15, VERDICT r14 #6: the B-vs-F law read
+    # off the manifest instead of assumed — a B-key batch misses a file
+    # holding n of the table's ~N keys w.p. ~(1-n/N)^B).  Below the
+    # floor the discrete-set spec would probe every file's bloom and
+    # keep them all; the envelope costs nothing extra to build from the
+    # already-collected keys.  Tables without NDV coverage keep the
+    # unconditional attempt (status quo).
+    MERGE_MEMBERSHIP_MIN_SKIP = 0.15
+
+    @staticmethod
+    def _membership_skip_estimate(
+        files: list[dict], key_cols: list[str], b: int
+    ) -> float | None:
+        """Expected fraction of ``files`` a ``b``-distinct-key exact-
+        membership prune can skip, from per-file NDV stats alone (zero
+        IO — entries carry fill-derived ``ndv`` for bloom columns).  A
+        file holding ``n`` of the table's ~``N`` distinct keys avoids
+        all ``b`` uniformly-drawn batch keys w.p. ~(1-n/N)^b ≈
+        e^(-bn/N); N is approximated by the per-file sum (exact for
+        disjoint files, an over-estimate under overlap — which only
+        makes the prediction optimistic, i.e. errs toward attempting
+        the prune, the status-quo behavior).  Uses the first key column
+        with ≥80% file coverage; uncovered files count as unskippable.
+        None when no column qualifies (caller keeps the status quo)."""
+        import math
+
+        if not files or b <= 0:
+            return None
+        for c in key_cols:
+            nds = [
+                e["ndv"][c]
+                for e in files
+                if c in (e.get("ndv") or {})
+            ]
+            if len(nds) >= 0.8 * len(files):
+                n_total = sum(nds) or 1
+                return sum(
+                    math.exp(-b * n / n_total) for n in nds
+                ) / len(files)
+        return None
+
     # merge-on-read image writes at or below this many rows coalesce to
     # ONE file: a small CDC tick otherwise writes one near-empty file per
     # shuffle partition (measured ~20 files for a 64-row batch), each
@@ -9693,13 +9736,39 @@ class ParquetWarehouse:
                         .collect()
                     )
                     if len(distinct) <= cap:
+                        # NDV-informed decision (r15, VERDICT r14 #6):
+                        # when the manifest's per-file NDV predicts the
+                        # membership probe would keep ~every file, build
+                        # the envelope from the SAME collected keys
+                        # instead (no extra job, no per-file bloom IO).
+                        # Float keys keep the discrete set: a driver-
+                        # side min/max diverges from Spark's under NaN.
+                        est_skip = self._membership_skip_estimate(
+                            self._materialize(schema, table, head_mi)[
+                                "files"
+                            ],
+                            key_cols,
+                            len(distinct),
+                        )
+                        as_envelope = (
+                            est_skip is not None
+                            and est_skip < self.MERGE_MEMBERSHIP_MIN_SKIP
+                            and not any(
+                                rec.get(k) in ("float", "double")
+                                for k in key_cols
+                            )
+                        )
                         for k in key_cols:
                             vals = sorted(
                                 {r[k] for r in distinct if r[k] is not None},
                                 key=repr,
                             )
                             if vals:
-                                ranges[k] = vals
+                                ranges[k] = (
+                                    (min(vals), max(vals))
+                                    if as_envelope
+                                    else vals
+                                )
                     else:
                         env = source.agg(
                             *[

@@ -1105,6 +1105,86 @@ def tick_jobs_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def ndv_decision_probe(n_rows: int, workdir: str) -> None:
+    """NDV-informed merge_into discovery A/B (VERDICT r14 #6): at the
+    keep-all shape (B distinct uniform keys >> table NDV / file — every
+    live file holds batch keys), the r14 code still built a discrete
+    2048-value membership spec and probed every file's bloom sidecar to
+    keep them all; the r15 decision reads the manifest's per-file NDV,
+    predicts ~zero skip, and passes the envelope instead.  Measures one
+    2000-key merge_into per poll, best-of-3, decision ON vs FORCED
+    membership (floor=0).  Prints one JSON line."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="ndv-decision-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    wh.create_table(
+        "lab", "t", "zstd", 1,
+        properties={"snapshots": "true", "bloom_columns": "k"},
+    )
+    wh.append(
+        "lab", "t",
+        spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("int").alias("ts"),
+            F.col("id").alias("eid"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        ).repartition(256),
+        batch_id="seed",
+    )
+    files = wh.head_snapshot("lab", "t")["files"]
+    est = wh._membership_skip_estimate(files, ["k"], 2000)
+
+    def batch(salt: int):
+        return spark.range(2000).select(
+            ((F.col("id") * 7919 + salt * 13) % n_rows).alias("k"),
+            F.lit(salt + 1).cast("int").alias("ts"),
+            (F.col("id") + (salt + 1) * n_rows).alias("eid"),
+            F.sha2((F.col("id") + salt).cast("string"), 256).alias("v"),
+        )
+
+    def timed(salt: int) -> float:
+        # cold bloom cache per poll — a fresh poller process's shape;
+        # the decision's whole point is skipping the per-file blob
+        # loads + membership checks on the keep-all path
+        wh._bloom_cache.clear()
+        t0 = time.perf_counter()
+        wh.merge_into(
+            "lab", "t", batch(salt), ["k"],
+            matched_condition="s.ts > t.ts",
+            mode="merge-on-read",
+        )
+        return time.perf_counter() - t0
+
+    timed(0)  # warmup (JIT + caches) before any A/B (the r13 lesson)
+    floor = ParquetWarehouse.MERGE_MEMBERSHIP_MIN_SKIP
+    out = {
+        "probe": "ndv_decision",
+        "rows": n_rows,
+        "files": len(files),
+        "batch_keys": 2000,
+        "predicted_skip": round(est, 6) if est is not None else None,
+    }
+    try:
+        # alternate: forced-membership, decision-on, x3 each
+        forced, decided = [], []
+        salt = 1
+        for _rep in range(3):
+            ParquetWarehouse.MERGE_MEMBERSHIP_MIN_SKIP = 0.0
+            forced.append(timed(salt))
+            salt += 1
+            ParquetWarehouse.MERGE_MEMBERSHIP_MIN_SKIP = floor
+            decided.append(timed(salt))
+            salt += 1
+        out["forced_membership_best_sec"] = round(min(forced), 3)
+        out["decision_best_sec"] = round(min(decided), 3)
+        out["speedup"] = round(min(forced) / min(decided), 3)
+    finally:
+        ParquetWarehouse.MERGE_MEMBERSHIP_MIN_SKIP = floor
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def touched_poll_probe(n_files: int, workdir: str) -> None:
     """touched_keys poll cost vs LIVE-FILE count (VERDICT r14 #2): the
     r14 window walk materialized the full O(live files) entry dict per
@@ -2043,6 +2123,9 @@ def main() -> None:
         return
     if "--tick-jobs" in sys.argv:
         tick_jobs_probe(n_rows if args else 500_000, workdir)
+        return
+    if "--ndv-decision" in sys.argv:
+        ndv_decision_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--touched-poll" in sys.argv:
         # positional arg means base FILE COUNT here (second point is 8x)
