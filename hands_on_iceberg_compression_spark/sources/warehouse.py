@@ -3079,7 +3079,11 @@ class ParquetWarehouse:
         ``eq_types``) keep the inference read."""
         p = os.path.join(tdir, d["path"])
         ts = d.get("eq_types")
-        if ts and len(ts) == len(d["eq_cols"]):
+        if (
+            ts
+            and len(ts) == len(d["eq_cols"])
+            and not any("`" in c for c in d["eq_cols"])
+        ):
             sch = ", ".join(
                 f"`{c}` {t}" for c, t in zip(d["eq_cols"], ts)
             )
@@ -9170,8 +9174,14 @@ class ParquetWarehouse:
         # batches (or float keys, whose NaN ordering/equality diverges
         # between Python and Spark) take the one combined aggregate.
         dtype_of = dict(updates.dtypes)
+        # floats: NaN ordering/equality diverges between Python and
+        # Spark; complex types: rows collect as unhashable lists/dicts
+        # (the Counter dup-check needs hashable tuples) — both keep the
+        # aggregate path
         float_keys = any(
-            (env_types.get(c) or dtype_of.get(c)) in ("float", "double")
+            (t := (env_types.get(c) or dtype_of.get(c, "")))
+            in ("float", "double")
+            or t.startswith(("array", "map", "struct"))
             for c in key_cols
         )
         key_rows_local: list[tuple] | None = None

@@ -530,3 +530,118 @@ def test_consume_changes_metadata_only_window_is_zero_job(
         lambda df: seen.extend(r["id"] for r in df.collect()),
     )
     assert out["delivered"] is True and seen == [980]
+
+
+def test_consume_probe_skip_keeps_netting_semantics(ch_table, spark):
+    """r15 tick-floor fold guard: the head-JSON emptiness proof
+    (_window_proves_rows) must NEVER skip the probe for net=True
+    row-exact pulls — a window can add rows AND net to zero changes
+    (insert+delete of the same key), and process must not run on it.
+    For net=False the proof fires and process runs without the probe."""
+    wh = ch_table
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ckpt_probe_")
+    ck_net, ck_raw = os.path.join(d, "net.json"), os.path.join(d, "raw.json")
+    wh.consume_changes("lab", "cht", ck_net, lambda ch: None, net=True)
+    wh.consume_changes("lab", "cht", ck_raw, lambda ch: None, net=False)
+    # window that ADDS rows (proof fires) but NETS to nothing
+    wh.append(
+        "lab", "cht",
+        spark.createDataFrame([(100, 1, 1)], "id int, k int, v int"),
+        batch_id="nz",
+    )
+    wh.delete_by_keys("lab", "cht", [100], eq_cols=["id"])
+    called = []
+    out = wh.consume_changes(
+        "lab", "cht", ck_net, lambda ch: called.append(ch.count()), net=True
+    )
+    assert called == [] and out["delivered"] is False
+    # net=False over the same window: proof fires, process runs, and
+    # the frame is genuinely non-empty (the probe was safely skipped)
+    out = wh.consume_changes(
+        "lab", "cht", ck_raw, lambda ch: called.append(ch.count()), net=False
+    )
+    assert out["delivered"] is True and called and called[0] > 0
+
+
+def test_merge_upsert_small_and_large_paths_agree(ch_table, spark):
+    """r15 drift net: the bounded-probe (driver-side stats + local
+    delete write) and combined-aggregate paths of merge_upsert must
+    produce identical tables, identical delete-entry metadata shape,
+    and identical refusals — pinned by running the same batch through
+    both (forced via MOR_LOCAL_DELETE_KEYS_MAX) on twin tables."""
+    wh = ch_table
+    wh.create_table(
+        "lab", "twin", "zstd", 1, properties={"snapshots": "true"}
+    )
+    wh.append(
+        "lab", "twin",
+        spark.createDataFrame(
+            [(i, i % 3, 0) for i in range(12)], "id int, k int, v int"
+        ),
+        batch_id="b0",
+    )
+
+    def batch():
+        return spark.createDataFrame(
+            [(2, 9, 99, False), (50, 9, 50, False), (3, 0, 0, True)],
+            "id int, k int, v int, dead boolean",
+        )
+
+    real_cap = ParquetWarehouse.MOR_LOCAL_DELETE_KEYS_MAX
+    try:
+        out_small = wh.merge_upsert(
+            "lab", "cht", batch(), ["id"],
+            delete_col="dead", mode="merge-on-read",
+        )
+        ParquetWarehouse.MOR_LOCAL_DELETE_KEYS_MAX = 0  # force agg path
+        out_big = wh.merge_upsert(
+            "lab", "twin", batch(), ["id"],
+            delete_col="dead", mode="merge-on-read",
+        )
+    finally:
+        ParquetWarehouse.MOR_LOCAL_DELETE_KEYS_MAX = real_cap
+    for k in ("upserts", "deletes", "delete_files_added"):
+        assert out_small[k] == out_big[k], (k, out_small, out_big)
+    rows = lambda t: sorted(  # noqa: E731
+        (r["id"], r["k"], r["v"])
+        for r in wh.read("lab", t).collect()
+    )
+    assert rows("cht") == rows("twin")
+    assert (2, 9, 99) in rows("cht") and all(r[0] != 3 for r in rows("cht"))
+    # delete-entry metadata: same eq_cols/eq_types/key_ranges semantics
+    def dels(t):
+        head = wh.head_snapshot("lab", t)
+        return [
+            {
+                "eq_cols": d["eq_cols"],
+                "eq_types": d.get("eq_types"),
+                "key_ranges": d.get("key_ranges"),
+                "rows": d["rows"],
+            }
+            for d in head.get("deletes", [])
+        ]
+    assert dels("cht") == dels("twin")
+    # duplicate keys refuse identically on both paths
+    dup = spark.createDataFrame(
+        [(7, 0, 1, False), (7, 1, 2, False)],
+        "id int, k int, v int, dead boolean",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        wh.merge_upsert(
+            "lab", "cht", dup, ["id"], delete_col="dead",
+            mode="merge-on-read",
+        )
+    try:
+        ParquetWarehouse.MOR_LOCAL_DELETE_KEYS_MAX = 0
+        with _pytest.raises(ValueError, match="duplicate keys"):
+            wh.merge_upsert(
+                "lab", "twin", dup, ["id"], delete_col="dead",
+                mode="merge-on-read",
+            )
+    finally:
+        ParquetWarehouse.MOR_LOCAL_DELETE_KEYS_MAX = real_cap
