@@ -244,6 +244,210 @@ def maintain_keep_latest_mv(
     return {**res, **out}
 
 
+# --- incremental JOIN MVs (r15, beyond-orders) ----------------------------
+
+
+def maintain_join_mv(
+    wh,
+    left: tuple[str, str],
+    right: tuple[str, str],
+    mv: tuple[str, str],
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    checkpoint_left: str = "",
+    checkpoint_right: str = "",
+    mode: str = "merge-on-read",
+    prune_source: bool = True,
+    keys_only: bool = True,
+) -> dict:
+    """ONE maintenance tick of an incremental EQUI-JOIN view::
+
+        MV = keep_latest(left) INNER JOIN keep_latest(right) ON key_cols
+
+    — the Materialize/Delta-live-tables delta-join shape, maintained
+    from BOTH sources' changelogs: a key touched on EITHER side has its
+    join row recomputed from the sources' current keep-latest state;
+    a touched key with no surviving join row (either side's row gone)
+    tombstones.  Refreshing an untouched key is a no-op, so the cheap
+    keys-only changelog (``touched_keys`` superset) is exactly
+    sufficient — the same contract as ``maintain_keep_latest_mv``, per
+    side.  The tick is two checkpointed pulls (one per source), each
+    refreshing its own touched keys against BOTH sources — composition
+    keeps the standard at-least-once contract per checkpoint, and a
+    crash between the pulls just redelivers one side's window.
+
+    The MV's key is the join key (1:1 per side via keep-latest); the
+    ordering columns (``ts_col``/``tie_col`` — shared CDC convention on
+    both sides) are mechanics and are DROPPED from the MV; remaining
+    non-key column names must be DISJOINT between the sides (refused
+    otherwise — no silent prefixing).  Bootstrap commits the full join
+    at pinned source versions BEFORE initializing either checkpoint
+    (the ADVICE r13 commit-before-checkpoint ordering), so a crash at
+    any point re-enters bootstrap or redelivers a covered window.
+
+    Returns {"left": <consume res>, "right": <consume res>,
+    "keys_refreshed": total (-1 = full refresh)}."""
+    if not checkpoint_left or not checkpoint_right:
+        raise ValueError(
+            "checkpoint_left and checkpoint_right are required — one "
+            "checkpointed changelog pull per source"
+        )
+    lschema, ltable = left
+    rschema, rtable = right
+    mschema, mtable = mv
+    drop = set(key_cols) | {ts_col, tie_col}
+    l_val = [c for c in wh.read(lschema, ltable).columns if c not in drop]
+    r_val = [c for c in wh.read(rschema, rtable).columns if c not in drop]
+    overlap = set(l_val) & set(r_val)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on BOTH join "
+            "sides — rename before maintaining (the MV schema is "
+            "key + left value columns + right value columns, no "
+            "silent prefixing; ordering columns are dropped)"
+        )
+    out = {"keys_refreshed": 0}
+
+    def joined_for(keys: DataFrame | None, lv=None, rv=None) -> DataFrame:
+        """keep_latest(left) join keep_latest(right), optionally
+        key-scoped (delta refresh) and version-pinned (bootstrap)."""
+        l_df = (
+            wh.read_snapshot(lschema, ltable, lv)
+            if lv is not None
+            else wh.read(lschema, ltable)
+        )
+        r_df = (
+            wh.read_snapshot(rschema, rtable, rv)
+            if rv is not None
+            else wh.read(rschema, rtable)
+        )
+        if keys is not None:
+            l_df = l_df.join(keys, key_cols, "leftsemi")
+            r_df = r_df.join(keys, key_cols, "leftsemi")
+        l_latest = keep_latest(l_df, key_cols, ts_col, tie_col).select(
+            *key_cols, *l_val
+        )
+        r_latest = keep_latest(r_df, key_cols, ts_col, tie_col).select(
+            *key_cols, *r_val
+        )
+        return l_latest.join(r_latest, key_cols, "inner")
+
+    def refresh(keys: DataFrame) -> int:
+        """Delta-scoped: recompute the join rows for ``keys`` from both
+        sources' CURRENT state; keys with no join row tombstone."""
+        kv = keys.limit(_MV_PRUNE_KEYS_MAX + 1).collect()
+        n_keys = (
+            len(kv) if len(kv) <= _MV_PRUNE_KEYS_MAX else keys.count()
+        )
+        if n_keys == 0:
+            return 0
+        scoped = None
+        if prune_source and n_keys <= _MV_PRUNE_KEYS_MAX:
+            try:
+                spec = {c: list({r[c] for r in kv}) for c in key_cols}
+                l_df = wh.read_pruned(lschema, ltable, spec).join(
+                    keys, key_cols, "leftsemi"
+                )
+                r_df = wh.read_pruned(rschema, rtable, spec).join(
+                    keys, key_cols, "leftsemi"
+                )
+                l_latest = keep_latest(
+                    l_df, key_cols, ts_col, tie_col
+                ).select(*key_cols, *l_val)
+                r_latest = keep_latest(
+                    r_df, key_cols, ts_col, tie_col
+                ).select(*key_cols, *r_val)
+                scoped = l_latest.join(r_latest, key_cols, "inner")
+            except Exception:
+                scoped = None  # dir-mode/legacy: unpruned path below
+        if scoped is None:
+            scoped = joined_for(keys)
+        gone = keys.join(scoped.select(*key_cols), key_cols, "left_anti")
+        batch = scoped.withColumn(_DEL, F.lit(False)).unionByName(
+            gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
+        )
+        wh.merge_upsert(
+            mschema, mtable, batch, key_cols, delete_col=_DEL, mode=mode
+        )
+        return n_keys
+
+    # ---- bootstrap: commit the full join BEFORE either checkpoint ----
+    lck, rck = _ckpt_version(checkpoint_left), _ckpt_version(checkpoint_right)
+    bootstrap = (
+        lck is None or rck is None
+        or not wh._snapshot_versions(mschema, mtable)
+    )
+    lv = wh._latest_version(lschema, ltable)
+    rv = wh._latest_version(rschema, rtable)
+    if (
+        bootstrap
+        and lv is not None
+        and rv is not None
+        and not (lck is not None and lck > lv)
+        and not (rck is not None and rck > rv)
+    ):
+        state = joined_for(None, lv=lv, rv=rv)
+        if not wh._snapshot_versions(mschema, mtable):
+            wh.append(mschema, mtable, state, batch_id="mv_bootstrap")
+        else:
+            # reconcile: refresh every key, tombstone MV keys the join
+            # no longer produces (idempotent — crash re-enters here)
+            gone = (
+                wh.read(mschema, mtable)
+                .select(*key_cols)
+                .join(state.select(*key_cols), key_cols, "left_anti")
+            )
+            batch = state.withColumn(_DEL, F.lit(False)).unionByName(
+                gone.withColumn(_DEL, F.lit(True)),
+                allowMissingColumns=True,
+            )
+            wh.merge_upsert(
+                mschema, mtable, batch, key_cols, delete_col=_DEL,
+                mode=mode,
+            )
+        out["keys_refreshed"] = -1
+        if lck is None:
+            _init_checkpoint(checkpoint_left, lv)
+        if rck is None:
+            _init_checkpoint(checkpoint_right, rv)
+
+    def process(ch: DataFrame) -> None:
+        keys = (
+            ch
+            if list(ch.columns) == list(key_cols)
+            else ch.select(*key_cols).distinct()
+        )
+        n = refresh(keys)
+        if out["keys_refreshed"] != -1:
+            out["keys_refreshed"] += n
+
+    def keys_changelog_for(s, t):
+        def fn(_s, _t, fv, tv, net=True, branch="main"):
+            df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
+            if df is None:  # legacy pre-schema source
+                return wh.read_changes(s, t, fv, tv, net=net, branch=branch)
+            try:
+                df = df.localCheckpoint(eager=True)
+            except Exception:
+                pass
+            return df
+
+        return fn
+
+    res_l = wh.consume_changes(
+        lschema, ltable, checkpoint_left, process, net=True,
+        changelog_fn=keys_changelog_for(lschema, ltable) if keys_only else None,
+        superset_changelog=keys_only,
+    )
+    res_r = wh.consume_changes(
+        rschema, rtable, checkpoint_right, process, net=True,
+        changelog_fn=keys_changelog_for(rschema, rtable) if keys_only else None,
+        superset_changelog=keys_only,
+    )
+    return {"left": res_l, "right": res_r, **out}
+
+
 # --- self-maintainable AGGREGATE MVs (VERDICT r12 #3) ---------------------
 
 _APPLIED = "mv_applied_to"

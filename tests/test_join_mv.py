@@ -1,0 +1,257 @@
+"""Incremental JOIN MV (r15): ``maintain_join_mv`` — the delta-join
+maintainer, MV = keep_latest(left) INNER JOIN keep_latest(right) on a
+shared key, maintained from BOTH sources' keys-only changelogs.
+
+Convergence contract pinned here: after ticking to both heads the MV
+equals the batch join recompute exactly (minus the dropped ordering
+columns), whatever mix of upserts/deletes either side saw; a key whose
+join row vanishes (either side's row deleted) tombstones; redelivered
+windows are no-ops; lost checkpoints reconcile via the
+commit-before-checkpoint bootstrap; overlapping value columns refuse.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
+from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+    maintain_join_mv,
+)
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+)
+
+L_SCHEMA = "k int, ts int, eid int, lv int"
+R_SCHEMA = "k int, ts int, eid int, rv string"
+
+
+def _mk(spark, tmp_path, name):
+    wh = ParquetWarehouse(spark, str(tmp_path / name))
+    for t in ("l", "r", "mv"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "l",
+        spark.createDataFrame(
+            [(k, 0, k, k * 10) for k in range(6)], L_SCHEMA
+        ),
+        batch_id="seed_l",
+    )
+    wh.append(
+        "lab", "r",
+        spark.createDataFrame(
+            [(k, 0, k, f"r{k}") for k in range(2, 8)], R_SCHEMA
+        ),
+        batch_id="seed_r",
+    )
+    return wh
+
+
+def _tick(wh, d):
+    return maintain_join_mv(
+        wh, ("lab", "l"), ("lab", "r"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid",
+        checkpoint_left=f"{d}/ckl.json", checkpoint_right=f"{d}/ckr.json",
+    )
+
+
+def _mv_rows(wh):
+    return sorted(
+        (r["k"], r["lv"], r["rv"]) for r in wh.read("lab", "mv").collect()
+    )
+
+
+def _expected(wh):
+    l_latest = keep_latest(wh.read("lab", "l"), ["k"], "ts", "eid")
+    r_latest = keep_latest(wh.read("lab", "r"), ["k"], "ts", "eid")
+    j = l_latest.select("k", "lv").join(
+        r_latest.select("k", "rv"), ["k"], "inner"
+    )
+    return sorted((r["k"], r["lv"], r["rv"]) for r in j.collect())
+
+
+def test_bootstrap_incremental_tombstone_and_redelivery(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "jmv")
+    d = str(tmp_path / "jmv")
+    out = _tick(wh, d)
+    assert out["keys_refreshed"] == -1  # bootstrap full join
+    # MV schema: key + value columns, ordering mechanics dropped
+    assert sorted(wh.read("lab", "mv").columns) == ["k", "lv", "rv"]
+    assert _mv_rows(wh) == _expected(wh)
+    assert _mv_rows(wh) == [(k, k * 10, f"r{k}") for k in range(2, 6)]
+
+    # left-side update + new key that completes a join pair
+    wh.merge_upsert(
+        "lab", "l",
+        spark.createDataFrame([(2, 1, 100, 222), (7, 1, 101, 70)], L_SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    out = _tick(wh, d)
+    assert out["left"]["delivered"] and not out["right"]["delivered"]
+    assert out["keys_refreshed"] == 2
+    assert _mv_rows(wh) == _expected(wh)
+    assert (2, 222, "r2") in _mv_rows(wh) and (7, 70, "r7") in _mv_rows(wh)
+
+    # right-side update lands through the right pull
+    wh.merge_upsert(
+        "lab", "r",
+        spark.createDataFrame([(3, 1, 102, "R3")], R_SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    _tick(wh, d)
+    assert _mv_rows(wh) == _expected(wh)
+    assert (3, 30, "R3") in _mv_rows(wh)
+
+    # tombstone: deleting the RIGHT row kills the join row for the key
+    wh.delete_where("lab", "r", "k = 4", mode="merge-on-read")
+    _tick(wh, d)
+    assert _mv_rows(wh) == _expected(wh)
+    assert all(k != 4 for k, _lv, _rv in _mv_rows(wh))
+
+    # redelivery: rewind the LEFT checkpoint across the whole history —
+    # re-application must be a no-op (key-idempotent refresh)
+    want = _mv_rows(wh)
+    with open(f"{d}/ckl.json") as f:
+        st = json.load(f)
+    st["version"] = 1
+    with open(f"{d}/ckl.json", "w") as f:
+        json.dump(st, f)
+    _tick(wh, d)
+    assert _mv_rows(wh) == want == _expected(wh)
+
+
+def test_lost_checkpoint_reconciles_and_overlap_refuses(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "jrc")
+    d = str(tmp_path / "jrc")
+    _tick(wh, d)
+    # source moved while the checkpoint was lost: reconcile must both
+    # refresh keys and tombstone vanished join rows
+    wh.delete_where("lab", "l", "k = 2", mode="merge-on-read")
+    wh.merge_upsert(
+        "lab", "r",
+        spark.createDataFrame([(5, 2, 200, "R5")], R_SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    import os
+
+    os.unlink(f"{d}/ckl.json")
+    out = _tick(wh, d)
+    assert out["keys_refreshed"] == -1  # bootstrap reconcile path
+    assert _mv_rows(wh) == _expected(wh)
+    assert all(k != 2 for k, _lv, _rv in _mv_rows(wh))
+    assert (5, 50, "R5") in _mv_rows(wh)
+    # steady after reconcile
+    wh.merge_upsert(
+        "lab", "l",
+        spark.createDataFrame([(6, 3, 300, 666)], L_SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    _tick(wh, d)
+    assert _mv_rows(wh) == _expected(wh)
+
+    # overlapping VALUE columns refuse with a clear message
+    wh.create_table(
+        "lab", "r2", "zstd", 1, properties={"snapshots": "true"}
+    )
+    wh.append(
+        "lab", "r2",
+        spark.createDataFrame([(1, 0, 1, 5)], "k int, ts int, eid int, lv int"),
+        batch_id="seed",
+    )
+    with pytest.raises(ValueError, match="BOTH join sides"):
+        maintain_join_mv(
+            wh, ("lab", "l"), ("lab", "r2"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=f"{d}/x1.json", checkpoint_right=f"{d}/x2.json",
+        )
+
+
+def test_mixed_dml_drain_converges(spark, tmp_path):
+    """A burst of interleaved DML on both sides between ticks — one
+    drain tick must land the exact batch join (the composition the
+    two-checkpoint design must get right: a key touched on either side
+    refreshes against BOTH sides' current state)."""
+    wh = _mk(spark, tmp_path, "jdr")
+    d = str(tmp_path / "jdr")
+    _tick(wh, d)
+    wh.merge_upsert(
+        "lab", "l",
+        spark.createDataFrame([(0, 1, 400, 11), (9, 1, 401, 90)], L_SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    wh.merge_upsert(
+        "lab", "r",
+        spark.createDataFrame(
+            [(0, 1, 402, "R0"), (9, 1, 403, "r9")], R_SCHEMA
+        ),
+        ["k"], mode="merge-on-read",
+    )
+    wh.delete_where("lab", "l", "k = 3", mode="merge-on-read")
+    wh.delete_by_keys("lab", "r", [5], eq_cols=["k"])
+    wh.optimize("lab", "l")
+    _tick(wh, d)
+    assert _mv_rows(wh) == _expected(wh)
+    assert (0, 11, "R0") in _mv_rows(wh)  # joined only after both lands
+    assert (9, 90, "r9") in _mv_rows(wh)
+    assert all(k not in (3, 5) for k, _lv, _rv in _mv_rows(wh))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+DML = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["l_upsert", "r_upsert", "l_delete", "r_delete",
+             "optimize", "tick"]
+        ),
+        st.integers(0, 9),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=DML)
+def test_randomized_two_sided_dml_converges(spark, tmp_path_factory, ops):
+    """Randomized interleaving of DML on BOTH sides with maintenance
+    ticks, then a drain — the MV must equal the batch join exactly
+    whatever history ran (the keep-latest maintainer's convergence
+    net, extended to the two-checkpoint join composition)."""
+    wh = _mk(spark, tmp_path_factory.mktemp("jrand"), "j")
+    d = str(tmp_path_factory.mktemp("jrand_ck"))
+    _tick(wh, d)
+    eid = 1000
+    for op, pick in ops:
+        eid += 1
+        if op == "l_upsert":
+            wh.merge_upsert(
+                "lab", "l",
+                spark.createDataFrame(
+                    [(pick % 8, eid, eid, pick * 7)], L_SCHEMA
+                ),
+                ["k"], mode="merge-on-read",
+            )
+        elif op == "r_upsert":
+            wh.merge_upsert(
+                "lab", "r",
+                spark.createDataFrame(
+                    [(pick % 8, eid, eid, f"x{pick}")], R_SCHEMA
+                ),
+                ["k"], mode="merge-on-read",
+            )
+        elif op == "l_delete":
+            wh.delete_where(
+                "lab", "l", f"k = {pick % 8}", mode="merge-on-read"
+            )
+        elif op == "r_delete":
+            wh.delete_by_keys("lab", "r", [pick % 8], eq_cols=["k"])
+        elif op == "optimize":
+            wh.optimize("lab", "l" if pick % 2 else "r")
+        else:
+            _tick(wh, d)
+    _tick(wh, d)  # drain
+    assert _mv_rows(wh) == _expected(wh)
