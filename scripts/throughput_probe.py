@@ -1105,6 +1105,114 @@ def tick_jobs_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def join_mv_probe(n_rows: int, workdir: str) -> None:
+    """Incremental join-MV tick economics (r15): a keep_latest(L) JOIN
+    keep_latest(R) view over an ``n_rows``-key left and n_rows/4-key
+    right, 10 epochs of one 20k-row CDC batch landing on ALTERNATING
+    sides + one ``maintain_join_mv`` tick.  Reports tick p50/max and
+    the full batch-join recompute the tick replaces.  Prints one JSON
+    line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_join_mv,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="join-mv-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    for t in ("l", "r", "mv"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "l",
+        spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("int").alias("ts"),
+            F.col("id").alias("eid"),
+            F.sha2(F.col("id").cast("string"), 256).alias("lv"),
+        ).repartition(32),
+        batch_id="seed_l",
+    )
+    wh.append(
+        "lab", "r",
+        spark.range(n_rows // 4).select(
+            (F.col("id") * 4).alias("k"),
+            F.lit(0).cast("int").alias("ts"),
+            F.col("id").alias("eid"),
+            (F.col("id") % 997).cast("int").alias("rv"),
+        ).repartition(8),
+        batch_id="seed_r",
+    )
+    for t in ("l", "r"):
+        wh.optimize("lab", t, target_file_size_bytes=128 * 1024 * 1024)
+    ckl = os.path.join(workdir, "ckl.json")
+    ckr = os.path.join(workdir, "ckr.json")
+
+    def tick():
+        return maintain_join_mv(
+            wh, ("lab", "l"), ("lab", "r"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=ckl, checkpoint_right=ckr,
+        )
+
+    t0 = time.perf_counter()
+    out0 = tick()
+    bootstrap_s = time.perf_counter() - t0
+    assert out0["keys_refreshed"] == -1
+    ticks = []
+    for epoch in range(10):
+        side, width = (("l", n_rows) if epoch % 2 == 0 else ("r", n_rows // 4))
+        batch = spark.range(20_000).select(
+            (((F.col("id") * 6151 + epoch) % width)
+             * (1 if side == "l" else 4)).alias("k"),
+            F.lit(epoch + 1).cast("int").alias("ts"),
+            (F.col("id") + (epoch + 1) * n_rows).alias("eid"),
+            (
+                F.sha2((F.col("id") + epoch).cast("string"), 256).alias("lv")
+                if side == "l"
+                else (F.col("id") % 991).cast("int").alias("rv")
+            ),
+        )
+        wh.merge_upsert("lab", side, batch, ["k"], mode="merge-on-read")
+        t0 = time.perf_counter()
+        r = tick()
+        ticks.append(time.perf_counter() - t0)
+        assert r["keys_refreshed"] > 0
+        if epoch % 4 == 3:
+            for t in ("l", "r", "mv"):
+                wh.optimize(
+                    "lab", t, target_file_size_bytes=128 * 1024 * 1024
+                )
+    # the cost a tick replaces: one full batch-join recompute + rewrite
+    t0 = time.perf_counter()
+    lj = keep_latest(wh.read("lab", "l"), ["k"], "ts", "eid").select("k", "lv")
+    rj = keep_latest(wh.read("lab", "r"), ["k"], "ts", "eid").select("k", "rv")
+    lj.join(rj, ["k"], "inner").write.mode("overwrite").parquet(
+        os.path.join(workdir, "full_recompute")
+    )
+    full_s = time.perf_counter() - t0
+    # convergence cross-check at scale
+    mv_n = wh.read("lab", "mv").count()
+    exp_n = lj.join(rj, ["k"], "inner").count()
+    assert mv_n == exp_n, (mv_n, exp_n)
+    print(json.dumps({
+        "probe": "join_mv",
+        "left_keys": n_rows,
+        "right_keys": n_rows // 4,
+        "batch_rows": 20_000,
+        "epochs": 10,
+        "bootstrap_sec": round(bootstrap_s, 3),
+        "tick_p50_sec": round(statistics.median(ticks), 3),
+        "tick_max_sec": round(max(ticks), 3),
+        "ticks_sec": [round(x, 3) for x in ticks],
+        "full_recompute_sec": round(full_s, 3),
+        "mv_rows": mv_n,
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def ndv_decision_probe(n_rows: int, workdir: str) -> None:
     """NDV-informed merge_into discovery A/B (VERDICT r14 #6): at the
     keep-all shape (B distinct uniform keys >> table NDV / file — every
@@ -2123,6 +2231,9 @@ def main() -> None:
         return
     if "--tick-jobs" in sys.argv:
         tick_jobs_probe(n_rows if args else 500_000, workdir)
+        return
+    if "--join-mv" in sys.argv:
+        join_mv_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--ndv-decision" in sys.argv:
         ndv_decision_probe(n_rows if args else 4_000_000, workdir)
