@@ -1628,8 +1628,19 @@ class ParquetWarehouse:
     # merge_upsert batches at or below this many keys write their
     # equality-delete parquet DRIVER-SIDE (collect + pyarrow, the
     # delete_by_keys fast path) instead of launching a Spark write job
-    # for a few KB of key values — r15 tick-floor fold (VERDICT r14 #1)
-    MOR_LOCAL_DELETE_KEYS_MAX = 4096
+    # for a small file of key values — r15 tick-floor fold (VERDICT r14
+    # #1).  The bound is driver-memory-shaped: the stats probe collects
+    # (raw keys, flag, cast keys) rows, a few tens of bytes each, so
+    # 64k keys is single-digit MB; a W=8 CDC fire window (~16k keys)
+    # stays on the folded path.
+    MOR_LOCAL_DELETE_KEYS_MAX = 65536
+
+    # merge_into discovery collects up to this many DISTINCT source keys
+    # in its one bounded job: at or below MERGE_DISCRETE_KEYS_MAX they
+    # form the membership spec; between the two caps the [min, max]
+    # envelope is computed DRIVER-SIDE from the same collected values
+    # (no second aggregation job — r15); above, one Spark envelope agg.
+    MERGE_KEYS_COLLECT_MAX = 65536
 
     @classmethod
     def _store_key_ranges(cls, ranges: dict) -> dict:
@@ -9738,11 +9749,14 @@ class ParquetWarehouse:
                     # (the information-theoretic limit, not a tuning
                     # knob — see PERF.md).
                     cap = self.MERGE_DISCRETE_KEYS_MAX
+                    no_float = not any(
+                        rec.get(k) in ("float", "double") for k in key_cols
+                    )
                     ranges: dict = {}
                     distinct = (
                         source.select(*key_cols)
                         .distinct()
-                        .limit(cap + 1)
+                        .limit(self.MERGE_KEYS_COLLECT_MAX + 1)
                         .collect()
                     )
                     if len(distinct) <= cap:
@@ -9763,10 +9777,7 @@ class ParquetWarehouse:
                         as_envelope = (
                             est_skip is not None
                             and est_skip < self.MERGE_MEMBERSHIP_MIN_SKIP
-                            and not any(
-                                rec.get(k) in ("float", "double")
-                                for k in key_cols
-                            )
+                            and no_float
                         )
                         for k in key_cols:
                             vals = sorted(
@@ -9779,6 +9790,22 @@ class ParquetWarehouse:
                                     if as_envelope
                                     else vals
                                 )
+                    elif (
+                        len(distinct) <= self.MERGE_KEYS_COLLECT_MAX
+                        and no_float
+                    ):
+                        # middle tier (r15): too many keys for the
+                        # membership spec, few enough to have collected —
+                        # the envelope comes from the SAME rows, no
+                        # second aggregation job.  Dtype equality was
+                        # gated above, so Python min/max agrees with
+                        # Spark's ordering (floats excluded: NaN).
+                        for k in key_cols:
+                            vals = [
+                                r[k] for r in distinct if r[k] is not None
+                            ]
+                            if vals:
+                                ranges[k] = (min(vals), max(vals))
                     else:
                         env = source.agg(
                             *[
