@@ -385,3 +385,50 @@ def test_concurrent_rewrite_of_pos_targets_still_raises(eq_table):
             add_deletes=del_entries,
             deletes_read_version=v_read,
         )
+
+
+def test_widen_after_pending_delete_and_legacy_entries_still_apply(
+    spark, eq_table
+):
+    """r15 explicit-schema delete reads (eq_types): a pending eq delete
+    whose parquet stores the PRE-widen type must keep applying after
+    update_column_type (the read passes the WRITE-time schema, then
+    casts to the current type — never the other way around), and a
+    pre-r15 entry with no eq_types (stripped here) must fall back to
+    the inference read with identical results."""
+    wh = eq_table
+    wh.delete_by_keys("lab", "eqt", [3, 41], eq_cols=["id"])
+    head = wh.head_snapshot("lab", "eqt")
+    dels = head.get("deletes", [])
+    assert dels and dels[0].get("eq_types") == ["int"]  # recorded
+    wh.update_column_type("lab", "eqt", "id", "bigint")
+    got = {r["id"] for r in wh.read("lab", "eqt").collect()}
+    assert 3 not in got and 41 not in got and len(got) == 58
+    assert all(isinstance(i, int) for i in got)
+    # strip eq_types in the head on disk -> legacy inference path
+    import json as _json
+    import os as _os
+
+    v = wh._latest_version("lab", "eqt")
+    hp = _os.path.join(wh._ref_dir("lab", "eqt"), f"v{v:06d}.json")
+    with open(hp) as f:
+        h = _json.load(f)
+    # deletes may live inline or in delete segments; strip wherever
+    changed = False
+    for d in h.get("deletes", []):
+        changed |= d.pop("eq_types", None) is not None
+    if not changed:
+        for ref in h.get("delete_segments", []):
+            sp = _os.path.join(wh._snap_dir("lab", "eqt"), ref["path"])
+            with open(sp) as f:
+                seg = _json.load(f)
+            for d in seg["files"]:
+                changed |= d.pop("eq_types", None) is not None
+            with open(sp, "w") as f:
+                _json.dump(seg, f)
+    with open(hp, "w") as f:
+        _json.dump(h, f)
+    assert changed
+    wh2 = ParquetWarehouse(spark, wh.root)  # fresh caches
+    got2 = {r["id"] for r in wh2.read("lab", "eqt").collect()}
+    assert got2 == got
