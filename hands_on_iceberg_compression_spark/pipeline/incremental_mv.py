@@ -452,6 +452,31 @@ def maintain_join_mv(
 
 _APPLIED = "mv_applied_to"
 
+# mode="auto" keeps a SMALL aggregate MV copy-on-write: below this many
+# rows, rewriting the MV's one small file per tick beats stacking MoR
+# delete entries whose anti-joins every later tick's MV read pays (the
+# r15 tick-floor decomposition measured CoW at recompute parity while
+# MoR carried a growing read plan).  Larger MVs keep merge-on-read's
+# O(batch) commits.
+_AGG_MV_COW_MAX_ROWS = 250_000
+
+
+def _resolve_agg_mv_mode(wh, mschema: str, mtable: str, mode: str) -> str:
+    """'auto' -> 'copy-on-write' when the MV is METADATA-PROVABLY small
+    (count_rows fast path; None = pending deletes make the size
+    unknowable without a read -> stay merge-on-read, conservative),
+    else 'merge-on-read'.  Mixing modes across ticks is legal: a CoW
+    replace clears the pending delete set."""
+    if mode != "auto":
+        return mode
+    try:
+        n = wh.count_rows(mschema, mtable, fallback=False)
+    except Exception:
+        n = None
+    if n is not None and n <= _AGG_MV_COW_MAX_ROWS:
+        return "copy-on-write"
+    return "merge-on-read"
+
 
 def _mv_applied_version(wh, mschema: str, mtable: str) -> int:
     """Latest applied-watermark committed WITH the MV's data: walk the
@@ -480,7 +505,7 @@ def maintain_agg_mv(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     checkpoint_file: str = "",
-    mode: str = "merge-on-read",
+    mode: str = "auto",
 ) -> dict:
     """ONE maintenance tick of a SELF-MAINTAINABLE aggregate view —
     ``SELECT group_cols, COUNT(*) AS cnt, SUM(c) AS sum_c, COUNT(c) AS
@@ -529,7 +554,14 @@ def maintain_agg_mv(
     ``cnt`` but not ``sum``/``nn``/``avg``.  Float sums inherit
     floating-point cancellation drift under heavy delete churn — use
     optimize()-triggered full refresh if exactness on doubles matters;
-    int sums are exact."""
+    int sums are exact.
+
+    ``mode="auto"`` (default, r15): copy-on-write while the MV is
+    metadata-provably small (``count_rows`` fast path, <=
+    ``_AGG_MV_COW_MAX_ROWS``), merge-on-read otherwise — the measured
+    guidance (PERF.md r15: small-MV CoW ticks sit at recompute parity
+    where MoR pays a growing delete-stack read).  Explicit modes are
+    honored unchanged."""
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -538,6 +570,11 @@ def maintain_agg_mv(
     sum_cols = list(sum_cols or [])
     sschema, stable = src
     mschema, mtable = mv
+    # mode="auto" (r15): CoW while the MV is metadata-provably small,
+    # MoR otherwise — the measured guidance turned into the default
+    # decision (PERF.md r15: small-MV CoW ticks sit at recompute parity
+    # where MoR paid a growing delete-stack read)
+    mode = _resolve_agg_mv_mode(wh, mschema, mtable, mode)
     out = {"groups_refreshed": 0}
 
     def agg_exprs(sign):

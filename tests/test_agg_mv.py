@@ -359,3 +359,44 @@ def test_randomized_dml_converges(spark, tmp_path_factory, ops):
             _tick(wh, ckpt)
     _tick(wh, ckpt)
     assert _mv_rows(wh) == _expected(wh)
+
+
+def test_auto_mode_picks_cow_for_small_mv(spark, tmp_path):
+    """r15: mode='auto' (now the default) maintains a metadata-provably
+    SMALL MV copy-on-write — no pending delete entries accumulate on
+    the MV (the growing read-plan term the tick-floor decomposition
+    found) — and conservatively stays merge-on-read when pending eq
+    deletes make the MV's size unknowable from metadata."""
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        _resolve_agg_mv_mode,
+    )
+
+    wh = _mk(spark, tmp_path, "auto")
+    ckpt = str(tmp_path / "auto" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(k, 0, k, k * 3) for k in range(10)], SCHEMA
+        ),
+        batch_id="seed",
+    )
+    _tick(wh, ckpt)  # bootstrap
+    for e in range(3):
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame(
+                [(e, e + 1, 100 + e, 7)], SCHEMA
+            ),
+            batch_id=f"a{e}",
+        )
+        _tick(wh, ckpt)
+    head = wh.head_snapshot("lab", "mv")
+    assert not head.get("deletes")  # CoW ticks: no MoR delete stack
+    assert _mv_rows(wh) == _expected(wh)
+    # unknowable size (pending eq delete on the MV) -> merge-on-read
+    wh.delete_by_keys("lab", "mv", [0], eq_cols=["k"])
+    assert wh.count_rows("lab", "mv", fallback=False) is None
+    assert _resolve_agg_mv_mode(wh, "lab", "mv", "auto") == "merge-on-read"
+    assert _resolve_agg_mv_mode(wh, "lab", "mv", "copy-on-write") == (
+        "copy-on-write"
+    )
