@@ -925,11 +925,15 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
     )
     wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
     ckpt = os.path.join(workdir, "ck.json")
-    # --cow: maintain the MV copy-on-write — for a SMALL aggregate MV
-    # (hundreds of groups, one file) rewriting it per tick beats
-    # stacking MoR delete entries whose anti-joins every subsequent
-    # tick's MV read then pays (r15 tick-floor decomposition)
-    mode = "copy-on-write" if "--cow" in sys.argv else "merge-on-read"
+    # default: the maintainer's shipped mode="auto" (r15 — resolves to
+    # CoW for this probe's small MV); --cow / --mor-mv force a mode for
+    # A/B (the r15 decomposition measured CoW at recompute parity where
+    # MoR paid a growing delete-stack read)
+    mode = (
+        "copy-on-write"
+        if "--cow" in sys.argv
+        else ("merge-on-read" if "--mor-mv" in sys.argv else "auto")
+    )
 
     def tick():
         return maintain_agg_mv(
