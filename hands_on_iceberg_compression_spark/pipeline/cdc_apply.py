@@ -248,8 +248,18 @@ def merge_into_batched(
 
     def keys_changelog(s, t, fv, tv, net=True, branch="main"):
         df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
-        if df is None:  # legacy pre-schema source: row-exact fallback
-            return wh.read_changes(s, t, fv, tv, net=True, branch=branch)
+        if df is None:
+            # legacy pre-schema source: reduce the row-exact changelog
+            # to the keys-only shape reduce_to_batch re-derives from the
+            # source.  net=False is mandatory — the superset_changelog
+            # contract promises non-empty whenever the window provably
+            # added rows, and a NET window can cancel an added key to
+            # nothing, recording a spurious empty fire (ADVICE r15)
+            df = (
+                wh.read_changes(s, t, fv, tv, net=False, branch=branch)
+                .select(*key_cols)
+                .distinct()
+            )
         try:
             # one execution shared by the emptiness probe and the fire
             df = df.localCheckpoint(eager=True)

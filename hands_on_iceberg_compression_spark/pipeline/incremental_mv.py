@@ -220,8 +220,18 @@ def maintain_keep_latest_mv(
 
     def keys_changelog(s, t, fv, tv, net=net, branch="main"):
         df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
-        if df is None:  # legacy pre-schema source: row-exact fallback
-            return wh.read_changes(s, t, fv, tv, net=net, branch=branch)
+        if df is None:
+            # legacy pre-schema source: reduce the row-exact changelog
+            # to the SAME keys-only shape.  net=False is mandatory here
+            # — the superset_changelog contract promises a non-empty
+            # frame whenever the window provably added rows, and a NET
+            # window can cancel an added-then-deleted key to nothing
+            # (ADVICE r15); refreshing the extra keys is a no-op.
+            df = (
+                wh.read_changes(s, t, fv, tv, net=False, branch=branch)
+                .select(*key_cols)
+                .distinct()
+            )
         try:
             # checkpoint HERE so the emptiness probe and every process
             # action share one execution of the window read (r15: the
@@ -363,6 +373,13 @@ def maintain_join_mv(
                 scoped = None  # dir-mode/legacy: unpruned path below
         if scoped is None:
             scoped = joined_for(keys)
+        try:
+            # the delta-join subtree feeds both the batch and the gone
+            # anti-join; Spark has no CSE, so evaluate it once (ADVICE
+            # r15 — the merge_into double-scan class from review r12)
+            scoped = scoped.localCheckpoint(eager=True)
+        except Exception:
+            pass
         gone = keys.join(scoped.select(*key_cols), key_cols, "left_anti")
         batch = scoped.withColumn(_DEL, F.lit(False)).unionByName(
             gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
@@ -425,8 +442,15 @@ def maintain_join_mv(
     def keys_changelog_for(s, t):
         def fn(_s, _t, fv, tv, net=True, branch="main"):
             df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
-            if df is None:  # legacy pre-schema source
-                return wh.read_changes(s, t, fv, tv, net=net, branch=branch)
+            if df is None:
+                # legacy pre-schema source: keys-only shape, net=False
+                # so the superset_changelog contract holds (a NET window
+                # can cancel an added key to nothing — ADVICE r15)
+                df = (
+                    wh.read_changes(s, t, fv, tv, net=False, branch=branch)
+                    .select(*key_cols)
+                    .distinct()
+                )
             try:
                 df = df.localCheckpoint(eager=True)
             except Exception:

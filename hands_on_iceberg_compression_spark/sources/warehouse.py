@@ -7273,9 +7273,9 @@ class ParquetWarehouse:
                 "rolled_back_to": version,
             }
             # state carry from the TARGET (the restored truth): entries,
-            # totals, pending MoR deletes — every key a head writer must
-            # carry (CLAUDE.md's carry discipline), legacy inline shapes
-            # included
+            # totals, pending MoR deletes — every state key a head must
+            # carry (an omitted key silently resets that subsystem),
+            # legacy inline shapes included
             for k in (
                 "segments", "total_rows", "total_bytes",
                 "deletes", "delete_segments", "files",
@@ -9186,12 +9186,12 @@ class ParquetWarehouse:
         # between Python and Spark) take the one combined aggregate.
         dtype_of = dict(updates.dtypes)
         # floats: NaN ordering/equality diverges between Python and
-        # Spark; complex types: rows collect as unhashable lists/dicts
-        # (the Counter dup-check needs hashable tuples) — both keep the
-        # aggregate path
+        # Spark; binary: collects as bytearray, which is UNHASHABLE (the
+        # Counter dup-check needs hashable tuples); complex types: rows
+        # collect as unhashable lists/dicts — all keep the aggregate path
         float_keys = any(
             (t := (env_types.get(c) or dtype_of.get(c, "")))
-            in ("float", "double")
+            in ("float", "double", "binary")
             or t.startswith(("array", "map", "struct"))
             for c in key_cols
         )
