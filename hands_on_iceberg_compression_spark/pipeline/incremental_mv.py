@@ -270,16 +270,27 @@ def maintain_join_mv(
     mode: str = "merge-on-read",
     prune_source: bool = True,
     keys_only: bool = True,
+    how: str = "inner",
 ) -> dict:
     """ONE maintenance tick of an incremental EQUI-JOIN view::
 
-        MV = keep_latest(left) INNER JOIN keep_latest(right) ON key_cols
+        MV = keep_latest(left) JOIN keep_latest(right) ON key_cols
 
     — the Materialize/Delta-live-tables delta-join shape, maintained
     from BOTH sources' changelogs: a key touched on EITHER side has its
     join row recomputed from the sources' current keep-latest state;
-    a touched key with no surviving join row (either side's row gone)
-    tombstones.  Refreshing an untouched key is a no-op, so the cheap
+    a touched key with no surviving join row tombstones.
+
+    ``how`` picks the join shape (VERDICT r15 #1): ``"inner"`` (both
+    sides required) or ``"left"`` — the enrichment shape (facts joined
+    to an OPTIONAL dimension): a surviving LEFT row with no right match
+    lands a NULL-right image, a key whose LEFT row vanishes tombstones,
+    and right-only keys never appear (a touched right-only key falls
+    into the tombstone batch, a no-op against an MV that never held
+    it).  Both shapes share the identical delta machinery — the join
+    type only changes which touched keys survive the scoped recompute.
+
+    Refreshing an untouched key is a no-op, so the cheap
     keys-only changelog (``touched_keys`` superset) is exactly
     sufficient — the same contract as ``maintain_keep_latest_mv``, per
     side.  The tick is two checkpointed pulls (one per source), each
@@ -302,6 +313,13 @@ def maintain_join_mv(
         raise ValueError(
             "checkpoint_left and checkpoint_right are required — one "
             "checkpointed changelog pull per source"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} — supported join shapes are 'inner' and "
+            "'left' (right/full outer have no single-owner key: a "
+            "right-only key's MV row would need left-NULL images that "
+            "tombstone rules cannot distinguish from vanished keys)"
         )
     lschema, ltable = left
     rschema, rtable = right
@@ -341,7 +359,7 @@ def maintain_join_mv(
         r_latest = keep_latest(r_df, key_cols, ts_col, tie_col).select(
             *key_cols, *r_val
         )
-        return l_latest.join(r_latest, key_cols, "inner")
+        return l_latest.join(r_latest, key_cols, how)
 
     def refresh(keys: DataFrame) -> int:
         """Delta-scoped: recompute the join rows for ``keys`` from both
@@ -368,7 +386,7 @@ def maintain_join_mv(
                 r_latest = keep_latest(
                     r_df, key_cols, ts_col, tie_col
                 ).select(*key_cols, *r_val)
-                scoped = l_latest.join(r_latest, key_cols, "inner")
+                scoped = l_latest.join(r_latest, key_cols, how)
             except Exception:
                 scoped = None  # dir-mode/legacy: unpruned path below
         if scoped is None:
