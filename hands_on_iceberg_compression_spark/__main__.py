@@ -202,6 +202,84 @@ def _cmd_ndv_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_mv_report(args: argparse.Namespace) -> int:
+    """MV-maintainer lag report (VERDICT r15 #6): per source, the
+    checkpointed version vs the source head (lag in commits + the
+    zero-job pending-row estimate); for the MV, its head, metadata
+    row count, pending MoR deletes, applied watermark (aggregate MVs),
+    and what mode="auto" would resolve to.  Pure metadata: head JSONs
+    and checkpoint files only, no SparkSession is started."""
+    import json as _json
+    import os as _os
+
+    from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
+        pending_rows_estimate,
+    )
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        _mv_applied_version,
+        _resolve_agg_mv_mode,
+    )
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    srcs = args.source or []
+    cks = args.checkpoint or []
+    if len(srcs) != len(cks):
+        print(
+            f"need one --checkpoint per --source (got {len(srcs)} "
+            f"source(s), {len(cks)} checkpoint(s))"
+        )
+        return 1
+    wh = ParquetWarehouse(None, args.warehouse)
+    rc = 0
+    for dotted, ck in zip(srcs, cks):
+        sschema, stable = dotted.split(".", 1)
+        head_v = wh._latest_version(sschema, stable)
+        if head_v is None:
+            print(f"source {dotted}: no snapshot")
+            rc = 1
+            continue
+        if not _os.path.exists(ck):
+            print(
+                f"source {dotted}: head v{head_v}  checkpoint {ck}: "
+                "missing (bootstrap pending)"
+            )
+            continue
+        with open(ck) as f:
+            st = _json.load(f)
+        ckpt_v, branch = st.get("version"), st.get("branch", "main")
+        lag = head_v - ckpt_v
+        line = (
+            f"source {dotted}: head v{head_v}  checkpoint v{ckpt_v}"
+            + (f" (branch {branch})" if branch != "main" else "")
+        )
+        if lag < 0:
+            line += "  STALE REF: head below checkpoint"
+            rc = 1
+        else:
+            est = pending_rows_estimate(wh, sschema, stable, ckpt_v, head_v)
+            line += f"  lag={lag} commit(s)  pending_rows_est={est}"
+        print(line)
+    mschema, mtable = args.mv.split(".", 1)
+    mv_v = wh._latest_version(mschema, mtable)
+    if mv_v is None:
+        print(f"mv {args.mv}: no snapshot (bootstrap pending)")
+        return rc
+    rows = wh.count_rows(mschema, mtable, fallback=False)
+    head = wh.head_snapshot(mschema, mtable)
+    dels = head.get("deletes", [])
+    applied = _mv_applied_version(wh, mschema, mtable)
+    auto = _resolve_agg_mv_mode(wh, mschema, mtable, "auto")
+    print(
+        f"mv {args.mv}: head v{mv_v}  "
+        f"rows={'unknown (pending eq deletes)' if rows is None else rows}  "
+        f"pend_dels={len(dels)}/"
+        f"{sum(d.get('rows', 0) for d in dels)}  "
+        f"applied_to={'-' if applied < 0 else f'v{applied}'}  "
+        f"auto_mode={auto}"
+    )
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hands_on_iceberg_compression_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -255,6 +333,22 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--schema", dest="schema_name", required=True)
     sr.add_argument("--table", required=True)
     sr.set_defaults(fn=_cmd_spec_report)
+
+    mr = sub.add_parser(
+        "mv-report",
+        help="MV maintainer lag: checkpoint vs source head, MV state",
+    )
+    mr.add_argument("--warehouse", default="warehouse")
+    mr.add_argument(
+        "--source", action="append",
+        help="schema.table of a maintained source (repeat for join MVs)",
+    )
+    mr.add_argument(
+        "--checkpoint", action="append",
+        help="that source's checkpoint file (pairs with --source order)",
+    )
+    mr.add_argument("--mv", required=True, help="schema.table of the MV")
+    mr.set_defaults(fn=_cmd_mv_report)
 
     nr = sub.add_parser(
         "ndv-report",

@@ -1011,6 +1011,107 @@ def agg_mv_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def agg_mv_crossover_probe(workdir: str) -> None:
+    """CoW-vs-MoR tick cost as a function of MV SIZE (VERDICT r15 #2):
+    the mode="auto" threshold ``_AGG_MV_COW_MAX_ROWS`` encodes "small
+    MVs should rewrite, large MVs should delta-commit" but the
+    crossover row count was never measured.  For each MV size (group
+    count) one source is seeded with exactly one row per group, TWO MVs
+    are maintained side by side from the SAME appends — one forced
+    copy-on-write, one forced merge-on-read — and per epoch a 20k-row
+    append lands and both tick (alternating which goes first, so
+    neither charges the other's page-cache warmup — the r14 bloom-probe
+    lesson).  Reports per-size tick p50 and the p50 of the LAST three
+    ticks (MoR stacks delete entries, so its late ticks are the honest
+    steady state).  Prints one JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_agg_mv,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="agg-mv-crossover-probe")
+    sizes = [50_000, 250_000, 1_000_000, 4_000_000]
+    epochs = 6
+    out = {"probe": "agg_mv_crossover", "epochs": epochs, "points": []}
+    for g in sizes:
+        wh = ParquetWarehouse(spark, os.path.join(workdir, f"wh_{g}"))
+        wh.create_table(
+            "lab", "src", "zstd", 1, properties={"snapshots": "true"}
+        )
+        for m in ("cow", "mor"):
+            wh.create_table(
+                "lab", f"mv_{m}", "zstd", 1,
+                properties={"snapshots": "true"},
+            )
+        wh.append(
+            "lab", "src",
+            spark.range(g).select(
+                F.col("id").alias("grp"),
+                F.col("id").alias("eid"),
+                (F.col("id") % 1000).cast("int").alias("v"),
+            ).repartition(32),
+            batch_id="seed",
+        )
+        wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
+        cks = {
+            m: os.path.join(workdir, f"ck_{g}_{m}.json")
+            for m in ("cow", "mor")
+        }
+        modes = {"cow": "copy-on-write", "mor": "merge-on-read"}
+
+        def tick(m):
+            return maintain_agg_mv(
+                wh, ("lab", "src"), ("lab", f"mv_{m}"), ["grp"],
+                sum_cols=["v"], checkpoint_file=cks[m], mode=modes[m],
+            )
+
+        for m in ("cow", "mor"):
+            tick(m)  # bootstrap (full recompute, not timed as a tick)
+        ticks = {"cow": [], "mor": []}
+        for epoch in range(epochs):
+            wh.append(
+                "lab", "src",
+                spark.range(20_000).select(
+                    ((F.col("id") * 6151 + epoch) % g).alias("grp"),
+                    (F.col("id") + (epoch + 1) * g).alias("eid"),
+                    (F.col("id") % 777).cast("int").alias("v"),
+                ),
+                batch_id=f"b{epoch}",
+            )
+            order = ("cow", "mor") if epoch % 2 == 0 else ("mor", "cow")
+            for m in order:
+                t0 = time.perf_counter()
+                r = tick(m)
+                ticks[m].append(time.perf_counter() - t0)
+                assert r["groups_refreshed"] > 0
+        # convergence cross-check: both MVs carry identical totals
+        tot = {
+            m: wh.read("lab", f"mv_{m}")
+            .agg(F.sum("cnt"), F.sum("sum_v")).collect()[0]
+            for m in ("cow", "mor")
+        }
+        assert tuple(tot["cow"]) == tuple(tot["mor"]), tot
+        out["points"].append({
+            "mv_rows": g,
+            "cow_p50": round(statistics.median(ticks["cow"]), 3),
+            "mor_p50": round(statistics.median(ticks["mor"]), 3),
+            "cow_last3_p50": round(
+                statistics.median(ticks["cow"][-3:]), 3
+            ),
+            "mor_last3_p50": round(
+                statistics.median(ticks["mor"][-3:]), 3
+            ),
+            "cow_ticks": [round(x, 3) for x in ticks["cow"]],
+            "mor_ticks": [round(x, 3) for x in ticks["mor"]],
+        })
+        shutil.rmtree(os.path.join(workdir, f"wh_{g}"), ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def tick_jobs_probe(n_rows: int, workdir: str) -> None:
     """Decompose maintainer ticks into their SPARK JOBS (VERDICT r14 #1:
     the ~2.5-2.9 s steady-state tick floor is ~8-10 fixed jobs, not
@@ -1114,8 +1215,9 @@ def join_mv_probe(n_rows: int, workdir: str) -> None:
     keep_latest(R) view over an ``n_rows``-key left and n_rows/4-key
     right, 10 epochs of one 20k-row CDC batch landing on ALTERNATING
     sides + one ``maintain_join_mv`` tick.  Reports tick p50/max and
-    the full batch-join recompute the tick replaces.  Prints one JSON
-    line."""
+    the full batch-join recompute the tick replaces.  ``--left`` runs
+    the LEFT OUTER enrichment shape (r16) — same cadence, the join and
+    the recompute both switch shape.  Prints one JSON line."""
     import statistics
 
     from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
@@ -1152,12 +1254,13 @@ def join_mv_probe(n_rows: int, workdir: str) -> None:
         wh.optimize("lab", t, target_file_size_bytes=128 * 1024 * 1024)
     ckl = os.path.join(workdir, "ckl.json")
     ckr = os.path.join(workdir, "ckr.json")
+    how = "left" if "--left" in sys.argv else "inner"
 
     def tick():
         return maintain_join_mv(
             wh, ("lab", "l"), ("lab", "r"), ("lab", "mv"), ["k"],
             ts_col="ts", tie_col="eid",
-            checkpoint_left=ckl, checkpoint_right=ckr,
+            checkpoint_left=ckl, checkpoint_right=ckr, how=how,
         )
 
     t0 = time.perf_counter()
@@ -1192,16 +1295,17 @@ def join_mv_probe(n_rows: int, workdir: str) -> None:
     t0 = time.perf_counter()
     lj = keep_latest(wh.read("lab", "l"), ["k"], "ts", "eid").select("k", "lv")
     rj = keep_latest(wh.read("lab", "r"), ["k"], "ts", "eid").select("k", "rv")
-    lj.join(rj, ["k"], "inner").write.mode("overwrite").parquet(
+    lj.join(rj, ["k"], how).write.mode("overwrite").parquet(
         os.path.join(workdir, "full_recompute")
     )
     full_s = time.perf_counter() - t0
     # convergence cross-check at scale
     mv_n = wh.read("lab", "mv").count()
-    exp_n = lj.join(rj, ["k"], "inner").count()
+    exp_n = lj.join(rj, ["k"], how).count()
     assert mv_n == exp_n, (mv_n, exp_n)
     print(json.dumps({
         "probe": "join_mv",
+        "how": how,
         "left_keys": n_rows,
         "right_keys": n_rows // 4,
         "batch_rows": 20_000,
@@ -2229,6 +2333,9 @@ def main() -> None:
         return
     if "--bloom" in sys.argv:
         bloom_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--agg-crossover" in sys.argv:
+        agg_mv_crossover_probe(workdir)
         return
     if "--agg-mv" in sys.argv:
         agg_mv_probe(n_rows if args else 4_000_000, workdir)

@@ -400,3 +400,53 @@ def test_merge_upsert_binary_key(spark, tmp_path):
         (bytes(r["k"]), r["v"]) for r in wh.read("lab", "t").collect()
     )
     assert got == [(b"a", 11), (b"b", 20)]
+
+
+def test_cli_mv_report(spark, tmp_path, capsys):
+    """`python -m ... mv-report` (VERDICT r15 #6): per-source lag vs
+    the checkpoint + MV state, from metadata alone."""
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "rep")
+    ckpt = str(tmp_path / "rep" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 10, 1, 100), (2, 10, 2, 200)], SCHEMA),
+        batch_id="b0",
+    )
+    _tick(wh, ckpt)
+    # source moves past the checkpoint: lag becomes visible
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(3, 10, 3, 300)], SCHEMA),
+        batch_id="b1",
+    )
+    rc = cli_main([
+        "mv-report", "--warehouse", wh.root,
+        "--source", "lab.src", "--checkpoint", ckpt,
+        "--mv", "lab.mv",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "source lab.src:" in out
+    assert "lag=1 commit(s)" in out
+    assert "pending_rows_est=1" in out
+    assert "mv lab.mv:" in out and "rows=2" in out
+    assert "auto_mode=copy-on-write" in out
+
+    # missing checkpoint reads as bootstrap-pending, not an error
+    rc = cli_main([
+        "mv-report", "--warehouse", wh.root,
+        "--source", "lab.src",
+        "--checkpoint", str(tmp_path / "rep" / "nope.json"),
+        "--mv", "lab.mv",
+    ])
+    assert rc == 0
+    assert "bootstrap pending" in capsys.readouterr().out
+
+    # mismatched pair counts refuse
+    rc = cli_main([
+        "mv-report", "--warehouse", wh.root,
+        "--source", "lab.src", "--mv", "lab.mv",
+    ])
+    assert rc == 1
