@@ -254,6 +254,191 @@ def maintain_keep_latest_mv(
     return {**res, **out}
 
 
+# --- incremental TOP-N-per-group MVs (r16, beyond-orders) -----------------
+
+
+def maintain_topn_mv(
+    wh,
+    src: tuple[str, str],
+    mv: tuple[str, str],
+    group_cols: list[str],
+    n: int,
+    order_col: str,
+    tie_col: str = "event_id",
+    checkpoint_file: str = "",
+    mode: str = "merge-on-read",
+    prune_source: bool = True,
+    keys_only: bool = True,
+) -> dict:
+    """ONE maintenance tick of an incremental TOP-N-PER-GROUP view —
+    the "best k documents per domain by quality score" shape a
+    training-corpus pipeline keeps current while the corpus churns::
+
+        MV = per group, the n source rows with the LARGEST
+             (order_col, tie_col), ranked rk = 1..n
+
+    Top-n is the keep-latest arg-max generalized from one row per key
+    to n: like a delete of the current maximum, ANY change in a group
+    can promote rows the changelog never mentions, so deltas alone
+    cannot maintain it — the tick is the same delta-scoped refresh as
+    ``maintain_keep_latest_mv`` (touched GROUPS recompute from the
+    source's current state; group-idempotent, so the keys-only
+    superset changelog is exactly sufficient).  The MV key is
+    ``group_cols + [rk]``; a group whose survivors shrink below a rank
+    tombstones that rank via a rank scaffold (touched groups ×
+    1..n anti-join the new images).  ``(order_col, tie_col)`` must be
+    unique per group (keep_latest's contract, extended): duplicates
+    make ranks nondeterministic.  NULL order values sort LAST (Spark
+    desc NULL ordering is pinned explicitly), so they only surface
+    when a group has fewer than n non-null rows.
+
+    Bootstrap/lost-checkpoint reconcile commit BEFORE the checkpoint
+    initializes, at the pinned recompute version — the ADVICE r13
+    ordering every maintainer follows.  Returns consume_changes'
+    result plus {"groups_refreshed": count | -1 for full refresh}."""
+    from pyspark.sql.window import Window
+
+    if not checkpoint_file:
+        raise ValueError(
+            "checkpoint_file is required — the maintainer's whole "
+            "contract is checkpointed changelog pulls"
+        )
+    if n < 1:
+        raise ValueError(f"n={n} — top-n needs n >= 1")
+    sschema, stable = src
+    mschema, mtable = mv
+    out = {"groups_refreshed": 0}
+    if wh._latest_version(sschema, stable) is not None:
+        src_cols = wh.read(sschema, stable).columns
+        if "rk" in src_cols:
+            raise ValueError(
+                f"{sschema}.{stable} already has a column named 'rk' — "
+                "the MV's rank column would silently overwrite it; "
+                "rename the source column"
+            )
+        missing = [
+            c for c in (*group_cols, order_col, tie_col)
+            if c not in src_cols
+        ]
+        if missing:
+            raise ValueError(
+                f"column(s) {missing} not in {sschema}.{stable}"
+            )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc_nulls_last(),
+        F.col(tie_col).desc_nulls_last(),
+    )
+
+    def top_images(rows: DataFrame) -> DataFrame:
+        return rows.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= n
+        )
+
+    def rank_scaffold(keys: DataFrame) -> DataFrame:
+        return keys.select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(1), F.lit(n))).alias("rk"),
+        )
+
+    mv_key = [*group_cols, "rk"]
+
+    ckpt_v = _ckpt_version(checkpoint_file)
+    bootstrap = ckpt_v is None or not wh._snapshot_versions(mschema, mtable)
+    head_v = wh._latest_version(sschema, stable)
+    if bootstrap and head_v is not None and not (
+        ckpt_v is not None and ckpt_v > head_v
+    ):
+        state = top_images(wh.read_snapshot(sschema, stable, head_v))
+        if not wh._snapshot_versions(mschema, mtable):
+            wh.append(mschema, mtable, state, batch_id="mv_bootstrap")
+        else:
+            # lost checkpoint: reconcile every (group, rk) and tombstone
+            # MV keys the recompute no longer produces
+            try:
+                state = state.localCheckpoint(eager=True)
+            except Exception:
+                pass
+            gone = (
+                wh.read(mschema, mtable)
+                .select(*mv_key)
+                .join(state.select(*mv_key), mv_key, "left_anti")
+            )
+            batch = state.withColumn(_DEL, F.lit(False)).unionByName(
+                gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
+            )
+            wh.merge_upsert(
+                mschema, mtable, batch, mv_key, delete_col=_DEL, mode=mode
+            )
+        out["groups_refreshed"] = -1
+        if ckpt_v is None:
+            _init_checkpoint(checkpoint_file, head_v)
+
+    def process(ch: DataFrame) -> None:
+        if list(ch.columns) == list(group_cols):
+            keys = ch  # keys-only changelog: DISTINCT, checkpointed
+        else:
+            keys = ch.select(*group_cols).distinct()
+            try:
+                keys = keys.localCheckpoint(eager=True)
+            except Exception:
+                pass
+        kv = keys.limit(_MV_PRUNE_KEYS_MAX + 1).collect()
+        n_keys = (
+            len(kv) if len(kv) <= _MV_PRUNE_KEYS_MAX else keys.count()
+        )
+        if out["groups_refreshed"] != -1:
+            out["groups_refreshed"] = n_keys
+        if n_keys == 0:
+            return
+        cur = None
+        if prune_source and n_keys <= _MV_PRUNE_KEYS_MAX:
+            try:
+                spec = {c: list({r[c] for r in kv}) for c in group_cols}
+                cur = wh.read_pruned(sschema, stable, spec)
+            except Exception:
+                cur = None  # dir-mode/legacy table: full read below
+        if cur is None:
+            cur = wh.read(sschema, stable)
+        images = top_images(cur.join(keys, group_cols, "leftsemi"))
+        try:
+            # feeds the batch AND the scaffold anti-join — one execution
+            images = images.localCheckpoint(eager=True)
+        except Exception:
+            pass
+        gone = rank_scaffold(keys).join(
+            images.select(*mv_key), mv_key, "left_anti"
+        )
+        batch = images.withColumn(_DEL, F.lit(False)).unionByName(
+            gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
+        )
+        wh.merge_upsert(
+            mschema, mtable, batch, mv_key, delete_col=_DEL, mode=mode
+        )
+
+    def keys_changelog(s, t, fv, tv, net=True, branch="main"):
+        df = wh.touched_keys(s, t, fv, tv, group_cols, branch=branch)
+        if df is None:
+            # legacy pre-schema source: keys-only shape, net=False so
+            # the superset_changelog contract holds
+            df = (
+                wh.read_changes(s, t, fv, tv, net=False, branch=branch)
+                .select(*group_cols)
+                .distinct()
+            )
+        try:
+            df = df.localCheckpoint(eager=True)
+        except Exception:
+            pass
+        return df
+
+    res = wh.consume_changes(
+        sschema, stable, checkpoint_file, process, net=True,
+        changelog_fn=keys_changelog if keys_only else None,
+        superset_changelog=keys_only,
+    )
+    return {**res, **out}
+
+
 # --- incremental JOIN MVs (r15, beyond-orders) ----------------------------
 
 
