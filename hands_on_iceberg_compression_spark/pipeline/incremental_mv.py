@@ -680,12 +680,16 @@ def maintain_join_mv(
 _APPLIED = "mv_applied_to"
 
 # mode="auto" keeps a SMALL aggregate MV copy-on-write: below this many
-# rows, rewriting the MV's one small file per tick beats stacking MoR
-# delete entries whose anti-joins every later tick's MV read pays (the
-# r15 tick-floor decomposition measured CoW at recompute parity while
-# MoR carried a growing read plan).  Larger MVs keep merge-on-read's
-# O(batch) commits.
-_AGG_MV_COW_MAX_ROWS = 250_000
+# rows, rewriting the MV per tick beats stacking MoR delete entries
+# whose anti-joins every later tick's MV read pays (the r15 tick-floor
+# decomposition).  Larger MVs keep merge-on-read's O(batch) commits.
+# The threshold is the MEASURED CoW/MoR steady-state intersection
+# (PERF.md r16 --agg-crossover, 20k-row CDC batches): CoW tick p50
+# beats MoR at 50k/250k/1M MV rows (1.65/1.61/2.46 vs 2.44/2.56/2.85 s)
+# and loses at 4M (4.64 vs 3.30) — linear crossover ~1.7M; set a notch
+# below it.  Shapes with much larger per-tick batches rewrite
+# proportionally more and may cross earlier — pass an explicit mode.
+_AGG_MV_COW_MAX_ROWS = 1_500_000
 
 
 def _resolve_agg_mv_mode(wh, mschema: str, mtable: str, mode: str) -> str:
