@@ -1321,6 +1321,105 @@ def join_mv_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def topn_mv_probe(n_rows: int, workdir: str) -> None:
+    """Incremental top-N-per-group MV tick economics (r16): an
+    ``n_rows``-doc corpus across n_rows/100 groups, top-3-by-score per
+    group; 10 epochs of one 20k-row append + one ``maintain_topn_mv``
+    tick vs the full window-recompute the tick replaces.  Prints one
+    JSON line."""
+    import statistics
+
+    from pyspark.sql.window import Window
+
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_topn_mv,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="topn-mv-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    wh.create_table("lab", "src", "zstd", 1, properties={"snapshots": "true"})
+    wh.create_table("lab", "mv", "zstd", 1, properties={"snapshots": "true"})
+    n_groups = n_rows // 100
+    wh.append(
+        "lab", "src",
+        spark.range(n_rows).select(
+            (F.col("id") % n_groups).alias("grp"),
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 2654435761) % 1000000).alias("score"),
+            F.sha2(F.col("id").cast("string"), 256).alias("body"),
+        ).repartition(32),
+        batch_id="seed",
+    )
+    wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
+    ckpt = os.path.join(workdir, "ck.json")
+
+    def tick():
+        return maintain_topn_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["grp"], 3,
+            order_col="score", tie_col="doc_id", checkpoint_file=ckpt,
+        )
+
+    t0 = time.perf_counter()
+    out0 = tick()
+    bootstrap_s = time.perf_counter() - t0
+    assert out0["groups_refreshed"] == -1
+    ticks = []
+    for epoch in range(10):
+        wh.append(
+            "lab", "src",
+            spark.range(20_000).select(
+                (((F.col("id") * 6151 + epoch) % n_groups)).alias("grp"),
+                (F.col("id") + (epoch + 1) * n_rows).alias("doc_id"),
+                ((F.col("id") * 48271 + epoch) % 1000000).alias("score"),
+                F.sha2((F.col("id") + epoch).cast("string"), 256).alias(
+                    "body"
+                ),
+            ),
+            batch_id=f"b{epoch}",
+        )
+        t0 = time.perf_counter()
+        r = tick()
+        ticks.append(time.perf_counter() - t0)
+        assert r["groups_refreshed"] > 0
+        if epoch % 4 == 3:
+            for t in ("src", "mv"):
+                wh.optimize(
+                    "lab", t, target_file_size_bytes=128 * 1024 * 1024
+                )
+    # the cost a tick replaces: the full window recompute + rewrite
+    t0 = time.perf_counter()
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc_nulls_last(), F.col("doc_id").desc_nulls_last()
+    )
+    full = (
+        wh.read("lab", "src")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    full.write.mode("overwrite").parquet(os.path.join(workdir, "full"))
+    full_s = time.perf_counter() - t0
+    mv_n = wh.read("lab", "mv").count()
+    exp_n = full.count()
+    assert mv_n == exp_n, (mv_n, exp_n)
+    print(json.dumps({
+        "probe": "topn_mv",
+        "rows": n_rows + 10 * 20_000,
+        "groups": n_groups,
+        "n": 3,
+        "batch_rows": 20_000,
+        "epochs": 10,
+        "bootstrap_sec": round(bootstrap_s, 3),
+        "tick_p50_sec": round(statistics.median(ticks), 3),
+        "tick_max_sec": round(max(ticks), 3),
+        "ticks_sec": [round(x, 3) for x in ticks],
+        "full_recompute_sec": round(full_s, 3),
+        "mv_rows": mv_n,
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def ndv_decision_probe(n_rows: int, workdir: str) -> None:
     """NDV-informed merge_into discovery A/B (VERDICT r14 #6): at the
     keep-all shape (B distinct uniform keys >> table NDV / file — every
@@ -2345,6 +2444,9 @@ def main() -> None:
         return
     if "--join-mv" in sys.argv:
         join_mv_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--topn-mv" in sys.argv:
+        topn_mv_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--ndv-decision" in sys.argv:
         ndv_decision_probe(n_rows if args else 4_000_000, workdir)
