@@ -233,20 +233,30 @@ def _cmd_mv_report(args: argparse.Namespace) -> int:
     rc = 0
     for dotted, ck in zip(srcs, cks):
         sschema, stable = dotted.split(".", 1)
-        head_v = wh._latest_version(sschema, stable)
-        if head_v is None:
-            print(f"source {dotted}: no snapshot")
-            rc = 1
-            continue
         if not _os.path.exists(ck):
-            print(
-                f"source {dotted}: head v{head_v}  checkpoint {ck}: "
-                "missing (bootstrap pending)"
-            )
+            head_v = wh._latest_version(sschema, stable)
+            if head_v is None:
+                print(f"source {dotted}: no snapshot")
+                rc = 1
+            else:
+                print(
+                    f"source {dotted}: head v{head_v}  checkpoint {ck}: "
+                    "missing (bootstrap pending)"
+                )
             continue
         with open(ck) as f:
             st = _json.load(f)
         ckpt_v, branch = st.get("version"), st.get("branch", "main")
+        # lag must compare against the head of the REF the checkpoint
+        # tracks — version counters are not comparable across refs
+        head_v = wh._latest_version(sschema, stable, branch)
+        if head_v is None:
+            print(
+                f"source {dotted}: no snapshot"
+                + (f" on branch {branch!r}" if branch != "main" else "")
+            )
+            rc = 1
+            continue
         lag = head_v - ckpt_v
         line = (
             f"source {dotted}: head v{head_v}  checkpoint v{ckpt_v}"

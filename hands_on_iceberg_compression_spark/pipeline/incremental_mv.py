@@ -456,10 +456,17 @@ def maintain_join_mv(
     prune_source: bool = True,
     keys_only: bool = True,
     how: str = "inner",
+    right_key_cols: list[str] | None = None,
 ) -> dict:
     """ONE maintenance tick of an incremental EQUI-JOIN view::
 
         MV = keep_latest(left) JOIN keep_latest(right) ON key_cols
+
+    ``right_key_cols`` (r16) names the RIGHT side's join columns when
+    they differ from the left's (``orders.user_id = users.id``) —
+    positional with ``key_cols``; the right side is normalized to the
+    left names everywhere (reads, pruning specs, its keys-only
+    changelog), and the MV carries the LEFT names.
 
     — the Materialize/Delta-live-tables delta-join shape, maintained
     from BOTH sources' changelogs: a key touched on EITHER side has its
@@ -509,9 +516,26 @@ def maintain_join_mv(
     lschema, ltable = left
     rschema, rtable = right
     mschema, mtable = mv
+    rkeys = list(right_key_cols) if right_key_cols else list(key_cols)
+    if len(rkeys) != len(key_cols):
+        raise ValueError(
+            f"right_key_cols has {len(rkeys)} column(s), key_cols has "
+            f"{len(key_cols)} — they pair positionally"
+        )
+    r_map = {rc: kc for rc, kc in zip(rkeys, key_cols) if rc != kc}
+
+    def _r(df: DataFrame) -> DataFrame:
+        """Normalize right-side key names to the MV's (left) names."""
+        for rc, kc in r_map.items():
+            df = df.withColumnRenamed(rc, kc)
+        return df
+
     drop = set(key_cols) | {ts_col, tie_col}
     l_val = [c for c in wh.read(lschema, ltable).columns if c not in drop]
-    r_val = [c for c in wh.read(rschema, rtable).columns if c not in drop]
+    r_drop = set(rkeys) | {ts_col, tie_col}
+    r_val = [
+        c for c in wh.read(rschema, rtable).columns if c not in r_drop
+    ]
     overlap = set(l_val) & set(r_val)
     if overlap:
         raise ValueError(
@@ -519,6 +543,12 @@ def maintain_join_mv(
             "sides — rename before maintaining (the MV schema is "
             "key + left value columns + right value columns, no "
             "silent prefixing; ordering columns are dropped)"
+        )
+    key_clash = set(r_val) & set(key_cols)
+    if key_clash:
+        raise ValueError(
+            f"right-side value column(s) {sorted(key_clash)} collide "
+            "with the MV's key names — rename them on the right source"
         )
     out = {"keys_refreshed": 0}
 
@@ -530,7 +560,7 @@ def maintain_join_mv(
             if lv is not None
             else wh.read(lschema, ltable)
         )
-        r_df = (
+        r_df = _r(
             wh.read_snapshot(rschema, rtable, rv)
             if rv is not None
             else wh.read(rschema, rtable)
@@ -559,10 +589,15 @@ def maintain_join_mv(
         if prune_source and n_keys <= _MV_PRUNE_KEYS_MAX:
             try:
                 spec = {c: list({r[c] for r in kv}) for c in key_cols}
+                # the right side's pruning spec uses ITS physical names
+                r_spec = {
+                    rc: list({r[kc] for r in kv})
+                    for rc, kc in zip(rkeys, key_cols)
+                }
                 l_df = wh.read_pruned(lschema, ltable, spec).join(
                     keys, key_cols, "leftsemi"
                 )
-                r_df = wh.read_pruned(rschema, rtable, spec).join(
+                r_df = _r(wh.read_pruned(rschema, rtable, r_spec)).join(
                     keys, key_cols, "leftsemi"
                 )
                 l_latest = keep_latest(
@@ -633,27 +668,35 @@ def maintain_join_mv(
             _init_checkpoint(checkpoint_right, rv)
 
     def process(ch: DataFrame) -> None:
-        keys = (
-            ch
-            if list(ch.columns) == list(key_cols)
-            else ch.select(*key_cols).distinct()
-        )
+        if list(ch.columns) == list(key_cols):
+            keys = ch
+        else:
+            # row-exact pull: a RIGHT-side window carries the right's
+            # physical key names (value-column/key clashes are refused
+            # up front, so presence of every left name = a left frame)
+            cols = (
+                key_cols
+                if all(c in ch.columns for c in key_cols)
+                else rkeys
+            )
+            keys = _r(ch.select(*cols)).distinct()
         n = refresh(keys)
         if out["keys_refreshed"] != -1:
             out["keys_refreshed"] += n
 
-    def keys_changelog_for(s, t):
+    def keys_changelog_for(s, t, cols):
         def fn(_s, _t, fv, tv, net=True, branch="main"):
-            df = wh.touched_keys(s, t, fv, tv, key_cols, branch=branch)
+            df = wh.touched_keys(s, t, fv, tv, cols, branch=branch)
             if df is None:
                 # legacy pre-schema source: keys-only shape, net=False
                 # so the superset_changelog contract holds (a NET window
                 # can cancel an added key to nothing — ADVICE r15)
                 df = (
                     wh.read_changes(s, t, fv, tv, net=False, branch=branch)
-                    .select(*key_cols)
+                    .select(*cols)
                     .distinct()
                 )
+            df = _r(df)  # right-side physical names -> MV key names
             try:
                 df = df.localCheckpoint(eager=True)
             except Exception:
@@ -664,12 +707,18 @@ def maintain_join_mv(
 
     res_l = wh.consume_changes(
         lschema, ltable, checkpoint_left, process, net=True,
-        changelog_fn=keys_changelog_for(lschema, ltable) if keys_only else None,
+        changelog_fn=(
+            keys_changelog_for(lschema, ltable, key_cols)
+            if keys_only else None
+        ),
         superset_changelog=keys_only,
     )
     res_r = wh.consume_changes(
         rschema, rtable, checkpoint_right, process, net=True,
-        changelog_fn=keys_changelog_for(rschema, rtable) if keys_only else None,
+        changelog_fn=(
+            keys_changelog_for(rschema, rtable, rkeys)
+            if keys_only else None
+        ),
         superset_changelog=keys_only,
     )
     return {"left": res_l, "right": res_r, **out}

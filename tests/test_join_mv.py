@@ -479,3 +479,97 @@ def test_randomized_dml_with_crashes_converges(
             _tick(wh, d, how=how)
     _tick(wh, d, how=how)  # drain
     assert _mv_rows(wh) == _expected(wh, how)
+
+
+def test_right_key_cols_renamed_join(spark, tmp_path):
+    """r16: the right side's join column may carry a different name
+    (orders.user_id = users.id) — normalized to the left names
+    everywhere, including the right side's keys-only changelog and the
+    pruned refresh; validation refuses arity mismatch and value/key
+    name clashes."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "jrk"))
+    for t in ("l", "r", "mv"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "l",
+        spark.createDataFrame(
+            [(k, 0, k, k * 10) for k in range(4)], L_SCHEMA
+        ),
+        batch_id="seed_l",
+    )
+    wh.append(
+        "lab", "r",
+        spark.createDataFrame(
+            [(k, 0, k, f"r{k}") for k in range(2, 6)],
+            "rid int, ts int, eid int, rv string",
+        ),
+        batch_id="seed_r",
+    )
+    d = str(tmp_path / "jrk")
+
+    def tick(how="left"):
+        return maintain_join_mv(
+            wh, ("lab", "l"), ("lab", "r"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=f"{d}/ckl.json",
+            checkpoint_right=f"{d}/ckr.json",
+            how=how, right_key_cols=["rid"],
+        )
+
+    tick()
+    assert sorted(wh.read("lab", "mv").columns) == ["k", "lv", "rv"]
+    got = {
+        r["k"]: (r["lv"], r["rv"]) for r in wh.read("lab", "mv").collect()
+    }
+    assert got[0] == (0, None) and got[2] == (20, "r2")
+    assert 4 not in got and 5 not in got  # right-only keys absent
+
+    # right-side churn flows through the RENAMED keys-only changelog
+    wh.merge_upsert(
+        "lab", "r",
+        spark.createDataFrame(
+            [(3, 1, 100, "R3"), (1, 1, 101, "R1")],
+            "rid int, ts int, eid int, rv string",
+        ),
+        ["rid"], mode="merge-on-read",
+    )
+    out = tick()
+    assert out["right"]["delivered"] and out["keys_refreshed"] == 2
+    got = {
+        r["k"]: (r["lv"], r["rv"]) for r in wh.read("lab", "mv").collect()
+    }
+    assert got[3] == (30, "R3") and got[1] == (10, "R1")
+
+    # right row vanishing reverts to NULL under the left shape
+    wh.delete_by_keys("lab", "r", [2], eq_cols=["rid"])
+    tick()
+    got = {
+        r["k"]: (r["lv"], r["rv"]) for r in wh.read("lab", "mv").collect()
+    }
+    assert got[2] == (20, None)
+
+    # validation: arity mismatch and right-value/key-name clash refuse
+    with pytest.raises(ValueError, match="positionally"):
+        maintain_join_mv(
+            wh, ("lab", "l"), ("lab", "r"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=f"{d}/x1.json",
+            checkpoint_right=f"{d}/x2.json",
+            right_key_cols=["rid", "eid"],
+        )
+    wh.create_table("lab", "rbad", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "rbad",
+        spark.createDataFrame(
+            [(1, 0, 1, "x")], "rid int, ts int, eid int, k string"
+        ),
+        batch_id="seed",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        maintain_join_mv(
+            wh, ("lab", "l"), ("lab", "rbad"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=f"{d}/y1.json",
+            checkpoint_right=f"{d}/y2.json",
+            right_key_cols=["rid"],
+        )
