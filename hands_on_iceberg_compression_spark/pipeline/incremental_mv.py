@@ -119,6 +119,7 @@ def maintain_keep_latest_mv(
         )
     sschema, stable = src
     mschema, mtable = mv
+    mode = _resolve_mv_mode(wh, mschema, mtable, mode)
     out = {"keys_refreshed": 0}
     # Bootstrap whenever the checkpoint is missing OR the MV has never
     # committed (ADVICE r12 medium): a crash between a past checkpoint
@@ -307,6 +308,7 @@ def maintain_topn_mv(
         raise ValueError(f"n={n} — top-n needs n >= 1")
     sschema, stable = src
     mschema, mtable = mv
+    mode = _resolve_mv_mode(wh, mschema, mtable, mode)
     out = {"groups_refreshed": 0}
     if wh._latest_version(sschema, stable) is not None:
         src_cols = wh.read(sschema, stable).columns
@@ -550,6 +552,7 @@ def maintain_join_mv(
             f"right-side value column(s) {sorted(key_clash)} collide "
             "with the MV's key names — rename them on the right source"
         )
+    mode = _resolve_mv_mode(wh, mschema, mtable, mode)
     out = {"keys_refreshed": 0}
 
     def joined_for(keys: DataFrame | None, lv=None, rv=None) -> DataFrame:
@@ -741,12 +744,17 @@ _APPLIED = "mv_applied_to"
 _AGG_MV_COW_MAX_ROWS = 1_500_000
 
 
-def _resolve_agg_mv_mode(wh, mschema: str, mtable: str, mode: str) -> str:
+def _resolve_mv_mode(wh, mschema: str, mtable: str, mode: str) -> str:
     """'auto' -> 'copy-on-write' when the MV is METADATA-PROVABLY small
     (count_rows fast path; None = pending deletes make the size
     unknowable without a read -> stay merge-on-read, conservative),
     else 'merge-on-read'.  Mixing modes across ticks is legal: a CoW
-    replace clears the pending delete set."""
+    replace clears the pending delete set.  The decision is
+    maintainer-agnostic — what it trades is a per-tick rewrite of the
+    whole MV (cost ~ MV rows) vs stacking MoR delete entries whose
+    anti-joins every later tick's MV read pays (the r15 tick-floor
+    decomposition; threshold measured in PERF.md r16 --agg-crossover)
+    — so every maintainer accepts mode="auto" through it."""
     if mode != "auto":
         return mode
     try:
@@ -756,6 +764,11 @@ def _resolve_agg_mv_mode(wh, mschema: str, mtable: str, mode: str) -> str:
     if n is not None and n <= _AGG_MV_COW_MAX_ROWS:
         return "copy-on-write"
     return "merge-on-read"
+
+
+# historical name (r15) — the resolver moved to the generic spelling
+# when every maintainer gained mode="auto"
+_resolve_agg_mv_mode = _resolve_mv_mode
 
 
 def _mv_applied_version(wh, mschema: str, mtable: str) -> int:
@@ -854,7 +867,7 @@ def maintain_agg_mv(
     # MoR otherwise — the measured guidance turned into the default
     # decision (PERF.md r15: small-MV CoW ticks sit at recompute parity
     # where MoR paid a growing delete-stack read)
-    mode = _resolve_agg_mv_mode(wh, mschema, mtable, mode)
+    mode = _resolve_mv_mode(wh, mschema, mtable, mode)
     out = {"groups_refreshed": 0}
 
     def agg_exprs(sign):

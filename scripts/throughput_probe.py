@@ -1324,9 +1324,12 @@ def join_mv_probe(n_rows: int, workdir: str) -> None:
 def topn_mv_probe(n_rows: int, workdir: str) -> None:
     """Incremental top-N-per-group MV tick economics (r16): an
     ``n_rows``-doc corpus across n_rows/100 groups, top-3-by-score per
-    group; 10 epochs of one 20k-row append + one ``maintain_topn_mv``
-    tick vs the full window-recompute the tick replaces.  Prints one
-    JSON line."""
+    group; 10 epochs of one batch append + one ``maintain_topn_mv``
+    tick vs the full window-recompute the tick replaces.  Batch size
+    defaults to 20k rows (touches ~20k groups — past the pruning cap,
+    the scan-dominated regime); ``--batch-rows=N`` sets it (512 = the
+    small-window CDC norm, which routes through read_pruned).  Prints
+    one JSON line."""
     import statistics
 
     from pyspark.sql.window import Window
@@ -1335,6 +1338,13 @@ def topn_mv_probe(n_rows: int, workdir: str) -> None:
         maintain_topn_mv,
     )
 
+    batch_rows = 20_000
+    mv_mode = "merge-on-read"
+    for a in sys.argv:
+        if a.startswith("--batch-rows="):
+            batch_rows = int(a.split("=", 1)[1])
+        if a.startswith("--mv-mode="):
+            mv_mode = a.split("=", 1)[1]
     shutil.rmtree(workdir, ignore_errors=True)
     spark = make_session(app_name="topn-mv-probe")
     wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
@@ -1358,6 +1368,7 @@ def topn_mv_probe(n_rows: int, workdir: str) -> None:
         return maintain_topn_mv(
             wh, ("lab", "src"), ("lab", "mv"), ["grp"], 3,
             order_col="score", tie_col="doc_id", checkpoint_file=ckpt,
+            mode=mv_mode,
         )
 
     t0 = time.perf_counter()
@@ -1368,7 +1379,7 @@ def topn_mv_probe(n_rows: int, workdir: str) -> None:
     for epoch in range(10):
         wh.append(
             "lab", "src",
-            spark.range(20_000).select(
+            spark.range(batch_rows).select(
                 (((F.col("id") * 6151 + epoch) % n_groups)).alias("grp"),
                 (F.col("id") + (epoch + 1) * n_rows).alias("doc_id"),
                 ((F.col("id") * 48271 + epoch) % 1000000).alias("score"),
@@ -1404,10 +1415,11 @@ def topn_mv_probe(n_rows: int, workdir: str) -> None:
     assert mv_n == exp_n, (mv_n, exp_n)
     print(json.dumps({
         "probe": "topn_mv",
-        "rows": n_rows + 10 * 20_000,
+        "rows": n_rows + 10 * batch_rows,
         "groups": n_groups,
         "n": 3,
-        "batch_rows": 20_000,
+        "mv_mode": mv_mode,
+        "batch_rows": batch_rows,
         "epochs": 10,
         "bootstrap_sec": round(bootstrap_s, 3),
         "tick_p50_sec": round(statistics.median(ticks), 3),

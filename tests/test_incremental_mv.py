@@ -450,3 +450,35 @@ def test_cli_mv_report(spark, tmp_path, capsys):
         "--source", "lab.src", "--mv", "lab.mv",
     ])
     assert rc == 1
+
+
+def test_keep_latest_auto_mode_small_mv_stays_cow(spark, tmp_path):
+    """r16: every maintainer accepts mode='auto' through the shared
+    resolver — a metadata-provably small keep-latest MV ticks
+    copy-on-write (no MoR delete stack accumulates on the MV)."""
+    wh = _mk(spark, tmp_path, "klauto")
+    ckpt = str(tmp_path / "klauto" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(k, 0, k, k) for k in range(8)], SCHEMA),
+        batch_id="seed",
+    )
+
+    def tick():
+        return maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+            mode="auto",
+        )
+
+    tick()  # bootstrap
+    for e in range(3):
+        wh.merge_upsert(
+            "lab", "src",
+            spark.createDataFrame([(e, e + 1, 100 + e, 7)], SCHEMA),
+            ["k"], mode="merge-on-read",
+        )
+        tick()
+    head = wh.head_snapshot("lab", "mv")
+    assert not head.get("deletes")  # CoW ticks left no delete stack
+    assert _mv_rows(wh) == _expected(wh)
