@@ -464,16 +464,16 @@ def maintain_join_mv(
 
         MV = keep_latest(left) JOIN keep_latest(right) ON key_cols
 
+    — the Materialize/Delta-live-tables delta-join shape, maintained
+    from BOTH sources' changelogs: a key touched on EITHER side has its
+    join row recomputed from the sources' current keep-latest state;
+    a touched key with no surviving join row tombstones.
+
     ``right_key_cols`` (r16) names the RIGHT side's join columns when
     they differ from the left's (``orders.user_id = users.id``) —
     positional with ``key_cols``; the right side is normalized to the
     left names everywhere (reads, pruning specs, its keys-only
     changelog), and the MV carries the LEFT names.
-
-    — the Materialize/Delta-live-tables delta-join shape, maintained
-    from BOTH sources' changelogs: a key touched on EITHER side has its
-    join row recomputed from the sources' current keep-latest state;
-    a touched key with no surviving join row tombstones.
 
     ``how`` picks the join shape (VERDICT r15 #1): ``"inner"`` (both
     sides required) or ``"left"`` — the enrichment shape (facts joined
@@ -683,6 +683,12 @@ def maintain_join_mv(
                 else rkeys
             )
             keys = _r(ch.select(*cols)).distinct()
+            try:
+                # refresh drives keys through a collect + two semi-joins
+                # + the gone anti-join — evaluate the changelog once
+                keys = keys.localCheckpoint(eager=True)
+            except Exception:
+                pass
         n = refresh(keys)
         if out["keys_refreshed"] != -1:
             out["keys_refreshed"] += n
