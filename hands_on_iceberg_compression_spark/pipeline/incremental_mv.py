@@ -61,7 +61,9 @@ _DEL = "__mv_del"
 _MV_PRUNE_KEYS_MAX = 1024
 
 
-def _init_checkpoint(checkpoint_file: str, version: int) -> None:
+def _init_checkpoint(
+    checkpoint_file: str, version: int, branch: str = "main"
+) -> None:
     """Atomically initialize a consume_changes checkpoint at ``version``
     — same file format and tmp+rename protocol as consume_changes' own
     writes.  Called ONLY after the covering MV commit has landed, so the
@@ -71,7 +73,7 @@ def _init_checkpoint(checkpoint_file: str, version: int) -> None:
     )
     tmp = checkpoint_file + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "branch": "main"}, f)
+        json.dump({"version": version, "branch": branch}, f)
     os.replace(tmp, checkpoint_file)
 
 
@@ -94,6 +96,7 @@ def maintain_keep_latest_mv(
     net: bool = True,
     prune_source: bool = True,
     keys_only: bool = True,
+    src_branch: str = "main",
 ) -> dict:
     """ONE maintenance tick: pull the source changelog since the
     checkpoint and refresh exactly the touched keys in the MV.  Returns
@@ -111,7 +114,10 @@ def maintain_keep_latest_mv(
     this maintainer only ever uses the window's DISTINCT keys, and
     refreshing an over-approximated key is a no-op, so the cheap
     substrate is exactly sufficient (legacy pre-schema sources fall back
-    to the row-exact pull automatically)."""
+    to the row-exact pull automatically).  ``src_branch`` (r16) pulls
+    the changelog from a SOURCE BRANCH (the staging workflow) — the
+    checkpoint records the ref and refuses cross-ref pulls; the MV
+    itself stays on main."""
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -127,7 +133,7 @@ def maintain_keep_latest_mv(
     # pre-existing source rows would never reach the MV.
     ckpt_v = _ckpt_version(checkpoint_file)
     bootstrap = ckpt_v is None or not wh._snapshot_versions(mschema, mtable)
-    head_v = wh._latest_version(sschema, stable)
+    head_v = wh._latest_version(sschema, stable, src_branch)
     if bootstrap and head_v is not None and not (
         ckpt_v is not None and ckpt_v > head_v
     ):
@@ -143,7 +149,7 @@ def maintain_keep_latest_mv(
         # table — fall through so consume_changes raises its standard
         # error without touching the MV.)
         latest = keep_latest(
-            wh.read_snapshot(sschema, stable, head_v),
+            wh.read_snapshot(sschema, stable, head_v, branch=src_branch),
             key_cols, ts_col, tie_col,
         )
         if not wh._snapshot_versions(mschema, mtable):
@@ -164,7 +170,7 @@ def maintain_keep_latest_mv(
             )
         out["keys_refreshed"] = -1  # full refresh marker
         if ckpt_v is None:
-            _init_checkpoint(checkpoint_file, head_v)
+            _init_checkpoint(checkpoint_file, head_v, src_branch)
 
     def process(ch: DataFrame) -> None:
         if list(ch.columns) == list(key_cols):
@@ -198,11 +204,13 @@ def maintain_keep_latest_mv(
                 # conservative; files are skipped via bounds AND bloom
                 # sidecars, and the semi-join below stays the exact filter
                 spec = {c: list({r[c] for r in kv}) for c in key_cols}
-                cur = wh.read_pruned(sschema, stable, spec)
+                cur = wh.read_pruned(
+                    sschema, stable, spec, branch=src_branch
+                )
             except Exception:
                 cur = None  # dir-mode/legacy table: full read below
         if cur is None:
-            cur = wh.read(sschema, stable)
+            cur = wh.read(sschema, stable, src_branch)
         # no broadcast hint: a backfill or re-delivered window can touch
         # millions of keys, and forcing a broadcast would OOM the driver
         # on exactly the recovery path — below the auto-broadcast
@@ -249,6 +257,7 @@ def maintain_keep_latest_mv(
     # harmless).
     res = wh.consume_changes(
         sschema, stable, checkpoint_file, process, net=net,
+        branch=src_branch,
         changelog_fn=keys_changelog if keys_only else None,
         superset_changelog=keys_only,
     )
@@ -270,6 +279,7 @@ def maintain_topn_mv(
     mode: str = "merge-on-read",
     prune_source: bool = True,
     keys_only: bool = True,
+    src_branch: str = "main",
 ) -> dict:
     """ONE maintenance tick of an incremental TOP-N-PER-GROUP view —
     the "best k documents per domain by quality score" shape a
@@ -310,8 +320,8 @@ def maintain_topn_mv(
     mschema, mtable = mv
     mode = _resolve_mv_mode(wh, mschema, mtable, mode)
     out = {"groups_refreshed": 0}
-    if wh._latest_version(sschema, stable) is not None:
-        src_cols = wh.read(sschema, stable).columns
+    if wh._latest_version(sschema, stable, src_branch) is not None:
+        src_cols = wh.read(sschema, stable, src_branch).columns
         if "rk" in src_cols:
             raise ValueError(
                 f"{sschema}.{stable} already has a column named 'rk' — "
@@ -346,11 +356,13 @@ def maintain_topn_mv(
 
     ckpt_v = _ckpt_version(checkpoint_file)
     bootstrap = ckpt_v is None or not wh._snapshot_versions(mschema, mtable)
-    head_v = wh._latest_version(sschema, stable)
+    head_v = wh._latest_version(sschema, stable, src_branch)
     if bootstrap and head_v is not None and not (
         ckpt_v is not None and ckpt_v > head_v
     ):
-        state = top_images(wh.read_snapshot(sschema, stable, head_v))
+        state = top_images(
+            wh.read_snapshot(sschema, stable, head_v, branch=src_branch)
+        )
         if not wh._snapshot_versions(mschema, mtable):
             wh.append(mschema, mtable, state, batch_id="mv_bootstrap")
         else:
@@ -373,7 +385,7 @@ def maintain_topn_mv(
             )
         out["groups_refreshed"] = -1
         if ckpt_v is None:
-            _init_checkpoint(checkpoint_file, head_v)
+            _init_checkpoint(checkpoint_file, head_v, src_branch)
 
     def process(ch: DataFrame) -> None:
         if list(ch.columns) == list(group_cols):
@@ -396,11 +408,13 @@ def maintain_topn_mv(
         if prune_source and n_keys <= _MV_PRUNE_KEYS_MAX:
             try:
                 spec = {c: list({r[c] for r in kv}) for c in group_cols}
-                cur = wh.read_pruned(sschema, stable, spec)
+                cur = wh.read_pruned(
+                    sschema, stable, spec, branch=src_branch
+                )
             except Exception:
                 cur = None  # dir-mode/legacy table: full read below
         if cur is None:
-            cur = wh.read(sschema, stable)
+            cur = wh.read(sschema, stable, src_branch)
         images = top_images(cur.join(keys, group_cols, "leftsemi"))
         try:
             # feeds the batch AND the scaffold anti-join — one execution
@@ -435,6 +449,7 @@ def maintain_topn_mv(
 
     res = wh.consume_changes(
         sschema, stable, checkpoint_file, process, net=True,
+        branch=src_branch,
         changelog_fn=keys_changelog if keys_only else None,
         superset_changelog=keys_only,
     )
@@ -459,6 +474,8 @@ def maintain_join_mv(
     keys_only: bool = True,
     how: str = "inner",
     right_key_cols: list[str] | None = None,
+    left_branch: str = "main",
+    right_branch: str = "main",
 ) -> dict:
     """ONE maintenance tick of an incremental EQUI-JOIN view::
 
@@ -533,10 +550,16 @@ def maintain_join_mv(
         return df
 
     drop = set(key_cols) | {ts_col, tie_col}
-    l_val = [c for c in wh.read(lschema, ltable).columns if c not in drop]
+    l_val = [
+        c
+        for c in wh.read(lschema, ltable, left_branch).columns
+        if c not in drop
+    ]
     r_drop = set(rkeys) | {ts_col, tie_col}
     r_val = [
-        c for c in wh.read(rschema, rtable).columns if c not in r_drop
+        c
+        for c in wh.read(rschema, rtable, right_branch).columns
+        if c not in r_drop
     ]
     overlap = set(l_val) & set(r_val)
     if overlap:
@@ -559,14 +582,14 @@ def maintain_join_mv(
         """keep_latest(left) join keep_latest(right), optionally
         key-scoped (delta refresh) and version-pinned (bootstrap)."""
         l_df = (
-            wh.read_snapshot(lschema, ltable, lv)
+            wh.read_snapshot(lschema, ltable, lv, branch=left_branch)
             if lv is not None
-            else wh.read(lschema, ltable)
+            else wh.read(lschema, ltable, left_branch)
         )
         r_df = _r(
-            wh.read_snapshot(rschema, rtable, rv)
+            wh.read_snapshot(rschema, rtable, rv, branch=right_branch)
             if rv is not None
-            else wh.read(rschema, rtable)
+            else wh.read(rschema, rtable, right_branch)
         )
         if keys is not None:
             l_df = l_df.join(keys, key_cols, "leftsemi")
@@ -597,12 +620,14 @@ def maintain_join_mv(
                     rc: list({r[kc] for r in kv})
                     for rc, kc in zip(rkeys, key_cols)
                 }
-                l_df = wh.read_pruned(lschema, ltable, spec).join(
-                    keys, key_cols, "leftsemi"
-                )
-                r_df = _r(wh.read_pruned(rschema, rtable, r_spec)).join(
-                    keys, key_cols, "leftsemi"
-                )
+                l_df = wh.read_pruned(
+                    lschema, ltable, spec, branch=left_branch
+                ).join(keys, key_cols, "leftsemi")
+                r_df = _r(
+                    wh.read_pruned(
+                        rschema, rtable, r_spec, branch=right_branch
+                    )
+                ).join(keys, key_cols, "leftsemi")
                 l_latest = keep_latest(
                     l_df, key_cols, ts_col, tie_col
                 ).select(*key_cols, *l_val)
@@ -636,8 +661,8 @@ def maintain_join_mv(
         lck is None or rck is None
         or not wh._snapshot_versions(mschema, mtable)
     )
-    lv = wh._latest_version(lschema, ltable)
-    rv = wh._latest_version(rschema, rtable)
+    lv = wh._latest_version(lschema, ltable, left_branch)
+    rv = wh._latest_version(rschema, rtable, right_branch)
     if (
         bootstrap
         and lv is not None
@@ -666,9 +691,9 @@ def maintain_join_mv(
             )
         out["keys_refreshed"] = -1
         if lck is None:
-            _init_checkpoint(checkpoint_left, lv)
+            _init_checkpoint(checkpoint_left, lv, left_branch)
         if rck is None:
-            _init_checkpoint(checkpoint_right, rv)
+            _init_checkpoint(checkpoint_right, rv, right_branch)
 
     def process(ch: DataFrame) -> None:
         if list(ch.columns) == list(key_cols):
@@ -716,6 +741,7 @@ def maintain_join_mv(
 
     res_l = wh.consume_changes(
         lschema, ltable, checkpoint_left, process, net=True,
+        branch=left_branch,
         changelog_fn=(
             keys_changelog_for(lschema, ltable, key_cols)
             if keys_only else None
@@ -724,6 +750,7 @@ def maintain_join_mv(
     )
     res_r = wh.consume_changes(
         rschema, rtable, checkpoint_right, process, net=True,
+        branch=right_branch,
         changelog_fn=(
             keys_changelog_for(rschema, rtable, rkeys)
             if keys_only else None
@@ -805,6 +832,7 @@ def maintain_agg_mv(
     sum_cols: list[str] | None = None,
     checkpoint_file: str = "",
     mode: str = "auto",
+    src_branch: str = "main",
 ) -> dict:
     """ONE maintenance tick of a SELF-MAINTAINABLE aggregate view —
     ``SELECT group_cols, COUNT(*) AS cnt, SUM(c) AS sum_c, COUNT(c) AS
@@ -911,7 +939,7 @@ def maintain_agg_mv(
         lost-checkpoint / gap reconcile (idempotent: re-running after a
         crash converges to the same state)."""
         state = with_avgs(
-            wh.read_snapshot(sschema, stable, v)
+            wh.read_snapshot(sschema, stable, v, branch=src_branch)
             .groupBy(*group_cols)
             .agg(*agg_exprs(F.lit(1)))
         )
@@ -940,14 +968,14 @@ def maintain_agg_mv(
 
     ckpt_v = _ckpt_version(checkpoint_file)
     bootstrap = ckpt_v is None or not wh._snapshot_versions(mschema, mtable)
-    head_v = wh._latest_version(sschema, stable)
+    head_v = wh._latest_version(sschema, stable, src_branch)
     if head_v is not None and not (ckpt_v is not None and ckpt_v > head_v):
         # (ckpt_v > head_v = recreated/stale source — fall through so
         # consume_changes raises its standard error, MV untouched)
         if bootstrap:
             recompute_at(head_v)
             if ckpt_v is None:
-                _init_checkpoint(checkpoint_file, head_v)
+                _init_checkpoint(checkpoint_file, head_v, src_branch)
         else:
             # GAP CHECK (ADVICE r13 medium, defense in depth): versions
             # in (applied, ckpt] were checkpointed past but are above
@@ -960,11 +988,12 @@ def maintain_agg_mv(
             # can never pull again — heal with a full reconcile.
             applied = _mv_applied_version(wh, mschema, mtable)
             if applied < ckpt_v and not wh._window_metadata_only(
-                sschema, stable, applied, ckpt_v, "main"
+                sschema, stable, applied, ckpt_v, src_branch
             ):
                 try:
                     missed = not wh.read_changes(
-                        sschema, stable, applied, ckpt_v, net=False
+                        sschema, stable, applied, ckpt_v, net=False,
+                        branch=src_branch,
                     ).isEmpty()
                 except Exception:
                     # un-provable gap (expired versions, a rollback, or
@@ -1036,6 +1065,7 @@ def maintain_agg_mv(
     # applies here (its rows are above the freshly stamped watermark),
     # and anything at or below head_v filters out.
     res = wh.consume_changes(
-        sschema, stable, checkpoint_file, incremental, net=False
+        sschema, stable, checkpoint_file, incremental, net=False,
+        branch=src_branch,
     )
     return {**res, **out}

@@ -482,3 +482,110 @@ def test_keep_latest_auto_mode_small_mv_stays_cow(spark, tmp_path):
     head = wh.head_snapshot("lab", "mv")
     assert not head.get("deletes")  # CoW ticks left no delete stack
     assert _mv_rows(wh) == _expected(wh)
+
+
+def test_maintain_from_branch_source(spark, tmp_path):
+    """r16: src_branch pulls the changelog from a SOURCE BRANCH (the
+    staging workflow) — the MV tracks the branch's keep-latest state,
+    commits landing only on main stay invisible, and the checkpoint
+    records the ref (a later main-ref pull against it refuses)."""
+    wh = _mk(spark, tmp_path, "brsrc")
+    ckpt = str(tmp_path / "brsrc" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 10, 1, 100), (2, 10, 2, 200)], SCHEMA),
+        batch_id="b0",
+    )
+    wh.create_branch("lab", "src", "stage")
+
+    def tick():
+        return maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+            src_branch="stage",
+        )
+
+    tick()  # bootstrap from the branch head (== fork state)
+    assert _mv_rows(wh) == [(1, 10, 1, 100), (2, 10, 2, 200)]
+    # branch DML is visible to the maintainer; main DML is NOT
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame([(1, 20, 3, 111), (3, 5, 4, 300)], SCHEMA),
+        ["k"], mode="merge-on-read", branch="stage",
+    )
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(9, 99, 9, 900)], SCHEMA),
+        batch_id="main_only",
+    )
+    out = tick()
+    assert out["delivered"] is True and out["keys_refreshed"] == 2
+    got = _mv_rows(wh)
+    assert (1, 20, 3, 111) in got and (3, 5, 4, 300) in got
+    assert all(k != 9 for k, *_ in got)  # main-only commit invisible
+    # branch recompute equality
+    want = sorted(
+        (r["k"], r["ts"], r["eid"], r["v"])
+        for r in keep_latest(
+            wh.read("lab", "src", "stage"), ["k"], "ts", "eid"
+        ).collect()
+    )
+    assert got == want
+    # the checkpoint records the ref: a main-ref pull refuses
+    with pytest.raises(ValueError, match="tracks ref"):
+        maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+        )
+
+
+def test_agg_mv_from_branch_source(spark, tmp_path):
+    """r16: the aggregate maintainer's src_branch threads through the
+    recompute, the gap check, and the incremental pull."""
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_agg_mv,
+    )
+
+    wh = _mk(spark, tmp_path, "bragg")
+    ckpt = str(tmp_path / "bragg" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(k % 2, 0, k, k * 10) for k in range(6)], SCHEMA
+        ),
+        batch_id="b0",
+    )
+    wh.create_branch("lab", "src", "stage")
+
+    def tick():
+        return maintain_agg_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["k"], sum_cols=["v"],
+            checkpoint_file=ckpt, src_branch="stage",
+        )
+
+    tick()  # bootstrap
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(0, 1, 100, 7), (0, 1, 101, 3)], SCHEMA),
+        batch_id="b1", branch="stage",
+    )
+    wh.append(  # main-only: must not reach the MV
+        "lab", "src",
+        spark.createDataFrame([(1, 1, 102, 1000)], SCHEMA),
+        batch_id="main_only",
+    )
+    out = tick()
+    assert out["delivered"] is True
+    got = {
+        r["k"]: (r["cnt"], r["sum_v"])
+        for r in wh.read("lab", "mv").collect()
+    }
+    want = {
+        r["k"]: (r["cnt"], r["sum_v"])
+        for r in wh.read("lab", "src", "stage")
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+    assert got[0][0] == 5  # 3 seed rows in group 0 + 2 branch rows
