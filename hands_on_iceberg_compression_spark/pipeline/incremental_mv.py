@@ -280,6 +280,7 @@ def maintain_topn_mv(
     prune_source: bool = True,
     keys_only: bool = True,
     src_branch: str = "main",
+    descending: bool = True,
 ) -> dict:
     """ONE maintenance tick of an incremental TOP-N-PER-GROUP view —
     the "best k documents per domain by quality score" shape a
@@ -287,6 +288,10 @@ def maintain_topn_mv(
 
         MV = per group, the n source rows with the LARGEST
              (order_col, tie_col), ranked rk = 1..n
+
+    (``descending=False`` ranks the SMALLEST first — the
+    lowest-perplexity-wins quality-filter shape; ties still break by
+    tie_col in the same direction.)
 
     Top-n is the keep-latest arg-max generalized from one row per key
     to n: like a delete of the current maximum, ANY change in a group
@@ -336,9 +341,13 @@ def maintain_topn_mv(
             raise ValueError(
                 f"column(s) {missing} not in {sschema}.{stable}"
             )
+    _dir = (
+        (lambda c: c.desc_nulls_last())
+        if descending
+        else (lambda c: c.asc_nulls_last())
+    )
     w = Window.partitionBy(*group_cols).orderBy(
-        F.col(order_col).desc_nulls_last(),
-        F.col(tie_col).desc_nulls_last(),
+        _dir(F.col(order_col)), _dir(F.col(tie_col))
     )
 
     def top_images(rows: DataFrame) -> DataFrame:

@@ -589,3 +589,49 @@ def test_agg_mv_from_branch_source(spark, tmp_path):
     }
     assert got == want
     assert got[0][0] == 5  # 3 seed rows in group 0 + 2 branch rows
+
+
+def test_cli_mv_report_branch_checkpoint(spark, tmp_path, capsys):
+    """r16 review fix pin: mv-report computes lag against the head of
+    the REF the checkpoint tracks, not main."""
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "repbr")
+    ckpt = str(tmp_path / "repbr" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 10, 1, 100)], SCHEMA),
+        batch_id="b0",
+    )
+    wh.create_branch("lab", "src", "stage")
+    maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+        src_branch="stage",
+    )
+    # main advances TWO commits; the branch advances ONE — a main-head
+    # lag would read 2 here, the branch-head lag is 1
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(7, 1, 7, 700)], SCHEMA),
+        batch_id="m1",
+    )
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(8, 1, 8, 800)], SCHEMA),
+        batch_id="m2",
+    )
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(2, 1, 2, 200)], SCHEMA),
+        batch_id="s1", branch="stage",
+    )
+    rc = cli_main([
+        "mv-report", "--warehouse", wh.root,
+        "--source", "lab.src", "--checkpoint", ckpt,
+        "--mv", "lab.mv",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "(branch stage)" in out
+    assert "lag=1 commit(s)" in out

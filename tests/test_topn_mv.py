@@ -231,3 +231,43 @@ def test_randomized_dml_converges(spark, tmp_path_factory, ops):
             _tick(wh, ckpt)
     _tick(wh, ckpt)  # drain
     assert _mv_rows(wh) == _expected(wh)
+
+
+def test_ascending_order(spark, tmp_path):
+    """descending=False ranks the SMALLEST (order, tie) first — the
+    lowest-perplexity-wins quality-filter shape."""
+    wh = _mk(spark, tmp_path, "tna")
+    ckpt = str(tmp_path / "tna" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(0, d, (d + 1) * 10, "x") for d in range(5)], SCHEMA
+        ),
+        batch_id="b0",
+    )
+    maintain_topn_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["grp"], N,
+        order_col="score", tie_col="doc_id", checkpoint_file=ckpt,
+        descending=False,
+    )
+    got = {
+        (r["grp"], r["rk"]): r["score"]
+        for r in wh.read("lab", "mv").collect()
+    }
+    assert got[(0, 1)] == 10 and got[(0, 3)] == 30
+    # a new LOW score displaces from the top of the ascending ranking
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(0, 9, 1, "low")], SCHEMA),
+        batch_id="b1",
+    )
+    maintain_topn_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["grp"], N,
+        order_col="score", tie_col="doc_id", checkpoint_file=ckpt,
+        descending=False,
+    )
+    got = {
+        (r["grp"], r["rk"]): r["score"]
+        for r in wh.read("lab", "mv").collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 10 and got[(0, 3)] == 20
