@@ -266,7 +266,9 @@ def _cmd_mv_report(args: argparse.Namespace) -> int:
             line += "  STALE REF: head below checkpoint"
             rc = 1
         else:
-            est = pending_rows_estimate(wh, sschema, stable, ckpt_v, head_v)
+            est = pending_rows_estimate(
+                wh, sschema, stable, ckpt_v, head_v, branch
+            )
             line += f"  lag={lag} commit(s)  pending_rows_est={est}"
         print(line)
     mschema, mtable = args.mv.split(".", 1)

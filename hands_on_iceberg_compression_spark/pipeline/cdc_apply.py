@@ -36,7 +36,9 @@ _DEL = "__mib_del"
 _META = ("_change_type", "_commit_version", "_change_ordinal")
 
 
-def pending_rows_estimate(wh, schema: str, table: str, fv: int, tv: int) -> int:
+def pending_rows_estimate(
+    wh, schema: str, table: str, fv: int, tv: int, branch: str = "main"
+) -> int:
     """Estimate of the change rows in (fv, tv] from head JSONs ALONE
     (zero Spark jobs — the idle-poll cost contract).  Changelog-skip ops
     (compaction, DDL) contribute 0; data commits contribute their
@@ -46,12 +48,14 @@ def pending_rows_estimate(wh, schema: str, table: str, fv: int, tv: int) -> int:
     heads without the summary fall back to the positive ``total_rows``
     delta (exact for appends, 0 for CoW updates — under-estimating only
     delays the rows-triggered fire, never corrupts: max_lag_commits
-    still bounds staleness)."""
+    still bounds staleness).  ``branch`` resolves the version numbers
+    against that ref's head chain (ADVICE r16: a branch checkpoint's
+    versions are meaningless against main's commits)."""
     est = 0
     prev: int | None = None
     for v in range(fv, tv + 1):
         try:
-            h = wh._load_head_light(schema, table, v)
+            h = wh._load_head_light(schema, table, v, branch)
         except KeyError:
             prev = None
             continue

@@ -551,9 +551,23 @@ def maintain_join_mv(
             f"{len(key_cols)} — they pair positionally"
         )
     r_map = {rc: kc for rc, kc in zip(rkeys, key_cols) if rc != kc}
+    cross_clash = set(r_map) & set(key_cols)
+    if cross_clash:
+        # ADVICE r16: a right physical key name equal to a DIFFERENTLY-
+        # paired left key name (['a','b'] vs right ['b','c'], or swapped
+        # ['b','a']) makes the sequential rename chain produce duplicate
+        # or mangled columns deep inside a tick — refuse up front
+        raise ValueError(
+            f"right key column(s) {sorted(cross_clash)} collide with "
+            "differently-paired left key names — the rename chain "
+            "cannot disambiguate them; rename the right source columns"
+        )
 
     def _r(df: DataFrame) -> DataFrame:
-        """Normalize right-side key names to the MV's (left) names."""
+        """Normalize RIGHT-side key names to the MV's (left) names.
+        Apply only to right-side frames — left frames already carry the
+        MV names (and the cross_clash refusal above guarantees no left
+        key name is also a rename source)."""
         for rc, kc in r_map.items():
             df = df.withColumnRenamed(rc, kc)
         return df
@@ -711,12 +725,11 @@ def maintain_join_mv(
             # row-exact pull: a RIGHT-side window carries the right's
             # physical key names (value-column/key clashes are refused
             # up front, so presence of every left name = a left frame)
-            cols = (
-                key_cols
-                if all(c in ch.columns for c in key_cols)
-                else rkeys
-            )
-            keys = _r(ch.select(*cols)).distinct()
+            is_left = all(c in ch.columns for c in key_cols)
+            keys = ch.select(*(key_cols if is_left else rkeys))
+            if not is_left:
+                keys = _r(keys)  # right physical names -> MV key names
+            keys = keys.distinct()
             try:
                 # refresh drives keys through a collect + two semi-joins
                 # + the gone anti-join — evaluate the changelog once
@@ -727,7 +740,7 @@ def maintain_join_mv(
         if out["keys_refreshed"] != -1:
             out["keys_refreshed"] += n
 
-    def keys_changelog_for(s, t, cols):
+    def keys_changelog_for(s, t, cols, is_right=False):
         def fn(_s, _t, fv, tv, net=True, branch="main"):
             df = wh.touched_keys(s, t, fv, tv, cols, branch=branch)
             if df is None:
@@ -739,7 +752,8 @@ def maintain_join_mv(
                     .select(*cols)
                     .distinct()
                 )
-            df = _r(df)  # right-side physical names -> MV key names
+            if is_right:
+                df = _r(df)  # right physical names -> MV key names
             try:
                 df = df.localCheckpoint(eager=True)
             except Exception:
@@ -761,7 +775,7 @@ def maintain_join_mv(
         rschema, rtable, checkpoint_right, process, net=True,
         branch=right_branch,
         changelog_fn=(
-            keys_changelog_for(rschema, rtable, rkeys)
+            keys_changelog_for(rschema, rtable, rkeys, is_right=True)
             if keys_only else None
         ),
         superset_changelog=keys_only,

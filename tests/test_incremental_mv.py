@@ -621,9 +621,14 @@ def test_cli_mv_report_branch_checkpoint(spark, tmp_path, capsys):
         spark.createDataFrame([(8, 1, 8, 800)], SCHEMA),
         batch_id="m2",
     )
+    # the branch commit adds THREE rows where main's same-numbered
+    # commit added one — pending_rows_est must come from the BRANCH's
+    # head chain (ADVICE r16: it used to walk main's)
     wh.append(
         "lab", "src",
-        spark.createDataFrame([(2, 1, 2, 200)], SCHEMA),
+        spark.createDataFrame(
+            [(2, 1, 2, 200), (3, 1, 3, 300), (4, 1, 4, 400)], SCHEMA
+        ),
         batch_id="s1", branch="stage",
     )
     rc = cli_main([
@@ -635,3 +640,4 @@ def test_cli_mv_report_branch_checkpoint(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "(branch stage)" in out
     assert "lag=1 commit(s)" in out
+    assert "pending_rows_est=3" in out

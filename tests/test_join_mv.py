@@ -573,3 +573,37 @@ def test_right_key_cols_renamed_join(spark, tmp_path):
             checkpoint_right=f"{d}/y2.json",
             right_key_cols=["rid"],
         )
+
+def test_right_key_cols_cross_clash_refused(spark, tmp_path):
+    """ADVICE r16: a right physical key name equal to a DIFFERENTLY-
+    paired left key name — swapped (['a','b'] vs ['b','a']) or shifted
+    (['a','b'] vs ['b','c']) — must refuse up front: the sequential
+    rename chain would produce duplicate/mangled columns deep inside a
+    tick, and _r applied to a keys frame would mangle left names."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "jxc"))
+    for t in ("l2", "r2", "mv2"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "l2",
+        spark.createDataFrame(
+            [(1, 2, 0, 1, 10)], "a int, b int, ts int, eid int, lv int"
+        ),
+        batch_id="seed",
+    )
+    wh.append(
+        "lab", "r2",
+        spark.createDataFrame(
+            [(2, 1, 0, 1, "x")], "b int, c int, ts int, eid int, rv string"
+        ),
+        batch_id="seed",
+    )
+    d = str(tmp_path / "jxc")
+    for rk in (["b", "a"], ["b", "c"]):
+        with pytest.raises(ValueError, match="differently-paired"):
+            maintain_join_mv(
+                wh, ("lab", "l2"), ("lab", "r2"), ("lab", "mv2"),
+                ["a", "b"], ts_col="ts", tie_col="eid",
+                checkpoint_left=f"{d}/cl.json",
+                checkpoint_right=f"{d}/cr.json",
+                right_key_cols=rk,
+            )
