@@ -271,3 +271,113 @@ def test_ascending_order(spark, tmp_path):
         for r in wh.read("lab", "mv").collect()
     }
     assert got[(0, 1)] == 1 and got[(0, 2)] == 10 and got[(0, 3)] == 20
+
+# --- randomized crash/rewind net (VERDICT r16 advisory #1) -----------------
+
+
+def _crash_tick(wh, ckpt, after_commit):
+    """Crash inside a tick: either the MV merge itself dies (nothing
+    lands, checkpoint untouched) or the tick dies right AFTER the MV
+    commit but BEFORE the checkpoint advances — the redelivery window
+    the commit-before-checkpoint ordering must make harmless.  A window
+    with no touched groups never reaches merge_upsert; the tick then
+    completes normally, which the net tolerates."""
+    orig = wh.merge_upsert
+
+    def wrapped(*a, **kw):
+        if not after_commit:
+            raise RuntimeError("crash before MV commit")
+        orig(*a, **kw)
+        raise RuntimeError("crash after MV commit")
+
+    wh.merge_upsert = wrapped
+    try:
+        _tick(wh, ckpt)
+    except RuntimeError:
+        pass
+    finally:
+        del wh.merge_upsert
+
+
+CRASH_DML = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "delete", "upsert", "optimize", "tick",
+             "crash_before", "crash_after", "ckpt_rewind", "ckpt_lost"]
+        ),
+        st.integers(0, 11),
+    ),
+    min_size=4,
+    max_size=9,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=CRASH_DML)
+def test_randomized_dml_with_crashes_converges(spark, tmp_path_factory, ops):
+    """The join-MV crash net generalized to the top-N maintainer:
+    crashes before/after the MV commit, checkpoint rewinds AND losses,
+    interleaved with DML and compaction — a drain tick must land
+    exactly the batch top-N.  The rank-scaffold anti-join (images ->
+    tombstones for shrunken ranks) is the maintainer's novel window;
+    redelivered and reconciled ticks drive it against every MV state a
+    crash can leave behind."""
+    import os
+
+    wh = _mk(spark, tmp_path_factory.mktemp("tncr"), "t")
+    ckpt = str(tmp_path_factory.mktemp("tncr_ck") / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(g, d, (g * 7 + d * 3) % 40, "seed")
+             for g in range(4) for d in range(5)],
+            SCHEMA,
+        ),
+        batch_id="seed",
+    )
+    _tick(wh, ckpt)
+    doc = 100
+    for op, pick in ops:
+        doc += 1
+        if op == "append":
+            wh.append(
+                "lab", "src",
+                spark.createDataFrame(
+                    [(pick % 4, doc, (pick * 13) % 60, "new")], SCHEMA
+                ),
+                batch_id=f"a{doc}",
+            )
+        elif op == "delete":
+            wh.delete_where(
+                "lab", "src",
+                f"grp = {pick % 4} AND doc_id % 5 = {pick % 5}",
+                mode="merge-on-read",
+            )
+        elif op == "upsert":
+            wh.merge_upsert(
+                "lab", "src",
+                spark.createDataFrame(
+                    [(pick % 4, pick % 20, (pick * 17) % 60, "up")], SCHEMA
+                ),
+                ["grp", "doc_id"], mode="merge-on-read",
+            )
+        elif op == "optimize":
+            wh.optimize("lab", "src")
+        elif op == "crash_before":
+            _crash_tick(wh, ckpt, after_commit=False)
+        elif op == "crash_after":
+            _crash_tick(wh, ckpt, after_commit=True)
+        elif op == "ckpt_rewind":
+            if os.path.exists(ckpt):
+                with open(ckpt) as f:
+                    stt = json.load(f)
+                stt["version"] = max(1, stt["version"] - (pick % 3 + 1))
+                with open(ckpt, "w") as f:
+                    json.dump(stt, f)
+        elif op == "ckpt_lost":
+            if os.path.exists(ckpt):
+                os.unlink(ckpt)
+        else:
+            _tick(wh, ckpt)
+    _tick(wh, ckpt)  # drain
+    assert _mv_rows(wh) == _expected(wh)
