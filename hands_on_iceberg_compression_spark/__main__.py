@@ -270,6 +270,27 @@ def _cmd_mv_report(args: argparse.Namespace) -> int:
                 wh, sschema, stable, ckpt_v, head_v, branch
             )
             line += f"  lag={lag} commit(s)  pending_rows_est={est}"
+            # the next pull's window is (ckpt, head] and read_changes
+            # needs DENSE versions from the checkpointed one up — flag
+            # an already-expired version BEFORE the pull wedges on it
+            # (recovery: expire_snapshots(retain_checkpoints=) going
+            # forward; start_version skip-forward + full reconcile now)
+            expired = [
+                v
+                for v in range(ckpt_v, head_v + 1)
+                if not _os.path.exists(
+                    _os.path.join(
+                        wh._ref_dir(sschema, stable, branch),
+                        f"v{v:06d}.json",
+                    )
+                )
+            ]
+            if expired:
+                line += (
+                    f"  WEDGED: version(s) {expired} expired inside "
+                    "the next window"
+                )
+                rc = 1
         print(line)
     mschema, mtable = args.mv.split(".", 1)
     mv_v = wh._latest_version(mschema, mtable)

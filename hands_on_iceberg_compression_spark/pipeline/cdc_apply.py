@@ -83,6 +83,8 @@ def merge_into_batched(
     matched_condition: str | None = None,
     mode: str = "merge-on-read",
     keys_only: bool = True,
+    src_branch: str = "main",
+    tgt_branch: str = "main",
 ) -> dict:
     """ONE poll of the batched CDC apply loop: mirror ``src``'s keyed
     state into ``tgt`` via accumulated ``merge_into`` calls.
@@ -125,7 +127,12 @@ def merge_into_batched(
     target to the source's head state first (or start both empty).
     Rollback/expired versions inside the window raise through
     ``consume_changes``; recover with its documented ``start_version``
-    skip-forward.  Main refs only.
+    skip-forward.  ``src_branch``/``tgt_branch`` (r17) run the apply
+    loop against branch refs — the staging workflow: every source read
+    (head poll, row estimate, changelog pull, the keys-only re-derive's
+    pruned and full reads) resolves against ``src_branch``, the MERGE
+    commits to ``tgt_branch``, and the checkpoint records its ref so a
+    cross-ref pull refuses (``consume_changes``' standard guard).
 
     Returns ``{"fired": bool, "lag_commits", "pending_rows_est"}`` plus,
     when fired, consume_changes' window and ``{"batch_rows",
@@ -134,12 +141,29 @@ def merge_into_batched(
     tschema, ttable = tgt
     if max_lag_commits < 1:
         raise ValueError("max_lag_commits must be >= 1")
-    head_v = wh._latest_version(sschema, stable)
+    head_v = wh._latest_version(sschema, stable, src_branch)
     ckpt_v = _ckpt_version(checkpoint_file)
+    if ckpt_v is not None:
+        # refuse a cross-ref pull BEFORE any lag math — the poll's own
+        # lag/estimate comparisons are meaningless across refs, and the
+        # lag<0 path would mislabel the mismatch as a stale ref
+        # (consume_changes applies the same guard at pull time)
+        import json as _json
+
+        with open(checkpoint_file) as f:
+            _ck_branch = _json.load(f).get("branch", "main")
+        if _ck_branch != src_branch:
+            raise ValueError(
+                f"checkpoint {checkpoint_file!r} tracks ref "
+                f"{_ck_branch!r}, not {src_branch!r} — version counters "
+                "are not comparable across refs; use one checkpoint "
+                "file per ref"
+            )
     if ckpt_v is None or head_v is None:
         # consume_changes owns bootstrap (and the no-snapshot error)
         res = wh.consume_changes(
-            sschema, stable, checkpoint_file, lambda ch: None, net=True
+            sschema, stable, checkpoint_file, lambda ch: None, net=True,
+            branch=src_branch,
         )
         return {
             "fired": False, "bootstrapped": True,
@@ -158,7 +182,9 @@ def merge_into_batched(
             "intended"
         )
     est = (
-        pending_rows_estimate(wh, sschema, stable, ckpt_v, head_v)
+        pending_rows_estimate(
+            wh, sschema, stable, ckpt_v, head_v, src_branch
+        )
         if lag > 0
         else 0
     )
@@ -192,11 +218,13 @@ def merge_into_batched(
             if 0 < len(kv) <= 1024:
                 try:
                     spec = {c: list({r[c] for r in kv}) for c in key_cols}
-                    cur = wh.read_pruned(sschema, stable, spec)
+                    cur = wh.read_pruned(
+                        sschema, stable, spec, branch=src_branch
+                    )
                 except Exception:
                     cur = None
             if cur is None:
-                cur = wh.read(sschema, stable)
+                cur = wh.read(sschema, stable, src_branch)
             latest = keep_latest(
                 cur.join(ch, key_cols, "leftsemi"),
                 key_cols, ts_col, tie_col,
@@ -241,7 +269,7 @@ def merge_into_batched(
             matched_condition=freshness,
             matched_delete=f"s.{_DEL}",
             not_matched_condition=f"NOT s.{_DEL}",
-            mode=mode,
+            mode=mode, branch=tgt_branch,
         )
         out["fired"] = True
         out["merge"] = res
@@ -273,6 +301,7 @@ def merge_into_batched(
 
     res = wh.consume_changes(
         sschema, stable, checkpoint_file, process, net=True,
+        branch=src_branch,
         changelog_fn=keys_changelog if keys_only else None,
         superset_changelog=keys_only,
     )

@@ -8830,12 +8830,53 @@ class ParquetWarehouse:
             )
         return self.read_snapshot(schema, table, best)
 
+    def _checkpoint_floor(
+        self, retain_checkpoints: list[str] | None
+    ) -> int | None:
+        """Oldest MAIN-ref version any registered consumer checkpoint
+        holds (``consume_changes``/MV maintainer files: {"version",
+        "branch"}).  Entries may be files or directories (every *.json
+        inside counts).  A MISSING file is an un-bootstrapped consumer —
+        its first pull reads the head, so it registers no floor.  An
+        UNPARSABLE file raises: the caller explicitly registered it as
+        a checkpoint, and silently expiring past a corrupt one is the
+        data-loss direction.  Branch-ref checkpoints register no floor
+        here — main expiry never removes branch version files, and
+        branch data files survive via branch-head GC retention."""
+        import glob as _glob
+
+        floor: int | None = None
+        for p in retain_checkpoints or []:
+            files = (
+                sorted(_glob.glob(os.path.join(p, "*.json")))
+                if os.path.isdir(p)
+                else [p]
+            )
+            for fp in files:
+                if not os.path.exists(fp):
+                    continue
+                try:
+                    with open(fp) as f:
+                        st = json.load(f)
+                    v = int(st["version"])
+                except (OSError, ValueError, TypeError, KeyError) as e:
+                    raise ValueError(
+                        f"registered checkpoint {fp!r} is not a "
+                        "consumer checkpoint file ({'version': int, "
+                        "'branch': str}) — refusing to expire past it"
+                    ) from e
+                if st.get("branch", "main") != "main":
+                    continue
+                floor = v if floor is None else min(floor, v)
+        return floor
+
     def expire_snapshots(
         self,
         schema: str,
         table: str,
         keep_last: int = 1,
         older_than_s: float | None = None,
+        retain_checkpoints: list[str] | None = None,
     ) -> int:
         """Drop old manifests; returns removed count.  Without
         ``older_than_s``, all but the newest ``keep_last`` expire; with it,
@@ -8847,7 +8888,18 @@ class ParquetWarehouse:
         manifest would also GC every data file (manifest-driven reads
         would then see an empty, unrecoverable table).  Dir-mode tables
         share files with the live directory listing, so expiry only
-        removes manifests there and keep_last=0 is allowed."""
+        removes manifests there and keep_last=0 is allowed.
+
+        ``retain_checkpoints`` (r17) registers consumer checkpoint files
+        (or directories of them): every version >= the OLDEST registered
+        main-ref checkpoint is retained, because a lagging consumer's
+        next changelog window is (ckpt, head] and ``read_changes`` needs
+        DENSE versions from the checkpointed one up — expiring inside
+        that window wedges the consumer (the refusal is loud, but
+        recovery costs a ``start_version`` skip-forward and a full
+        reconcile).  The floor retains a CONTIGUOUS suffix, so this
+        retention kind creates no new version gaps (the r10 gap/hint
+        class — tags/pins still gap as before, hints stay monotone)."""
         import time
 
         if keep_last < 1 and self._log_mode(self.table_meta(schema, table)):
@@ -8875,6 +8927,9 @@ class ParquetWarehouse:
         )
         if tagged:
             victims = [m for m in victims if m["version"] not in tagged]
+        ckpt_floor = self._checkpoint_floor(retain_checkpoints)
+        if ckpt_floor is not None:
+            victims = [m for m in victims if m["version"] < ckpt_floor]
         for m in victims:
             os.remove(
                 os.path.join(

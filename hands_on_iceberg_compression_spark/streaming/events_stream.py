@@ -169,6 +169,7 @@ def stream_into_warehouse(
     maintenance_every: int | None = None,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     expire_keep_last: int | None = None,
+    retain_checkpoints: list[str] | None = None,
 ) -> None:
     """Streaming sink into a warehouse table via foreachBatch: each
     micro-batch appends as its own batch directory (committer-isolated,
@@ -183,8 +184,10 @@ def stream_into_warehouse(
     ``expire_keep_last`` is set, expire old snapshots.  At 100 TB a
     streaming table fragments exactly as fast as it ingests; running the
     compactor on the ingest cadence keeps file counts bounded without a
-    separate scheduler.  Touched-partition tracking costs one tiny
-    distinct-collect per micro-batch (bounded by partitions/batch).
+    separate scheduler.  ``retain_checkpoints`` passes through to the
+    expiry so downstream consumer/MV checkpoints register a retention
+    floor (expire_snapshots r17).  Touched-partition tracking costs one
+    tiny distinct-collect per micro-batch (bounded by partitions/batch).
     Crash-safety: maintenance runs after the epoch's append commit; a
     crash mid-maintenance replays the epoch (idempotent) and simply
     re-compacts."""
@@ -243,7 +246,13 @@ def stream_into_warehouse(
         elif not part_names:
             warehouse.optimize(schema, table, target_file_size_bytes)
         if expire_keep_last is not None:
-            warehouse.expire_snapshots(schema, table, keep_last=expire_keep_last)
+            # retain_checkpoints guards downstream CDC consumers/MV
+            # maintainers reading this table: ingest-cadence expiry must
+            # never strand a lagging checkpoint (r17)
+            warehouse.expire_snapshots(
+                schema, table, keep_last=expire_keep_last,
+                retain_checkpoints=retain_checkpoints,
+            )
         state["since_tick"] = 0
         for vs in state["touched"].values():
             vs.clear()

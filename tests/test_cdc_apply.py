@@ -272,3 +272,71 @@ def test_randomized_dml_mirror_converges(spark, tmp_path_factory, ops):
     # drain, then exact mirror equality
     _poll(wh, ckpt, max_lag_commits=1)
     assert _rows(wh, "tgt") == _rows(wh, "src")
+
+def test_branch_refs_apply_loop(spark, tmp_path):
+    """r17 (VERDICT r16 #6): the batched apply loop runs on branch refs
+    — the staging workflow.  Source polls/pulls/re-derives resolve on
+    ``src_branch``, the MERGE commits to ``tgt_branch``, MAIN on both
+    tables stays untouched, and a cross-ref pull refuses through the
+    checkpoint's recorded ref."""
+    wh = _mk(spark, tmp_path, "brc")
+    ckpt = str(tmp_path / "brc" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(1, 0, 1, 10), (2, 0, 2, 20)], SCHEMA
+        ),
+        batch_id="seed",
+    )
+    wh.create_branch("lab", "src", "stage")
+    # mirror-seed the target at the branch state, then fork its branch
+    wh.append(
+        "lab", "tgt", wh.read("lab", "src", "stage"), batch_id="mseed"
+    )
+    wh.create_branch("lab", "tgt", "tstage")
+    out = merge_into_batched(
+        wh, ("lab", "src"), ("lab", "tgt"), ["k"], ckpt,
+        src_branch="stage", tgt_branch="tstage",
+    )
+    assert out.get("bootstrapped") and not out["fired"]
+    src_main_v = wh._latest_version("lab", "src")
+    tgt_main_v = wh._latest_version("lab", "tgt")
+
+    # MAIN-only churn must never reach the staged mirror
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(7, 1, 7, 70)], SCHEMA), batch_id="m1",
+    )
+    # branch churn: update k=1, delete k=2, insert k=5 — all on stage
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame([(1, 1, 4, 11), (5, 1, 5, 50)], SCHEMA),
+        ["k"], mode="merge-on-read", branch="stage",
+    )
+    wh.delete_where(
+        "lab", "src", "k = 2", mode="merge-on-read", branch="stage"
+    )
+    out = merge_into_batched(
+        wh, ("lab", "src"), ("lab", "tgt"), ["k"], ckpt,
+        src_branch="stage", tgt_branch="tstage", max_lag_commits=1,
+    )
+    assert out["fired"] and out["pending_rows_est"] >= 2
+    got = sorted(
+        (r["k"], r["ts"], r["event_id"], r["v"])
+        for r in wh.read("lab", "tgt", "tstage").collect()
+    )
+    want = sorted(
+        (r["k"], r["ts"], r["event_id"], r["v"])
+        for r in wh.read("lab", "src", "stage").collect()
+    )
+    assert got == want
+    assert all(k != 7 for k, *_ in got)  # main-only row never staged
+    # neither table's MAIN moved (src main moved by OUR append only)
+    assert wh._latest_version("lab", "tgt") == tgt_main_v
+    assert wh._latest_version("lab", "src") == src_main_v + 1
+
+    # cross-ref pull refuses via the checkpoint's recorded ref
+    with pytest.raises(ValueError, match="tracks ref"):
+        merge_into_batched(
+            wh, ("lab", "src"), ("lab", "tgt"), ["k"], ckpt,
+        )

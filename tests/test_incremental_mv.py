@@ -641,3 +641,99 @@ def test_cli_mv_report_branch_checkpoint(spark, tmp_path, capsys):
     assert "(branch stage)" in out
     assert "lag=1 commit(s)" in out
     assert "pending_rows_est=3" in out
+
+def test_checkpoint_aware_retention(spark, tmp_path, capsys):
+    """VERDICT r16 #2: ``expire_snapshots(retain_checkpoints=)`` keeps
+    every version >= the oldest registered consumer checkpoint, so
+    expiry can never strand a lagging MV.  Pins the whole arc: without
+    the guard mv-report flags the wedge BEFORE the pull, the pull
+    refuses loudly, and a deliberate checkpoint reset recovers via
+    reconcile; with the guard the lagging consumer catches up
+    incrementally."""
+    import os
+
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    # --- unguarded: expiry inside the window wedges --------------------
+    wh = _mk(spark, tmp_path, "ret_u")
+    ckpt = str(tmp_path / "ret_u" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10)], SCHEMA), batch_id="b0",
+    )
+    _tick(wh, ckpt)  # checkpoint at v1
+    for i in range(2, 5):
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame([(i, i, i, i * 10)], SCHEMA),
+            batch_id=f"b{i}",
+        )
+    removed = wh.expire_snapshots("lab", "src", keep_last=1)
+    assert removed == 3  # v1..v3 gone; the next window is poisoned
+    rc = cli_main([
+        "mv-report", "--warehouse", wh.root,
+        "--source", "lab.src", "--checkpoint", ckpt, "--mv", "lab.mv",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1 and "WEDGED" in out and "[1, 2, 3]" in out
+    with pytest.raises(Exception):
+        _tick(wh, ckpt)  # the refusal surfaces, MV untouched
+    # documented recovery: deliberate checkpoint reset -> full reconcile
+    os.unlink(ckpt)
+    res = _tick(wh, ckpt)
+    assert res["keys_refreshed"] == -1
+    assert _mv_rows(wh) == _expected(wh)
+
+    # --- guarded: the floor retains the consumer's whole window --------
+    wh2 = _mk(spark, tmp_path, "ret_g")
+    ckpt2 = str(tmp_path / "ret_g" / "ck.json")
+    wh2.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10)], SCHEMA), batch_id="b0",
+    )
+    _tick(wh2, ckpt2)  # checkpoint at v1
+    for i in range(2, 5):
+        wh2.append(
+            "lab", "src",
+            spark.createDataFrame([(i, i, i, i * 10)], SCHEMA),
+            batch_id=f"b{i}",
+        )
+    # directory form: every *.json inside registers; nothing expires
+    # because the oldest checkpoint pins v1
+    removed = wh2.expire_snapshots(
+        "lab", "src", keep_last=1,
+        retain_checkpoints=[os.path.dirname(ckpt2)],
+    )
+    assert removed == 0
+    rc = cli_main([
+        "mv-report", "--warehouse", wh2.root,
+        "--source", "lab.src", "--checkpoint", ckpt2, "--mv", "lab.mv",
+    ])
+    assert rc == 0 and "WEDGED" not in capsys.readouterr().out
+    res = _tick(wh2, ckpt2)  # incremental catch-up, not a reconcile
+    assert res["keys_refreshed"] == 3
+    assert _mv_rows(wh2) == _expected(wh2)
+    # once the consumer advances, the floor moves with it
+    removed = wh2.expire_snapshots(
+        "lab", "src", keep_last=1, retain_checkpoints=[ckpt2]
+    )
+    assert removed == 3
+
+    # --- guard edge cases ----------------------------------------------
+    # a MISSING checkpoint registers no floor (un-bootstrapped consumer)
+    wh2.append(
+        "lab", "src",
+        spark.createDataFrame([(9, 9, 9, 90)], SCHEMA), batch_id="b9",
+    )
+    assert wh2.expire_snapshots(
+        "lab", "src", keep_last=1,
+        retain_checkpoints=[str(tmp_path / "ret_g" / "nope.json")],
+    ) == 1
+    # an UNPARSABLE registered file refuses (data-loss direction)
+    bad = str(tmp_path / "ret_g" / "bad.json")
+    with open(bad, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="not a"):
+        wh2.expire_snapshots(
+            "lab", "src", keep_last=1, retain_checkpoints=[bad]
+        )
