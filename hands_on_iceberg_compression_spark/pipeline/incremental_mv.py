@@ -37,6 +37,40 @@ MV whose coverage is older — the skipped versions would never redeliver.
 With commit-before-checkpoint every crash point re-enters bootstrap or
 redelivers a window the MV already covers (idempotent for keep-latest,
 watermark-filtered for aggregates).
+
+MV-OVER-MV CHAINING (VERDICT r16 #1 — the dataflow DAG).  An MV is an
+ordinary log table whose ticks land as ordinary commits (merge_upsert
+``"merge_upsert"`` ops, never a changelog-skip op), so ANY maintainer
+accepts another MV as its source — keep-latest -> agg rollup,
+keep-latest -> top-N, join MV -> anything.  The contract
+(``tests/test_mv_chain.py`` pins all of it):
+
+- TICK ORDERING: ticks may run in any order.  Each upstream tick is
+  one atomic commit (keep-latest/top-N/agg: exactly one merge_upsert
+  or append per delivered window; the join MV commits once per side's
+  pull, each a consistent keyed state), so a downstream pull only ever
+  sees complete upstream states.  Downstream-before-upstream is
+  stale-but-consistent; upstream-before-downstream is fresh.  A DRAIN
+  (tick every stage once in topological order, after the last source
+  change) makes the whole chain exact.
+- RACES: a downstream pull racing an upstream commit is convergent —
+  consume_changes windows are (ckpt, head-at-pull]; a commit landing
+  after the head resolution is simply the next window.
+- WATERMARKS COMPOSE PER EDGE: each stage owns one checkpoint keyed to
+  ITS source's commit versions; the agg maintainer's ``mv_applied_to``
+  watermark likewise stores the UPSTREAM MV's commit version inside
+  the downstream MV's own commits.  Nothing global is shared, so
+  crash/redelivery reasoning stays per-edge (the per-maintainer crash
+  nets carry over unchanged).
+- MODE GUIDANCE FOR FEEDER MVs: a CoW tick rewrites the whole MV, so
+  its changelog window — and every downstream ``touched_keys`` pull —
+  is O(MV rows), while a MoR tick's is O(batch).  ``mode="auto"``
+  optimizes the MV's OWN tick cost; an MV that FEEDS downstream
+  consumers should usually be maintained ``mode="merge-on-read"`` so
+  downstream windows stay delta-sized (measured: throughput_probe
+  ``--mv-chain``).  Aggregate correctness never depends on the mode —
+  a CoW rewrite's unchanged-row pairs cancel in the window groupBy,
+  and keyed refreshes are superset-tolerant.
 """
 
 from __future__ import annotations

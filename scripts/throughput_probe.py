@@ -1432,6 +1432,166 @@ def topn_mv_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def mv_chain_probe(n_rows: int, workdir: str) -> None:
+    """MV-over-MV chain tick economics (VERDICT r16 #1): keep-latest
+    (stage 1) -> agg rollup (stage 2), maintained from an ``n_rows``
+    CDC source.  8 epochs of one upsert batch followed by a topological
+    drain (tick1 + tick2), against the two-stage recompute the chain
+    replaces (keep_latest over the whole source + full groupBy, both
+    written out).  TWO pipelines run side by side off the same source
+    commits, differing only in the UPSTREAM MV's tick mode — the
+    feeder-mode guidance measured: a CoW stage-1 tick rewrites the
+    whole MV, so stage 2's changelog window is O(MV rows); a MoR tick
+    keeps it O(batch).  ``--batch-rows=N`` sets the epoch batch (20k
+    default).  Prints one JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_agg_mv,
+        maintain_keep_latest_mv,
+    )
+
+    batch_rows = 20_000
+    for a in sys.argv:
+        if a.startswith("--batch-rows="):
+            batch_rows = int(a.split("=", 1)[1])
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="mv-chain-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    modes = {"mor": "merge-on-read", "cow": "copy-on-write"}
+    wh.create_table("lab", "src", "zstd", 1, properties={"snapshots": "true"})
+    for tag in modes:
+        for t in (f"mv1_{tag}", f"mv2_{tag}"):
+            wh.create_table(
+                "lab", t, "zstd", 1, properties={"snapshots": "true"}
+            )
+    n_groups = max(n_rows // 100, 1)
+    wh.append(
+        "lab", "src",
+        spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") % n_groups).alias("grp"),
+            F.lit(0).alias("ts"),
+            F.col("id").alias("eid"),
+            ((F.col("id") * 2654435761) % 1000).alias("v"),
+        ).repartition(32),
+        batch_id="seed",
+    )
+    wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
+    cks = {
+        tag: (
+            os.path.join(workdir, f"ck1_{tag}.json"),
+            os.path.join(workdir, f"ck2_{tag}.json"),
+        )
+        for tag in modes
+    }
+
+    def drain(tag: str) -> tuple[float, float]:
+        ck1, ck2 = cks[tag]
+        t0 = time.perf_counter()
+        maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", f"mv1_{tag}"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ck1,
+            mode=modes[tag],
+        )
+        t1 = time.perf_counter()
+        maintain_agg_mv(
+            wh, ("lab", f"mv1_{tag}"), ("lab", f"mv2_{tag}"), ["grp"],
+            sum_cols=["v"], checkpoint_file=ck2,
+        )
+        return t1 - t0, time.perf_counter() - t1
+
+    boot = {tag: drain(tag) for tag in modes}
+    ticks: dict = {tag: {"t1": [], "t2": []} for tag in modes}
+    for epoch in range(8):
+        wh.merge_upsert(
+            "lab", "src",
+            spark.range(batch_rows).select(
+                (((F.col("id") * 6151 + epoch * 17) % n_rows)).alias("k"),
+                (
+                    ((F.col("id") * 6151 + epoch * 17) % n_rows) % n_groups
+                ).alias("grp"),
+                F.lit(epoch + 1).alias("ts"),
+                (F.col("id") + (epoch + 1) * n_rows).alias("eid"),
+                ((F.col("id") * 48271 + epoch) % 1000).alias("v"),
+            ),
+            ["k"], mode="merge-on-read",
+        )
+        # alternate which pipeline drains first so neither always pays
+        # the freshly-written-page cache penalty (the crossover-probe
+        # ordering discipline)
+        order = list(modes) if epoch % 2 == 0 else list(reversed(modes))
+        for tag in order:
+            a, b = drain(tag)
+            ticks[tag]["t1"].append(a)
+            ticks[tag]["t2"].append(b)
+        if epoch % 4 == 3:
+            for tag in modes:
+                wh.optimize("lab", f"mv1_{tag}")
+                wh.optimize("lab", f"mv2_{tag}")
+            wh.optimize("lab", "src")
+    # the cost a drain replaces: two-stage recompute written out
+    t0 = time.perf_counter()
+    latest = keep_latest(wh.read("lab", "src"), ["k"], "ts", "eid")
+    latest.write.mode("overwrite").parquet(os.path.join(workdir, "st1"))
+    st1_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    agg = (
+        spark.read.parquet(os.path.join(workdir, "st1"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("sum_v"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(os.path.join(workdir, "st2"))
+    st2_s = time.perf_counter() - t0
+    # end-to-end equality of both pipelines against the recompute
+    exp = spark.read.parquet(os.path.join(workdir, "st2"))
+    checks = {}
+    for tag in modes:
+        got = wh.read("lab", f"mv2_{tag}").select("grp", "cnt", "sum_v")
+        checks[tag] = (
+            got.exceptAll(exp).count() == 0
+            and exp.exceptAll(got).count() == 0
+        )
+    assert all(checks.values()), checks
+    out = {
+        "probe": "mv_chain",
+        "rows": n_rows,
+        "groups": n_groups,
+        "batch_rows": batch_rows,
+        "epochs": 8,
+        "recompute_stage1_sec": round(st1_s, 3),
+        "recompute_stage2_sec": round(st2_s, 3),
+        "recompute_total_sec": round(st1_s + st2_s, 3),
+    }
+    for tag in modes:
+        out[f"{tag}_bootstrap_sec"] = [round(x, 3) for x in boot[tag]]
+        out[f"{tag}_tick1_p50_sec"] = round(
+            statistics.median(ticks[tag]["t1"]), 3
+        )
+        out[f"{tag}_tick2_p50_sec"] = round(
+            statistics.median(ticks[tag]["t2"]), 3
+        )
+        out[f"{tag}_chain_p50_sec"] = round(
+            statistics.median(
+                [a + b for a, b in zip(ticks[tag]["t1"], ticks[tag]["t2"])]
+            ),
+            3,
+        )
+        out[f"{tag}_ticks_sec"] = [
+            [round(a, 3), round(b, 3)]
+            for a, b in zip(ticks[tag]["t1"], ticks[tag]["t2"])
+        ]
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def ndv_decision_probe(n_rows: int, workdir: str) -> None:
     """NDV-informed merge_into discovery A/B (VERDICT r14 #6): at the
     keep-all shape (B distinct uniform keys >> table NDV / file — every
@@ -2459,6 +2619,9 @@ def main() -> None:
         return
     if "--topn-mv" in sys.argv:
         topn_mv_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--mv-chain" in sys.argv:
+        mv_chain_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--ndv-decision" in sys.argv:
         ndv_decision_probe(n_rows if args else 4_000_000, workdir)
