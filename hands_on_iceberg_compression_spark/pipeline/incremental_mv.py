@@ -62,15 +62,21 @@ keep-latest -> top-N, join MV -> anything.  The contract
   the downstream MV's own commits.  Nothing global is shared, so
   crash/redelivery reasoning stays per-edge (the per-maintainer crash
   nets carry over unchanged).
-- MODE GUIDANCE FOR FEEDER MVs: a CoW tick rewrites the whole MV, so
-  its changelog window — and every downstream ``touched_keys`` pull —
-  is O(MV rows), while a MoR tick's is O(batch).  ``mode="auto"``
-  optimizes the MV's OWN tick cost; an MV that FEEDS downstream
-  consumers should usually be maintained ``mode="merge-on-read"`` so
-  downstream windows stay delta-sized (measured: throughput_probe
-  ``--mv-chain``).  Aggregate correctness never depends on the mode —
-  a CoW rewrite's unchanged-row pairs cancel in the window groupBy,
-  and keyed refreshes are superset-tolerant.
+- MODE GUIDANCE FOR FEEDER MVs depends on the DOWNSTREAM consumer
+  type (measured: throughput_probe ``--mv-chain``, PERF.md r17).
+  KEYED downstream consumers (keep-latest/top-N/join MV, the batched
+  MERGE apply) need a MERGE-ON-READ feeder: a CoW tick rewrites every
+  file, so ``touched_keys`` over its commit is EVERY key — each
+  downstream tick degrades to a full refresh.  The AGGREGATE
+  downstream (row-exact windows) is the opposite at moderate feeder
+  sizes: a CoW feeder's window is O(MV) rows but linear-scan-shaped
+  (one groupBy; unchanged pairs cancel), measured CHEAPER at a 4M-row
+  feeder (post-compaction tick 2.6-3.3 s flat) than the MoR feeder's
+  O(batch) window whose per-delete-commit diff plans grow between
+  compaction folds (2.9 -> 7.8 s) — while at much larger feeders the
+  O(MV) window must lose.  Correctness never depends on the mode —
+  CoW rewrite pairs cancel in aggregate algebra, and keyed refreshes
+  are superset-tolerant; the mode only moves tick cost.
 """
 
 from __future__ import annotations
@@ -829,8 +835,11 @@ _APPLIED = "mv_applied_to"
 # (PERF.md r16 --agg-crossover, 20k-row CDC batches): CoW tick p50
 # beats MoR at 50k/250k/1M MV rows (1.65/1.61/2.46 vs 2.44/2.56/2.85 s)
 # and loses at 4M (4.64 vs 3.30) — linear crossover ~1.7M; set a notch
-# below it.  Shapes with much larger per-tick batches rewrite
-# proportionally more and may cross earlier — pass an explicit mode.
+# below it.  BATCH-SIZE SENSITIVITY measured r17 (VERDICT r16 #5,
+# 100k-row batches at 1M/4M): intersection ~1.8-2.0M — bigger batches
+# inflate the CoW rewrite AND the MoR window/delete-stack costs nearly
+# proportionally, so the crossover is batch-insensitive across
+# 20k-100k and the constant stands unchanged.
 _AGG_MV_COW_MAX_ROWS = 1_500_000
 
 

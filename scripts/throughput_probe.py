@@ -1030,11 +1030,23 @@ def agg_mv_crossover_probe(workdir: str) -> None:
         maintain_agg_mv,
     )
 
+    batch_rows = 20_000
+    sizes = [50_000, 250_000, 1_000_000, 4_000_000]
+    for a in sys.argv:
+        if a.startswith("--batch-rows="):
+            # r17 (VERDICT r16 #5): batch-size sensitivity — a bigger
+            # CDC batch rewrites proportionally more per CoW tick and
+            # crosses earlier
+            batch_rows = int(a.split("=", 1)[1])
+        if a.startswith("--sizes="):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
     shutil.rmtree(workdir, ignore_errors=True)
     spark = make_session(app_name="agg-mv-crossover-probe")
-    sizes = [50_000, 250_000, 1_000_000, 4_000_000]
     epochs = 6
-    out = {"probe": "agg_mv_crossover", "epochs": epochs, "points": []}
+    out = {
+        "probe": "agg_mv_crossover", "epochs": epochs,
+        "batch_rows": batch_rows, "points": [],
+    }
     for g in sizes:
         wh = ParquetWarehouse(spark, os.path.join(workdir, f"wh_{g}"))
         wh.create_table(
@@ -1073,7 +1085,7 @@ def agg_mv_crossover_probe(workdir: str) -> None:
         for epoch in range(epochs):
             wh.append(
                 "lab", "src",
-                spark.range(20_000).select(
+                spark.range(batch_rows).select(
                     ((F.col("id") * 6151 + epoch) % g).alias("grp"),
                     (F.col("id") + (epoch + 1) * g).alias("eid"),
                     (F.col("id") % 777).cast("int").alias("v"),
