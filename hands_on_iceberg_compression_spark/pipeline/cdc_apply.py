@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
     _ckpt_version,
+    _evolve_mv_schema,
+    _src_types,
 )
 
 _DEL = "__mib_del"
@@ -85,6 +87,7 @@ def merge_into_batched(
     keys_only: bool = True,
     src_branch: str = "main",
     tgt_branch: str = "main",
+    evolve_schema: bool = True,
 ) -> dict:
     """ONE poll of the batched CDC apply loop: mirror ``src``'s keyed
     state into ``tgt`` via accumulated ``merge_into`` calls.
@@ -133,6 +136,10 @@ def merge_into_batched(
     pruned and full reads) resolves against ``src_branch``, the MERGE
     commits to ``tgt_branch``, and the checkpoint records its ref so a
     cross-ref pull refuses (``consume_changes``' standard guard).
+    ``evolve_schema`` (r17) propagates source ``add_column`` evolution
+    into the mirror before each fire — ``merge_into`` drops extra
+    source columns by design, so without it a new column would
+    silently never land; False refuses loudly.
 
     Returns ``{"fired": bool, "lag_commits", "pending_rows_est"}`` plus,
     when fired, consume_changes' window and ``{"batch_rows",
@@ -264,6 +271,15 @@ def merge_into_batched(
 
     def process(ch) -> None:
         batch = reduce_to_batch(ch)
+        # propagate source add_column evolution into the MIRROR before
+        # the merge (r17: merge_into DROPS extra source columns by
+        # design, so without this the new column silently never lands)
+        _evolve_mv_schema(
+            wh, (tschema, ttable),
+            [c for c in batch.columns if c != _DEL],
+            _src_types(wh, sschema, stable, src_branch),
+            evolve_schema, mv_branch=tgt_branch,
+        )
         res = wh.merge_into(
             tschema, ttable, batch, key_cols,
             matched_condition=freshness,

@@ -124,6 +124,66 @@ def _ckpt_version(checkpoint_file: str) -> int | None:
         return json.load(f).get("version")
 
 
+def _evolve_mv_schema(
+    wh, mv, batch_cols, src_types, evolve, mv_branch: str = "main"
+) -> None:
+    """Propagate SOURCE schema evolution into the MV (r17): refresh
+    batches may carry columns the MV's recorded schema lacks (the
+    source grew a column since the MV bootstrapped), and merge
+    conformance SILENTLY DROPS unknown columns — the data-loss
+    direction.  With ``evolve`` (the maintainers' default) each new
+    column is ``add_column``'d on the MV first — a metadata-only
+    commit typed from the SOURCE's recorded schema, matched by NAME
+    (MV field ids are not linked to the source's); with
+    ``evolve=False`` the tick refuses loudly instead.  Convergence is
+    exact either side of the evolution: un-refreshed MV keys read NULL
+    for the new column, and so do their source rows (they were written
+    before the column existed).  Dropped source columns degrade
+    gracefully without DDL — refresh batches omit them and merge
+    conformance NULL-fills, so they fade to NULL per refreshed key;
+    type changes are NOT propagated (widening the MV is a deliberate
+    operator DDL).  Dir-mode/legacy MVs without a recorded schema are
+    skipped (their reads project the union anyway)."""
+    mschema, mtable = mv
+    try:
+        mv_cols = {
+            f["name"]
+            for f in wh.table_schema(mschema, mtable, branch=mv_branch)
+        }
+    except Exception:
+        return
+    new = [c for c in batch_cols if c != _DEL and c not in mv_cols]
+    if not new:
+        return
+    if not evolve:
+        raise ValueError(
+            f"source evolution added column(s) {new} the MV "
+            f"{mschema}.{mtable} lacks — merge conformance would "
+            "silently drop them; rerun with evolve_schema=True (the "
+            "default) or add_column on the MV yourself"
+        )
+    for c in new:
+        if c not in src_types:
+            raise ValueError(
+                f"refresh batch column {c!r} is in no source's "
+                "recorded schema — cannot derive a type to evolve the "
+                f"MV {mschema}.{mtable} with"
+            )
+        wh.add_column(mschema, mtable, c, src_types[c], branch=mv_branch)
+
+
+def _src_types(wh, schema: str, table: str, branch: str) -> dict:
+    """name -> recorded type of a source's CURRENT schema (empty for
+    dir-mode/legacy tables — evolution needs a recorded schema)."""
+    try:
+        return {
+            f["name"]: f["type"]
+            for f in wh.table_schema(schema, table, branch=branch)
+        }
+    except Exception:
+        return {}
+
+
 def maintain_keep_latest_mv(
     wh,
     src: tuple[str, str],
@@ -137,6 +197,7 @@ def maintain_keep_latest_mv(
     prune_source: bool = True,
     keys_only: bool = True,
     src_branch: str = "main",
+    evolve_schema: bool = True,
 ) -> dict:
     """ONE maintenance tick: pull the source changelog since the
     checkpoint and refresh exactly the touched keys in the MV.  Returns
@@ -157,7 +218,10 @@ def maintain_keep_latest_mv(
     to the row-exact pull automatically).  ``src_branch`` (r16) pulls
     the changelog from a SOURCE BRANCH (the staging workflow) — the
     checkpoint records the ref and refuses cross-ref pulls; the MV
-    itself stays on main."""
+    itself stays on main.  ``evolve_schema`` (r17) propagates source
+    ``add_column`` evolution into the MV before each merge (see
+    ``_evolve_mv_schema`` — without it merge conformance silently
+    drops the new columns); False refuses loudly instead."""
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
@@ -197,6 +261,11 @@ def maintain_keep_latest_mv(
         else:
             # MV survived a lost checkpoint: RECONCILE — refresh every
             # key and tombstone MV keys the source no longer has
+            _evolve_mv_schema(
+                wh, mv, latest.columns,
+                _src_types(wh, sschema, stable, src_branch),
+                evolve_schema,
+            )
             gone = (
                 wh.read(mschema, mtable)
                 .select(*key_cols)
@@ -258,6 +327,10 @@ def maintain_keep_latest_mv(
         latest = keep_latest(
             cur.join(keys, key_cols, "leftsemi"),
             key_cols, ts_col, tie_col,
+        )
+        _evolve_mv_schema(
+            wh, mv, latest.columns,
+            _src_types(wh, sschema, stable, src_branch), evolve_schema,
         )
         gone = keys.join(latest.select(*key_cols), key_cols, "left_anti")
         batch = latest.withColumn(_DEL, F.lit(False)).unionByName(
@@ -321,6 +394,7 @@ def maintain_topn_mv(
     keys_only: bool = True,
     src_branch: str = "main",
     descending: bool = True,
+    evolve_schema: bool = True,
 ) -> dict:
     """ONE maintenance tick of an incremental TOP-N-PER-GROUP view —
     the "best k documents per domain by quality score" shape a
@@ -350,8 +424,11 @@ def maintain_topn_mv(
 
     Bootstrap/lost-checkpoint reconcile commit BEFORE the checkpoint
     initializes, at the pinned recompute version — the ADVICE r13
-    ordering every maintainer follows.  Returns consume_changes'
-    result plus {"groups_refreshed": count | -1 for full refresh}."""
+    ordering every maintainer follows.  ``evolve_schema`` (r17)
+    propagates source ``add_column`` evolution into the MV before each
+    merge (``_evolve_mv_schema``); False refuses loudly.  Returns
+    consume_changes' result plus {"groups_refreshed": count | -1 for
+    full refresh}."""
     from pyspark.sql.window import Window
 
     if not checkpoint_file:
@@ -421,6 +498,12 @@ def maintain_topn_mv(
                 state = state.localCheckpoint(eager=True)
             except Exception:
                 pass
+            _evolve_mv_schema(
+                wh, mv, state.columns,
+                {**_src_types(wh, sschema, stable, src_branch),
+                 "rk": "int"},
+                evolve_schema,
+            )
             gone = (
                 wh.read(mschema, mtable)
                 .select(*mv_key)
@@ -470,6 +553,11 @@ def maintain_topn_mv(
             images = images.localCheckpoint(eager=True)
         except Exception:
             pass
+        _evolve_mv_schema(
+            wh, mv, images.columns,
+            {**_src_types(wh, sschema, stable, src_branch), "rk": "int"},
+            evolve_schema,
+        )
         gone = rank_scaffold(keys).join(
             images.select(*mv_key), mv_key, "left_anti"
         )
@@ -525,6 +613,7 @@ def maintain_join_mv(
     right_key_cols: list[str] | None = None,
     left_branch: str = "main",
     right_branch: str = "main",
+    evolve_schema: bool = True,
 ) -> dict:
     """ONE maintenance tick of an incremental EQUI-JOIN view::
 
@@ -566,6 +655,11 @@ def maintain_join_mv(
     at pinned source versions BEFORE initializing either checkpoint
     (the ADVICE r13 commit-before-checkpoint ordering), so a crash at
     any point re-enters bootstrap or redelivers a covered window.
+
+    ``evolve_schema`` (r17) propagates either side's ``add_column``
+    evolution into the MV before each merge (``_evolve_mv_schema``;
+    value-column sets are re-captured per call, so a new source column
+    joins the MV on the next tick); False refuses loudly.
 
     Returns {"left": <consume res>, "right": <consume res>,
     "keys_refreshed": total (-1 = full refresh)}."""
@@ -640,6 +734,12 @@ def maintain_join_mv(
         )
     mode = _resolve_mv_mode(wh, mschema, mtable, mode)
     out = {"keys_refreshed": 0}
+    # source types for schema-evolution propagation, captured at the
+    # same moment as l_val/r_val (right physical names -> MV names);
+    # the overlap refusal above makes the merge order irrelevant
+    j_types = dict(_src_types(wh, lschema, ltable, left_branch))
+    for rc, t in _src_types(wh, rschema, rtable, right_branch).items():
+        j_types.setdefault(r_map.get(rc, rc), t)
 
     def joined_for(keys: DataFrame | None, lv=None, rv=None) -> DataFrame:
         """keep_latest(left) join keep_latest(right), optionally
@@ -709,6 +809,7 @@ def maintain_join_mv(
             scoped = scoped.localCheckpoint(eager=True)
         except Exception:
             pass
+        _evolve_mv_schema(wh, mv, scoped.columns, j_types, evolve_schema)
         gone = keys.join(scoped.select(*key_cols), key_cols, "left_anti")
         batch = scoped.withColumn(_DEL, F.lit(False)).unionByName(
             gone.withColumn(_DEL, F.lit(True)), allowMissingColumns=True
@@ -739,6 +840,9 @@ def maintain_join_mv(
         else:
             # reconcile: refresh every key, tombstone MV keys the join
             # no longer produces (idempotent — crash re-enters here)
+            _evolve_mv_schema(
+                wh, mv, state.columns, j_types, evolve_schema
+            )
             gone = (
                 wh.read(mschema, mtable)
                 .select(*key_cols)

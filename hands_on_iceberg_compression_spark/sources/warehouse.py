@@ -9423,8 +9423,15 @@ class ParquetWarehouse:
                 ups = upserts
                 if part_specs:
                     ups, _ = apply_partition_transforms(ups, cur_part)
+                # select only the batch's PRESENT columns —
+                # _conform_log_schema NULL-fills omitted ones at the
+                # recorded types (the CoW path got this in review r12
+                # #4; a MoR batch omitting a table column used to die
+                # on an unresolved-column select here)
                 ups, schema_fields = self._conform_log_schema(
-                    schema, table, ups.select(*table_cols), branch=branch
+                    schema, table,
+                    ups.select(*[c for c in table_cols if c in ups.columns]),
+                    branch=branch,
                 )
                 if n_updates <= self.MOR_IMAGE_COALESCE_ROWS:
                     # small CDC batches: one image file, not one per

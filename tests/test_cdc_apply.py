@@ -340,3 +340,31 @@ def test_branch_refs_apply_loop(spark, tmp_path):
         merge_into_batched(
             wh, ("lab", "src"), ("lab", "tgt"), ["k"], ckpt,
         )
+
+def test_mirror_evolves_with_source(spark, tmp_path):
+    """r17: a source add_column propagates into the MIRROR on the next
+    fire (merge_into drops extra source columns by design, so without
+    the maintainer-level evolution the new column silently never
+    lands); evolve_schema=False refuses loudly."""
+    wh = _mk(spark, tmp_path, "evm")
+    ckpt = str(tmp_path / "evm" / "ck.json")
+    _seed_and_bootstrap(wh, spark, ckpt)
+    wh.add_column("lab", "src", "extra", "string")
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame(
+            [(1, 1, 9, 11, "x")], SCHEMA + ", extra string"
+        ),
+        ["k"], mode="merge-on-read",
+    )
+    with pytest.raises(ValueError, match="silently drop"):
+        _poll(wh, ckpt, max_lag_commits=1, evolve_schema=False)
+    assert "extra" not in wh.read("lab", "tgt").columns
+    out = _poll(wh, ckpt, max_lag_commits=1)
+    assert out["fired"]
+    got = {
+        r["k"]: (r["v"], r["extra"])
+        for r in wh.read("lab", "tgt").collect()
+    }
+    assert got[1] == (11, "x")
+    assert got[2] == (20, None) and got[3] == (30, None)

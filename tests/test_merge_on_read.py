@@ -570,3 +570,27 @@ def test_broad_eq_delete_keeps_commits_flat(mor_table, spark):
     assert got.count() == 40 + 5
     assert got.filter(F.col("id") == 3).count() == 0
     assert got.filter(F.col("id") == 1002).count() == 1
+
+def test_mor_upsert_batch_omitting_column_null_fills(spark, tmp_path):
+    """r17 regression (found by the MV schema-evolution tests): a
+    merge-on-read upsert whose batch OMITS a table column used to die
+    on an unresolved-column select in the image path — the CoW path
+    NULL-fills omitted columns (review r12 #4) and MoR must match."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "whmo"))
+    wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id int, v int, u string"
+        ),
+        batch_id="b0",
+    )
+    wh.merge_upsert(
+        "lab", "t",
+        spark.createDataFrame([(2, 21), (3, 30)], "id int, v int"),
+        ["id"], mode="merge-on-read",
+    )
+    got = {
+        r["id"]: (r["v"], r["u"]) for r in wh.read("lab", "t").collect()
+    }
+    assert got == {1: (10, "a"), 2: (21, None), 3: (30, None)}
