@@ -150,7 +150,10 @@ def _evolve_mv_schema(
             f["name"]
             for f in wh.table_schema(mschema, mtable, branch=mv_branch)
         }
-    except Exception:
+    except (ValueError, KeyError):
+        # legacy pre-schema / dir-mode MV: nothing recorded to evolve —
+        # only these specific errors skip; transient IO must PROPAGATE,
+        # or the silent-drop this helper exists to prevent comes back
         return
     new = [c for c in batch_cols if c != _DEL and c not in mv_cols]
     if not new:
@@ -174,13 +177,15 @@ def _evolve_mv_schema(
 
 def _src_types(wh, schema: str, table: str, branch: str) -> dict:
     """name -> recorded type of a source's CURRENT schema (empty for
-    dir-mode/legacy tables — evolution needs a recorded schema)."""
+    dir-mode/legacy tables — evolution needs a recorded schema; a new
+    column with no recorded type then refuses in _evolve_mv_schema
+    rather than silently dropping)."""
     try:
         return {
             f["name"]: f["type"]
             for f in wh.table_schema(schema, table, branch=branch)
         }
-    except Exception:
+    except (ValueError, KeyError):
         return {}
 
 

@@ -304,3 +304,55 @@ def test_new_column_touched_by_window_only(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["v"] == 10 and rows[0]["extra"] is None
     assert "extra" in wh.read("lab", "mv").columns
+
+def test_crash_between_evolution_and_merge_recovers(spark, tmp_path):
+    """The evolution DDL and the data merge are TWO commits: a crash
+    between them leaves an evolved-but-stale MV and an un-advanced
+    checkpoint.  The redelivered tick must find the column already
+    present (add_column is not retried) and land the data."""
+    wh = _mk(spark, tmp_path, "evx")
+    ck = str(tmp_path / "evx" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10)], SCHEMA), batch_id="b0",
+    )
+    maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ck,
+    )
+    wh.add_column("lab", "src", "extra", "string")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(2, 1, 2, 20, "x")], SCHEMA + ", extra string"
+        ),
+        batch_id="b1",
+    )
+    orig = wh.merge_upsert
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash after evolution, before merge")
+
+    wh.merge_upsert = boom
+    try:
+        with pytest.raises(RuntimeError, match="before merge"):
+            maintain_keep_latest_mv(
+                wh, ("lab", "src"), ("lab", "mv"), ["k"],
+                ts_col="ts", tie_col="eid", checkpoint_file=ck,
+            )
+    finally:
+        del wh.merge_upsert
+    # evolved but stale: the DDL landed, the data did not
+    assert "extra" in {
+        f["name"] for f in wh.table_schema("lab", "mv")
+    }
+    assert {r["k"] for r in wh.read("lab", "mv").collect()} == {1}
+    # redelivery: no duplicate add_column, data lands
+    maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ck,
+    )
+    got = {
+        r["k"]: r["extra"] for r in wh.read("lab", "mv").collect()
+    }
+    assert got == {1: None, 2: "x"}
