@@ -202,6 +202,84 @@ def _cmd_ndv_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_mv_tick(args: argparse.Namespace) -> int:
+    """Run ONE incremental-MV maintenance tick from the command line —
+    the ACTING twin of mv-report (cron the two together and a pipeline
+    stays fresh and observable with no bespoke driver code; chains are
+    just several mv-tick invocations in topological order).  Kinds map
+    1:1 onto the maintainers; the maintainer's result dict prints as
+    one JSON line."""
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_agg_mv,
+        maintain_join_mv,
+        maintain_keep_latest_mv,
+        maintain_topn_mv,
+    )
+    from hands_on_iceberg_compression_spark.session import make_session
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    keys = [c for c in args.keys.split(",") if c]
+    # make_session is getOrCreate: only stop a session THIS command
+    # created (the log-report lesson — stopping a pre-existing one
+    # kills the caller's SparkContext)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = make_session(app_name="mv-tick")
+    try:
+        wh = ParquetWarehouse(spark, args.warehouse)
+        src = tuple(args.src.split(".", 1))
+        mv = tuple(args.mv.split(".", 1))
+        if args.kind == "keep-latest":
+            res = maintain_keep_latest_mv(
+                wh, src, mv, keys, ts_col=args.ts_col,
+                tie_col=args.tie_col, checkpoint_file=args.checkpoint,
+                mode=args.mode, src_branch=args.src_branch,
+            )
+        elif args.kind == "topn":
+            if not args.order_col:
+                print("--order-col is required for kind=topn")
+                return 1
+            res = maintain_topn_mv(
+                wh, src, mv, keys, args.n, order_col=args.order_col,
+                tie_col=args.tie_col, checkpoint_file=args.checkpoint,
+                mode=args.mode, src_branch=args.src_branch,
+                descending=not args.ascending,
+            )
+        elif args.kind == "agg":
+            res = maintain_agg_mv(
+                wh, src, mv, keys,
+                sum_cols=[c for c in args.sum_cols.split(",") if c],
+                checkpoint_file=args.checkpoint, mode=args.mode,
+                src_branch=args.src_branch,
+            )
+        else:  # join
+            if not (args.right and args.checkpoint_right):
+                print(
+                    "--right and --checkpoint-right are required for "
+                    "kind=join"
+                )
+                return 1
+            rkeys = [c for c in args.right_keys.split(",") if c]
+            res = maintain_join_mv(
+                wh, src, tuple(args.right.split(".", 1)), mv, keys,
+                ts_col=args.ts_col, tie_col=args.tie_col,
+                checkpoint_left=args.checkpoint,
+                checkpoint_right=args.checkpoint_right,
+                mode=args.mode, how=args.how,
+                right_key_cols=rkeys or None,
+                left_branch=args.src_branch,
+                right_branch=args.right_branch,
+            )
+        print(_json.dumps(res))
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def _cmd_mv_report(args: argparse.Namespace) -> int:
     """MV-maintainer lag report (VERDICT r15 #6): per source, the
     checkpointed version vs the source head (lag in commits + the
@@ -366,6 +444,57 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--schema", dest="schema_name", required=True)
     sr.add_argument("--table", required=True)
     sr.set_defaults(fn=_cmd_spec_report)
+
+    mt = sub.add_parser(
+        "mv-tick",
+        help="run ONE incremental-MV maintenance tick (mv-report's "
+        "acting twin; cron-able)",
+    )
+    mt.add_argument("--warehouse", default="warehouse")
+    mt.add_argument(
+        "--kind", required=True,
+        choices=["keep-latest", "topn", "agg", "join"],
+    )
+    mt.add_argument(
+        "--src", required=True,
+        help="schema.table source (the LEFT side for kind=join)",
+    )
+    mt.add_argument("--mv", required=True, help="schema.table of the MV")
+    mt.add_argument(
+        "--keys", required=True,
+        help="comma-separated key (keep-latest/join) or group "
+        "(topn/agg) columns",
+    )
+    mt.add_argument(
+        "--checkpoint", required=True,
+        help="consumer checkpoint file (the LEFT one for kind=join)",
+    )
+    mt.add_argument("--ts-col", default="ts")
+    mt.add_argument("--tie-col", default="event_id")
+    mt.add_argument(
+        "--mode", default="auto",
+        help="MV write mode: auto (default) / copy-on-write / "
+        "merge-on-read",
+    )
+    mt.add_argument("--src-branch", default="main")
+    mt.add_argument("--n", type=int, default=10, help="topn: rows/group")
+    mt.add_argument("--order-col", default="", help="topn: order column")
+    mt.add_argument(
+        "--ascending", action="store_true", help="topn: smallest first"
+    )
+    mt.add_argument(
+        "--sum-cols", default="",
+        help="agg: comma-separated columns to sum/avg",
+    )
+    mt.add_argument("--right", default="", help="join: schema.table")
+    mt.add_argument("--checkpoint-right", default="")
+    mt.add_argument("--how", default="inner", choices=["inner", "left"])
+    mt.add_argument(
+        "--right-keys", default="",
+        help="join: right-side key names when they differ",
+    )
+    mt.add_argument("--right-branch", default="main")
+    mt.set_defaults(fn=_cmd_mv_tick)
 
     mr = sub.add_parser(
         "mv-report",

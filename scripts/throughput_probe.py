@@ -1455,7 +1455,13 @@ def mv_chain_probe(n_rows: int, workdir: str) -> None:
     feeder-mode guidance measured: a CoW stage-1 tick rewrites the
     whole MV, so stage 2's changelog window is O(MV rows); a MoR tick
     keeps it O(batch).  ``--batch-rows=N`` sets the epoch batch (20k
-    default).  Prints one JSON line."""
+    default).  ``--downstream=keyed`` swaps stage 2 for a KEYED
+    consumer (a keep-latest mirror of the feeder) — the shape where a
+    CoW feeder is structurally catastrophic: touched_keys over a
+    replace commit is EVERY key, so each downstream tick degrades to a
+    full refresh; this flag measures that half of the guidance
+    (epochs drop to 4 — the CoW side writes O(MV) rows per tick).
+    Prints one JSON line."""
     import statistics
 
     from hands_on_iceberg_compression_spark.operators.dedup import (
@@ -1467,9 +1473,13 @@ def mv_chain_probe(n_rows: int, workdir: str) -> None:
     )
 
     batch_rows = 20_000
+    downstream = "agg"
     for a in sys.argv:
         if a.startswith("--batch-rows="):
             batch_rows = int(a.split("=", 1)[1])
+        if a.startswith("--downstream="):
+            downstream = a.split("=", 1)[1]
+    n_epochs = 8 if downstream == "agg" else 4
     shutil.rmtree(workdir, ignore_errors=True)
     spark = make_session(app_name="mv-chain-probe")
     wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
@@ -1510,15 +1520,21 @@ def mv_chain_probe(n_rows: int, workdir: str) -> None:
             mode=modes[tag],
         )
         t1 = time.perf_counter()
-        maintain_agg_mv(
-            wh, ("lab", f"mv1_{tag}"), ("lab", f"mv2_{tag}"), ["grp"],
-            sum_cols=["v"], checkpoint_file=ck2,
-        )
+        if downstream == "keyed":
+            maintain_keep_latest_mv(
+                wh, ("lab", f"mv1_{tag}"), ("lab", f"mv2_{tag}"), ["k"],
+                ts_col="ts", tie_col="eid", checkpoint_file=ck2,
+            )
+        else:
+            maintain_agg_mv(
+                wh, ("lab", f"mv1_{tag}"), ("lab", f"mv2_{tag}"), ["grp"],
+                sum_cols=["v"], checkpoint_file=ck2,
+            )
         return t1 - t0, time.perf_counter() - t1
 
     boot = {tag: drain(tag) for tag in modes}
     ticks: dict = {tag: {"t1": [], "t2": []} for tag in modes}
-    for epoch in range(8):
+    for epoch in range(n_epochs):
         wh.merge_upsert(
             "lab", "src",
             spark.range(batch_rows).select(
@@ -1551,21 +1567,25 @@ def mv_chain_probe(n_rows: int, workdir: str) -> None:
     latest.write.mode("overwrite").parquet(os.path.join(workdir, "st1"))
     st1_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    agg = (
-        spark.read.parquet(os.path.join(workdir, "st1"))
-        .groupBy("grp")
-        .agg(
+    st1_df = spark.read.parquet(os.path.join(workdir, "st1"))
+    if downstream == "keyed":
+        # stage-2 recompute for a keyed mirror = keep_latest over the
+        # stage-1 output, written out (same plan the tick replaces)
+        st2 = keep_latest(st1_df, ["k"], "ts", "eid")
+        cmp_cols = ["k", "grp", "ts", "eid", "v"]
+    else:
+        st2 = st1_df.groupBy("grp").agg(
             F.count("*").alias("cnt"),
             F.sum("v").alias("sum_v"),
         )
-    )
-    agg.write.mode("overwrite").parquet(os.path.join(workdir, "st2"))
+        cmp_cols = ["grp", "cnt", "sum_v"]
+    st2.write.mode("overwrite").parquet(os.path.join(workdir, "st2"))
     st2_s = time.perf_counter() - t0
     # end-to-end equality of both pipelines against the recompute
-    exp = spark.read.parquet(os.path.join(workdir, "st2"))
+    exp = spark.read.parquet(os.path.join(workdir, "st2")).select(*cmp_cols)
     checks = {}
     for tag in modes:
-        got = wh.read("lab", f"mv2_{tag}").select("grp", "cnt", "sum_v")
+        got = wh.read("lab", f"mv2_{tag}").select(*cmp_cols)
         checks[tag] = (
             got.exceptAll(exp).count() == 0
             and exp.exceptAll(got).count() == 0
@@ -1573,10 +1593,11 @@ def mv_chain_probe(n_rows: int, workdir: str) -> None:
     assert all(checks.values()), checks
     out = {
         "probe": "mv_chain",
+        "downstream": downstream,
         "rows": n_rows,
         "groups": n_groups,
         "batch_rows": batch_rows,
-        "epochs": 8,
+        "epochs": n_epochs,
         "recompute_stage1_sec": round(st1_s, 3),
         "recompute_stage2_sec": round(st2_s, 3),
         "recompute_total_sec": round(st1_s + st2_s, 3),

@@ -737,3 +737,76 @@ def test_checkpoint_aware_retention(spark, tmp_path, capsys):
         wh2.expire_snapshots(
             "lab", "src", keep_last=1, retain_checkpoints=[bad]
         )
+
+def test_cli_mv_tick_chain(spark, tmp_path, capsys):
+    """r17: `mv-tick` — the acting twin of mv-report.  A two-stage
+    chain (keep-latest -> agg) maintained purely from the CLI, in
+    topological order; each invocation prints the maintainer's result
+    as one JSON line and must NOT stop the caller's shared session
+    (the log-report getActiveSession lesson)."""
+    import json as _json
+
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "tick")
+    wh.create_table("lab", "agg", "zstd", 1, properties={"snapshots": "true"})
+    d = str(tmp_path / "tick")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(1, 0, 1, 10), (1, 1, 2, 11), (2, 0, 3, 20)], SCHEMA
+        ),
+        batch_id="b0",
+    )
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "keep-latest",
+        "--src", "lab.src", "--mv", "lab.mv", "--keys", "k",
+        "--checkpoint", f"{d}/ck1.json", "--tie-col", "eid",
+    ])
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out1["keys_refreshed"] == -1
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "agg",
+        "--src", "lab.mv", "--mv", "lab.agg", "--keys", "k",
+        "--sum-cols", "v", "--checkpoint", f"{d}/ck2.json",
+    ])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out2["groups_refreshed"] == -1
+    got = {
+        r["k"]: (r["cnt"], r["sum_v"])
+        for r in wh.read("lab", "agg").collect()
+    }
+    assert got == {1: (1, 11), 2: (1, 20)}
+    # incremental second ticks through the same CLI
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame([(2, 2, 4, 25)], SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    for kind, src, mv, extra in (
+        ("keep-latest", "lab.src", "lab.mv", ["--tie-col", "eid"]),
+        ("agg", "lab.mv", "lab.agg", ["--sum-cols", "v"]),
+    ):
+        ck = f"{d}/ck1.json" if kind == "keep-latest" else f"{d}/ck2.json"
+        rc = cli_main([
+            "mv-tick", "--warehouse", wh.root, "--kind", kind,
+            "--src", src, "--mv", mv, "--keys", "k",
+            "--checkpoint", ck, *extra,
+        ])
+        assert rc == 0
+    capsys.readouterr()
+    got = {
+        r["k"]: (r["cnt"], r["sum_v"])
+        for r in wh.read("lab", "agg").collect()
+    }
+    assert got == {1: (1, 11), 2: (1, 25)}
+    # the shared session must still be alive (guarded stop)
+    assert spark.range(1).count() == 1
+    # topn validation surfaces as rc=1, not a stack trace
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "topn",
+        "--src", "lab.src", "--mv", "lab.mv", "--keys", "k",
+        "--checkpoint", f"{d}/ck3.json",
+    ])
+    assert rc == 1
+    assert "--order-col" in capsys.readouterr().out
