@@ -299,7 +299,8 @@ CHAIN_OPS = st.lists(
         st.sampled_from(
             ["append", "upsert", "mor_delete", "cow_delete", "optimize",
              "tick1", "tick2", "crash1_b", "crash1_a", "crash2_b",
-             "crash2_a", "rewind1", "rewind2", "lost1", "lost2"]
+             "crash2_a", "rewind1", "rewind2", "lost1", "lost2",
+             "evolve"]
         ),
         st.integers(0, 11),
     ),
@@ -315,8 +316,11 @@ def test_randomized_chain_with_crashes_converges(
 ):
     """The chain under fire: randomized source DML interleaved with
     out-of-order ticks, crashes before/after the MV commit at BOTH
-    stages, and checkpoint rewinds/losses at both edges — a topological
-    drain must land the exact end-to-end rollup."""
+    stages, checkpoint rewinds/losses at both edges, and SOURCE SCHEMA
+    EVOLUTION (r17 — later DML carries values for every evolved
+    column; the keep-latest stage must propagate the columns through
+    whatever crash/redelivery state it is in) — a topological drain
+    must land the exact end-to-end rollup, all columns compared."""
     wh = _mk(spark, tmp_path_factory.mktemp("chx"), "c")
     d = str(tmp_path_factory.mktemp("chx_ck"))
     ck1, ck2 = f"{d}/ck1.json", f"{d}/ck2.json"
@@ -324,13 +328,22 @@ def test_randomized_chain_with_crashes_converges(
     _tick1(wh, ck1)
     _tick2(wh, ck2)
     eid = 1000
+    extras: list[str] = []
+
+    def schema():
+        return SCHEMA + "".join(f", {c} int" for c in extras)
+
+    def vals(row):
+        return [row + tuple(eid + i for i in range(len(extras)))]
+
     for op, pick in ops:
         eid += 1
         if op == "append":
             wh.append(
                 "lab", "src",
                 spark.createDataFrame(
-                    [(100 + eid % 7, pick % 4, eid, eid, pick * 3)], SCHEMA
+                    vals((100 + eid % 7, pick % 4, eid, eid, pick * 3)),
+                    schema(),
                 ),
                 batch_id=f"a{eid}",
             )
@@ -338,10 +351,15 @@ def test_randomized_chain_with_crashes_converges(
             wh.merge_upsert(
                 "lab", "src",
                 spark.createDataFrame(
-                    [(pick % 12, pick % 4, eid, eid, pick * 7)], SCHEMA
+                    vals((pick % 12, pick % 4, eid, eid, pick * 7)),
+                    schema(),
                 ),
                 ["k"], mode="merge-on-read",
             )
+        elif op == "evolve":
+            name = f"x{len(extras)}"
+            wh.add_column("lab", "src", name, "int")
+            extras.append(name)
         elif op == "mor_delete":
             wh.delete_where(
                 "lab", "src", f"k = {pick % 12}", mode="merge-on-read"
@@ -376,5 +394,25 @@ def test_randomized_chain_with_crashes_converges(
                 os.unlink(ck)
     _tick1(wh, ck1)  # topological drain
     _tick2(wh, ck2)
-    assert _mv1_rows(wh) == _expected_mv1(wh)
+    # full-width equality: every mv1 column must match the recompute.
+    # An evolve with NO delivered window after it legitimately leaves
+    # the MV un-evolved — but then the column holds no data anywhere
+    # (reads project NULL), asserted below.
+    mv1_cols = sorted(wh.read("lab", "mv1").columns)
+    src_latest = keep_latest(wh.read("lab", "src"), ["k"], "ts", "eid")
+    assert set(mv1_cols) <= set(src_latest.columns)
+
+    def rows_all(df):
+        # sort by k alone: unique in both frames, and evolved columns
+        # hold Nones that tuple comparison cannot order
+        return sorted(
+            (tuple((c, r[c]) for c in mv1_cols) for r in df.collect()),
+            key=lambda t: dict(t)["k"],
+        )
+
+    assert rows_all(wh.read("lab", "mv1")) == rows_all(src_latest)
+    for c in set(src_latest.columns) - set(mv1_cols):
+        assert (
+            src_latest.filter(F.col(c).isNotNull()).count() == 0
+        ), f"un-propagated column {c} holds data"
     assert _mv2_rows(wh) == _expected_mv2(wh)
