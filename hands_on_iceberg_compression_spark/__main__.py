@@ -202,6 +202,24 @@ def _cmd_ndv_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_expire(args: argparse.Namespace) -> int:
+    """Snapshot retention from the command line — expire_snapshots
+    with the r17 checkpoint guard, so cron can bound history right
+    next to mv-tick/mv-report without ever stranding a lagging
+    consumer.  Pure metadata + file GC; no SparkSession."""
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(None, args.warehouse)
+    retain = [p for p in (args.retain_checkpoints or "").split(",") if p]
+    removed = wh.expire_snapshots(
+        args.schema_name, args.table, keep_last=args.keep_last,
+        older_than_s=args.older_than,
+        retain_checkpoints=retain or None,
+    )
+    print(f"expired {removed} snapshot(s)")
+    return 0
+
+
 def _cmd_mv_tick(args: argparse.Namespace) -> int:
     """Run ONE incremental-MV maintenance tick from the command line —
     the ACTING twin of mv-report (cron the two together and a pipeline
@@ -444,6 +462,26 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--schema", dest="schema_name", required=True)
     sr.add_argument("--table", required=True)
     sr.set_defaults(fn=_cmd_spec_report)
+
+    ex = sub.add_parser(
+        "expire",
+        help="expire old snapshots (checkpoint-aware retention)",
+    )
+    ex.add_argument("--warehouse", default="warehouse")
+    ex.add_argument("--schema", dest="schema_name", required=True)
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=1)
+    ex.add_argument(
+        "--older-than", type=float, default=None,
+        help="only expire snapshots committed more than this many "
+        "seconds ago",
+    )
+    ex.add_argument(
+        "--retain-checkpoints", default="",
+        help="comma-separated consumer checkpoint files or directories "
+        "— every version >= the oldest registered checkpoint is kept",
+    )
+    ex.set_defaults(fn=_cmd_expire)
 
     mt = sub.add_parser(
         "mv-tick",

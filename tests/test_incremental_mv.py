@@ -810,3 +810,38 @@ def test_cli_mv_tick_chain(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "--order-col" in capsys.readouterr().out
+
+def test_cli_expire_with_checkpoint_guard(spark, tmp_path, capsys):
+    """r17: the `expire` subcommand — retention cron-able next to
+    mv-tick/mv-report; --retain-checkpoints keeps the lagging
+    consumer's whole window, and the guarded run is a no-op here."""
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "clix")
+    ckpt = str(tmp_path / "clix" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10)], SCHEMA), batch_id="b0",
+    )
+    _tick(wh, ckpt)  # checkpoint at v1
+    for i in range(2, 4):
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame([(i, i, i, i * 10)], SCHEMA),
+            batch_id=f"b{i}",
+        )
+    rc = cli_main([
+        "expire", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src", "--keep-last", "1",
+        "--retain-checkpoints", ckpt,
+    ])
+    assert rc == 0
+    assert "expired 0 snapshot(s)" in capsys.readouterr().out
+    _tick(wh, ckpt)  # consumer catches up; floor moves with it
+    rc = cli_main([
+        "expire", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src", "--keep-last", "1",
+        "--retain-checkpoints", ckpt,
+    ])
+    assert rc == 0
+    assert "expired 2 snapshot(s)" in capsys.readouterr().out
