@@ -368,3 +368,48 @@ def test_mirror_evolves_with_source(spark, tmp_path):
     }
     assert got[1] == (11, "x")
     assert got[2] == (20, None) and got[3] == (30, None)
+
+def test_branch_mirror_evolves(spark, tmp_path):
+    """r17 composition: source evolution on a STAGE branch propagates
+    into a BRANCH target — add_column lands on tgt_branch, main's
+    schema on both tables untouched."""
+    wh = _mk(spark, tmp_path, "brev")
+    ckpt = str(tmp_path / "brev" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10)], SCHEMA), batch_id="seed",
+    )
+    wh.create_branch("lab", "src", "stage")
+    wh.append(
+        "lab", "tgt", wh.read("lab", "src", "stage"), batch_id="mseed"
+    )
+    wh.create_branch("lab", "tgt", "tstage")
+    merge_into_batched(
+        wh, ("lab", "src"), ("lab", "tgt"), ["k"], ckpt,
+        src_branch="stage", tgt_branch="tstage",
+    )
+    wh.add_column("lab", "src", "extra", "string", branch="stage")
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame(
+            [(1, 1, 2, 11, "x")], SCHEMA + ", extra string"
+        ),
+        ["k"], mode="merge-on-read", branch="stage",
+    )
+    out = merge_into_batched(
+        wh, ("lab", "src"), ("lab", "tgt"), ["k"], ckpt,
+        src_branch="stage", tgt_branch="tstage", max_lag_commits=1,
+    )
+    assert out["fired"]
+    got = {
+        r["k"]: r["extra"]
+        for r in wh.read("lab", "tgt", "tstage").collect()
+    }
+    assert got == {1: "x"}
+    # MAIN schemas untouched on both tables
+    assert "extra" not in {
+        f["name"] for f in wh.table_schema("lab", "src")
+    }
+    assert "extra" not in {
+        f["name"] for f in wh.table_schema("lab", "tgt")
+    }

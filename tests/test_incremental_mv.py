@@ -845,3 +845,75 @@ def test_cli_expire_with_checkpoint_guard(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "expired 2 snapshot(s)" in capsys.readouterr().out
+
+def test_cli_mv_tick_join_kind(spark, tmp_path, capsys):
+    """mv-tick kind=join: the two-checkpoint + renamed-right-keys
+    argument mapping (the CLI's most error-prone surface)."""
+    import json as _json
+
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "tkj"))
+    for t in ("l", "r", "jmv"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "l",
+        spark.createDataFrame(
+            [(1, 0, 1, 10), (2, 0, 2, 20)],
+            "k int, ts int, eid int, lv int",
+        ),
+        batch_id="seed_l",
+    )
+    wh.append(
+        "lab", "r",
+        spark.createDataFrame(
+            [(1, 0, 1, "r1"), (3, 0, 3, "r3")],
+            "rid int, ts int, eid int, rv string",
+        ),
+        batch_id="seed_r",
+    )
+    d = str(tmp_path / "tkj")
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "join",
+        "--src", "lab.l", "--right", "lab.r", "--mv", "lab.jmv",
+        "--keys", "k", "--right-keys", "rid", "--how", "left",
+        "--checkpoint", f"{d}/ckl.json",
+        "--checkpoint-right", f"{d}/ckr.json", "--tie-col", "eid",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["keys_refreshed"] == -1
+    got = {
+        r["k"]: (r["lv"], r["rv"])
+        for r in wh.read("lab", "jmv").collect()
+    }
+    assert got == {1: (10, "r1"), 2: (20, None)}
+    # missing join args surface as rc=1
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "join",
+        "--src", "lab.l", "--mv", "lab.jmv", "--keys", "k",
+        "--checkpoint", f"{d}/x.json",
+    ])
+    assert rc == 1 and "--right" in capsys.readouterr().out
+
+def test_retention_floor_skips_branch_checkpoints(spark, tmp_path):
+    """A BRANCH-ref checkpoint registers no main-expiry floor: main
+    expiry never removes branch version files (and branch data
+    survives via branch-head GC retention), so holding main history
+    for it would be pure over-retention."""
+    wh = _mk(spark, tmp_path, "retbr")
+    for i in range(3):
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame([(i, i, i, i)], SCHEMA),
+            batch_id=f"b{i}",
+        )
+    wh.create_branch("lab", "src", "stage")
+    bck = str(tmp_path / "retbr" / "bck.json")
+    with open(bck, "w") as f:
+        json.dump({"version": 1, "branch": "stage"}, f)
+    removed = wh.expire_snapshots(
+        "lab", "src", keep_last=1, retain_checkpoints=[bck]
+    )
+    assert removed == 2  # no floor registered
+    # the branch is untouched: its history still reads
+    assert wh.read("lab", "src", "stage").count() == 3
