@@ -273,6 +273,22 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 checkpoint_file=args.checkpoint, mode=args.mode,
                 src_branch=args.src_branch,
             )
+        elif args.kind == "cdc-apply":
+            from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
+                merge_into_batched,
+            )
+
+            res = merge_into_batched(
+                wh, src, mv, keys, args.checkpoint,
+                ts_col=args.ts_col, tie_col=args.tie_col,
+                min_batch_rows=args.min_batch_rows,
+                max_lag_commits=args.max_lag_commits,
+                mode=(
+                    "merge-on-read" if args.mode == "auto" else args.mode
+                ),
+                src_branch=args.src_branch,
+                tgt_branch=args.tgt_branch,
+            )
         else:  # join
             if not (args.right and args.checkpoint_right):
                 print(
@@ -491,13 +507,17 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--warehouse", default="warehouse")
     mt.add_argument(
         "--kind", required=True,
-        choices=["keep-latest", "topn", "agg", "join"],
+        choices=["keep-latest", "topn", "agg", "join", "cdc-apply"],
     )
     mt.add_argument(
         "--src", required=True,
         help="schema.table source (the LEFT side for kind=join)",
     )
-    mt.add_argument("--mv", required=True, help="schema.table of the MV")
+    mt.add_argument(
+        "--mv", required=True,
+        help="schema.table of the MV (the MERGE target for "
+        "kind=cdc-apply)",
+    )
     mt.add_argument(
         "--keys", required=True,
         help="comma-separated key (keep-latest/join) or group "
@@ -532,6 +552,18 @@ def main(argv: list[str] | None = None) -> int:
         help="join: right-side key names when they differ",
     )
     mt.add_argument("--right-branch", default="main")
+    mt.add_argument(
+        "--tgt-branch", default="main",
+        help="cdc-apply: branch the MERGE commits to",
+    )
+    mt.add_argument(
+        "--max-lag-commits", type=int, default=1,
+        help="cdc-apply: fire once the checkpoint lags this far",
+    )
+    mt.add_argument(
+        "--min-batch-rows", type=int, default=0,
+        help="cdc-apply: fire early at this many estimated pending rows",
+    )
     mt.set_defaults(fn=_cmd_mv_tick)
 
     mr = sub.add_parser(

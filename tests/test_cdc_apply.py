@@ -413,3 +413,36 @@ def test_branch_mirror_evolves(spark, tmp_path):
     assert "extra" not in {
         f["name"] for f in wh.table_schema("lab", "tgt")
     }
+
+def test_cli_mv_tick_cdc_apply(spark, tmp_path, capsys):
+    """mv-tick kind=cdc-apply: the batched MERGE mirror driven from
+    the CLI — a non-firing poll and a firing one, JSON results
+    asserted."""
+    import json as _json
+
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "clic")
+    ckpt = str(tmp_path / "clic" / "ck.json")
+    _seed_and_bootstrap(wh, spark, ckpt)
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame([(1, 1, 4, 11)], SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "cdc-apply",
+        "--src", "lab.src", "--mv", "lab.tgt", "--keys", "k",
+        "--checkpoint", ckpt, "--max-lag-commits", "5",
+        "--min-batch-rows", "100",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["fired"] is False and out["lag_commits"] == 1
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "cdc-apply",
+        "--src", "lab.src", "--mv", "lab.tgt", "--keys", "k",
+        "--checkpoint", ckpt,
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["fired"] is True
+    assert _rows(wh, "tgt") == _rows(wh, "src")
