@@ -202,6 +202,45 @@ def _cmd_ndv_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_optimize(args: argparse.Namespace) -> int:
+    """Compaction from the command line — the third leg of cron-able
+    maintenance (mv-tick maintains, expire retires, optimize compacts;
+    an MV's MoR tick series GROWS between folds — PERF.md r17 — so the
+    cron cadence of THIS command is what keeps tick cost flat).
+    ``--partition-filter col=v1,v2`` scopes the rewrite to hot
+    partitions; ``--zorder`` sorts the rewrite by a Morton interleave."""
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    from hands_on_iceberg_compression_spark.session import make_session
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    pf = None
+    if args.partition_filter:
+        col, _, vals = args.partition_filter.partition("=")
+        if not vals:
+            print("--partition-filter must look like col=v1,v2")
+            return 1
+        pf = {col: vals.split(",")}
+    owns_session = SparkSession.getActiveSession() is None
+    spark = make_session(app_name="optimize")
+    try:
+        wh = ParquetWarehouse(spark, args.warehouse)
+        n = wh.optimize(
+            args.schema_name, args.table,
+            target_file_size_bytes=args.target_file_size,
+            partition_filter=pf,
+            branch=args.branch,
+            zorder=args.zorder.split(",") if args.zorder else None,
+        )
+        print(_json.dumps({"files": n}))
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def _cmd_expire(args: argparse.Namespace) -> int:
     """Snapshot retention from the command line — expire_snapshots
     with the r17 checkpoint guard, so cron can bound history right
@@ -478,6 +517,27 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--schema", dest="schema_name", required=True)
     sr.add_argument("--table", required=True)
     sr.set_defaults(fn=_cmd_spec_report)
+
+    op = sub.add_parser(
+        "optimize",
+        help="compact data files (cron-able; keeps MV tick cost flat)",
+    )
+    op.add_argument("--warehouse", default="warehouse")
+    op.add_argument("--schema", dest="schema_name", required=True)
+    op.add_argument("--table", required=True)
+    op.add_argument(
+        "--target-file-size", type=int, default=128 * 1024 * 1024
+    )
+    op.add_argument(
+        "--partition-filter", default="",
+        help="scope the rewrite: col=v1,v2 (discrete values)",
+    )
+    op.add_argument("--branch", default="main")
+    op.add_argument(
+        "--zorder", default="",
+        help="comma-separated columns for a Morton-interleaved rewrite",
+    )
+    op.set_defaults(fn=_cmd_optimize)
 
     ex = sub.add_parser(
         "expire",

@@ -917,3 +917,33 @@ def test_retention_floor_skips_branch_checkpoints(spark, tmp_path):
     assert removed == 2  # no floor registered
     # the branch is untouched: its history still reads
     assert wh.read("lab", "src", "stage").count() == 3
+
+def test_cli_optimize(spark, tmp_path, capsys):
+    """r17: the `optimize` subcommand — compaction cron-able next to
+    mv-tick/expire (the MoR tick series grows between folds, so this
+    cadence is what keeps MV tick cost flat)."""
+    import json as _json
+
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "cliopt")
+    for i in range(3):
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame([(i, i, i, i)], SCHEMA),
+            batch_id=f"b{i}",
+        )
+    assert len(wh.head_snapshot("lab", "src")["files"]) > 1
+    rc = cli_main([
+        "optimize", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["files"] == 1
+    assert wh.read("lab", "src").count() == 3
+    # a malformed partition filter surfaces as rc=1
+    rc = cli_main([
+        "optimize", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src", "--partition-filter", "oops",
+    ])
+    assert rc == 1

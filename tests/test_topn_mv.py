@@ -303,7 +303,8 @@ CRASH_DML = st.lists(
     st.tuples(
         st.sampled_from(
             ["append", "delete", "upsert", "optimize", "tick",
-             "crash_before", "crash_after", "ckpt_rewind", "ckpt_lost"]
+             "crash_before", "crash_after", "ckpt_rewind", "ckpt_lost",
+             "evolve"]
         ),
         st.integers(0, 11),
     ),
@@ -337,13 +338,22 @@ def test_randomized_dml_with_crashes_converges(spark, tmp_path_factory, ops):
     )
     _tick(wh, ckpt)
     doc = 100
+    extras: list[str] = []
+
+    def schema():
+        return SCHEMA + "".join(f", {c} int" for c in extras)
+
+    def vals(row):
+        return [row + tuple(doc + i for i in range(len(extras)))]
+
     for op, pick in ops:
         doc += 1
         if op == "append":
             wh.append(
                 "lab", "src",
                 spark.createDataFrame(
-                    [(pick % 4, doc, (pick * 13) % 60, "new")], SCHEMA
+                    vals((pick % 4, doc, (pick * 13) % 60, "new")),
+                    schema(),
                 ),
                 batch_id=f"a{doc}",
             )
@@ -357,10 +367,17 @@ def test_randomized_dml_with_crashes_converges(spark, tmp_path_factory, ops):
             wh.merge_upsert(
                 "lab", "src",
                 spark.createDataFrame(
-                    [(pick % 4, pick % 20, (pick * 17) % 60, "up")], SCHEMA
+                    vals((pick % 4, pick % 20, (pick * 17) % 60, "up")),
+                    schema(),
                 ),
                 ["grp", "doc_id"], mode="merge-on-read",
             )
+        elif op == "evolve":
+            # r17: the rank-scaffold maintainer must propagate source
+            # evolution through whatever crash state it is in
+            name = f"x{len(extras)}"
+            wh.add_column("lab", "src", name, "int")
+            extras.append(name)
         elif op == "optimize":
             wh.optimize("lab", "src")
         elif op == "crash_before":
@@ -381,3 +398,28 @@ def test_randomized_dml_with_crashes_converges(spark, tmp_path_factory, ops):
             _tick(wh, ckpt)
     _tick(wh, ckpt)  # drain
     assert _mv_rows(wh) == _expected(wh)
+    # full-width check over evolved columns: the MV carries every
+    # column some delivered window saw; any column it lacks holds no
+    # data in the source's current top-n rows (same contract as the
+    # chain net — an evolve with no delivered window after it is
+    # legitimately un-propagated and all-NULL)
+    mv_cols = sorted(wh.read("lab", "mv").columns)
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc_nulls_last(), F.col("doc_id").desc_nulls_last()
+    )
+    full = (
+        wh.read("lab", "src")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= N)
+    )
+    assert set(mv_cols) <= set(full.columns)
+
+    def rows_all(df):
+        return sorted(
+            (tuple((c, r[c]) for c in mv_cols) for r in df.collect()),
+            key=lambda t: (dict(t)["grp"], dict(t)["rk"]),
+        )
+
+    assert rows_all(wh.read("lab", "mv")) == rows_all(full)
+    for c in set(full.columns) - set(mv_cols):
+        assert full.filter(F.col(c).isNotNull()).count() == 0
