@@ -250,10 +250,36 @@ def _cmd_expire(args: argparse.Namespace) -> int:
 
     wh = ParquetWarehouse(None, args.warehouse)
     retain = [p for p in (args.retain_checkpoints or "").split(",") if p]
+    # the plan prints BEFORE anything is removed (VERDICT r17 #2): the
+    # resolved floor + checkpoint count make a silently-no-op retention
+    # registration visible, and --dry-run stops here
+    plan = wh.expire_plan(
+        args.schema_name, args.table, keep_last=args.keep_last,
+        older_than_s=args.older_than,
+        retain_checkpoints=retain or None,
+        strict_checkpoints=args.strict_checkpoints,
+    )
+    floor = plan["ckpt_floor"]
+    print(
+        f"checkpoint floor: {'v%d' % floor if floor is not None else '-'} "
+        f"({plan['checkpoints']} checkpoint(s) registered)"
+    )
+    if retain and plan["checkpoints"] == 0:
+        print(
+            "WARNING: --retain-checkpoints registered ZERO checkpoints — "
+            "retention is NOT protecting any consumer"
+        )
+    if args.dry_run:
+        print(
+            f"dry-run: would expire {len(plan['victims'])} snapshot(s): "
+            f"{plan['victims']}"
+        )
+        return 0
     removed = wh.expire_snapshots(
         args.schema_name, args.table, keep_last=args.keep_last,
         older_than_s=args.older_than,
         retain_checkpoints=retain or None,
+        strict_checkpoints=args.strict_checkpoints,
     )
     print(f"expired {removed} snapshot(s)")
     return 0
@@ -317,17 +343,24 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 merge_into_batched,
             )
 
+            # cdc-apply coerces the default auto to merge-on-read (the
+            # mirror is arbitrarily large — size-based auto resolution
+            # belongs to the MV maintainers); the resolved mode is
+            # echoed in the result line so the coercion is visible
+            # (ADVICE r17)
+            resolved_mode = (
+                "merge-on-read" if args.mode == "auto" else args.mode
+            )
             res = merge_into_batched(
                 wh, src, mv, keys, args.checkpoint,
                 ts_col=args.ts_col, tie_col=args.tie_col,
                 min_batch_rows=args.min_batch_rows,
                 max_lag_commits=args.max_lag_commits,
-                mode=(
-                    "merge-on-read" if args.mode == "auto" else args.mode
-                ),
+                mode=resolved_mode,
                 src_branch=args.src_branch,
                 tgt_branch=args.tgt_branch,
             )
+            res["mode"] = resolved_mode
         else:  # join
             if not (args.right and args.checkpoint_right):
                 print(
@@ -425,23 +458,42 @@ def _cmd_mv_report(args: argparse.Namespace) -> int:
             # needs DENSE versions from the checkpointed one up — flag
             # an already-expired version BEFORE the pull wedges on it
             # (recovery: expire_snapshots(retain_checkpoints=) going
-            # forward; start_version skip-forward + full reconcile now)
-            expired = [
-                v
-                for v in range(ckpt_v, head_v + 1)
+            # forward; start_version skip-forward + full reconcile now).
+            # The stat scan is CAPPED (ADVICE r17: a consumer lagging
+            # tens of thousands of commits would turn the pure-metadata
+            # report into O(lag) filesystem calls): expiry removes
+            # oldest-first, so missing versions cluster at the window's
+            # OLD end — scan ascending from the checkpoint, stop after
+            # enough evidence; a capped clean scan is reported as such
+            _SCAN_CAP, _MISS_CAP = 4096, 8
+            expired = []
+            scanned = 0
+            ref_dir = wh._ref_dir(sschema, stable, branch)
+            for v in range(ckpt_v, head_v + 1):
+                if scanned >= _SCAN_CAP or len(expired) >= _MISS_CAP:
+                    break
+                scanned += 1
                 if not _os.path.exists(
-                    _os.path.join(
-                        wh._ref_dir(sschema, stable, branch),
-                        f"v{v:06d}.json",
-                    )
-                )
-            ]
+                    _os.path.join(ref_dir, f"v{v:06d}.json")
+                ):
+                    expired.append(v)
             if expired:
+                more = (
+                    " (+more; scan capped)"
+                    if len(expired) >= _MISS_CAP
+                    else ""
+                )
                 line += (
-                    f"  WEDGED: version(s) {expired} expired inside "
-                    "the next window"
+                    f"  WEDGED: version(s) {expired}{more} expired "
+                    "inside the next window"
                 )
                 rc = 1
+            elif scanned < head_v - ckpt_v + 1:
+                line += (
+                    f"  (window scan capped at {scanned} of "
+                    f"{head_v - ckpt_v + 1} versions — none missing "
+                    "in the scanned prefix)"
+                )
         print(line)
     mschema, mtable = args.mv.split(".", 1)
     mv_v = wh._latest_version(mschema, mtable)
@@ -555,7 +607,18 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument(
         "--retain-checkpoints", default="",
         help="comma-separated consumer checkpoint files or directories "
-        "— every version >= the oldest registered checkpoint is kept",
+        "— every version >= the oldest registered checkpoint is kept "
+        "(empty/missing directories refuse; missing files warn)",
+    )
+    ex.add_argument(
+        "--strict-checkpoints", action="store_true",
+        help="refuse when a registered checkpoint FILE is missing "
+        "(default: warn — an un-bootstrapped consumer is legal)",
+    )
+    ex.add_argument(
+        "--dry-run", action="store_true",
+        help="print the victim versions and the resolved checkpoint "
+        "floor, remove nothing",
     )
     ex.set_defaults(fn=_cmd_expire)
 
@@ -592,7 +655,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument(
         "--mode", default="auto",
         help="MV write mode: auto (default) / copy-on-write / "
-        "merge-on-read",
+        "merge-on-read; kind=cdc-apply resolves auto to merge-on-read "
+        "(the mirror's size is unbounded) and echoes the resolved mode "
+        "in the result line",
     )
     mt.add_argument("--src-branch", default="main")
     mt.add_argument("--n", type=int, default=10, help="topn: rows/group")

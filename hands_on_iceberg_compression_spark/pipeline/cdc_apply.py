@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
-    _ckpt_version,
+    _ckpt_state,
     _evolve_mv_schema,
     _src_types,
 )
@@ -149,16 +149,18 @@ def merge_into_batched(
     if max_lag_commits < 1:
         raise ValueError("max_lag_commits must be >= 1")
     head_v = wh._latest_version(sschema, stable, src_branch)
-    ckpt_v = _ckpt_version(checkpoint_file)
+    # ONE checkpoint read serves both the version and the branch guard
+    # (ADVICE r17: two non-atomic reads could pair fields from
+    # different writes, and a file replaced between them raised instead
+    # of taking the bootstrap path)
+    _ck = _ckpt_state(checkpoint_file)
+    ckpt_v = None if _ck is None else _ck.get("version")
     if ckpt_v is not None:
         # refuse a cross-ref pull BEFORE any lag math — the poll's own
         # lag/estimate comparisons are meaningless across refs, and the
         # lag<0 path would mislabel the mismatch as a stale ref
         # (consume_changes applies the same guard at pull time)
-        import json as _json
-
-        with open(checkpoint_file) as f:
-            _ck_branch = _json.load(f).get("branch", "main")
+        _ck_branch = _ck.get("branch", "main")
         if _ck_branch != src_branch:
             raise ValueError(
                 f"checkpoint {checkpoint_file!r} tracks ref "

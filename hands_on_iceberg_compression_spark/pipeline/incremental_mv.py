@@ -117,11 +117,22 @@ def _init_checkpoint(
     os.replace(tmp, checkpoint_file)
 
 
-def _ckpt_version(checkpoint_file: str) -> int | None:
-    if not os.path.exists(checkpoint_file):
+def _ckpt_state(checkpoint_file: str) -> dict | None:
+    """The checkpoint's full parsed state ({"version", "branch"}) or
+    None when un-bootstrapped — ONE read, so callers needing both
+    fields can never see them from different writes (ADVICE r17: the
+    read-version-then-reopen-for-branch shape raised FileNotFoundError
+    on a file replaced between the two reads)."""
+    try:
+        with open(checkpoint_file) as f:
+            return json.load(f)
+    except FileNotFoundError:
         return None
-    with open(checkpoint_file) as f:
-        return json.load(f).get("version")
+
+
+def _ckpt_version(checkpoint_file: str) -> int | None:
+    st = _ckpt_state(checkpoint_file)
+    return None if st is None else st.get("version")
 
 
 def _evolve_mv_schema(

@@ -8831,29 +8831,68 @@ class ParquetWarehouse:
         return self.read_snapshot(schema, table, best)
 
     def _checkpoint_floor(
-        self, retain_checkpoints: list[str] | None
-    ) -> int | None:
-        """Oldest MAIN-ref version any registered consumer checkpoint
-        holds (``consume_changes``/MV maintainer files: {"version",
-        "branch"}).  Entries may be files or directories (every *.json
-        inside counts).  A MISSING file is an un-bootstrapped consumer —
-        its first pull reads the head, so it registers no floor.  An
-        UNPARSABLE file raises: the caller explicitly registered it as
-        a checkpoint, and silently expiring past a corrupt one is the
-        data-loss direction.  Branch-ref checkpoints register no floor
-        here — main expiry never removes branch version files, and
-        branch data files survive via branch-head GC retention."""
+        self, retain_checkpoints: list[str] | None, strict: bool = False
+    ) -> tuple[int | None, int]:
+        """(oldest MAIN-ref version any registered consumer checkpoint
+        holds, number of checkpoints parsed) — consume_changes/MV
+        maintainer files: {"version", "branch"}.  Entries may be files
+        or directories (every *.json inside counts).  REFUSALS (r18,
+        VERDICT r17 #2 — a silent no-op here disables the retention
+        guard the feature exists to provide): a registered DIRECTORY
+        that is missing or matches zero *.json raises (far more likely
+        a typo than a fleet of un-bootstrapped consumers; register
+        individual files while consumers bootstrap), and an UNPARSABLE
+        file raises as before.  A missing FILE path is an
+        un-bootstrapped consumer — its first pull reads the head, so it
+        registers no floor; that stays legal (the streaming-maintenance
+        cadence registers checkpoints before their consumers' first
+        pull) but now warns, and ``strict=True`` refuses it too (ADVICE
+        r17).  Branch-ref checkpoints parse (they count toward the
+        returned total) but register no main floor — main expiry never
+        removes branch version files, and branch data files survive via
+        branch-head GC retention."""
         import glob as _glob
+        import warnings as _warnings
 
         floor: int | None = None
+        n = 0
         for p in retain_checkpoints or []:
-            files = (
-                sorted(_glob.glob(os.path.join(p, "*.json")))
-                if os.path.isdir(p)
-                else [p]
-            )
+            if os.path.isdir(p):
+                files = sorted(_glob.glob(os.path.join(p, "*.json")))
+                if not files:
+                    raise ValueError(
+                        f"registered checkpoint directory {p!r} contains "
+                        "no *.json checkpoint files — it would register "
+                        "NO retention floor while reading as protected; "
+                        "register individual checkpoint files (missing "
+                        "ones are legal un-bootstrapped consumers) or "
+                        "populate the directory first"
+                    )
+            elif p.endswith(os.sep) or p.endswith("/"):
+                # trailing separator = the caller meant a DIRECTORY; a
+                # missing one is a typo, not an un-bootstrapped consumer
+                raise ValueError(
+                    f"registered checkpoint directory {p!r} does not "
+                    "exist — refusing to expire with a typo'd retention "
+                    "registration"
+                )
+            else:
+                files = [p]
             for fp in files:
                 if not os.path.exists(fp):
+                    if strict:
+                        raise ValueError(
+                            f"registered checkpoint {fp!r} does not exist "
+                            "(strict retention) — an un-bootstrapped "
+                            "consumer registers no floor; drop strict or "
+                            "bootstrap the consumer first"
+                        )
+                    _warnings.warn(
+                        f"registered checkpoint {fp!r} does not exist — "
+                        "it registers NO retention floor (un-bootstrapped "
+                        "consumer, or a typo'd path)",
+                        stacklevel=3,
+                    )
                     continue
                 try:
                     with open(fp) as f:
@@ -8865,41 +8904,27 @@ class ParquetWarehouse:
                         "consumer checkpoint file ({'version': int, "
                         "'branch': str}) — refusing to expire past it"
                     ) from e
+                n += 1
                 if st.get("branch", "main") != "main":
                     continue
                 floor = v if floor is None else min(floor, v)
-        return floor
+        return floor, n
 
-    def expire_snapshots(
+    def _expire_victims(
         self,
         schema: str,
         table: str,
-        keep_last: int = 1,
-        older_than_s: float | None = None,
-        retain_checkpoints: list[str] | None = None,
-    ) -> int:
-        """Drop old manifests; returns removed count.  Without
-        ``older_than_s``, all but the newest ``keep_last`` expire; with it,
-        only candidates COMMITTED more than that many seconds ago expire
-        (Iceberg's ``expire_snapshots(older_than)`` — the newest
-        ``keep_last`` are always retained regardless of age, and legacy
-        heads without a recorded commit time are conservatively kept).
-        Log-mode tables require ``keep_last >= 1`` — expiring every
-        manifest would also GC every data file (manifest-driven reads
-        would then see an empty, unrecoverable table).  Dir-mode tables
-        share files with the live directory listing, so expiry only
-        removes manifests there and keep_last=0 is allowed.
-
-        ``retain_checkpoints`` (r17) registers consumer checkpoint files
-        (or directories of them): every version >= the OLDEST registered
-        main-ref checkpoint is retained, because a lagging consumer's
-        next changelog window is (ckpt, head] and ``read_changes`` needs
-        DENSE versions from the checkpointed one up — expiring inside
-        that window wedges the consumer (the refusal is loud, but
-        recovery costs a ``start_version`` skip-forward and a full
-        reconcile).  The floor retains a CONTIGUOUS suffix, so this
-        retention kind creates no new version gaps (the r10 gap/hint
-        class — tags/pins still gap as before, hints stay monotone)."""
+        keep_last: int,
+        older_than_s: float | None,
+        retain_checkpoints: list[str] | None,
+        strict_checkpoints: bool = False,
+    ) -> tuple[list[dict], int | None, int]:
+        """The ONE victim-selection used by ``expire_snapshots`` and
+        ``expire_plan``: (victim manifests oldest-first, checkpoint
+        floor or None, checkpoints parsed).  Applies every retention
+        kind — keep_last suffix, age gate, tags, catalog pins, the
+        consumer-checkpoint floor — and the keep_last>=1 log-mode
+        guard, so a dry-run plan can never disagree with the act."""
         import time
 
         if keep_last < 1 and self._log_mode(self.table_meta(schema, table)):
@@ -8927,9 +8952,83 @@ class ParquetWarehouse:
         )
         if tagged:
             victims = [m for m in victims if m["version"] not in tagged]
-        ckpt_floor = self._checkpoint_floor(retain_checkpoints)
+        ckpt_floor, n_ckpts = self._checkpoint_floor(
+            retain_checkpoints, strict=strict_checkpoints
+        )
         if ckpt_floor is not None:
             victims = [m for m in victims if m["version"] < ckpt_floor]
+        return victims, ckpt_floor, n_ckpts
+
+    def expire_plan(
+        self,
+        schema: str,
+        table: str,
+        keep_last: int = 1,
+        older_than_s: float | None = None,
+        retain_checkpoints: list[str] | None = None,
+        strict_checkpoints: bool = False,
+    ) -> dict:
+        """What ``expire_snapshots`` with the same arguments WOULD do,
+        without doing it (r18, VERDICT r17 #2 — the expire CLI's
+        ``--dry-run``): {"victims": [versions oldest-first],
+        "ckpt_floor": version | None, "checkpoints": parsed count}.
+        Same victim selection code path as the act, so the plan cannot
+        drift from it; refusals (empty checkpoint dir, unparsable
+        checkpoint, keep_last=0 on log mode) surface here too."""
+        victims, floor, n = self._expire_victims(
+            schema, table, keep_last, older_than_s, retain_checkpoints,
+            strict_checkpoints,
+        )
+        return {
+            "victims": [m["version"] for m in victims],
+            "ckpt_floor": floor,
+            "checkpoints": n,
+        }
+
+    def expire_snapshots(
+        self,
+        schema: str,
+        table: str,
+        keep_last: int = 1,
+        older_than_s: float | None = None,
+        retain_checkpoints: list[str] | None = None,
+        strict_checkpoints: bool = False,
+        dry_run: bool = False,
+    ) -> int:
+        """Drop old manifests; returns removed count.  Without
+        ``older_than_s``, all but the newest ``keep_last`` expire; with it,
+        only candidates COMMITTED more than that many seconds ago expire
+        (Iceberg's ``expire_snapshots(older_than)`` — the newest
+        ``keep_last`` are always retained regardless of age, and legacy
+        heads without a recorded commit time are conservatively kept).
+        Log-mode tables require ``keep_last >= 1`` — expiring every
+        manifest would also GC every data file (manifest-driven reads
+        would then see an empty, unrecoverable table).  Dir-mode tables
+        share files with the live directory listing, so expiry only
+        removes manifests there and keep_last=0 is allowed.
+
+        ``retain_checkpoints`` (r17) registers consumer checkpoint files
+        (or directories of them): every version >= the OLDEST registered
+        main-ref checkpoint is retained, because a lagging consumer's
+        next changelog window is (ckpt, head] and ``read_changes`` needs
+        DENSE versions from the checkpointed one up — expiring inside
+        that window wedges the consumer (the refusal is loud, but
+        recovery costs a ``start_version`` skip-forward and a full
+        reconcile).  The floor retains a CONTIGUOUS suffix, so this
+        retention kind creates no new version gaps (the r10 gap/hint
+        class — tags/pins still gap as before, hints stay monotone).
+        An empty/missing registered checkpoint DIRECTORY refuses
+        (VERDICT r17 #2); ``strict_checkpoints`` also refuses missing
+        files.  ``dry_run`` (r18) computes and returns the victim COUNT
+        without removing anything — ``expire_plan`` returns the full
+        plan."""
+        victims = self._expire_victims(
+            schema, table, keep_last, older_than_s, retain_checkpoints,
+            strict_checkpoints,
+        )[0]
+        if dry_run:
+            return len(victims)
+        snaps = self.snapshots(schema, table)
         for m in victims:
             os.remove(
                 os.path.join(

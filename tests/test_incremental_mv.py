@@ -738,6 +738,101 @@ def test_checkpoint_aware_retention(spark, tmp_path, capsys):
             "lab", "src", keep_last=1, retain_checkpoints=[bad]
         )
 
+def test_retention_hardening(spark, tmp_path, capsys):
+    """VERDICT r17 #2: the silent-no-op paths of retain_checkpoints are
+    closed — an EMPTY registered directory refuses (a typo'd dir read
+    as 'protected' while expiry proceeded unconstrained), a missing
+    FILE warns (un-bootstrapped consumer stays legal; strict refuses),
+    expire_plan/--dry-run list victims without removing, and the
+    expire CLI prints the resolved floor before acting."""
+    import os
+    import warnings
+
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "ret_h")
+    ckpt = str(tmp_path / "ret_h" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10)], SCHEMA), batch_id="b0",
+    )
+    _tick(wh, ckpt)  # checkpoint at v1
+    for i in range(2, 5):
+        wh.append(
+            "lab", "src",
+            spark.createDataFrame([(i, i, i, i * 10)], SCHEMA),
+            batch_id=f"b{i}",
+        )
+
+    # EMPTY registered directory refuses (and a trailing-separator
+    # missing dir does too) — before the fix both registered nothing
+    empty = tmp_path / "ret_h" / "empty_ckpts"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no \\*\\.json"):
+        wh.expire_snapshots(
+            "lab", "src", keep_last=1, retain_checkpoints=[str(empty)]
+        )
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.expire_snapshots(
+            "lab", "src", keep_last=1,
+            retain_checkpoints=[str(tmp_path / "ret_h" / "nodir") + os.sep],
+        )
+    # nothing was removed by the refusals
+    assert len(wh._snapshot_versions("lab", "src")) == 4
+
+    # missing FILE: warns by default, refuses under strict
+    missing = str(tmp_path / "ret_h" / "unbootstrapped.json")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan = wh.expire_plan(
+            "lab", "src", keep_last=1, retain_checkpoints=[missing]
+        )
+    assert any("registers NO retention floor" in str(x.message) for x in w)
+    assert plan["checkpoints"] == 0 and plan["ckpt_floor"] is None
+    with pytest.raises(ValueError, match="strict retention"):
+        wh.expire_snapshots(
+            "lab", "src", keep_last=1, retain_checkpoints=[missing],
+            strict_checkpoints=True,
+        )
+
+    # expire_plan + dry_run: victims listed, NOTHING removed
+    plan = wh.expire_plan(
+        "lab", "src", keep_last=1, retain_checkpoints=[ckpt]
+    )
+    assert plan == {"victims": [], "ckpt_floor": 1, "checkpoints": 1}
+    plan = wh.expire_plan("lab", "src", keep_last=1)
+    assert plan["victims"] == [1, 2, 3]
+    assert wh.expire_snapshots("lab", "src", keep_last=1, dry_run=True) == 3
+    assert len(wh._snapshot_versions("lab", "src")) == 4  # intact
+
+    # CLI: floor + count print BEFORE acting; --dry-run removes nothing
+    rc = cli_main([
+        "expire", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src", "--keep-last", "1",
+        "--retain-checkpoints", ckpt, "--dry-run",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "checkpoint floor: v1 (1 checkpoint(s) registered)" in out
+    assert "would expire 0 snapshot(s)" in out
+    assert len(wh._snapshot_versions("lab", "src")) == 4
+    # the zero-checkpoints visibility warning on a REAL no-op registration
+    rc = cli_main([
+        "expire", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src", "--keep-last", "1",
+        "--retain-checkpoints", missing, "--dry-run",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "registered ZERO checkpoints" in out
+    # and the act itself still works (plan == act through one code path)
+    rc = cli_main([
+        "expire", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "src", "--keep-last", "1",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "expired 3 snapshot(s)" in out
+    assert wh._snapshot_versions("lab", "src") == [4]
+
 def test_cli_mv_tick_chain(spark, tmp_path, capsys):
     """r17: `mv-tick` — the acting twin of mv-report.  A two-stage
     chain (keep-latest -> agg) maintained purely from the CLI, in
