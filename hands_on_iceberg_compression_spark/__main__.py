@@ -306,6 +306,12 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
     from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
 
     keys = [c for c in args.keys.split(",") if c]
+    policy = {}
+    if args.max_pending_delete_entries > 0:
+        policy["max_pending_delete_entries"] = args.max_pending_delete_entries
+    if args.max_pending_delete_rows > 0:
+        policy["max_pending_delete_rows"] = args.max_pending_delete_rows
+    policy = policy or None
     # make_session is getOrCreate: only stop a session THIS command
     # created (the log-report lesson — stopping a pre-existing one
     # kills the caller's SparkContext)
@@ -320,6 +326,7 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 wh, src, mv, keys, ts_col=args.ts_col,
                 tie_col=args.tie_col, checkpoint_file=args.checkpoint,
                 mode=args.mode, src_branch=args.src_branch,
+                maintenance_policy=policy,
             )
         elif args.kind == "topn":
             if not args.order_col:
@@ -330,6 +337,7 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 tie_col=args.tie_col, checkpoint_file=args.checkpoint,
                 mode=args.mode, src_branch=args.src_branch,
                 descending=not args.ascending,
+                maintenance_policy=policy,
             )
         elif args.kind == "agg":
             res = maintain_agg_mv(
@@ -337,6 +345,7 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 sum_cols=[c for c in args.sum_cols.split(",") if c],
                 checkpoint_file=args.checkpoint, mode=args.mode,
                 src_branch=args.src_branch,
+                maintenance_policy=policy,
             )
         elif args.kind == "cdc-apply":
             from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
@@ -359,6 +368,7 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 mode=resolved_mode,
                 src_branch=args.src_branch,
                 tgt_branch=args.tgt_branch,
+                maintenance_policy=policy,
             )
             res["mode"] = resolved_mode
         else:  # join
@@ -378,9 +388,21 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 right_key_cols=rkeys or None,
                 left_branch=args.src_branch,
                 right_branch=args.right_branch,
+                maintenance_policy=policy,
             )
         print(_json.dumps(res))
         return 0
+    except ValueError as e:
+        # surface refusals (schema-evolution divergence, cross-ref
+        # checkpoints, policy typos ...) WITH the tick's identities —
+        # the raw error from deep inside a tick names the column but
+        # not which maintainer/source/MV it came from (VERDICT r17 #6)
+        print(
+            f"mv-tick kind={args.kind} refused "
+            f"(src={args.src}, mv={args.mv}): {e}",
+            file=sys.stderr,
+        )
+        return 1
     finally:
         if owns_session:
             spark.stop()
@@ -688,6 +710,16 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument(
         "--min-batch-rows", type=int, default=0,
         help="cdc-apply: fire early at this many estimated pending rows",
+    )
+    mt.add_argument(
+        "--max-pending-delete-entries", type=int, default=0,
+        help="auto-fold the MV/target with optimize() once its pending "
+        "merge-on-read delete stack exceeds this many entries "
+        "(0 = no policy)",
+    )
+    mt.add_argument(
+        "--max-pending-delete-rows", type=int, default=0,
+        help="auto-fold threshold on pending delete ROWS (0 = unset)",
     )
     mt.set_defaults(fn=_cmd_mv_tick)
 

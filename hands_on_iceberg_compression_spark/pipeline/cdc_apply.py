@@ -31,7 +31,9 @@ from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
 from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
     _ckpt_state,
     _evolve_mv_schema,
+    _maybe_auto_fold,
     _src_types,
+    _validate_policy,
 )
 
 _DEL = "__mib_del"
@@ -88,6 +90,7 @@ def merge_into_batched(
     src_branch: str = "main",
     tgt_branch: str = "main",
     evolve_schema: bool = True,
+    maintenance_policy: dict | None = None,
 ) -> dict:
     """ONE poll of the batched CDC apply loop: mirror ``src``'s keyed
     state into ``tgt`` via accumulated ``merge_into`` calls.
@@ -139,7 +142,12 @@ def merge_into_batched(
     ``evolve_schema`` (r17) propagates source ``add_column`` evolution
     into the mirror before each fire — ``merge_into`` drops extra
     source columns by design, so without it a new column would
-    silently never land; False refuses loudly.
+    silently never land; False refuses loudly.  ``maintenance_policy``
+    (r18) bounds the mirror's pending merge-on-read delete stack: past
+    {"max_pending_delete_entries"/"max_pending_delete_rows"} the poll
+    ends with an ``optimize()`` fold of the target (the census is
+    zero-job head metadata, so under-threshold polls stay jobless);
+    the result gains "auto_fold" when it fired.
 
     Returns ``{"fired": bool, "lag_commits", "pending_rows_est"}`` plus,
     when fired, consume_changes' window and ``{"batch_rows",
@@ -148,6 +156,7 @@ def merge_into_batched(
     tschema, ttable = tgt
     if max_lag_commits < 1:
         raise ValueError("max_lag_commits must be >= 1")
+    _validate_policy(maintenance_policy)
     head_v = wh._latest_version(sschema, stable, src_branch)
     # ONE checkpoint read serves both the version and the branch guard
     # (ADVICE r17: two non-atomic reads could pair fields from
@@ -205,6 +214,14 @@ def merge_into_batched(
     if lag <= 0 or (
         lag < max_lag_commits and (min_batch_rows <= 0 or est < min_batch_rows)
     ):
+        # the delete-stack census is head-JSON-only, so a non-firing
+        # poll stays zero-job unless a PAST fire left the target over
+        # threshold — then folding now is exactly the policy's job
+        fold = _maybe_auto_fold(
+            wh, tschema, ttable, maintenance_policy, branch=tgt_branch
+        )
+        if fold:
+            out["auto_fold"] = fold
         return out
 
     freshness = matched_condition or (
@@ -329,4 +346,13 @@ def merge_into_batched(
         out["fired"] = True
         out["batch_rows"] = 0
         out["tombstones"] = 0
+    # bound the MIRROR's pending MoR delete stack (r18, VERDICT r17 #1):
+    # each fired MERGE under mode='merge-on-read' stacks delete entries
+    # whose anti-joins every later read pays — past the policy threshold
+    # the poll ends with an optimize() fold of the target
+    fold = _maybe_auto_fold(
+        wh, tschema, ttable, maintenance_policy, branch=tgt_branch
+    )
+    if fold:
+        out["auto_fold"] = fold
     return {**out, **res}

@@ -135,6 +135,77 @@ def _ckpt_version(checkpoint_file: str) -> int | None:
     return None if st is None else st.get("version")
 
 
+_POLICY_KEYS = {
+    "max_pending_delete_entries",
+    "max_pending_delete_rows",
+    "target_file_size_bytes",
+}
+
+
+def _validate_policy(policy: dict | None) -> None:
+    """Refuse unknown policy keys UP FRONT — a typo'd key would
+    otherwise silently never fold, exactly the no-op failure mode the
+    policy exists to close (the retain_checkpoints lesson, r18)."""
+    if not policy:
+        return
+    unknown = set(policy) - _POLICY_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown maintenance_policy key(s) {sorted(unknown)} — "
+            f"supported: {sorted(_POLICY_KEYS)}"
+        )
+    if not any(
+        k in policy
+        for k in ("max_pending_delete_entries", "max_pending_delete_rows")
+    ):
+        raise ValueError(
+            "maintenance_policy needs max_pending_delete_entries and/or "
+            "max_pending_delete_rows — without a threshold it never folds"
+        )
+
+
+def _maybe_auto_fold(
+    wh, mschema: str, mtable: str, policy: dict | None,
+    branch: str = "main",
+) -> dict | None:
+    """Delete-stack-aware AUTO-FOLD (r18, VERDICT r17 #1): when the
+    table's pending merge-on-read delete stack exceeds the policy
+    thresholds, run a full ``optimize()`` on it — the fold that reads
+    delete-APPLIED rows, drops the victims, and clears the pending set
+    (the r08 machinery; its deletes_read_version race fence rides along
+    unchanged, since this is the same optimize() call sites pass).
+
+    The measured failure mode this bounds (PERF.md r17 --mv-chain): a
+    MoR-maintained feeder MV stacks delete entries whose per-commit
+    changelog diff plans grow every tick (2.9 -> 7.8 s between manual
+    folds at 4M) — the fold cadence used to be the operator's problem.
+    With ``maintenance_policy={"max_pending_delete_entries": K}`` on
+    the maintainer, the census runs every tick from head JSON alone
+    (``pending_delete_stats`` — zero Spark jobs, no segment parse) and
+    the fold fires only past the threshold, so steady-state ticks pay
+    nothing and the series stays bounded with no external compaction
+    schedule.  Returns {"pending_delete_entries", "pending_delete_rows",
+    "files"} when it folded, else None."""
+    if not policy:
+        return None
+    st = wh.pending_delete_stats(mschema, mtable, branch=branch)
+    over = (
+        st["entries"] > policy.get("max_pending_delete_entries", float("inf"))
+        or st["rows"] > policy.get("max_pending_delete_rows", float("inf"))
+    )
+    if not over:
+        return None
+    kwargs = {}
+    if "target_file_size_bytes" in policy:
+        kwargs["target_file_size_bytes"] = policy["target_file_size_bytes"]
+    files = wh.optimize(mschema, mtable, branch=branch, **kwargs)
+    return {
+        "pending_delete_entries": st["entries"],
+        "pending_delete_rows": st["rows"],
+        "files": files,
+    }
+
+
 def _evolve_mv_schema(
     wh, mv, batch_cols, src_types, evolve, mv_branch: str = "main"
 ) -> None:
@@ -157,8 +228,8 @@ def _evolve_mv_schema(
     skipped (their reads project the union anyway)."""
     mschema, mtable = mv
     try:
-        mv_cols = {
-            f["name"]
+        mv_types = {
+            f["name"]: f["type"]
             for f in wh.table_schema(mschema, mtable, branch=mv_branch)
         }
     except (ValueError, KeyError):
@@ -166,7 +237,33 @@ def _evolve_mv_schema(
         # only these specific errors skip; transient IO must PROPAGATE,
         # or the silent-drop this helper exists to prevent comes back
         return
-    new = [c for c in batch_cols if c != _DEL and c not in mv_cols]
+    # TYPE-DIVERGED shared columns refuse with full context (VERDICT
+    # r17 #6 — the raw conformance error surfaced from deep inside the
+    # merge without naming the sides).  A source type that legally
+    # widens INTO the MV's recorded type is fine (conformance upcasts);
+    # the other direction needs a deliberate MV widening — type changes
+    # are never auto-propagated.
+    diverged = [
+        (c, src_types[c], mv_types[c])
+        for c in batch_cols
+        if c != _DEL
+        and c in mv_types
+        and c in src_types
+        and src_types[c] != mv_types[c]
+        and not wh._is_type_widening(src_types[c], mv_types[c])
+    ]
+    if diverged:
+        detail = "; ".join(
+            f"{c!r} is {s} at the source but {m} in the MV"
+            for c, s, m in diverged
+        )
+        raise ValueError(
+            f"source column type(s) diverged from MV "
+            f"{mschema}.{mtable}: {detail} — widen the MV first "
+            "(update_column_type/widen_column) or realign the source; "
+            "type changes are never auto-propagated"
+        )
+    new = [c for c in batch_cols if c != _DEL and c not in mv_types]
     if not new:
         return
     if not evolve:
@@ -214,6 +311,8 @@ def maintain_keep_latest_mv(
     keys_only: bool = True,
     src_branch: str = "main",
     evolve_schema: bool = True,
+    maintenance_policy: dict | None = None,
+    value_cols: list[str] | None = None,
 ) -> dict:
     """ONE maintenance tick: pull the source changelog since the
     checkpoint and refresh exactly the touched keys in the MV.  Returns
@@ -237,12 +336,43 @@ def maintain_keep_latest_mv(
     itself stays on main.  ``evolve_schema`` (r17) propagates source
     ``add_column`` evolution into the MV before each merge (see
     ``_evolve_mv_schema`` — without it merge conformance silently
-    drops the new columns); False refuses loudly instead."""
+    drops the new columns); False refuses loudly instead.
+    ``maintenance_policy`` (r18) bounds the MV's pending MoR delete
+    stack: past {"max_pending_delete_entries"/"max_pending_delete_rows"}
+    the tick ends with an ``optimize()`` fold of the MV (see
+    ``_maybe_auto_fold`` — the census is zero-job head metadata, so
+    under-threshold ticks pay nothing); the result gains "auto_fold"
+    when it fired.  ``value_cols`` (r18) PROJECTS the MV to
+    ``key_cols + [ts_col, tie_col] + value_cols`` — the column-pruned
+    MV shape (keep the ordering columns so the MV stays a valid CDC
+    source for downstream maintainers; two projected siblings of one
+    feeder have disjoint value columns, which is what lets a JOIN MV
+    recombine them — the diamond topology); source columns outside the
+    projection never reach the MV, including evolution (add the new
+    column to ``value_cols`` to start carrying it)."""
     if not checkpoint_file:
         raise ValueError(
             "checkpoint_file is required — the maintainer's whole "
             "contract is checkpointed changelog pulls"
         )
+    _validate_policy(maintenance_policy)
+    if value_cols is not None:
+        dup = set(value_cols) & (set(key_cols) | {ts_col, tie_col})
+        if dup:
+            raise ValueError(
+                f"value_cols {sorted(dup)} duplicate key/ordering "
+                "columns — the projection always carries "
+                "key_cols + [ts_col, tie_col]"
+            )
+    proj = (
+        [*key_cols, ts_col, tie_col, *value_cols]
+        if value_cols is not None
+        else None
+    )
+
+    def _project(df: DataFrame) -> DataFrame:
+        return df.select(*proj) if proj else df
+
     sschema, stable = src
     mschema, mtable = mv
     mode = _resolve_mv_mode(wh, mschema, mtable, mode)
@@ -268,10 +398,10 @@ def maintain_keep_latest_mv(
         # exactly at head_v.  (ckpt_v > head_v = recreated/stale source
         # table — fall through so consume_changes raises its standard
         # error without touching the MV.)
-        latest = keep_latest(
+        latest = _project(keep_latest(
             wh.read_snapshot(sschema, stable, head_v, branch=src_branch),
             key_cols, ts_col, tie_col,
-        )
+        ))
         if not wh._snapshot_versions(mschema, mtable):
             wh.append(mschema, mtable, latest, batch_id="mv_bootstrap")
         else:
@@ -340,10 +470,10 @@ def maintain_keep_latest_mv(
         # millions of keys, and forcing a broadcast would OOM the driver
         # on exactly the recovery path — below the auto-broadcast
         # threshold Spark broadcasts anyway (review r12 #4)
-        latest = keep_latest(
+        latest = _project(keep_latest(
             cur.join(keys, key_cols, "leftsemi"),
             key_cols, ts_col, tie_col,
-        )
+        ))
         _evolve_mv_schema(
             wh, mv, latest.columns,
             _src_types(wh, sschema, stable, src_branch), evolve_schema,
@@ -390,6 +520,9 @@ def maintain_keep_latest_mv(
         changelog_fn=keys_changelog if keys_only else None,
         superset_changelog=keys_only,
     )
+    fold = _maybe_auto_fold(wh, mschema, mtable, maintenance_policy)
+    if fold:
+        out["auto_fold"] = fold
     return {**res, **out}
 
 
@@ -411,6 +544,7 @@ def maintain_topn_mv(
     src_branch: str = "main",
     descending: bool = True,
     evolve_schema: bool = True,
+    maintenance_policy: dict | None = None,
 ) -> dict:
     """ONE maintenance tick of an incremental TOP-N-PER-GROUP view —
     the "best k documents per domain by quality score" shape a
@@ -454,6 +588,7 @@ def maintain_topn_mv(
         )
     if n < 1:
         raise ValueError(f"n={n} — top-n needs n >= 1")
+    _validate_policy(maintenance_policy)
     sschema, stable = src
     mschema, mtable = mv
     mode = _resolve_mv_mode(wh, mschema, mtable, mode)
@@ -606,6 +741,9 @@ def maintain_topn_mv(
         changelog_fn=keys_changelog if keys_only else None,
         superset_changelog=keys_only,
     )
+    fold = _maybe_auto_fold(wh, mschema, mtable, maintenance_policy)
+    if fold:
+        out["auto_fold"] = fold
     return {**res, **out}
 
 
@@ -630,6 +768,7 @@ def maintain_join_mv(
     left_branch: str = "main",
     right_branch: str = "main",
     evolve_schema: bool = True,
+    maintenance_policy: dict | None = None,
 ) -> dict:
     """ONE maintenance tick of an incremental EQUI-JOIN view::
 
@@ -684,6 +823,7 @@ def maintain_join_mv(
             "checkpoint_left and checkpoint_right are required — one "
             "checkpointed changelog pull per source"
         )
+    _validate_policy(maintenance_policy)
     if how not in ("inner", "left"):
         raise ValueError(
             f"how={how!r} — supported join shapes are 'inner' and "
@@ -940,6 +1080,9 @@ def maintain_join_mv(
         ),
         superset_changelog=keys_only,
     )
+    fold = _maybe_auto_fold(wh, mschema, mtable, maintenance_policy)
+    if fold:
+        out["auto_fold"] = fold
     return {"left": res_l, "right": res_r, **out}
 
 
@@ -1019,6 +1162,7 @@ def maintain_agg_mv(
     checkpoint_file: str = "",
     mode: str = "auto",
     src_branch: str = "main",
+    maintenance_policy: dict | None = None,
 ) -> dict:
     """ONE maintenance tick of a SELF-MAINTAINABLE aggregate view —
     ``SELECT group_cols, COUNT(*) AS cnt, SUM(c) AS sum_c, COUNT(c) AS
@@ -1080,6 +1224,7 @@ def maintain_agg_mv(
             "checkpoint_file is required — the maintainer's whole "
             "contract is checkpointed changelog pulls"
         )
+    _validate_policy(maintenance_policy)
     sum_cols = list(sum_cols or [])
     sschema, stable = src
     mschema, mtable = mv
@@ -1254,4 +1399,7 @@ def maintain_agg_mv(
         sschema, stable, checkpoint_file, incremental, net=False,
         branch=src_branch,
     )
+    fold = _maybe_auto_fold(wh, mschema, mtable, maintenance_policy)
+    if fold:
+        out["auto_fold"] = fold
     return {**res, **out}

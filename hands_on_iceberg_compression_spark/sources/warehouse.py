@@ -2903,7 +2903,7 @@ class ParquetWarehouse:
             (f["name"], f["type"], cur_types[f["name"]])
             for f in fields_now
             if f["type"] != cur_types[f["name"]]
-            and (f["type"], cur_types[f["name"]]) not in self._TYPE_WIDENINGS
+            and not self._is_type_widening(f["type"], cur_types[f["name"]])
         ]
         if mismatched:
             raise ValueError(
@@ -3238,6 +3238,26 @@ class ParquetWarehouse:
             for ref in head.get("delete_segments") or []:
                 dels += self._load_segment(schema, table, ref["path"])
         return dels
+
+    def pending_delete_stats(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> dict:
+        """{"entries", "rows"} of pending merge-on-read deletes at the
+        head — HEAD JSON ONLY (r18, VERDICT r17 #1): inline legacy
+        entries count directly and delete-segment refs carry
+        count/rows, so no segment file is parsed and no Spark job runs.
+        This is the zero-cost census the delete-stack maintenance
+        policy polls every tick; log-report's "pend dels" column shows
+        the same numbers."""
+        head = self._head_light(schema, table, branch)
+        if head is None:
+            return {"entries": 0, "rows": 0}
+        ents = list(head.get("deletes") or [])
+        n, rows = len(ents), sum(d.get("rows", 0) for d in ents)
+        for r in head.get("delete_segments") or []:
+            n += r.get("count", 0)
+            rows += r.get("rows", 0)
+        return {"entries": n, "rows": rows}
 
     def _eq_current_names(self, head: dict, d: dict) -> list[str]:
         """Resolve an equality delete's write-time key column names to the
@@ -3687,13 +3707,34 @@ class ParquetWarehouse:
     # Iceberg's legal primitive type promotions (Spec "Schema Evolution"):
     # widening only, value-preserving, so files written at the narrow type
     # read correctly through a cast and new files at the wide type never
-    # truncate.  (int -> long and float -> double in Iceberg terms.)
+    # truncate.  (int -> long and float -> double in Iceberg terms;
+    # decimal precision growth is the dynamic rule in _is_type_widening.)
     _TYPE_WIDENINGS = {
         ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
         ("smallint", "int"), ("smallint", "bigint"),
         ("int", "bigint"),
         ("float", "double"),
     }
+
+    _DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(-?\d+)\s*\)$")
+
+    @classmethod
+    def _is_type_widening(cls, old: str, new: str) -> bool:
+        """True iff ``old -> new`` is an Iceberg-legal value-preserving
+        promotion: the integer/float whitelist, or decimal
+        SCALE-PRESERVING PRECISION GROWTH (decimal(P,S) -> decimal(P',S)
+        with P' > P — the spec's third promotion; changing the scale
+        re-represents every stored value and is NOT widening)."""
+        if (old, new) in cls._TYPE_WIDENINGS:
+            return True
+        mo = cls._DECIMAL_RE.match(old.strip().lower())
+        mn = cls._DECIMAL_RE.match(new.strip().lower())
+        if mo and mn:
+            return (
+                int(mn.group(1)) > int(mo.group(1))
+                and mn.group(2) == mo.group(2)
+            )
+        return False
 
     def update_column_type(
         self, schema: str, table: str, name: str, new_type: str,
@@ -3719,11 +3760,12 @@ class ParquetWarehouse:
                 raise ValueError(f"no column {name!r} in {schema}.{table}")
             if old["type"] == new_type:
                 raise ValueError(f"column {name!r} is already {new_type}")
-            if (old["type"], new_type) not in self._TYPE_WIDENINGS:
+            if not self._is_type_widening(old["type"], new_type):
                 raise ValueError(
                     f"cannot change column {name!r} from {old['type']!r} to "
                     f"{new_type!r}: only value-preserving widenings "
-                    f"{sorted(self._TYPE_WIDENINGS)} are supported"
+                    f"{sorted(self._TYPE_WIDENINGS)} plus decimal "
+                    "scale-preserving precision growth are supported"
                 )
             return [
                 {**f, "type": new_type} if f["name"] == name else f
@@ -3733,6 +3775,10 @@ class ParquetWarehouse:
         return self._commit_schema_change(
             schema, table, "update_column_type", mutate, branch
         )
+
+    # Iceberg-docs spelling of the same DDL (``widenColumn`` in some
+    # engines): type evolution IS widening here, so the names coincide.
+    widen_column = update_column_type
 
     def drop_column(
         self, schema: str, table: str, name: str, branch: str = "main",
@@ -4172,8 +4218,14 @@ class ParquetWarehouse:
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                mn = cls._json_bound(st.min)
-                mx = cls._json_bound(st.max)
+                try:
+                    # pyarrow raises ArrowNotImplementedError extracting
+                    # stats for some logical types (decimal) — omit the
+                    # column, conservative like any missing stat (r18)
+                    mn = cls._json_bound(st.min)
+                    mx = cls._json_bound(st.max)
+                except Exception:
+                    mn = mx = None
                 if mn is None or mx is None:
                     ok = False
                     break

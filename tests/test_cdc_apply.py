@@ -446,3 +446,35 @@ def test_cli_mv_tick_cdc_apply(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["fired"] is True
     assert _rows(wh, "tgt") == _rows(wh, "src")
+
+
+def test_auto_fold_bounds_mirror_delete_stack(spark, tmp_path):
+    """VERDICT r17 #1, cdc-apply edition: maintenance_policy folds the
+    TARGET mirror's pending MoR delete stack from the poll path —
+    fired merges stack entries, the over-threshold poll ends with an
+    optimize() that clears them, and mirror state stays exact across
+    the fold (redelivery/freshness semantics untouched)."""
+    wh = _mk(spark, tmp_path, "afold")
+    ckpt = str(tmp_path / "afold" / "ck.json")
+    _seed_and_bootstrap(wh, spark, ckpt)
+    pol = {"max_pending_delete_entries": 3}
+    folded = None
+    for i in range(1, 8):
+        wh.merge_upsert(
+            "lab", "src",
+            spark.createDataFrame([(i % 4, i, 100 + i, i * 7)], SCHEMA),
+            ["k"], mode="merge-on-read",
+        )
+        out = _poll(wh, ckpt, maintenance_policy=pol)
+        assert out["fired"]
+        st = wh.pending_delete_stats("lab", "tgt")
+        if "auto_fold" in out:
+            folded = out["auto_fold"]
+            assert folded["pending_delete_entries"] > 3
+            assert st == {"entries": 0, "rows": 0}
+        assert _rows(wh, "tgt") == _rows(wh, "src")
+    assert folded is not None, "the policy never fired"
+    # a NON-firing poll past threshold still folds (a past fire left
+    # the stack over; the census itself is zero-job head metadata)
+    out = _poll(wh, ckpt, max_lag_commits=99, maintenance_policy=pol)
+    assert not out["fired"] and "auto_fold" not in out

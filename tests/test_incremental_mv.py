@@ -833,6 +833,69 @@ def test_retention_hardening(spark, tmp_path, capsys):
     assert rc == 0 and "expired 3 snapshot(s)" in out
     assert wh._snapshot_versions("lab", "src") == [4]
 
+def test_auto_fold_bounds_delete_stack(spark, tmp_path):
+    """VERDICT r17 #1: maintenance_policy folds the MV's pending MoR
+    delete stack from the tick path — under-threshold ticks report no
+    fold (and pay only a head-JSON census), the tick that crosses the
+    threshold ends with an optimize() that CLEARS the stack, the MV
+    stays exact across the fold, and a typo'd policy key refuses up
+    front (the silent-never-fold direction)."""
+    wh = _mk(spark, tmp_path, "af")
+    ckpt = str(tmp_path / "af" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(k, 0, k, k * 10) for k in range(6)], SCHEMA
+        ),
+        batch_id="b0",
+    )
+    pol = {"max_pending_delete_entries": 3}
+    res = _mv_tick_pol(wh, ckpt, pol)  # bootstrap: plain append, 0 dels
+    assert "auto_fold" not in res
+    # each MoR upsert tick stacks delete entries on the MV
+    folded = None
+    for i in range(1, 7):
+        wh.merge_upsert(
+            "lab", "src",
+            spark.createDataFrame([(i % 6, i, 100 + i, i * 7)], SCHEMA),
+            ["k"], mode="merge-on-read",
+        )
+        res = _mv_tick_pol(wh, ckpt, pol)
+        st = wh.pending_delete_stats("lab", "mv")
+        if "auto_fold" in res:
+            folded = res["auto_fold"]
+            # the fold observed an over-threshold stack and cleared it
+            assert folded["pending_delete_entries"] > 3
+            assert st == {"entries": 0, "rows": 0}
+        else:
+            assert st["entries"] <= 3 + 2  # bounded between folds
+        assert _mv_rows(wh) == _expected(wh)  # exact across every tick
+    assert folded is not None, "the policy never fired"
+    assert folded["files"] >= 1
+    # census is head-metadata-only: no SparkSession needed, and it
+    # agrees with the session-backed read (later under-threshold ticks
+    # may legitimately have re-stacked a few entries since the fold)
+    wh_nospark = ParquetWarehouse(None, wh.root)
+    assert wh_nospark.pending_delete_stats(
+        "lab", "mv"
+    ) == wh.pending_delete_stats("lab", "mv")
+    assert wh.pending_delete_stats("lab", "mv")["entries"] <= 3
+
+    # typo'd key refuses up front; threshold-less policy refuses too
+    with pytest.raises(ValueError, match="unknown maintenance_policy"):
+        _mv_tick_pol(wh, ckpt, {"max_pending_deletes": 1})
+    with pytest.raises(ValueError, match="never folds"):
+        _mv_tick_pol(wh, ckpt, {"target_file_size_bytes": 1 << 20})
+
+
+def _mv_tick_pol(wh, ckpt, policy):
+    return maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ckpt,
+        mode="merge-on-read", maintenance_policy=policy,
+    )
+
+
 def test_cli_mv_tick_chain(spark, tmp_path, capsys):
     """r17: `mv-tick` — the acting twin of mv-report.  A two-stage
     chain (keep-latest -> agg) maintained purely from the CLI, in

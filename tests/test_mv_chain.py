@@ -45,11 +45,12 @@ def _mk(spark, tmp_path, name):
     return wh
 
 
-def _tick1(wh, ckpt, mode="merge-on-read"):
+def _tick1(wh, ckpt, mode="merge-on-read", policy=None):
     """Stage 1: keep-latest MV over the source."""
     return maintain_keep_latest_mv(
         wh, ("lab", "src"), ("lab", "mv1"), ["k"],
         ts_col="ts", tie_col="eid", checkpoint_file=ckpt, mode=mode,
+        maintenance_policy=policy,
     )
 
 
@@ -324,8 +325,13 @@ def test_randomized_chain_with_crashes_converges(
     wh = _mk(spark, tmp_path_factory.mktemp("chx"), "c")
     d = str(tmp_path_factory.mktemp("chx_ck"))
     ck1, ck2 = f"{d}/ck1.json", f"{d}/ck2.json"
+    # the delete-stack policy rides EVERY stage-1 tick (r18, VERDICT
+    # r17 #1): a tiny threshold makes auto-folds fire mid-stream under
+    # crashes/rewinds/evolution — the fold must never break chain
+    # convergence (its optimize commit is a changelog-skip op for mv2)
+    pol = {"max_pending_delete_entries": 2}
     _seed(wh, spark)
-    _tick1(wh, ck1)
+    _tick1(wh, ck1, policy=pol)
     _tick2(wh, ck2)
     eid = 1000
     extras: list[str] = []
@@ -369,13 +375,17 @@ def test_randomized_chain_with_crashes_converges(
         elif op == "optimize":
             wh.optimize("lab", "src" if pick % 2 else "mv1")
         elif op == "tick1":
-            _tick1(wh, ck1)
+            _tick1(wh, ck1, policy=pol)
         elif op == "tick2":
             _tick2(wh, ck2)
         elif op == "crash1_b":
-            _crash_stage(wh, lambda: _tick1(wh, ck1), after_commit=False)
+            _crash_stage(
+                wh, lambda: _tick1(wh, ck1, policy=pol), after_commit=False
+            )
         elif op == "crash1_a":
-            _crash_stage(wh, lambda: _tick1(wh, ck1), after_commit=True)
+            _crash_stage(
+                wh, lambda: _tick1(wh, ck1, policy=pol), after_commit=True
+            )
         elif op == "crash2_b":
             _crash_stage(wh, lambda: _tick2(wh, ck2), after_commit=False)
         elif op == "crash2_a":
@@ -392,7 +402,7 @@ def test_randomized_chain_with_crashes_converges(
             ck = ck1 if op == "lost1" else ck2
             if os.path.exists(ck):
                 os.unlink(ck)
-    _tick1(wh, ck1)  # topological drain
+    _tick1(wh, ck1, policy=pol)  # topological drain
     _tick2(wh, ck2)
     # full-width equality: every mv1 column must match the recompute.
     # An evolve with NO delivered window after it legitimately leaves

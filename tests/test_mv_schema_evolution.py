@@ -356,3 +356,55 @@ def test_crash_between_evolution_and_merge_recovers(spark, tmp_path):
         r["k"]: r["extra"] for r in wh.read("lab", "mv").collect()
     }
     assert got == {1: None, 2: "x"}
+
+
+def test_diverged_type_refuses_with_context(spark, tmp_path, capsys):
+    """r18 (VERDICT r17 #6): a source column whose type diverged from
+    the MV's recorded type refuses AT THE EVOLUTION GATE, naming the
+    column and both sides (it used to surface as a raw conformance
+    error from deep inside the merge, naming neither source nor MV);
+    the mv-tick CLI adds the maintainer identities.  Widening the MV
+    (the documented fix in the message) unblocks the tick, which then
+    converges — the legal direction (source narrower than MV) was
+    never blocked."""
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "dvt")
+    ck = str(tmp_path / "dvt" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 0, 1, 10), (2, 0, 2, 20)], SCHEMA),
+        batch_id="b0",
+    )
+    tick = lambda: maintain_keep_latest_mv(  # noqa: E731
+        wh, ("lab", "src"), ("lab", "mv"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ck,
+    )
+    tick()
+    # source widens v int -> bigint; the MV still records int
+    wh.widen_column("lab", "src", "v", "bigint")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(3, 1, 3, 2**40)], "k int, ts int, eid int, v bigint"
+        ),
+        batch_id="b1",
+    )
+    with pytest.raises(ValueError, match="'v' is bigint.*int in the MV"):
+        tick()
+    # the CLI names the maintainer identities around the same refusal
+    rc = cli_main([
+        "mv-tick", "--warehouse", wh.root, "--kind", "keep-latest",
+        "--src", "lab.src", "--mv", "lab.mv", "--keys", "k",
+        "--ts-col", "ts", "--tie-col", "eid", "--checkpoint", ck,
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "refused (src=lab.src, mv=lab.mv)" in err and "'v'" in err
+    # the documented fix: widen the MV, then the tick converges
+    wh.widen_column("lab", "mv", "v", "bigint")
+    tick()
+    got = sorted(
+        (r["k"], r["v"]) for r in wh.read("lab", "mv").collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 2**40)]

@@ -566,3 +566,58 @@ def test_delete_everything_leaves_schema_stable_empty_read(spark, tmp_path):
     assert df.columns == ["id", "s"]
     assert dict(df.dtypes) == {"id": "int", "s": "string"}
     assert df.count() == 0
+
+
+def test_decimal_precision_widening(spark, tmp_path):
+    """r18 (VERDICT r17 #3): decimal SCALE-PRESERVING precision growth
+    is the third Iceberg-legal promotion — decimal(P,S) ->
+    decimal(P',S) with P' > P widens via the same metadata-only commit
+    (``widen_column`` is the docs-spelling alias); narrow files read
+    through the field-id cast, narrow appends upcast; scale changes,
+    precision shrinks, and cross-family changes all refuse."""
+    from decimal import Decimal
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("lab", "dec", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "dec",
+        spark.createDataFrame(
+            [(1, Decimal("12.34"))], "id int, amt decimal(10,2)"
+        ).coalesce(1),
+        batch_id="g1",
+    )
+    wh.widen_column("lab", "dec", "amt", "decimal(14,2)")
+    assert dict(wh.read("lab", "dec").dtypes)["amt"] == "decimal(14,2)"
+    # append at the WIDE type (a value that needs the extra precision)
+    wh.append(
+        "lab", "dec",
+        spark.createDataFrame(
+            [(2, Decimal("123456789012.99"))], "id int, amt decimal(14,2)"
+        ).coalesce(1),
+        batch_id="g2",
+    )
+    # append still at the old NARROW type upcasts silently
+    wh.append(
+        "lab", "dec",
+        spark.createDataFrame(
+            [(3, Decimal("0.01"))], "id int, amt decimal(10,2)"
+        ).coalesce(1),
+        batch_id="g3",
+    )
+    got = sorted((r.id, r.amt) for r in wh.read("lab", "dec").collect())
+    assert got == [
+        (1, Decimal("12.34")),
+        (2, Decimal("123456789012.99")),
+        (3, Decimal("0.01")),
+    ]
+    # refusals: scale change, precision shrink, cross-family
+    with pytest.raises(ValueError, match="widenings"):
+        wh.widen_column("lab", "dec", "amt", "decimal(16,3)")
+    with pytest.raises(ValueError, match="widenings"):
+        wh.widen_column("lab", "dec", "amt", "decimal(10,2)")
+    with pytest.raises(ValueError, match="widenings"):
+        wh.widen_column("lab", "dec", "amt", "double")
+    # a second growth stacks fine; time travel keeps the old type
+    wh.widen_column("lab", "dec", "amt", "decimal(20,2)")
+    assert dict(wh.read("lab", "dec").dtypes)["amt"] == "decimal(20,2)"
+    assert dict(wh.read_snapshot("lab", "dec", 1).dtypes)["amt"] == "decimal(10,2)"

@@ -231,8 +231,11 @@ def test_random_op_sequences_match_model(ops):
                 head_before = wh._head_light("lab", "t")
                 if op == "add_col":
                     name = f"c{counter:03d}"
-                    wh.add_column("lab", "t", name, "int")
-                    schema_model.append({"name": name, "type": "int"})
+                    # every third add is a decimal column, so widen_col
+                    # exercises the r18 precision-growth promotion too
+                    dtype = "decimal(10,2)" if pick % 3 == 0 else "int"
+                    wh.add_column("lab", "t", name, dtype)
+                    schema_model.append({"name": name, "type": dtype})
                 elif op == "rename_col":
                     f = schema_model[pick % len(schema_model)]
                     new = f"r{counter:03d}"
@@ -263,12 +266,23 @@ def test_random_op_sequences_match_model(ops):
                         wh.drop_column("lab", "t", f["name"])
                         schema_model.remove(f)
                 else:  # widen_col
-                    cands = [f for f in schema_model if f["type"] == "int"]
+                    cands = [
+                        f for f in schema_model
+                        if f["type"] == "int"
+                        or f["type"].startswith("decimal(")
+                    ]
                     if not cands:
                         continue
                     f = cands[pick % len(cands)]
-                    wh.update_column_type("lab", "t", f["name"], "bigint")
-                    f["type"] = "bigint"
+                    if f["type"] == "int":
+                        wide = "bigint"
+                    else:
+                        # decimal(P,S) -> decimal(P+4,S): the
+                        # scale-preserving precision growth (r18)
+                        p, sc = f["type"][8:-1].split(",")
+                        wide = f"decimal({int(p) + 4},{sc})"
+                    wh.update_column_type("lab", "t", f["name"], wide)
+                    f["type"] = wide
                 head_after = wh._head_light("lab", "t")
                 # metadata-only: segment refs carried over VERBATIM
                 assert head_after["segments"] == head_before.get(
