@@ -184,8 +184,13 @@ def _maybe_auto_fold(
     (``pending_delete_stats`` — zero Spark jobs, no segment parse) and
     the fold fires only past the threshold, so steady-state ticks pay
     nothing and the series stays bounded with no external compaction
-    schedule.  Returns {"pending_delete_entries", "pending_delete_rows",
-    "files"} when it folded, else None."""
+    schedule (measured: PERF.md r18 --auto-fold — unbounded arm +30%
+    and climbing over 24 epochs, policy arm a bounded sawtooth).  The
+    policy folds what the maintainer OWNS — its MV, or the CDC apply
+    target; the SOURCE's own delete stack belongs to the source's
+    ingest maintenance (stream_into_warehouse maintenance_every / the
+    writer's optimize cadence).  Returns {"pending_delete_entries",
+    "pending_delete_rows", "files"} when it folded, else None."""
     if not policy:
         return None
     st = wh.pending_delete_stats(mschema, mtable, branch=branch)

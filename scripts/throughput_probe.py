@@ -1625,6 +1625,164 @@ def mv_chain_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def auto_fold_probe(n_rows: int, workdir: str) -> None:
+    """Delete-stack auto-fold A/B (VERDICT r17 #1): the r17 chain probe
+    MEASURED MoR-fed downstream ticks growing between MANUAL compaction
+    folds (2.9 -> 7.8 s at 4M) — this probe shows the r18
+    ``maintenance_policy`` holding that series bounded with NO manual
+    compaction anywhere.  TWO MoR keep-latest -> agg chains run side by
+    side off the same source commits; the "pol" arm's ticks carry
+    ``{"max_pending_delete_entries": 3}`` (folds fire from the tick
+    path), the "nopol" arm never folds.  12 epochs, alternating drain
+    order; per-epoch tick series printed so the growth-vs-bounded shape
+    is visible, plus end-to-end equality of BOTH arms against the
+    recompute (a fold must never change chain results).  Prints one
+    JSON line."""
+    import statistics
+
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_agg_mv,
+        maintain_keep_latest_mv,
+    )
+
+    batch_rows = 20_000
+    n_epochs = 12
+    for a in sys.argv:
+        if a.startswith("--batch-rows="):
+            batch_rows = int(a.split("=", 1)[1])
+        if a.startswith("--epochs="):
+            n_epochs = int(a.split("=", 1)[1])
+    arms = {"pol": {"max_pending_delete_entries": 3}, "nopol": None}
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="auto-fold-probe")
+    wh = ParquetWarehouse(spark, os.path.join(workdir, "wh"))
+    wh.create_table("lab", "src", "zstd", 1, properties={"snapshots": "true"})
+    for tag in arms:
+        for t in (f"mv1_{tag}", f"mv2_{tag}"):
+            wh.create_table(
+                "lab", t, "zstd", 1, properties={"snapshots": "true"}
+            )
+    n_groups = max(n_rows // 100, 1)
+    wh.append(
+        "lab", "src",
+        spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") % n_groups).alias("grp"),
+            F.lit(0).alias("ts"),
+            F.col("id").alias("eid"),
+            ((F.col("id") * 2654435761) % 1000).alias("v"),
+        ).repartition(32),
+        batch_id="seed",
+    )
+    wh.optimize("lab", "src", target_file_size_bytes=128 * 1024 * 1024)
+    cks = {
+        tag: (
+            os.path.join(workdir, f"ck1_{tag}.json"),
+            os.path.join(workdir, f"ck2_{tag}.json"),
+        )
+        for tag in arms
+    }
+    folds = {tag: 0 for tag in arms}
+
+    def drain(tag: str) -> tuple[float, float]:
+        ck1, ck2 = cks[tag]
+        t0 = time.perf_counter()
+        r1 = maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", f"mv1_{tag}"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ck1,
+            mode="merge-on-read", maintenance_policy=arms[tag],
+        )
+        t1 = time.perf_counter()
+        r2 = maintain_agg_mv(
+            wh, ("lab", f"mv1_{tag}"), ("lab", f"mv2_{tag}"), ["grp"],
+            sum_cols=["v"], checkpoint_file=ck2,
+            maintenance_policy=arms[tag],
+        )
+        folds[tag] += ("auto_fold" in r1) + ("auto_fold" in r2)
+        return t1 - t0, time.perf_counter() - t1
+
+    boot = {tag: drain(tag) for tag in arms}
+    ticks: dict = {tag: {"t1": [], "t2": []} for tag in arms}
+    for epoch in range(n_epochs):
+        wh.merge_upsert(
+            "lab", "src",
+            spark.range(batch_rows).select(
+                (((F.col("id") * 6151 + epoch * 17) % n_rows)).alias("k"),
+                (
+                    ((F.col("id") * 6151 + epoch * 17) % n_rows) % n_groups
+                ).alias("grp"),
+                F.lit(epoch + 1).alias("ts"),
+                (F.col("id") + (epoch + 1) * n_rows).alias("eid"),
+                ((F.col("id") * 48271 + epoch) % 1000).alias("v"),
+            ),
+            ["k"], mode="merge-on-read",
+        )
+        order = list(arms) if epoch % 2 == 0 else list(reversed(arms))
+        for tag in order:
+            a, b = drain(tag)
+            ticks[tag]["t1"].append(a)
+            ticks[tag]["t2"].append(b)
+        # NO manual compaction of anything — bounding the series is
+        # entirely the policy's job (the r17 probe compacted by hand)
+    t0 = time.perf_counter()
+    latest = keep_latest(wh.read("lab", "src"), ["k"], "ts", "eid")
+    latest.write.mode("overwrite").parquet(os.path.join(workdir, "st1"))
+    st2 = (
+        spark.read.parquet(os.path.join(workdir, "st1"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("sum_v"))
+    )
+    st2.write.mode("overwrite").parquet(os.path.join(workdir, "st2"))
+    rec_s = time.perf_counter() - t0
+    exp = spark.read.parquet(os.path.join(workdir, "st2")).select(
+        "grp", "cnt", "sum_v"
+    )
+    checks = {}
+    for tag in arms:
+        got = wh.read("lab", f"mv2_{tag}").select("grp", "cnt", "sum_v")
+        checks[tag] = (
+            got.exceptAll(exp).count() == 0
+            and exp.exceptAll(got).count() == 0
+        )
+    assert all(checks.values()), checks
+    half = n_epochs // 2
+    out = {
+        "probe": "auto_fold",
+        "rows": n_rows,
+        "batch_rows": batch_rows,
+        "epochs": n_epochs,
+        "policy_max_entries": 3,
+        "recompute_total_sec": round(rec_s, 3),
+    }
+    for tag in arms:
+        t2 = ticks[tag]["t2"]
+        out[f"{tag}_folds"] = folds[tag]
+        out[f"{tag}_bootstrap_sec"] = [round(x, 3) for x in boot[tag]]
+        out[f"{tag}_tick1_p50_sec"] = round(
+            statistics.median(ticks[tag]["t1"]), 3
+        )
+        out[f"{tag}_tick2_p50_sec"] = round(statistics.median(t2), 3)
+        # growth signal: second-half vs first-half medians of the
+        # downstream tick — the unbounded arm grows, the policy arm
+        # must stay ~flat
+        out[f"{tag}_tick2_firsthalf_p50"] = round(
+            statistics.median(t2[:half]), 3
+        )
+        out[f"{tag}_tick2_secondhalf_p50"] = round(
+            statistics.median(t2[half:]), 3
+        )
+        out[f"{tag}_ticks_sec"] = [
+            [round(a, 3), round(b, 3)]
+            for a, b in zip(ticks[tag]["t1"], t2)
+        ]
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def ndv_decision_probe(n_rows: int, workdir: str) -> None:
     """NDV-informed merge_into discovery A/B (VERDICT r14 #6): at the
     keep-all shape (B distinct uniform keys >> table NDV / file — every
@@ -2655,6 +2813,9 @@ def main() -> None:
         return
     if "--mv-chain" in sys.argv:
         mv_chain_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--auto-fold" in sys.argv:
+        auto_fold_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--ndv-decision" in sys.argv:
         ndv_decision_probe(n_rows if args else 4_000_000, workdir)
