@@ -321,12 +321,13 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
         wh = ParquetWarehouse(spark, args.warehouse)
         src = tuple(args.src.split(".", 1))
         mv = tuple(args.mv.split(".", 1))
+        vcols = [c for c in args.value_cols.split(",") if c] or None
         if args.kind == "keep-latest":
             res = maintain_keep_latest_mv(
                 wh, src, mv, keys, ts_col=args.ts_col,
                 tie_col=args.tie_col, checkpoint_file=args.checkpoint,
                 mode=args.mode, src_branch=args.src_branch,
-                maintenance_policy=policy,
+                maintenance_policy=policy, value_cols=vcols,
             )
         elif args.kind == "topn":
             if not args.order_col:
@@ -337,7 +338,7 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
                 tie_col=args.tie_col, checkpoint_file=args.checkpoint,
                 mode=args.mode, src_branch=args.src_branch,
                 descending=not args.ascending,
-                maintenance_policy=policy,
+                maintenance_policy=policy, value_cols=vcols,
             )
         elif args.kind == "agg":
             res = maintain_agg_mv(
@@ -523,15 +524,16 @@ def _cmd_mv_report(args: argparse.Namespace) -> int:
         print(f"mv {args.mv}: no snapshot (bootstrap pending)")
         return rc
     rows = wh.count_rows(mschema, mtable, fallback=False)
-    head = wh.head_snapshot(mschema, mtable)
-    dels = head.get("deletes", [])
+    # zero-parse census (r18): head_snapshot would materialize the
+    # whole file list just to count deletes — pending_delete_stats
+    # reads the light head only (delete-segment refs carry count/rows)
+    dels = wh.pending_delete_stats(mschema, mtable)
     applied = _mv_applied_version(wh, mschema, mtable)
     auto = _resolve_agg_mv_mode(wh, mschema, mtable, "auto")
     print(
         f"mv {args.mv}: head v{mv_v}  "
         f"rows={'unknown (pending eq deletes)' if rows is None else rows}  "
-        f"pend_dels={len(dels)}/"
-        f"{sum(d.get('rows', 0) for d in dels)}  "
+        f"pend_dels={dels['entries']}/{dels['rows']}  "
         f"applied_to={'-' if applied < 0 else f'v{applied}'}  "
         f"auto_mode={auto}"
     )
@@ -720,6 +722,12 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument(
         "--max-pending-delete-rows", type=int, default=0,
         help="auto-fold threshold on pending delete ROWS (0 = unset)",
+    )
+    mt.add_argument(
+        "--value-cols", default="",
+        help="keep-latest/topn: project the MV to these comma-separated "
+        "value columns (key/rank/ordering columns always carried; "
+        "empty = all source columns)",
     )
     mt.set_defaults(fn=_cmd_mv_tick)
 

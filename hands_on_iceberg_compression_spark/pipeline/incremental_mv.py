@@ -550,6 +550,7 @@ def maintain_topn_mv(
     descending: bool = True,
     evolve_schema: bool = True,
     maintenance_policy: dict | None = None,
+    value_cols: list[str] | None = None,
 ) -> dict:
     """ONE maintenance tick of an incremental TOP-N-PER-GROUP view —
     the "best k documents per domain by quality score" shape a
@@ -581,7 +582,14 @@ def maintain_topn_mv(
     initializes, at the pinned recompute version — the ADVICE r13
     ordering every maintainer follows.  ``evolve_schema`` (r17)
     propagates source ``add_column`` evolution into the MV before each
-    merge (``_evolve_mv_schema``); False refuses loudly.  Returns
+    merge (``_evolve_mv_schema``); False refuses loudly.
+    ``maintenance_policy`` (r18) bounds the MV's pending MoR delete
+    stack via an ``optimize()`` fold past the threshold (see
+    ``_maybe_auto_fold``).  ``value_cols`` (r18) projects the MV to
+    ``group_cols + [rk, order_col, tie_col] + value_cols`` — the
+    column-pruned top-N shape ("best k docs per domain, carry only the
+    url and score" over a wide corpus table); source columns outside
+    the projection never reach the MV.  Returns
     consume_changes' result plus {"groups_refreshed": count | -1 for
     full refresh}."""
     from pyspark.sql.window import Window
@@ -594,6 +602,25 @@ def maintain_topn_mv(
     if n < 1:
         raise ValueError(f"n={n} — top-n needs n >= 1")
     _validate_policy(maintenance_policy)
+    if value_cols is not None:
+        dup = set(value_cols) & (
+            set(group_cols) | {order_col, tie_col, "rk"}
+        )
+        if dup:
+            raise ValueError(
+                f"value_cols {sorted(dup)} duplicate group/rank/"
+                "ordering columns — the projection always carries "
+                "group_cols + [rk, order_col, tie_col]"
+            )
+    proj = (
+        [*group_cols, "rk", order_col, tie_col, *value_cols]
+        if value_cols is not None
+        else None
+    )
+
+    def _project(df: DataFrame) -> DataFrame:
+        return df.select(*proj) if proj else df
+
     sschema, stable = src
     mschema, mtable = mv
     mode = _resolve_mv_mode(wh, mschema, mtable, mode)
@@ -642,9 +669,9 @@ def maintain_topn_mv(
     if bootstrap and head_v is not None and not (
         ckpt_v is not None and ckpt_v > head_v
     ):
-        state = top_images(
+        state = _project(top_images(
             wh.read_snapshot(sschema, stable, head_v, branch=src_branch)
-        )
+        ))
         if not wh._snapshot_versions(mschema, mtable):
             wh.append(mschema, mtable, state, batch_id="mv_bootstrap")
         else:
@@ -703,7 +730,7 @@ def maintain_topn_mv(
                 cur = None  # dir-mode/legacy table: full read below
         if cur is None:
             cur = wh.read(sschema, stable, src_branch)
-        images = top_images(cur.join(keys, group_cols, "leftsemi"))
+        images = _project(top_images(cur.join(keys, group_cols, "leftsemi")))
         try:
             # feeds the batch AND the scaffold anti-join — one execution
             images = images.localCheckpoint(eager=True)

@@ -300,6 +300,7 @@ def stream_upsert_latest_into_warehouse(
     mode: str | None = None,
     maintenance_every: int | None = None,
     branch: str = "main",
+    maintenance_policy: dict | None = None,
 ) -> None:
     """Streaming CDC: maintain a keep-latest-per-(user_id, event_type)
     snapshot table via ``merge_upsert`` from ``foreachBatch`` — the
@@ -324,12 +325,26 @@ def stream_upsert_latest_into_warehouse(
     files).  ``maintenance_every`` folds the accumulated delete files
     with a full ``optimize()`` every N epochs — the ingest-cadence
     maintenance loop that keeps the read-side anti-join tax bounded.
-    ``branch`` stages the whole CDC stream on a named ref (write-audit-
-    publish for streaming ingest): every epoch commits to the branch and
-    main stays untouched until ``fast_forward``/``merge_branch``."""
+    ``maintenance_policy`` (r18) is the STACK-DEPTH-triggered variant of
+    the same fold ({"max_pending_delete_entries"/"max_pending_delete_rows"}
+    — the shared ``_maybe_auto_fold``): every epoch censuses the table's
+    pending delete stack from head JSON alone and folds only past the
+    threshold, so bursty streams fold by NEED rather than by count (an
+    epoch-count cadence over-folds quiet streams and under-folds bursts);
+    when both knobs are set, the count cadence runs first and the policy
+    covers whatever it misses.  ``branch`` stages the whole CDC stream on
+    a named ref (write-audit-publish for streaming ingest): every epoch
+    commits to the branch and main stays untouched until
+    ``fast_forward``/``merge_branch``."""
     import os
 
     from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        _maybe_auto_fold,
+        _validate_policy,
+    )
+
+    _validate_policy(maintenance_policy)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
@@ -368,6 +383,12 @@ def stream_upsert_latest_into_warehouse(
         )
         if maintenance_every and (epoch_id + 1) % maintenance_every == 0:
             warehouse.optimize(schema, table, branch=branch)
+        else:
+            # stack-depth-triggered fold (no-op without a policy; the
+            # census is one head-JSON read, so quiet epochs stay cheap)
+            _maybe_auto_fold(
+                warehouse, schema, table, maintenance_policy, branch=branch
+            )
 
     q = (
         events.writeStream.foreachBatch(_sink)

@@ -350,3 +350,61 @@ def test_watermark_drops_late_events(spark, tmp_path):
     w1000 = out[out["minute"] == ts(10, 0, 0)]
     assert len(w1000) == 1 and w1000.iloc[0]["cnt"] == 2, out
     assert not (out["minute"] == ts(10, 5, 0)).any(), out
+
+
+def test_streaming_upsert_policy_folds_by_stack_depth(spark, tmp_path):
+    """r18 (VERDICT r17 #1, streaming edition): the MoR CDC sink takes
+    maintenance_policy — every epoch censuses the table's pending
+    delete stack (head JSON only) and folds past the threshold, so
+    bursty streams fold by NEED rather than by epoch count.  With a
+    zero-entry threshold every delete-carrying epoch folds: the stream
+    ends with an empty pending set AND the exact keep-latest snapshot;
+    a typo'd policy key refuses before the stream starts."""
+    import pytest
+
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+        q_dedup_keep_latest,
+    )
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+    from hands_on_iceberg_compression_spark.streaming.events_stream import (
+        stream_upsert_latest_into_warehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_table(
+        "lab", "latest_pol", "zstd", 3, properties={"snapshots": "true"}
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    half = ev.filter(F.col("event_id") < ev.count() / 2)
+    wh.append("lab", "latest_pol", keep_latest(half), batch_id="seed")
+
+    with pytest.raises(ValueError, match="unknown maintenance_policy"):
+        stream_upsert_latest_into_warehouse(
+            read_events_stream(spark, SF_SMALL), wh, "lab", "latest_pol",
+            str(tmp_path / "ckpt_bad"), mode="merge-on-read",
+            maintenance_policy={"max_pending_deletes": 1},
+        )
+
+    stream_upsert_latest_into_warehouse(
+        read_events_stream(spark, SF_SMALL), wh, "lab", "latest_pol",
+        str(tmp_path / "ckpt_pol"), mode="merge-on-read",
+        maintenance_policy={"max_pending_delete_entries": 0},
+    )
+    assert wh.pending_delete_stats("lab", "latest_pol") == {
+        "entries": 0, "rows": 0,
+    }
+    got = (
+        wh.read("lab", "latest_pol")
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    want = (
+        q_dedup_keep_latest(spark, SF_SMALL)
+        .select("user_id", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert got.equals(want)

@@ -423,3 +423,61 @@ def test_randomized_dml_with_crashes_converges(spark, tmp_path_factory, ops):
     assert rows_all(wh.read("lab", "mv")) == rows_all(full)
     for c in set(full.columns) - set(mv_cols):
         assert full.filter(F.col(c).isNotNull()).count() == 0
+
+
+def test_topn_value_cols_projection(spark, tmp_path):
+    """r18: ``value_cols`` projects the top-N MV to group + rank +
+    ordering + the chosen columns — the "best k docs per domain, carry
+    only the score" shape over a wide corpus table.  Pinned: the
+    projected MV converges through churn that promotes unmentioned
+    rows, dropped columns never appear, and value_cols duplicating
+    group/rank/ordering columns refuse."""
+    wh = _mk(spark, tmp_path, "vproj")
+    ckpt = str(tmp_path / "vproj" / "ck.json")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(g, 10 * g + i, i * 7 % 13, f"b{g}_{i}")
+             for g in range(3) for i in range(6)],
+            SCHEMA,
+        ),
+        batch_id="b0",
+    )
+
+    def tick():
+        return maintain_topn_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["grp"], N,
+            order_col="score", tie_col="doc_id", checkpoint_file=ckpt,
+            value_cols=[],
+        )
+
+    tick()
+    assert sorted(wh.read("lab", "mv").columns) == [
+        "doc_id", "grp", "rk", "score",
+    ]
+
+    def expected_proj():
+        return sorted(
+            (g, rk, d, s) for g, rk, d, s in _expected(wh)
+        )
+
+    assert _mv_rows(wh) == expected_proj()
+    # churn: delete inside the top-n promotes an unmentioned row; the
+    # projected images must still land and tombstone correctly
+    wh.delete_where(
+        "lab", "src", "grp = 1 AND score = 9", mode="merge-on-read"
+    )
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(1, 99, 1, "late")], SCHEMA),
+        batch_id="b1",
+    )
+    tick()
+    assert _mv_rows(wh) == expected_proj()
+    # refusal: a value col that duplicates the ordering column
+    with pytest.raises(ValueError, match="duplicate group/rank"):
+        maintain_topn_mv(
+            wh, ("lab", "src"), ("lab", "mv"), ["grp"], N,
+            order_col="score", tie_col="doc_id", checkpoint_file=ckpt,
+            value_cols=["score"],
+        )
