@@ -801,6 +801,8 @@ def maintain_join_mv(
     right_branch: str = "main",
     evolve_schema: bool = True,
     maintenance_policy: dict | None = None,
+    left_value_cols: list[str] | None = None,
+    right_value_cols: list[str] | None = None,
 ) -> dict:
     """ONE maintenance tick of an incremental EQUI-JOIN view::
 
@@ -847,6 +849,12 @@ def maintain_join_mv(
     evolution into the MV before each merge (``_evolve_mv_schema``;
     value-column sets are re-captured per call, so a new source column
     joins the MV on the next tick); False refuses loudly.
+    ``left_value_cols``/``right_value_cols`` (r18) select WHICH value
+    columns each side contributes (right names are the right source's
+    physical names) — the column-pruned join over two wide sources,
+    and the escape hatch for overlapping names: disjoint selections
+    compose where full-width would refuse.  With a selection active,
+    source evolution outside it deliberately does not propagate.
 
     Returns {"left": <consume res>, "right": <consume res>,
     "keys_refreshed": total (-1 = full refresh)}."""
@@ -906,6 +914,28 @@ def maintain_join_mv(
         for c in wh.read(rschema, rtable, right_branch).columns
         if c not in r_drop
     ]
+
+    def _select_vals(requested, available, side):
+        """Column-pruned join MV (r18): keep only the requested value
+        columns of one side — the shape for joining two WIDE sources
+        while carrying a handful of columns, and the escape hatch for
+        overlapping source column names (select disjoint subsets
+        instead of renaming).  Requested names must be selectable
+        value columns (key/ordering columns are mechanics, not
+        values)."""
+        if requested is None:
+            return available
+        bad = [c for c in requested if c not in available]
+        if bad:
+            raise ValueError(
+                f"{side}_value_cols {bad} are not selectable value "
+                f"columns of the {side} source (key/ordering columns "
+                "are always mechanics; the rest must exist)"
+            )
+        return list(requested)
+
+    l_val = _select_vals(left_value_cols, l_val, "left")
+    r_val = _select_vals(right_value_cols, r_val, "right")
     overlap = set(l_val) & set(r_val)
     if overlap:
         raise ValueError(

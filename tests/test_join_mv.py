@@ -607,3 +607,87 @@ def test_right_key_cols_cross_clash_refused(spark, tmp_path):
                 checkpoint_right=f"{d}/cr.json",
                 right_key_cols=rk,
             )
+
+
+def test_join_mv_value_col_selection(spark, tmp_path):
+    """r18: ``left_value_cols``/``right_value_cols`` select WHICH value
+    columns each side contributes — the column-pruned join over two
+    wide sources, and the escape hatch for OVERLAPPING names (disjoint
+    selections compose where full width refuses).  Pinned: both wide
+    sources share a column name; full-width refuses; disjoint
+    selections converge through churn; selecting a key/ordering or
+    absent column refuses."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "vsel"))
+    for t in ("lw", "rw", "mv"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    W_L = "k int, ts int, eid int, meta string, lv int"
+    W_R = "k int, ts int, eid int, meta string, rv string"
+    wh.append(
+        "lab", "lw",
+        spark.createDataFrame(
+            [(k, 0, k, f"ml{k}", k * 10) for k in range(5)], W_L
+        ),
+        batch_id="seed_l",
+    )
+    wh.append(
+        "lab", "rw",
+        spark.createDataFrame(
+            [(k, 0, k, f"mr{k}", f"r{k}") for k in range(2, 7)], W_R
+        ),
+        batch_id="seed_r",
+    )
+    d = str(tmp_path / "vsel_ck")
+
+    def tick(**kw):
+        return maintain_join_mv(
+            wh, ("lab", "lw"), ("lab", "rw"), ("lab", "mv"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=f"{d}/ckl.json",
+            checkpoint_right=f"{d}/ckr.json",
+            **kw,
+        )
+
+    # full width: the shared 'meta' column refuses (r15 contract)
+    with pytest.raises(ValueError, match="meta"):
+        tick()
+    # selections: left contributes (meta, lv), right only rv — disjoint
+    sel = dict(left_value_cols=["meta", "lv"], right_value_cols=["rv"])
+    tick(**sel)
+    assert sorted(wh.read("lab", "mv").columns) == ["k", "lv", "meta", "rv"]
+
+    def expected():
+        lk = keep_latest(wh.read("lab", "lw"), ["k"], "ts", "eid")
+        rk_ = keep_latest(wh.read("lab", "rw"), ["k"], "ts", "eid")
+        j = lk.select("k", "meta", "lv").join(
+            rk_.select("k", "rv"), ["k"]
+        )
+        return sorted(
+            (r["k"], r["meta"], r["lv"], r["rv"]) for r in j.collect()
+        )
+
+    got = lambda: sorted(  # noqa: E731
+        (r["k"], r["meta"], r["lv"], r["rv"])
+        for r in wh.read("lab", "mv").collect()
+    )
+    assert got() == expected()
+    # churn on both sides, including the UNSELECTED right 'meta'
+    # (changes to unselected columns still touch keys — harmless)
+    wh.merge_upsert(
+        "lab", "lw",
+        spark.createDataFrame([(2, 1, 100, "ml2b", 222)], W_L),
+        ["k"], mode="merge-on-read",
+    )
+    wh.delete_where("lab", "rw", "k = 3", mode="merge-on-read")
+    wh.merge_upsert(
+        "lab", "rw",
+        spark.createDataFrame([(4, 1, 101, "mr4b", "r4b")], W_R),
+        ["k"], mode="merge-on-read",
+    )
+    tick(**sel)
+    assert got() == expected()
+    assert all(k != 3 for k, *_ in got())
+    # refusals: key/ordering columns are mechanics; absent cols refuse
+    with pytest.raises(ValueError, match="left_value_cols"):
+        tick(left_value_cols=["k"], right_value_cols=["rv"])
+    with pytest.raises(ValueError, match="right_value_cols"):
+        tick(left_value_cols=["lv"], right_value_cols=["nope"])
