@@ -369,6 +369,11 @@ def maintain_keep_latest_mv(
                 "columns — the projection always carries "
                 "key_cols + [ts_col, tie_col]"
             )
+        if len(set(value_cols)) != len(value_cols):
+            raise ValueError(
+                f"value_cols {value_cols} contains duplicates — a "
+                "repeated name would produce duplicate MV columns"
+            )
     proj = (
         [*key_cols, ts_col, tie_col, *value_cols]
         if value_cols is not None
@@ -611,6 +616,11 @@ def maintain_topn_mv(
                 f"value_cols {sorted(dup)} duplicate group/rank/"
                 "ordering columns — the projection always carries "
                 "group_cols + [rk, order_col, tie_col]"
+            )
+        if len(set(value_cols)) != len(value_cols):
+            raise ValueError(
+                f"value_cols {value_cols} contains duplicates — a "
+                "repeated name would produce duplicate MV columns"
             )
     proj = (
         [*group_cols, "rk", order_col, tie_col, *value_cols]
@@ -931,6 +941,12 @@ def maintain_join_mv(
                 f"{side}_value_cols {bad} are not selectable value "
                 f"columns of the {side} source (key/ordering columns "
                 "are always mechanics; the rest must exist)"
+            )
+        if len(set(requested)) != len(requested):
+            raise ValueError(
+                f"{side}_value_cols {list(requested)} contains "
+                "duplicates — a repeated name would produce duplicate "
+                "MV columns"
             )
         return list(requested)
 

@@ -263,3 +263,41 @@ def test_randomized_diamond_converges(spark, tmp_path_factory, ops):
         (r["k"], r["a"]) for r in wh.read("lab", "mva").collect()
     ) == sorted((k, a) for k, a, _b in _expected_end_to_end(wh))
     assert sorted(wh.read("lab", "mva").columns) == ["a", "eid", "k", "ts"]
+
+
+def test_value_cols_duplicate_names_refuse(spark, tmp_path):
+    """r18 second-pass pin: a repeated name in any selection list would
+    produce duplicate MV columns deep inside a tick — all three
+    selection params refuse up front."""
+    import pytest
+
+    from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+        maintain_topn_mv,
+    )
+
+    wh = _mk(spark, tmp_path, "dupsel")
+    _seed(wh, spark)
+    ck = str(tmp_path / "dupsel" / "ck.json")
+    # the join MV resolves both sides' columns before validating the
+    # selection, so the siblings need a commit first
+    _tick_a(wh, str(tmp_path / "dupsel" / "cka.json"))
+    _tick_b(wh, str(tmp_path / "dupsel" / "ckb.json"))
+    with pytest.raises(ValueError, match="duplicates"):
+        maintain_keep_latest_mv(
+            wh, ("lab", "src"), ("lab", "mva"), ["k"],
+            ts_col="ts", tie_col="eid", checkpoint_file=ck,
+            value_cols=["a", "a"],
+        )
+    with pytest.raises(ValueError, match="duplicates"):
+        maintain_topn_mv(
+            wh, ("lab", "src"), ("lab", "mva"), ["k"], 2,
+            order_col="a", tie_col="eid", checkpoint_file=ck,
+            value_cols=["b", "b"],
+        )
+    with pytest.raises(ValueError, match="duplicates"):
+        maintain_join_mv(
+            wh, ("lab", "mva"), ("lab", "mvb"), ("lab", "mvj"), ["k"],
+            ts_col="ts", tie_col="eid",
+            checkpoint_left=ck, checkpoint_right=ck + "2",
+            left_value_cols=["a", "a"],
+        )
