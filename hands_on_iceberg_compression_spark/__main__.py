@@ -409,6 +409,46 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
             spark.stop()
 
 
+def _cmd_mv_drain(args: argparse.Namespace) -> int:
+    """ONE pass over a declarative MV pipeline (r18): a JSON file lists
+    stages in topological order; each stage is one maintainer tick
+    (pipeline/dag.py).  Cron this next to mv-report and a whole
+    chain/diamond/CDC-mirror pipeline stays fresh with no bespoke
+    driver code.  The pipeline validates BEFORE any stage runs; each
+    stage's result prints as one JSON line."""
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    from hands_on_iceberg_compression_spark.pipeline.dag import (
+        drain_pipeline,
+        validate_pipeline,
+    )
+    from hands_on_iceberg_compression_spark.session import make_session
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    with open(args.pipeline) as f:
+        stages = _json.load(f)
+    try:
+        validate_pipeline(stages)
+    except ValueError as e:
+        print(f"mv-drain refused: {e}", file=sys.stderr)
+        return 1
+    owns_session = SparkSession.getActiveSession() is None
+    spark = make_session(app_name="mv-drain")
+    try:
+        wh = ParquetWarehouse(spark, args.warehouse)
+        for res in drain_pipeline(wh, stages):
+            print(_json.dumps(res))
+        return 0
+    except ValueError as e:
+        print(f"mv-drain stage refused: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def _cmd_mv_report(args: argparse.Namespace) -> int:
     """MV-maintainer lag report (VERDICT r15 #6): per source, the
     checkpointed version vs the source head (lag in commits + the
@@ -730,6 +770,18 @@ def main(argv: list[str] | None = None) -> int:
         "empty = all source columns)",
     )
     mt.set_defaults(fn=_cmd_mv_tick)
+
+    md = sub.add_parser(
+        "mv-drain",
+        help="tick a declarative MV pipeline (JSON stages, topological "
+        "order) — one pass over the whole DAG",
+    )
+    md.add_argument("--warehouse", default="warehouse")
+    md.add_argument(
+        "--pipeline", required=True,
+        help="JSON file: a list of stage dicts (see pipeline/dag.py)",
+    )
+    md.set_defaults(fn=_cmd_mv_drain)
 
     mr = sub.add_parser(
         "mv-report",

@@ -1,0 +1,208 @@
+"""Declarative MV pipeline drains (r18) — the operational face of the
+MV-over-MV chaining contract (incremental_mv module docstring): a
+pipeline is a LIST OF STAGES in topological order (parents before
+children), each stage one maintainer tick.  One ``drain_pipeline`` call
+is one pass over the DAG; after the last source change, one pass makes
+the whole chain exact (the chaining contract's drain), and passes
+between changes are cheap (consume_changes' zero-job empty-window
+path).  Cron ``mv-drain`` next to ``mv-report`` and a multi-stage
+pipeline stays fresh and observable with no bespoke driver code —
+chains, diamonds, and CDC mirrors all express as the same JSON.
+
+Stage spec (a dict; unknown kinds AND unknown keys refuse up front —
+the retain_checkpoints silent-no-op lesson: a typo'd key must never
+silently change what a pipeline maintains)::
+
+    {"kind": "keep-latest", "src": "lab.events", "mv": "lab.latest",
+     "keys": ["k"], "checkpoint": "/ckpts/latest.json",
+     "ts_col": "ts", "tie_col": "event_id",            # optional
+     "maintenance_policy": {"max_pending_delete_entries": 8},
+     "value_cols": ["a"], ...}
+
+Kinds map 1:1 onto the maintainers: ``keep-latest``/``topn``/``agg``/
+``join`` (pipeline/incremental_mv.py) and ``cdc-apply``
+(pipeline/cdc_apply.py); each kind accepts exactly its maintainer's
+keyword surface (see _KIND_SPECS).  ``join`` takes ``right`` +
+``checkpoint_right``; ``cdc-apply``'s ``mv`` is the MERGE target.
+"""
+
+from __future__ import annotations
+
+from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
+    merge_into_batched,
+)
+from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
+    maintain_agg_mv,
+    maintain_join_mv,
+    maintain_keep_latest_mv,
+    maintain_topn_mv,
+)
+
+# per kind: (required keys, optional keys) — beyond the shared ones
+_REQUIRED = {"kind", "src", "mv", "keys", "checkpoint"}
+_SHARED_OPT = {"name", "ts_col", "tie_col", "mode", "src_branch",
+               "maintenance_policy"}
+_KIND_SPECS: dict[str, set[str]] = {
+    "keep-latest": {
+        "net", "prune_source", "keys_only", "evolve_schema", "value_cols",
+    },
+    "topn": {
+        "n", "order_col", "descending", "prune_source", "keys_only",
+        "evolve_schema", "value_cols",
+    },
+    "agg": {"sum_cols"},
+    "join": {
+        "right", "checkpoint_right", "how", "right_key_cols",
+        "right_branch", "prune_source", "keys_only", "evolve_schema",
+        "left_value_cols", "right_value_cols",
+    },
+    "cdc-apply": {
+        "max_lag_commits", "min_batch_rows", "matched_condition",
+        "keys_only", "tgt_branch", "evolve_schema",
+    },
+}
+
+
+def _tbl(dotted: str) -> tuple[str, str]:
+    if "." not in dotted:
+        raise ValueError(
+            f"table reference {dotted!r} must be 'schema.table'"
+        )
+    a, b = dotted.split(".", 1)
+    return a, b
+
+
+def validate_pipeline(stages: list[dict]) -> None:
+    """Refuse malformed pipelines BEFORE any stage runs: unknown kinds,
+    unknown/missing keys, non-topological self-references.  Running
+    half a pipeline before discovering a stage-7 typo would leave the
+    DAG in a consistent-but-surprising mid-drain state — and a typo'd
+    optional key silently changing semantics is the exact failure mode
+    the policy/retention refusals closed."""
+    if not isinstance(stages, list) or not stages:
+        raise ValueError("pipeline must be a non-empty list of stages")
+    for i, st in enumerate(stages):
+        if not isinstance(st, dict):
+            raise ValueError(f"stage {i} is not a dict")
+        kind = st.get("kind")
+        if kind not in _KIND_SPECS:
+            raise ValueError(
+                f"stage {i} ({st.get('name', '?')}): unknown kind "
+                f"{kind!r} — supported: {sorted(_KIND_SPECS)}"
+            )
+        allowed = _REQUIRED | _SHARED_OPT | _KIND_SPECS[kind]
+        unknown = set(st) - allowed
+        if unknown:
+            raise ValueError(
+                f"stage {i} ({st.get('name', kind)}): unknown key(s) "
+                f"{sorted(unknown)} for kind {kind!r} — allowed: "
+                f"{sorted(allowed)}"
+            )
+        missing = _REQUIRED - set(st)
+        if kind == "join":
+            missing |= {"right", "checkpoint_right"} - set(st)
+        if kind == "topn" and "order_col" not in st:
+            missing.add("order_col")
+        if missing:
+            raise ValueError(
+                f"stage {i} ({st.get('name', kind)}): missing required "
+                f"key(s) {sorted(missing)}"
+            )
+
+
+def drain_pipeline(wh, stages: list[dict]) -> list[dict]:
+    """ONE pass over the pipeline: tick each stage in the given
+    (topological) order; returns one result dict per stage — the
+    maintainer's result plus {"stage": name, "kind": kind}.  The whole
+    pipeline validates before the first tick.  A stage that raises
+    aborts the pass (earlier stages' commits stand — every tick is an
+    ordinary atomic commit, so a partial pass is just a consistent
+    mid-drain state; fix the stage and re-drain)."""
+    validate_pipeline(stages)
+    out = []
+    for st in stages:
+        kind = st["kind"]
+        name = st.get("name", f"{kind}:{st['mv']}")
+        shared = dict(
+            ts_col=st.get("ts_col", "ts"),
+            tie_col=st.get("tie_col", "event_id"),
+        )
+        opt = {
+            k: st[k]
+            for k in (
+                "mode", "src_branch", "maintenance_policy", "net",
+                "prune_source", "keys_only", "evolve_schema",
+                "value_cols",
+            )
+            if k in st
+        }
+        if kind == "keep-latest":
+            res = maintain_keep_latest_mv(
+                wh, _tbl(st["src"]), _tbl(st["mv"]), list(st["keys"]),
+                checkpoint_file=st["checkpoint"], **shared, **opt,
+            )
+        elif kind == "topn":
+            res = maintain_topn_mv(
+                wh, _tbl(st["src"]), _tbl(st["mv"]), list(st["keys"]),
+                int(st.get("n", 10)), order_col=st["order_col"],
+                tie_col=shared["tie_col"],
+                checkpoint_file=st["checkpoint"],
+                descending=bool(st.get("descending", True)),
+                **{k: v for k, v in opt.items() if k != "net"},
+            )
+        elif kind == "agg":
+            res = maintain_agg_mv(
+                wh, _tbl(st["src"]), _tbl(st["mv"]), list(st["keys"]),
+                sum_cols=list(st.get("sum_cols", [])),
+                checkpoint_file=st["checkpoint"],
+                **{
+                    k: v
+                    for k, v in opt.items()
+                    if k in ("mode", "src_branch", "maintenance_policy")
+                },
+            )
+        elif kind == "join":
+            res = maintain_join_mv(
+                wh, _tbl(st["src"]), _tbl(st["right"]), _tbl(st["mv"]),
+                list(st["keys"]), **shared,
+                checkpoint_left=st["checkpoint"],
+                checkpoint_right=st["checkpoint_right"],
+                how=st.get("how", "inner"),
+                right_key_cols=st.get("right_key_cols"),
+                left_branch=st.get("src_branch", "main"),
+                right_branch=st.get("right_branch", "main"),
+                left_value_cols=st.get("left_value_cols"),
+                right_value_cols=st.get("right_value_cols"),
+                **{
+                    k: v
+                    for k, v in opt.items()
+                    if k in (
+                        "mode", "maintenance_policy", "prune_source",
+                        "keys_only", "evolve_schema",
+                    )
+                },
+            )
+        else:  # cdc-apply (validated above)
+            if opt.get("mode") == "auto":
+                # the mirror's size is unbounded — size-based auto
+                # resolution belongs to the MV maintainers (the mv-tick
+                # coercion, ADVICE r17)
+                opt["mode"] = "merge-on-read"
+            res = merge_into_batched(
+                wh, _tbl(st["src"]), _tbl(st["mv"]), list(st["keys"]),
+                st["checkpoint"], **shared,
+                max_lag_commits=int(st.get("max_lag_commits", 1)),
+                min_batch_rows=int(st.get("min_batch_rows", 0)),
+                matched_condition=st.get("matched_condition"),
+                tgt_branch=st.get("tgt_branch", "main"),
+                **{
+                    k: v
+                    for k, v in opt.items()
+                    if k in (
+                        "mode", "src_branch", "maintenance_policy",
+                        "keys_only", "evolve_schema",
+                    )
+                },
+            )
+        out.append({"stage": name, "kind": kind, **res})
+    return out

@@ -1,0 +1,160 @@
+"""Declarative pipeline drains (r18, ``pipeline/dag.py``): a JSON-able
+list of stages in topological order, each one maintainer tick — the
+operational face of the chaining contract.  Pinned: a DIAMOND pipeline
+(feeder -> two value_cols siblings -> join MV) plus a cdc-apply mirror
+stage drains to the exact end-to-end truth through churn; the whole
+pipeline validates BEFORE any stage runs (unknown kinds/keys, missing
+required keys — the silent-no-op refusal class); the mv-drain CLI
+prints one JSON line per stage and surfaces refusals with rc 1.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hands_on_iceberg_compression_spark.operators.dedup import keep_latest
+from hands_on_iceberg_compression_spark.pipeline.dag import (
+    drain_pipeline,
+    validate_pipeline,
+)
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+)
+
+SCHEMA = "k int, ts int, event_id int, a int, b int"
+
+
+def _mk(spark, tmp_path, name):
+    wh = ParquetWarehouse(spark, str(tmp_path / name))
+    for t in ("src", "mva", "mvb", "mvj", "mirror"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(k, 0, k, k * 10, k * 100) for k in range(6)], SCHEMA
+        ),
+        batch_id="seed",
+    )
+    return wh
+
+
+def _pipeline(d):
+    pol = {"max_pending_delete_entries": 4}
+    return [
+        {"name": "sib_a", "kind": "keep-latest", "src": "lab.src",
+         "mv": "lab.mva", "keys": ["k"], "checkpoint": f"{d}/cka.json",
+         "value_cols": ["a"], "maintenance_policy": pol},
+        {"name": "sib_b", "kind": "keep-latest", "src": "lab.src",
+         "mv": "lab.mvb", "keys": ["k"], "checkpoint": f"{d}/ckb.json",
+         "value_cols": ["b"], "maintenance_policy": pol},
+        {"name": "joined", "kind": "join", "src": "lab.mva",
+         "right": "lab.mvb", "mv": "lab.mvj", "keys": ["k"],
+         "checkpoint": f"{d}/ckl.json",
+         "checkpoint_right": f"{d}/ckr.json"},
+        {"name": "mirror", "kind": "cdc-apply", "src": "lab.src",
+         "mv": "lab.mirror", "keys": ["k"], "checkpoint": f"{d}/ckm.json",
+         "mode": "auto", "maintenance_policy": pol},
+    ]
+
+
+def _expected(wh):
+    if wh.is_empty("lab", "src"):
+        return []
+    return sorted(
+        (r["k"], r["a"], r["b"])
+        for r in keep_latest(
+            wh.read("lab", "src"), ["k"], "ts", "event_id"
+        ).collect()
+    )
+
+
+def test_drain_pipeline_diamond_plus_mirror(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "dag")
+    d = str(tmp_path / "dag_ck")
+    stages = _pipeline(d)
+    out = drain_pipeline(wh, stages)
+    assert [o["stage"] for o in out] == ["sib_a", "sib_b", "joined", "mirror"]
+    # cdc-apply bootstrap pass: seed the mirror as documented, then the
+    # NEXT drains keep it current
+    wh.append("lab", "mirror", wh.read("lab", "src"), batch_id="mseed")
+    assert sorted(
+        (r["k"], r["a"], r["b"]) for r in wh.read("lab", "mvj").collect()
+    ) == _expected(wh)
+
+    # churn: updates, a delete, a fresh key — one drain lands everything
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame([(2, 1, 100, 222, 2222)], SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    wh.delete_where("lab", "src", "k = 4", mode="merge-on-read")
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(9, 1, 101, 90, 900)], SCHEMA),
+        batch_id="b1",
+    )
+    out = drain_pipeline(wh, stages)
+    assert sorted(
+        (r["k"], r["a"], r["b"]) for r in wh.read("lab", "mvj").collect()
+    ) == _expected(wh)
+    # the mirror stage fired and converged too
+    mirror = sorted(
+        (r["k"], r["a"], r["b"]) for r in wh.read("lab", "mirror").collect()
+    )
+    assert mirror == _expected(wh)
+    # an idle drain is cheap and a no-op
+    out = drain_pipeline(wh, stages)
+    assert all(
+        o.get("keys_refreshed", 0) in (0, None) or o["kind"] != "keep-latest"
+        for o in out
+    )
+    assert sorted(
+        (r["k"], r["a"], r["b"]) for r in wh.read("lab", "mvj").collect()
+    ) == _expected(wh)
+
+
+def test_validate_pipeline_refusals(spark, tmp_path):
+    ok = {"kind": "keep-latest", "src": "a.b", "mv": "a.c",
+          "keys": ["k"], "checkpoint": "/tmp/x.json"}
+    with pytest.raises(ValueError, match="non-empty list"):
+        validate_pipeline([])
+    with pytest.raises(ValueError, match="unknown kind"):
+        validate_pipeline([{**ok, "kind": "keeplatest"}])
+    with pytest.raises(ValueError, match="unknown key"):
+        validate_pipeline([{**ok, "value_columns": ["a"]}])
+    with pytest.raises(ValueError, match="missing required"):
+        validate_pipeline([{k: v for k, v in ok.items() if k != "checkpoint"}])
+    with pytest.raises(ValueError, match="order_col"):
+        validate_pipeline([{**ok, "kind": "topn"}])
+    with pytest.raises(ValueError, match="checkpoint_right"):
+        validate_pipeline([{**ok, "kind": "join"}])
+    # a stage-3 typo refuses BEFORE stage 1 runs
+    wh = ParquetWarehouse(spark, str(tmp_path / "noval"))
+    wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    with pytest.raises(ValueError, match="unknown key"):
+        drain_pipeline(wh, [ok, ok, {**ok, "nope": 1}])
+    assert wh._latest_version("a", "b") is None  # nothing ran
+
+
+def test_cli_mv_drain(spark, tmp_path, capsys):
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "dagcli")
+    d = str(tmp_path / "dagcli_ck")
+    pipe = str(tmp_path / "pipe.json")
+    with open(pipe, "w") as f:
+        json.dump(_pipeline(d)[:3], f)  # the diamond, no mirror
+    rc = cli_main(["mv-drain", "--warehouse", wh.root, "--pipeline", pipe])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 3
+    assert [json.loads(x)["stage"] for x in out] == [
+        "sib_a", "sib_b", "joined",
+    ]
+    # a malformed pipeline refuses with rc 1 and names the stage
+    with open(pipe, "w") as f:
+        json.dump([{"kind": "nope"}], f)
+    rc = cli_main(["mv-drain", "--warehouse", wh.root, "--pipeline", pipe])
+    err = capsys.readouterr().err
+    assert rc == 1 and "mv-drain refused" in err and "unknown kind" in err

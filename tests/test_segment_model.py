@@ -176,6 +176,12 @@ def test_random_op_sequences_match_model(ops):
                 d["path"] for d in all_dels if d.get("targets") is None
             }
             assert got_seq == set(seq_dels_model)
+            # r18: the zero-parse census (LIGHT head + delete-segment
+            # ref counts — what the auto-fold policy polls) must agree
+            # with the materialized delete set the model pins
+            st = wh.pending_delete_stats("lab", "t")
+            assert st["entries"] == len(all_dels)
+            assert st["rows"] == sum(d.get("rows", 0) for d in all_dels)
             assert wh.tags("lab", "t") == tags_model
             for v in tags_model.values():
                 # every tagged snapshot must stay materializable (its head
