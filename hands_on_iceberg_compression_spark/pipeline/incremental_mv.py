@@ -189,8 +189,19 @@ def _maybe_auto_fold(
     policy folds what the maintainer OWNS — its MV, or the CDC apply
     target; the SOURCE's own delete stack belongs to the source's
     ingest maintenance (stream_into_warehouse maintenance_every / the
-    writer's optimize cadence).  Returns {"pending_delete_entries",
-    "pending_delete_rows", "files"} when it folded, else None."""
+    writer's optimize cadence).
+
+    SCALE LIMIT (honest): the fold is a FULL rewrite, O(MV rows) per
+    fire, while the stack grows O(entries) per tick — so fold cadence
+    is size-independent but fold cost is not.  That trade is right for
+    the policy's targets (keyed/aggregate MV state, typically orders of
+    magnitude below the source), and the threshold is the amortization
+    knob (raise K to fold less often on a big mirror).  A VERY large
+    partitioned mirror should prefer its own partition-scoped
+    ``optimize(partition_filter=...)`` cadence — entry-to-partition
+    scoping from delete key_ranges is not attempted here.  Returns
+    {"pending_delete_entries", "pending_delete_rows", "files"} when it
+    folded, else None."""
     if not policy:
         return None
     st = wh.pending_delete_stats(mschema, mtable, branch=branch)

@@ -301,3 +301,34 @@ def test_value_cols_duplicate_names_refuse(spark, tmp_path):
             checkpoint_left=ck, checkpoint_right=ck + "2",
             left_value_cols=["a", "a"],
         )
+
+
+def test_value_cols_grown_later_starts_carrying(spark, tmp_path):
+    """r18 docstring contract: source columns outside the projection
+    never reach the MV — and ADDING a column to value_cols later makes
+    the next tick evolve the MV and start carrying it (un-refreshed
+    keys read NULL, exactly like their pre-projection source state
+    under the r17 evolution semantics)."""
+    wh = _mk(spark, tmp_path, "grow")
+    _seed(wh, spark)
+    ck = str(tmp_path / "grow" / "ck.json")
+    _tick_a(wh, ck)  # value_cols=["a"] — 'b' never lands
+    assert sorted(wh.read("lab", "mva").columns) == ["a", "eid", "k", "ts"]
+
+    # churn one key, then tick with the GROWN projection
+    wh.merge_upsert(
+        "lab", "src",
+        spark.createDataFrame([(2, 1, 100, 22, 2222)], SCHEMA),
+        ["k"], mode="merge-on-read",
+    )
+    maintain_keep_latest_mv(
+        wh, ("lab", "src"), ("lab", "mva"), ["k"],
+        ts_col="ts", tie_col="eid", checkpoint_file=ck,
+        value_cols=["a", "b"],
+    )
+    assert sorted(wh.read("lab", "mva").columns) == [
+        "a", "b", "eid", "k", "ts",
+    ]
+    got = {r["k"]: (r["a"], r["b"]) for r in wh.read("lab", "mva").collect()}
+    assert got[2] == (22, 2222)  # refreshed key carries b
+    assert got[3] == (30, None)  # un-refreshed key reads NULL
