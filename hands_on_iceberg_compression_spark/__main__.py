@@ -409,6 +409,56 @@ def _cmd_mv_tick(args: argparse.Namespace) -> int:
             spark.stop()
 
 
+def _cmd_audit(args: argparse.Namespace) -> int:
+    """Write-audit-publish gate from the command line (r18): run
+    declarative quality checks against a table state (a staging branch,
+    typically) and optionally publish to main only when green — the
+    Iceberg WAP workflow as one cron-able command."""
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    from hands_on_iceberg_compression_spark.pipeline.audit import (
+        AuditFailed,
+        audit_table,
+        publish_if_green,
+    )
+    from hands_on_iceberg_compression_spark.session import make_session
+    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+
+    with open(args.checks) as f:
+        checks = _json.load(f)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = make_session(app_name="audit")
+    try:
+        wh = ParquetWarehouse(spark, args.warehouse)
+        if args.publish:
+            try:
+                res = publish_if_green(
+                    wh, args.schema_name, args.table, args.branch, checks
+                )
+            except AuditFailed as e:
+                print(_json.dumps(e.audit))
+                print(f"audit FAILED: {e}", file=sys.stderr)
+                return 1
+            print(_json.dumps(res))
+        else:
+            res = audit_table(
+                wh, args.schema_name, args.table, checks,
+                branch=args.branch,
+            )
+            print(_json.dumps(res))
+            if not res["passed"]:
+                return 1
+        return 0
+    except ValueError as e:
+        print(f"audit refused: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def _cmd_mv_drain(args: argparse.Namespace) -> int:
     """ONE pass over a declarative MV pipeline (r18): a JSON file lists
     stages in topological order; each stage is one maintainer tick
@@ -770,6 +820,26 @@ def main(argv: list[str] | None = None) -> int:
         "empty = all source columns)",
     )
     mt.set_defaults(fn=_cmd_mv_tick)
+
+    au = sub.add_parser(
+        "audit",
+        help="write-audit-publish gate: run declarative quality checks "
+        "on a branch; --publish merges to main only when green",
+    )
+    au.add_argument("--warehouse", default="warehouse")
+    au.add_argument("--schema", dest="schema_name", required=True)
+    au.add_argument("--table", required=True)
+    au.add_argument("--branch", default="main")
+    au.add_argument(
+        "--checks", required=True,
+        help="JSON file: a list of check dicts (see pipeline/audit.py)",
+    )
+    au.add_argument(
+        "--publish", action="store_true",
+        help="merge the branch to main when every check passes "
+        "(AuditFailed leaves main untouched)",
+    )
+    au.set_defaults(fn=_cmd_audit)
 
     md = sub.add_parser(
         "mv-drain",

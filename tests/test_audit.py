@@ -1,0 +1,202 @@
+"""Write-audit-publish gates (r18, ``pipeline/audit.py``): declarative
+quality checks over a staged branch; ``publish_if_green`` merges to
+main ONLY when every check passes — a red audit raises with the full
+result and main is untouched.  Pinned: every check kind's pass and
+fail directions, the one-pass aggregate shape (every check reports
+even when an earlier one fails), NULL-predicate-is-a-violation,
+row_count_delta against main, publish gating both ways (incl. after
+main moved — the cherry-pick publish path), refusal battery, CLI.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hands_on_iceberg_compression_spark.pipeline.audit import (
+    AuditFailed,
+    audit_table,
+    publish_if_green,
+)
+from hands_on_iceberg_compression_spark.sources.warehouse import (
+    ParquetWarehouse,
+)
+
+SCHEMA = "doc_id int, text string, score double"
+
+
+def _mk(spark, tmp_path, name):
+    wh = ParquetWarehouse(spark, str(tmp_path / name))
+    wh.create_table("lab", "docs", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame(
+            [(i, f"t{i}", float(i)) for i in range(5)], SCHEMA
+        ),
+        batch_id="base",
+    )
+    return wh
+
+
+CHECKS = [
+    {"kind": "not_null", "cols": ["doc_id", "text"]},
+    {"kind": "unique", "cols": ["doc_id"], "name": "pk"},
+    {"kind": "expression", "sql": "score >= 0", "name": "score>=0"},
+    {"kind": "row_count_delta", "min": 0, "max": 100},
+]
+
+
+def test_audit_checks_pass_and_fail(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "aud")
+    res = audit_table(wh, "lab", "docs", CHECKS)
+    assert res["passed"] and res["rows"] == 5
+    assert [c["passed"] for c in res["checks"]] == [True] * 4
+
+    # stage a BAD batch on a branch: a null text, a duplicate doc_id,
+    # a negative score, and (via volume) a row-delta inside bounds
+    wh.create_branch("lab", "docs", "stage")
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame(
+            [(2, None, -1.0), (9, "ok", 3.0)], SCHEMA
+        ),
+        batch_id="bad", branch="stage",
+    )
+    res = audit_table(wh, "lab", "docs", CHECKS, branch="stage")
+    assert not res["passed"] and res["rows"] == 7
+    by = {c["name"]: c for c in res["checks"]}
+    # EVERY check reported, not just the first failure
+    assert by["not_null:0"]["violations"] == 1
+    assert by["not_null:0"]["per_col"] == {"doc_id": 0, "text": 1}
+    assert by["pk"]["violations"] == 1 and by["pk"]["duplicate_keys"] == 1
+    assert by["score>=0"]["violations"] == 1
+    assert by["row_count_delta:3"]["passed"]  # delta 2 in [0, 100]
+    assert by["row_count_delta:3"]["delta"] == 2
+
+    # NULL predicate is a violation (the audit cannot prove the row)
+    res = audit_table(
+        wh, "lab", "docs",
+        [{"kind": "expression", "sql": "text like 't%'", "name": "pfx"}],
+        branch="stage",
+    )
+    # the NULL text row (unprovable) AND the staged 'ok' row (plain
+    # mismatch) — 2 violations
+    assert res["checks"][0]["violations"] == 2
+
+    # row_count_delta catches a truncation (min bound)
+    wh.create_branch("lab", "docs", "trunc")
+    wh.delete_where("lab", "docs", "doc_id >= 1", branch="trunc")
+    res = audit_table(
+        wh, "lab", "docs",
+        [{"kind": "row_count_delta", "min": 0}], branch="trunc",
+    )
+    assert not res["passed"] and res["checks"][0]["delta"] == -4
+
+
+def test_publish_if_green_gates(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "gate")
+    wh.create_branch("lab", "docs", "stage")
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(2, None, -1.0)], SCHEMA),
+        batch_id="bad", branch="stage",
+    )
+    main_v = wh._latest_version("lab", "docs")
+    with pytest.raises(AuditFailed, match="main untouched") as ei:
+        publish_if_green(wh, "lab", "docs", "stage", CHECKS)
+    assert not ei.value.audit["passed"]
+    assert wh._latest_version("lab", "docs") == main_v  # untouched
+
+    # fix the branch (CoW delete of the bad row), gate again -> publishes
+    wh.delete_where("lab", "docs", "text IS NULL", branch="stage")
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(9, "good", 1.5)], SCHEMA),
+        batch_id="good", branch="stage",
+    )
+    out = publish_if_green(wh, "lab", "docs", "stage", CHECKS)
+    assert out["audit"]["passed"]
+    got = sorted(r["doc_id"] for r in wh.read("lab", "docs").collect())
+    assert got == [0, 1, 2, 3, 4, 9]
+
+    # main MOVES, then a second staged batch publishes via cherry-pick
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(20, "m", 0.0)], SCHEMA),
+        batch_id="main_moves",
+    )
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(21, "s", 2.0)], SCHEMA),
+        batch_id="staged2", branch="stage",
+    )
+    out = publish_if_green(wh, "lab", "docs", "stage", CHECKS[:3])
+    assert out["publish"]["strategy"] == "cherry_pick"
+    got = sorted(r["doc_id"] for r in wh.read("lab", "docs").collect())
+    assert got == [0, 1, 2, 3, 4, 9, 20, 21]
+
+
+def test_audit_refusals(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "ref")
+    with pytest.raises(ValueError, match="unknown kind"):
+        audit_table(wh, "lab", "docs", [{"kind": "notnull", "cols": ["x"]}])
+    with pytest.raises(ValueError, match="unknown key"):
+        audit_table(
+            wh, "lab", "docs",
+            [{"kind": "unique", "cols": ["doc_id"], "col": "x"}],
+        )
+    with pytest.raises(ValueError, match="'sql' is required"):
+        audit_table(wh, "lab", "docs", [{"kind": "expression"}])
+    with pytest.raises(ValueError, match="boundless"):
+        audit_table(wh, "lab", "docs", [{"kind": "row_count_delta"}])
+    with pytest.raises(ValueError, match="not in"):
+        audit_table(
+            wh, "lab", "docs", [{"kind": "not_null", "cols": ["nope"]}]
+        )
+
+
+def test_cli_audit(spark, tmp_path, capsys):
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    wh = _mk(spark, tmp_path, "cli")
+    wh.create_branch("lab", "docs", "stage")
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(7, "x", 1.0)], SCHEMA),
+        batch_id="ok", branch="stage",
+    )
+    cf = str(tmp_path / "checks.json")
+    with open(cf, "w") as f:
+        json.dump(CHECKS, f)
+    rc = cli_main([
+        "audit", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "docs", "--branch", "stage", "--checks", cf,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and json.loads(out.strip())["passed"]
+    # gate + publish in one command
+    rc = cli_main([
+        "audit", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "docs", "--branch", "stage", "--checks", cf,
+        "--publish",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and json.loads(out.strip())["audit"]["passed"]
+    assert sorted(r["doc_id"] for r in wh.read("lab", "docs").collect()) == [
+        0, 1, 2, 3, 4, 7,
+    ]
+    # a red audit exits 1 and prints the result before the error
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(0, "dup", 1.0)], SCHEMA),
+        batch_id="dup", branch="stage",
+    )
+    rc = cli_main([
+        "audit", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "docs", "--branch", "stage", "--checks", cf,
+        "--publish",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 1 and "audit FAILED" in cap.err
+    assert not json.loads(cap.out.strip())["passed"]
