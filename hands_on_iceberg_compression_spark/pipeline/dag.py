@@ -24,10 +24,20 @@ Kinds map 1:1 onto the maintainers: ``keep-latest``/``topn``/``agg``/
 (pipeline/cdc_apply.py); each kind accepts exactly its maintainer's
 keyword surface (see _KIND_SPECS).  ``join`` takes ``right`` +
 ``checkpoint_right``; ``cdc-apply``'s ``mv`` is the MERGE target.
+``audit-publish`` (pipeline/audit.py) gates a staged BRANCH behind
+declarative quality checks and merges it to main only when green —
+so a pipeline can stage (cdc-apply with ``tgt_branch``), maintain, and
+promote in one cron'd drain; a red audit raises ``AuditFailed`` and
+aborts the pass with main untouched (earlier stages' commits stand —
+every tick is an atomic commit, so the partial pass is consistent).
 """
 
 from __future__ import annotations
 
+from hands_on_iceberg_compression_spark.pipeline.audit import (
+    _validate_checks,
+    publish_if_green,
+)
 from hands_on_iceberg_compression_spark.pipeline.cdc_apply import (
     merge_into_batched,
 )
@@ -39,7 +49,8 @@ from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
 )
 
 # per kind: (required keys, optional keys) — beyond the shared ones
-_REQUIRED = {"kind", "src", "mv", "keys", "checkpoint"}
+_MAINTAIN_REQUIRED = {"kind", "src", "mv", "keys", "checkpoint"}
+_REQ_BY_KIND = {"audit-publish": {"kind", "table", "branch", "checks"}}
 _SHARED_OPT = {"name", "ts_col", "tie_col", "mode", "src_branch",
                "maintenance_policy"}
 _KIND_SPECS: dict[str, set[str]] = {
@@ -60,6 +71,9 @@ _KIND_SPECS: dict[str, set[str]] = {
         "max_lag_commits", "min_batch_rows", "matched_condition",
         "keys_only", "tgt_branch", "evolve_schema",
     },
+    # the WAP gate is NOT a maintainer: its own required-key shape,
+    # no shared maintainer keys beyond "name"
+    "audit-publish": set(),
 }
 
 
@@ -90,7 +104,9 @@ def validate_pipeline(stages: list[dict]) -> None:
                 f"stage {i} ({st.get('name', '?')}): unknown kind "
                 f"{kind!r} — supported: {sorted(_KIND_SPECS)}"
             )
-        allowed = _REQUIRED | _SHARED_OPT | _KIND_SPECS[kind]
+        required = _REQ_BY_KIND.get(kind, _MAINTAIN_REQUIRED)
+        shared = {"name"} if kind in _REQ_BY_KIND else _SHARED_OPT
+        allowed = required | shared | _KIND_SPECS[kind]
         unknown = set(st) - allowed
         if unknown:
             raise ValueError(
@@ -98,7 +114,7 @@ def validate_pipeline(stages: list[dict]) -> None:
                 f"{sorted(unknown)} for kind {kind!r} — allowed: "
                 f"{sorted(allowed)}"
             )
-        missing = _REQUIRED - set(st)
+        missing = required - set(st)
         if kind == "join":
             missing |= {"right", "checkpoint_right"} - set(st)
         if kind == "topn" and "order_col" not in st:
@@ -108,6 +124,10 @@ def validate_pipeline(stages: list[dict]) -> None:
                 f"stage {i} ({st.get('name', kind)}): missing required "
                 f"key(s) {sorted(missing)}"
             )
+        if kind == "audit-publish":
+            # the inner check list validates NOW — a check typo in
+            # stage 7 must refuse before stage 1 runs
+            _validate_checks(st["checks"])
 
 
 def drain_pipeline(wh, stages: list[dict]) -> list[dict]:
@@ -122,6 +142,13 @@ def drain_pipeline(wh, stages: list[dict]) -> list[dict]:
     out = []
     for st in stages:
         kind = st["kind"]
+        if kind == "audit-publish":
+            name = st.get("name", f"{kind}:{st['table']}")
+            res = publish_if_green(
+                wh, *_tbl(st["table"]), st["branch"], st["checks"]
+            )
+            out.append({"stage": name, "kind": kind, **res})
+            continue
         name = st.get("name", f"{kind}:{st['mv']}")
         shared = dict(
             ts_col=st.get("ts_col", "ts"),

@@ -158,3 +158,78 @@ def test_cli_mv_drain(spark, tmp_path, capsys):
     rc = cli_main(["mv-drain", "--warehouse", wh.root, "--pipeline", pipe])
     err = capsys.readouterr().err
     assert rc == 1 and "mv-drain refused" in err and "unknown kind" in err
+
+
+def test_dag_audit_publish_stage(spark, tmp_path):
+    """r18: the WAP gate as a pipeline stage — stage a CDC mirror on a
+    BRANCH (cdc-apply tgt_branch), then audit-publish promotes it to
+    main only when green.  Red path: a poisoned batch lands on the
+    branch (earlier stage's atomic commit stands), the audit stage
+    raises, main never sees it; after fixing the branch the re-drain
+    publishes."""
+    from hands_on_iceberg_compression_spark.pipeline.audit import (
+        AuditFailed,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wap"))
+    for t in ("src", "m"):
+        wh.create_table("lab", t, "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame(
+            [(k, 0, k, k, k) for k in range(4)], SCHEMA
+        ),
+        batch_id="seed",
+    )
+    # mirror baseline lands on MAIN, the branch forks from it (branches
+    # need a snapshot to fork), and cdc-apply stages onto the branch
+    wh.append("lab", "m", wh.read("lab", "src"), batch_id="mseed")
+    wh.create_branch("lab", "m", "stage")
+    d = str(tmp_path / "wap_ck")
+    stages = [
+        {"name": "mirror", "kind": "cdc-apply", "src": "lab.src",
+         "mv": "lab.m", "keys": ["k"], "checkpoint": f"{d}/ck.json",
+         "tgt_branch": "stage"},
+        {"name": "gate", "kind": "audit-publish", "table": "lab.m",
+         "branch": "stage",
+         "checks": [{"kind": "not_null", "cols": ["a"], "name": "a_nn"},
+                    {"kind": "unique", "cols": ["k"], "name": "pk"}]},
+    ]
+    # pass 1 bootstraps the cdc checkpoint at the src head; the gate
+    # sees a clean zero-divergence branch
+    out = drain_pipeline(wh, stages)
+    assert out[1]["kind"] == "audit-publish" and out[1]["audit"]["passed"]
+    assert sorted(r["k"] for r in wh.read("lab", "m").collect()) == [
+        0, 1, 2, 3,
+    ]
+
+    # poison: a NULL-valued row reaches src; the mirror stage lands it
+    # on the BRANCH, the gate refuses, main stays clean
+    wh.append(
+        "lab", "src",
+        spark.createDataFrame([(9, 1, 100, None, 9)], SCHEMA),
+        batch_id="bad",
+    )
+    main_v = wh._latest_version("lab", "m")
+    with pytest.raises(AuditFailed, match="a_nn"):
+        drain_pipeline(wh, stages)
+    assert wh._latest_version("lab", "m") == main_v  # main untouched
+    assert any(  # the staged mirror DID land the row (atomic stage 1)
+        r["k"] == 9
+        for r in wh.read("lab", "m", "stage").collect()
+    )
+    # fix the branch, re-drain: cdc-apply is idle, the gate publishes
+    wh.update_where(
+        "lab", "m", "k = 9", {"a": "7"}, branch="stage",
+    )
+    out = drain_pipeline(wh, stages)
+    assert out[1]["audit"]["passed"]
+    got = {r["k"]: r["a"] for r in wh.read("lab", "m").collect()}
+    assert got[9] == 7
+
+    # check typos in a LATER stage refuse before ANY stage runs
+    with pytest.raises(ValueError, match="unknown kind"):
+        drain_pipeline(wh, stages[:1] + [
+            {"kind": "audit-publish", "table": "lab.m", "branch": "stage",
+             "checks": [{"kind": "notnull", "cols": ["a"]}]},
+        ])
