@@ -426,8 +426,12 @@ def _cmd_audit(args: argparse.Namespace) -> int:
     from hands_on_iceberg_compression_spark.session import make_session
     from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
 
-    with open(args.checks) as f:
-        checks = _json.load(f)
+    try:
+        with open(args.checks) as f:
+            checks = _json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"audit refused: cannot read --checks: {e}", file=sys.stderr)
+        return 1
     owns_session = SparkSession.getActiveSession() is None
     spark = make_session(app_name="audit")
     try:
@@ -477,11 +481,11 @@ def _cmd_mv_drain(args: argparse.Namespace) -> int:
     from hands_on_iceberg_compression_spark.session import make_session
     from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
 
-    with open(args.pipeline) as f:
-        stages = _json.load(f)
     try:
+        with open(args.pipeline) as f:
+            stages = _json.load(f)
         validate_pipeline(stages)
-    except ValueError as e:
+    except (OSError, ValueError) as e:
         print(f"mv-drain refused: {e}", file=sys.stderr)
         return 1
     owns_session = SparkSession.getActiveSession() is None

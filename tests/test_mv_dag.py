@@ -233,3 +233,21 @@ def test_dag_audit_publish_stage(spark, tmp_path):
             {"kind": "audit-publish", "table": "lab.m", "branch": "stage",
              "checks": [{"kind": "notnull", "cols": ["a"]}]},
         ])
+
+
+def test_cli_missing_spec_files_refuse_cleanly(spark, capsys):
+    """r18 polish: a missing/unreadable --pipeline or --checks file
+    refuses with rc 1 and a one-line message, never a traceback."""
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+
+    rc = cli_main([
+        "mv-drain", "--warehouse", "/tmp/nowh", "--pipeline", "/tmp/nope.json",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1 and "mv-drain refused" in err
+    rc = cli_main([
+        "audit", "--warehouse", "/tmp/nowh", "--schema", "x",
+        "--table", "y", "--checks", "/tmp/nope.json",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1 and "cannot read --checks" in err
