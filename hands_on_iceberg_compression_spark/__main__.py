@@ -416,6 +416,7 @@ def _cmd_audit(args: argparse.Namespace) -> int:
     Iceberg WAP workflow as one cron-able command."""
     import json as _json
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import SparkSession
 
     from hands_on_iceberg_compression_spark.pipeline.audit import (
@@ -424,7 +425,10 @@ def _cmd_audit(args: argparse.Namespace) -> int:
         publish_if_green,
     )
     from hands_on_iceberg_compression_spark.session import make_session
-    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        BranchMovedError,
+        ParquetWarehouse,
+    )
 
     try:
         with open(args.checks) as f:
@@ -445,6 +449,11 @@ def _cmd_audit(args: argparse.Namespace) -> int:
                 print(_json.dumps(e.audit))
                 print(f"audit FAILED: {e}", file=sys.stderr)
                 return 1
+            except BranchMovedError as e:
+                # the audit→publish race fence fired: main untouched,
+                # the new branch head needs its own audit
+                print(f"publish refused: {e}", file=sys.stderr)
+                return 1
             print(_json.dumps(res))
         else:
             res = audit_table(
@@ -455,7 +464,11 @@ def _cmd_audit(args: argparse.Namespace) -> int:
             if not res["passed"]:
                 return 1
         return 0
-    except ValueError as e:
+    except (ValueError, AnalysisException) as e:
+        # AnalysisException: a typo'd column INSIDE an expression
+        # check's SQL surfaces at agg time, past the 'cols' pre-check —
+        # same one-line refusal as every other malformed check
+        # (ADVICE r18)
         print(f"audit refused: {e}", file=sys.stderr)
         return 1
     finally:
@@ -472,6 +485,7 @@ def _cmd_mv_drain(args: argparse.Namespace) -> int:
     stage's result prints as one JSON line."""
     import json as _json
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import SparkSession
 
     from hands_on_iceberg_compression_spark.pipeline.dag import (
@@ -479,7 +493,10 @@ def _cmd_mv_drain(args: argparse.Namespace) -> int:
         validate_pipeline,
     )
     from hands_on_iceberg_compression_spark.session import make_session
-    from hands_on_iceberg_compression_spark.sources.warehouse import ParquetWarehouse
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        BranchMovedError,
+        ParquetWarehouse,
+    )
 
     try:
         with open(args.pipeline) as f:
@@ -497,6 +514,17 @@ def _cmd_mv_drain(args: argparse.Namespace) -> int:
         return 0
     except ValueError as e:
         print(f"mv-drain stage refused: {e}", file=sys.stderr)
+        return 1
+    except AnalysisException as e:
+        # an audit-publish stage's expression SQL naming a missing
+        # column surfaces at agg time — refuse, don't traceback
+        # (ADVICE r18)
+        print(f"mv-drain stage refused: {e}", file=sys.stderr)
+        return 1
+    except BranchMovedError as e:
+        # an audit-publish stage's race fence fired: main untouched,
+        # earlier stages' commits stand — re-drain after re-auditing
+        print(f"mv-drain publish refused: {e}", file=sys.stderr)
         return 1
     finally:
         if owns_session:
@@ -726,7 +754,11 @@ def main(argv: list[str] | None = None) -> int:
         "--retain-checkpoints", default="",
         help="comma-separated consumer checkpoint files or directories "
         "— every version >= the oldest registered checkpoint is kept "
-        "(empty/missing directories refuse; missing files warn)",
+        "(empty/missing directories refuse; missing files warn). "
+        "End a directory path with '/' to make directory intent "
+        "explicit: a missing dir WITHOUT the trailing separator is "
+        "indistinguishable from an un-bootstrapped consumer file and "
+        "only warns (ADVICE r18)",
     )
     ex.add_argument(
         "--strict-checkpoints", action="store_true",

@@ -51,8 +51,19 @@ from hands_on_iceberg_compression_spark.pipeline.incremental_mv import (
 # per kind: (required keys, optional keys) — beyond the shared ones
 _MAINTAIN_REQUIRED = {"kind", "src", "mv", "keys", "checkpoint"}
 _REQ_BY_KIND = {"audit-publish": {"kind", "table", "branch", "checks"}}
-_SHARED_OPT = {"name", "ts_col", "tie_col", "mode", "src_branch",
-               "maintenance_policy"}
+# shared optional keys are PER KIND (ADVICE r18): every maintainer takes
+# mode/src_branch/maintenance_policy, but ts_col/tie_col only where the
+# maintainer actually consumes them — drain_pipeline never passes ts_col
+# to maintain_agg_mv or maintain_topn_mv, so accepting it would validate
+# a key that silently does nothing (the exact class the validator closes)
+_BASE_OPT = {"name", "mode", "src_branch", "maintenance_policy"}
+_OPT_BY_KIND = {
+    "keep-latest": _BASE_OPT | {"ts_col", "tie_col"},
+    "topn": _BASE_OPT | {"tie_col"},
+    "agg": _BASE_OPT,
+    "join": _BASE_OPT | {"ts_col", "tie_col"},
+    "cdc-apply": _BASE_OPT | {"ts_col", "tie_col"},
+}
 _KIND_SPECS: dict[str, set[str]] = {
     "keep-latest": {
         "net", "prune_source", "keys_only", "evolve_schema", "value_cols",
@@ -95,6 +106,7 @@ def validate_pipeline(stages: list[dict]) -> None:
     the policy/retention refusals closed."""
     if not isinstance(stages, list) or not stages:
         raise ValueError("pipeline must be a non-empty list of stages")
+    seen_mv: dict[str, int] = {}
     for i, st in enumerate(stages):
         if not isinstance(st, dict):
             raise ValueError(f"stage {i} is not a dict")
@@ -105,7 +117,7 @@ def validate_pipeline(stages: list[dict]) -> None:
                 f"{kind!r} — supported: {sorted(_KIND_SPECS)}"
             )
         required = _REQ_BY_KIND.get(kind, _MAINTAIN_REQUIRED)
-        shared = {"name"} if kind in _REQ_BY_KIND else _SHARED_OPT
+        shared = {"name"} if kind in _REQ_BY_KIND else _OPT_BY_KIND[kind]
         allowed = required | shared | _KIND_SPECS[kind]
         unknown = set(st) - allowed
         if unknown:
@@ -128,6 +140,31 @@ def validate_pipeline(stages: list[dict]) -> None:
             # the inner check list validates NOW — a check typo in
             # stage 7 must refuse before stage 1 runs
             _validate_checks(st["checks"])
+            continue
+        # self-reference refusal (VERDICT r18 #3 — the docstring's
+        # promise, now enforced): a stage maintaining an MV FROM itself
+        # would pass every key check and enter a self-feeding loop —
+        # each tick's commit becomes the next tick's changelog window
+        if st["src"] == st["mv"]:
+            raise ValueError(
+                f"stage {i} ({st.get('name', kind)}): src == mv "
+                f"({st['mv']!r}) — a self-feeding stage never converges"
+            )
+        if kind == "join" and st.get("right") == st["mv"]:
+            raise ValueError(
+                f"stage {i} ({st.get('name', kind)}): right == mv "
+                f"({st['mv']!r}) — a self-feeding stage never converges"
+            )
+        # two stages maintaining the SAME mv is almost certainly a
+        # pipeline typo — their merges would interleave and neither
+        # converges to its own definition
+        if st["mv"] in seen_mv:
+            raise ValueError(
+                f"stage {i} ({st.get('name', kind)}): mv {st['mv']!r} "
+                f"is already maintained by stage {seen_mv[st['mv']]} — "
+                "one pipeline must not maintain the same table twice"
+            )
+        seen_mv[st["mv"]] = i
 
 
 def drain_pipeline(wh, stages: list[dict]) -> list[dict]:

