@@ -145,9 +145,12 @@ def merge_into_batched(
     silently never land; False refuses loudly.  ``maintenance_policy``
     (r18) bounds the mirror's pending merge-on-read delete stack: past
     {"max_pending_delete_entries"/"max_pending_delete_rows"} the poll
-    ends with an ``optimize()`` fold of the target (the census is
-    zero-job head metadata, so under-threshold polls stay jobless);
-    the result gains "auto_fold" when it fired.
+    ends with a fold of the target (the census is zero-job head
+    metadata, so under-threshold polls stay jobless); the result gains
+    "auto_fold" when it fired.  The mirror's size is UNBOUNDED, so the
+    default fold is DELETE-SCOPED (r19, ``fold_pending_deletes`` —
+    O(touched files), not O(mirror); ``fold_scope: "full"`` opts back
+    into compacting optimize()).
 
     Returns ``{"fired": bool, "lag_commits", "pending_rows_est"}`` plus,
     when fired, consume_changes' window and ``{"batch_rows",
@@ -218,7 +221,8 @@ def merge_into_batched(
         # poll stays zero-job unless a PAST fire left the target over
         # threshold — then folding now is exactly the policy's job
         fold = _maybe_auto_fold(
-            wh, tschema, ttable, maintenance_policy, branch=tgt_branch
+            wh, tschema, ttable, maintenance_policy, branch=tgt_branch,
+            default_scope="pending",
         )
         if fold:
             out["auto_fold"] = fold
@@ -351,7 +355,8 @@ def merge_into_batched(
     # whose anti-joins every later read pays — past the policy threshold
     # the poll ends with an optimize() fold of the target
     fold = _maybe_auto_fold(
-        wh, tschema, ttable, maintenance_policy, branch=tgt_branch
+        wh, tschema, ttable, maintenance_policy, branch=tgt_branch,
+        default_scope="pending",
     )
     if fold:
         out["auto_fold"] = fold

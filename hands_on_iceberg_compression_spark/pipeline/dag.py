@@ -268,5 +268,19 @@ def drain_pipeline(wh, stages: list[dict]) -> list[dict]:
                     )
                 },
             )
-        out.append({"stage": name, "kind": kind, **res})
+        # stack-health surface (VERDICT r18 #6): the zero-job census of
+        # the table this stage OWNS plus whether its policy fired, so a
+        # cron'd drain's JSON lines show delete-stack health without a
+        # separate mv-report call
+        census = wh.pending_delete_stats(
+            *_tbl(st["mv"]),
+            branch=st.get("tgt_branch", "main")
+            if kind == "cdc-apply"
+            else "main",
+        )
+        out.append({
+            "stage": name, "kind": kind, **res,
+            "pending_deletes": census,
+            "fold_fired": "auto_fold" in res,
+        })
     return out

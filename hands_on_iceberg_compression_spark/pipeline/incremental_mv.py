@@ -135,38 +135,20 @@ def _ckpt_version(checkpoint_file: str) -> int | None:
     return None if st is None else st.get("version")
 
 
-_POLICY_KEYS = {
-    "max_pending_delete_entries",
-    "max_pending_delete_rows",
-    "target_file_size_bytes",
-}
-
-
 def _validate_policy(policy: dict | None) -> None:
-    """Refuse unknown policy keys UP FRONT — a typo'd key would
-    otherwise silently never fold, exactly the no-op failure mode the
-    policy exists to close (the retain_checkpoints lesson, r18)."""
-    if not policy:
-        return
-    unknown = set(policy) - _POLICY_KEYS
-    if unknown:
-        raise ValueError(
-            f"unknown maintenance_policy key(s) {sorted(unknown)} — "
-            f"supported: {sorted(_POLICY_KEYS)}"
-        )
-    if not any(
-        k in policy
-        for k in ("max_pending_delete_entries", "max_pending_delete_rows")
-    ):
-        raise ValueError(
-            "maintenance_policy needs max_pending_delete_entries and/or "
-            "max_pending_delete_rows — without a threshold it never folds"
-        )
+    """Delegates to the canonical ``validate_maintenance_policy``
+    (sources/warehouse.py since r19 — merge_upsert shares it); kept as
+    the pipeline-layer name every maintainer imports."""
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        validate_maintenance_policy,
+    )
+
+    validate_maintenance_policy(policy)
 
 
 def _maybe_auto_fold(
     wh, mschema: str, mtable: str, policy: dict | None,
-    branch: str = "main",
+    branch: str = "main", default_scope: str = "full",
 ) -> dict | None:
     """Delete-stack-aware AUTO-FOLD (r18, VERDICT r17 #1): when the
     table's pending merge-on-read delete stack exceeds the policy
@@ -191,35 +173,21 @@ def _maybe_auto_fold(
     ingest maintenance (stream_into_warehouse maintenance_every / the
     writer's optimize cadence).
 
-    SCALE LIMIT (honest): the fold is a FULL rewrite, O(MV rows) per
-    fire, while the stack grows O(entries) per tick — so fold cadence
-    is size-independent but fold cost is not.  That trade is right for
-    the policy's targets (keyed/aggregate MV state, typically orders of
-    magnitude below the source), and the threshold is the amortization
-    knob (raise K to fold less often on a big mirror).  A VERY large
-    partitioned mirror should prefer its own partition-scoped
-    ``optimize(partition_filter=...)`` cadence — entry-to-partition
-    scoping from delete key_ranges is not attempted here.  Returns
-    {"pending_delete_entries", "pending_delete_rows", "files"} when it
-    folded, else None."""
-    if not policy:
-        return None
-    st = wh.pending_delete_stats(mschema, mtable, branch=branch)
-    over = (
-        st["entries"] > policy.get("max_pending_delete_entries", float("inf"))
-        or st["rows"] > policy.get("max_pending_delete_rows", float("inf"))
+    FOLD SCOPE (r19, VERDICT r18 #2): the full ``optimize()`` fire is
+    O(MV rows) — right for the MV maintainers' small owned state (also
+    compacts fragmentation), which is why their ``default_scope`` is
+    "full"; the UNBOUNDED targets (``merge_into_batched``'s mirror,
+    the streaming CDC sink) default to "pending" —
+    ``fold_pending_deletes`` rewrites only the files a pending delete
+    still applies to (O(touched files)) and retires the set exactly.
+    ``policy["fold_scope"]`` overrides either way.  Body delegates to
+    the canonical ``Warehouse.apply_maintenance_policy`` (one
+    implementation also serves ``merge_upsert``).  Returns
+    {"pending_delete_entries", "pending_delete_rows", "scope",
+    "files"[, "victims", "retired"]} when it folded, else None."""
+    return wh.apply_maintenance_policy(
+        mschema, mtable, policy, branch=branch, default_scope=default_scope
     )
-    if not over:
-        return None
-    kwargs = {}
-    if "target_file_size_bytes" in policy:
-        kwargs["target_file_size_bytes"] = policy["target_file_size_bytes"]
-    files = wh.optimize(mschema, mtable, branch=branch, **kwargs)
-    return {
-        "pending_delete_entries": st["entries"],
-        "pending_delete_rows": st["rows"],
-        "files": files,
-    }
 
 
 def _evolve_mv_schema(

@@ -310,6 +310,45 @@ class AlreadyPublishedError(RuntimeError):
     not by error-message substring (review r11 second pass)."""
 
 
+MAINTENANCE_POLICY_KEYS = {
+    "max_pending_delete_entries",
+    "max_pending_delete_rows",
+    "target_file_size_bytes",
+    "fold_scope",
+}
+
+
+def validate_maintenance_policy(policy: dict | None) -> None:
+    """Refuse unknown policy keys/values UP FRONT — a typo'd key would
+    otherwise silently never fold, exactly the no-op failure mode the
+    policy exists to close (the retain_checkpoints lesson, r18).
+    Canonical home since r19 (the pipeline maintainers delegate here);
+    ``fold_scope`` picks the fold: "full" (optimize — O(table), also
+    compacts fragmentation) or "pending" (fold_pending_deletes —
+    O(touched files), the unbounded-target variant, VERDICT r18 #2)."""
+    if not policy:
+        return
+    unknown = set(policy) - MAINTENANCE_POLICY_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown maintenance_policy key(s) {sorted(unknown)} — "
+            f"supported: {sorted(MAINTENANCE_POLICY_KEYS)}"
+        )
+    if not any(
+        k in policy
+        for k in ("max_pending_delete_entries", "max_pending_delete_rows")
+    ):
+        raise ValueError(
+            "maintenance_policy needs max_pending_delete_entries and/or "
+            "max_pending_delete_rows — without a threshold it never folds"
+        )
+    if policy.get("fold_scope") not in (None, "full", "pending"):
+        raise ValueError(
+            f"unknown fold_scope {policy['fold_scope']!r} — expected "
+            "'full' (optimize) or 'pending' (fold_pending_deletes)"
+        )
+
+
 class BranchMovedError(RuntimeError):
     """A version-pinned publish (``merge_branch``/``fast_forward`` with
     ``expected_head=``) found the branch head PAST the pinned version —
@@ -1516,6 +1555,114 @@ class ParquetWarehouse:
             branch=branch,
         )
         return len(new)
+
+    def fold_pending_deletes(
+        self,
+        schema: str,
+        table: str,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        branch: str = "main",
+    ) -> dict:
+        """DELETE-SCOPED fold (r19, VERDICT r18 #2): rewrite ONLY the
+        files a pending merge-on-read delete still APPLIES to, then
+        retire the whole pending set — Iceberg's
+        ``rewrite_data_files(delete-file-threshold)`` shape.  Victims
+        come from the SAME applicability decision the read path uses
+        (``_live_deletes``: explicit pos targets; eq entries seq-scoped
+        then narrowed by key_ranges vs bounds/partition values/blooms),
+        so cost scales with TOUCHED files, not table size — on a
+        partitioned CDC mirror whose batches land in a few hot
+        partitions, a fold rewrites those files and leaves cold data
+        untouched (strictly tighter than a partition_filter derived
+        from the same key_ranges, and exact for transforms a range
+        can't map).  This is what makes ``maintenance_policy`` safe on
+        UNBOUNDED targets (``merge_into_batched``, the streaming CDC
+        sink): the full ``optimize()`` fold is O(table rows) per fire.
+
+        Retirement is EXACT, so the census (``pending_delete_stats``)
+        returns to zero and the policy never fires in a loop: every
+        entry's applicable files are rewritten delete-applied in this
+        commit (narrowing exclusions are proven — no false negatives),
+        which is exactly the condition ``commit_snapshot``'s
+        ``retire_deletes`` documents.  Concurrency: the commit passes
+        ``rewrite_read_version`` (a concurrent MoR delete raises — the
+        rewrite would resurrect its rows) and ``drop_files`` conflicts
+        raise as in any scoped rewrite.  Unlike full optimize this does
+        NOT compact delete-free small files — pair with an occasional
+        full/partition-scoped optimize for fragmentation.
+
+        Returns {"files": new files written, "victims": files
+        rewritten, "retired": delete entries retired}."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "fold_pending_deletes requires a log-mode "
+                "(snapshots=true) table — deletes are manifest entries"
+            )
+        version = self._latest_version(schema, table, branch)
+        if version is None:
+            return {"files": 0, "victims": 0, "retired": 0}
+        head = self._load_snapshot(schema, table, version, branch)
+        all_dels = list(head.get("deletes") or [])
+        if not all_dels:
+            return {"files": 0, "victims": 0, "retired": 0}
+        entry_by_path = {e["path"]: e for e in head["files"]}
+        _live, hot = self._live_deletes(
+            schema, table, meta, head, entry_by_path, all_dels
+        )
+        retire = sorted({d["path"] for d in all_dels})
+        victims = [entry_by_path[p] for p in sorted(hot)]
+        if not victims:
+            # every pending entry already applies to nothing — retire
+            # them in a metadata-only delta (no Spark job, no new files)
+            self.commit_snapshot(
+                schema, table, "optimize",
+                add_files=[], retire_deletes=retire, branch=branch,
+            )
+            return {"files": 0, "victims": 0, "retired": len(retire)}
+        tdir = self._tdir(schema, table)
+        victim_paths = [os.path.join(tdir, e["path"]) for e in victims]
+        total = sum(e["bytes"] for e in victims)
+        n_files = max(1, math.ceil(total / target_file_size_bytes))
+        # delete-APPLIED read of exactly the victims (files outside the
+        # hot set are untouched BY CONSTRUCTION of the applicability)
+        df = self._read_entries(schema, table, meta, head, victims)
+        data_dir = self._live_data_dir(schema, table)
+        gen_dir = os.path.join(data_dir, f"compact_{uuid.uuid4().hex[:8]}")
+        if meta.sort_order:
+            sort_cols = [F.col(c) for c in meta.sort_order]
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            writer = df.write.mode("error")
+        else:
+            writer = df.coalesce(n_files).write.mode("error")
+        cur_part = self._head_partitioning(meta, head)
+        if cur_part:
+            part_names = [n for n, _ in partition_transform_exprs(cur_part)]
+            writer = writer.partitionBy(*part_names)
+        for k, v in self._write_options(meta).items():
+            writer = writer.option(k, v)
+        writer.parquet(gen_dir)
+        new = sorted(
+            os.path.join(base, fn)
+            for base, _d, fns in os.walk(gen_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        self.commit_snapshot(
+            schema, table, "optimize", add_files=new,
+            drop_files=victim_paths, retire_deletes=retire,
+            expected_schema_id=head.get("schema_id"),
+            expected_spec_id=head["spec_id"] if "specs" in head else 0,
+            rewrite_read_version=version,
+            branch=branch,
+        )
+        return {
+            "files": len(new),
+            "victims": len(victims),
+            "retired": len(retire),
+        }
 
     def _write_pos_deletes(
         self, schema: str, table: str, tuples: DataFrame
@@ -3144,30 +3291,9 @@ class ParquetWarehouse:
             self._head_deletes(schema, table, head) if apply_deletes else []
         )
         entry_by_path = {e["path"]: e for e in entries}
-        entry_paths = set(entry_by_path)
-        # keep the ORIGINAL list index: the delete list is in commit
-        # order (carry appends), and equality-delete scoping needs it
-        live_dels = []
-        hot_paths: set[str] = set()
-        for i, d in enumerate(all_dels):
-            if d.get("targets") is not None:
-                t = set(d["targets"]) & entry_paths
-            else:
-                # seq-scoped equality delete: strictly-older files,
-                # narrowed by the stored key summary vs manifest stats
-                dseq = d.get("seq", 0)
-                t = {
-                    p
-                    for p, e in entry_by_path.items()
-                    if e.get("seq", 0) < dseq
-                }
-                if t and d.get("key_ranges"):
-                    t = self._narrow_eq_targets(
-                        schema, table, meta, head, d, t, entry_by_path
-                    )
-            if t:
-                live_dels.append((i, d, t))
-                hot_paths |= t
+        live_dels, hot_paths = self._live_deletes(
+            schema, table, meta, head, entry_by_path, all_dels
+        )
         if not live_dels:
             return self._assemble_entries(
                 schema, table, meta, head, entries, with_pos=with_pos
@@ -3231,6 +3357,52 @@ class ParquetWarehouse:
 
     _EQ_K = "__eq_k"
 
+    def _live_deletes(
+        self,
+        schema: str,
+        table: str,
+        meta: TableMeta,
+        head: dict,
+        entry_by_path: dict,
+        all_dels: list[dict],
+    ) -> tuple[list[tuple[int, dict, set]], set]:
+        """Which pending delete entries still APPLY to which of
+        ``entry_by_path``'s files: ([(list index, entry, target path
+        set)...] for entries with a non-empty set, union of all sets).
+        The ORIGINAL list index is kept — the delete list is in commit
+        order (carry appends) and equality-delete scoping needs it.
+        This is THE applicability decision: the read path anti-joins
+        exactly these (file, delete) pairs, and the scoped fold
+        (``fold_pending_deletes``) rewrites exactly the union — one
+        code path, so the fold can never miss a file the read would
+        have filtered.  Exclusions are EXACT: targets are explicit, seq
+        scoping is the Iceberg rule, and ``_narrow_eq_targets`` only
+        excludes files PROVEN (bounds/partition values/blooms — no
+        false negatives) to hold no matching key."""
+        entry_paths = set(entry_by_path)
+        live_dels: list[tuple[int, dict, set]] = []
+        hot_paths: set[str] = set()
+        for i, d in enumerate(all_dels):
+            if d.get("targets") is not None:
+                t = set(d["targets"]) & entry_paths
+            else:
+                # seq-scoped equality delete: strictly-older files,
+                # narrowed by the stored key summary vs manifest stats
+                dseq = d.get("seq", 0)
+                t = {
+                    p
+                    for p, e in entry_by_path.items()
+                    if e.get("seq", 0) < dseq
+                }
+                if t and d.get("key_ranges"):
+                    t = self._narrow_eq_targets(
+                        schema, table, meta, head, d, t, entry_by_path
+                    )
+            if t:
+                live_dels.append((i, d, t))
+                hot_paths |= t
+        return live_dels, hot_paths
+
     def _head_deletes(self, schema: str, table: str, head: dict) -> list[dict]:
         """The head's pending merge-on-read delete entries, in COMMIT
         order: legacy r08 heads carry them inline under ``deletes``; from
@@ -3268,6 +3440,71 @@ class ParquetWarehouse:
             n += r.get("count", 0)
             rows += r.get("rows", 0)
         return {"entries": n, "rows": rows}
+
+    def apply_maintenance_policy(
+        self,
+        schema: str,
+        table: str,
+        policy: dict | None,
+        branch: str = "main",
+        default_scope: str = "full",
+    ) -> dict | None:
+        """Delete-stack-aware AUTO-FOLD census-and-fire (r18 policy, r19
+        canonical home — one implementation serves the MV maintainers,
+        the batched CDC apply, the streaming sink, AND ``merge_upsert``
+        itself): when the table's pending merge-on-read delete stack
+        exceeds the policy thresholds, fold it.  The census is
+        ``pending_delete_stats`` — head JSON only, zero Spark jobs — so
+        below-threshold calls cost nothing.
+
+        ``policy["fold_scope"]`` picks the fold (VERDICT r18 #2):
+
+        - ``"full"`` — ``optimize()``: O(table rows) per fire, also
+          compacts fragmentation.  Right for SMALL owned state (keyed /
+          aggregate MVs, typically orders of magnitude below the
+          source); the threshold is the amortization knob.
+        - ``"pending"`` — ``fold_pending_deletes()``: rewrites only the
+          files a pending delete still applies to and retires the set;
+          O(touched files) per fire.  Right for UNBOUNDED targets (CDC
+          mirrors), where a full rewrite inside a poll eventually costs
+          minutes.
+
+        ``default_scope`` is the call-site's target class (maintainers
+        pass "full", the CDC mirror paths pass "pending"); an explicit
+        policy key always wins.  Returns
+        {"pending_delete_entries", "pending_delete_rows", "scope",
+        "files"[, "victims", "retired"]} when it folded, else None."""
+        if not policy:
+            return None
+        validate_maintenance_policy(policy)
+        st = self.pending_delete_stats(schema, table, branch=branch)
+        over = (
+            st["entries"]
+            > policy.get("max_pending_delete_entries", float("inf"))
+            or st["rows"] > policy.get("max_pending_delete_rows", float("inf"))
+        )
+        if not over:
+            return None
+        scope = policy.get("fold_scope", default_scope)
+        kwargs = {}
+        if "target_file_size_bytes" in policy:
+            kwargs["target_file_size_bytes"] = policy["target_file_size_bytes"]
+        if scope == "pending":
+            out = self.fold_pending_deletes(
+                schema, table, branch=branch, **kwargs
+            )
+            files = out["files"]
+            extra = {"victims": out["victims"], "retired": out["retired"]}
+        else:
+            files = self.optimize(schema, table, branch=branch, **kwargs)
+            extra = {}
+        return {
+            "pending_delete_entries": st["entries"],
+            "pending_delete_rows": st["rows"],
+            "scope": scope,
+            "files": files,
+            **extra,
+        }
 
     def _eq_current_names(self, head: dict, d: dict) -> list[str]:
         """Resolve an equality delete's write-time key column names to the
@@ -5223,15 +5460,23 @@ class ParquetWarehouse:
         min_live_seq,
         dropped_prefix_rel: str | None,
         dropped_rel: set,
+        retire: set | None = None,
     ) -> tuple[list[dict], list[str]]:
-        """Fold pass run ONLY by commits that drop data files: prune
-        position-delete targets of dropped paths and remove OBSOLETE
-        entries — an entry whose seq no surviving data file predates can
-        never apply again (position targets are all files live at its
-        commit, i.e. strictly older; equality scope is strictly-older by
-        definition), so ``min_live_seq >= entry.seq`` retires it.  A ref
-        whose ``max_seq`` is already retired drops unopened.  Returns
-        (refs, newly written segment names)."""
+        """Fold pass run ONLY by commits that drop data files (or pass
+        ``retire_deletes``): prune position-delete targets of dropped
+        paths and remove OBSOLETE entries — an entry whose seq no
+        surviving data file predates can never apply again (position
+        targets are all files live at its commit, i.e. strictly older;
+        equality scope is strictly-older by definition), so
+        ``min_live_seq >= entry.seq`` retires it.  A ref whose
+        ``max_seq`` is already retired drops unopened.  ``retire`` is
+        an explicit entry-path set from a caller that PROVED those
+        entries inert (``fold_pending_deletes``: it rewrote every file
+        the entry still applied to in this same commit, and narrowing
+        exclusions are exact) — the seq test alone cannot see that a
+        seq-scoped equality delete's remaining older files are all
+        key-disjoint.  Returns (refs, newly written segment names)."""
+        retire = retire or set()
         out_refs: list[dict] = []
         new_names: list[str] = []
         for r in dseg_refs:
@@ -5241,6 +5486,9 @@ class ParquetWarehouse:
             out: list[dict] = []
             changed = False
             for d in ents:
+                if d.get("path") in retire:
+                    changed = True
+                    continue
                 # dseg entries are always seq-stamped at commit; an entry
                 # somehow missing one is conservatively kept, never retired
                 if "seq" in d and min_live_seq >= d["seq"]:
@@ -5489,6 +5737,7 @@ class ParquetWarehouse:
         spec_transforms: list[str] | None = None,
         expected_spec_id: int | None = None,
         add_deletes: list[dict] | None = None,
+        retire_deletes: list[str] | None = None,
         deletes_read_version: int | None = None,
         rewrite_read_version: int | None = None,
         adds_read_version: int | None = None,
@@ -5557,6 +5806,17 @@ class ParquetWarehouse:
         resurrect.  Pure equality deletes don't need it (seq scoping
         covers the rewritten files).
 
+        ``retire_deletes`` (r19, the scoped fold): manifest-relative
+        delete-entry paths the CALLER proved inert — every file each
+        entry still applied to is dropped by this same commit (or the
+        entry applied to none).  The fold pass removes them even when
+        the conservative ``min_live_seq`` test cannot; survives CAS
+        retries because concurrent commits only ever ADD higher-seq
+        files (outside every retired entry's scope) or new delete
+        entries (not in the retire set), and a concurrent rewrite of a
+        victim raises the drop_files conflict.  A commit with ONLY
+        ``retire_deletes`` is a metadata-only delta.
+
         ``adds_read_version`` (cherry_pick): the caller verified its
         ADD paths were NOT already live as of this head version; if the
         head moved past it, the commit re-validates and RAISES when any
@@ -5594,6 +5854,7 @@ class ParquetWarehouse:
             add_files is not None
             or drop_files is not None
             or add_deletes is not None
+            or retire_deletes is not None
         )
         if file_paths is not None and is_delta:
             raise ValueError(
@@ -6046,7 +6307,9 @@ class ParquetWarehouse:
                     else []
                 )
                 if dseg_refs and (
-                    drop_prefix is not None or drop_files is not None
+                    drop_prefix is not None
+                    or drop_files is not None
+                    or retire_deletes
                 ):
                     min_live_seq = min(
                         (r.get("min_seq", 0) for r in refs),
@@ -6059,6 +6322,7 @@ class ParquetWarehouse:
                         min_live_seq,
                         dropped_prefix_rel,
                         dropped_rel,
+                        retire=set(retire_deletes or []),
                     )
                     created.extend(names)
                     derived.extend(names)
@@ -6166,7 +6430,10 @@ class ParquetWarehouse:
                 # go to delete segments (below).
                 dels_out: list[dict] = []
                 if is_delta and head is not None:
+                    retire_set = set(retire_deletes or [])
                     for d in head.get("deletes", []):
+                        if d.get("path") in retire_set:
+                            continue  # caller-proven inert (see fold)
                         t = d.get("targets", [])
                         if dropped_prefix_rel is not None:
                             pref = dropped_prefix_rel.rstrip(os.sep) + os.sep
@@ -9330,6 +9597,43 @@ class ParquetWarehouse:
 
     # --- MERGE INTO analogue: keyed copy-on-write upsert -----------------
     def merge_upsert(
+        self,
+        schema: str,
+        table: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None = None,
+        mode: str | None = None,
+        branch: str = "main",
+        extra_meta: dict | None = None,
+        maintenance_policy: dict | None = None,
+    ) -> dict:
+        """Public MERGE entry point; see ``_merge_upsert_inner`` for the
+        full CoW/MoR semantics.  ``maintenance_policy`` (r19, VERDICT
+        r18 #7 — writer-side stack hygiene): a bare merge_upsert LOOP is
+        the one MoR delete-stack producer with no policy hook (the
+        streaming sink and every consumer have one); pass the same
+        {"max_pending_delete_entries"/"max_pending_delete_rows"
+        [, "fold_scope", "target_file_size_bytes"]} dict and each batch
+        ends with the zero-job census + threshold-gated fold of THIS
+        table (default delete-scoped — the target's size is the
+        writer's own table, unbounded).  The result gains "auto_fold"
+        when it fired."""
+        if maintenance_policy is not None:
+            validate_maintenance_policy(maintenance_policy)
+        result = self._merge_upsert_inner(
+            schema, table, updates, key_cols, delete_col=delete_col,
+            mode=mode, branch=branch, extra_meta=extra_meta,
+        )
+        fold = self.apply_maintenance_policy(
+            schema, table, maintenance_policy, branch=branch,
+            default_scope="pending",
+        )
+        if fold:
+            result = {**result, "auto_fold": fold}
+        return result
+
+    def _merge_upsert_inner(
         self,
         schema: str,
         table: str,

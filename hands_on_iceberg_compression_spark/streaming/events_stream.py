@@ -385,9 +385,12 @@ def stream_upsert_latest_into_warehouse(
             warehouse.optimize(schema, table, branch=branch)
         else:
             # stack-depth-triggered fold (no-op without a policy; the
-            # census is one head-JSON read, so quiet epochs stay cheap)
+            # census is one head-JSON read, so quiet epochs stay cheap).
+            # The sink's target is an UNBOUNDED mirror, so the default
+            # fold is delete-scoped (r19 — fold_pending_deletes)
             _maybe_auto_fold(
-                warehouse, schema, table, maintenance_policy, branch=branch
+                warehouse, schema, table, maintenance_policy,
+                branch=branch, default_scope="pending",
             )
 
     q = (

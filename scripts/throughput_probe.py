@@ -1783,6 +1783,146 @@ def auto_fold_probe(n_rows: int, workdir: str) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def fold_scoped_probe(n_rows: int, workdir: str) -> None:
+    """Delete-SCOPED fold economics (VERDICT r18 #2): on a PARTITIONED
+    CDC mirror whose MoR batches touch a few hot partitions,
+    ``fold_pending_deletes`` must cost O(touched files) while the full
+    ``optimize()`` fold costs O(table) — so the scoped cost stays ~flat
+    across table sizes and scales with TOUCHED partitions instead.
+    Five configs: {small, large} x {pending, full} + a touched-8 scoped
+    run at the large size.  Each: seed a pday-partitioned mirror,
+    compact, stack 6 MoR upsert batches confined to the touched
+    partitions, then ONE timed fold; equality (count + value checksum)
+    is asserted across every fold and the census must clear.  Prints
+    one JSON line."""
+    from hands_on_iceberg_compression_spark.operators.dedup import (
+        keep_latest,
+    )
+
+    batch_rows = 10_000
+    n_batches = 6
+    sizes = {"small": max(n_rows // 4, 100_000), "large": n_rows}
+    configs = [
+        ("small", "pending", 2),
+        ("small", "full", 2),
+        ("large", "pending", 2),
+        ("large", "full", 2),
+        ("large", "pending", 8),
+    ]
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = make_session(app_name="fold-scoped-probe")
+    # warm the session before ANY timed arm (r13 bloom-probe lesson)
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+    rows_out = []
+    for size_tag, arm, touched in configs:
+        sz = sizes[size_tag]
+        wh = ParquetWarehouse(
+            spark, os.path.join(workdir, f"wh_{size_tag}_{arm}_{touched}")
+        )
+        # the realistic CDC-mirror shape: key-RANGE partitioning (pday
+        # tracks k), key-sorted files, and a HOT KEY TAIL — updates
+        # land in the newest partitions, so the eq deletes' key_ranges
+        # envelope provably excludes the cold files' bounds.  (A
+        # key-scattered mirror has no file-skippable structure and the
+        # scoped fold honestly degenerates toward full — the smoke run
+        # measured exactly that.)
+        span = sz // 32
+        wh.create_table(
+            "lab", "m", "zstd", 1,
+            properties={"snapshots": "true"}, partitioning=["pday"],
+            sort_order=["k"],
+        )
+        wh.append(
+            "lab", "m",
+            spark.range(sz).select(
+                F.col("id").alias("k"),
+                F.floor(F.col("id") / span).cast("int").alias("pday"),
+                F.lit(0).alias("ts"),
+                F.col("id").alias("eid"),
+                ((F.col("id") * 2654435761) % 1000).alias("v"),
+            ).repartition(32),
+            batch_id="seed",
+        )
+        wh.optimize("lab", "m", target_file_size_bytes=64 * 1024 * 1024)
+        lo = sz - touched * span  # hot tail: the top `touched` partitions
+        for e in range(n_batches):
+            wh.merge_upsert(
+                "lab", "m",
+                spark.range(batch_rows).select(
+                    (F.col("id") + lo).alias("k"),
+                    F.floor((F.col("id") + lo) / span).cast("int").alias(
+                        "pday"
+                    ),
+                    F.lit(e + 1).alias("ts"),
+                    (F.col("id") + (e + 1) * sz).alias("eid"),
+                    ((F.col("id") * 48271 + e) % 1000).alias("v"),
+                ),
+                ["k"], mode="merge-on-read",
+            )
+        st = wh.pending_delete_stats("lab", "m")
+        chk_before = (
+            wh.read("lab", "m")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(
+                        F.xxhash64("k", "ts", "eid", "v"),
+                        F.lit(1_000_000_007),
+                    )
+                ).alias("h"),
+            )
+            .collect()[0]
+        )
+        t0 = time.perf_counter()
+        if arm == "pending":
+            fold = wh.fold_pending_deletes("lab", "m")
+        else:
+            fold = {"files": wh.optimize("lab", "m")}
+        dt = time.perf_counter() - t0
+        chk_after = (
+            wh.read("lab", "m")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(
+                        F.xxhash64("k", "ts", "eid", "v"),
+                        F.lit(1_000_000_007),
+                    )
+                ).alias("h"),
+            )
+            .collect()[0]
+        )
+        assert (chk_before["n"], chk_before["h"]) == (
+            chk_after["n"], chk_after["h"],
+        ), (size_tag, arm, touched)
+        assert wh.pending_delete_stats("lab", "m") == {
+            "entries": 0, "rows": 0,
+        }
+        # cross-check vs an independent keep-latest recompute count
+        assert chk_after["n"] == keep_latest(
+            wh.read("lab", "m"), ["k"], "ts", "eid"
+        ).count()
+        live = wh.head_snapshot("lab", "m")
+        rows_out.append({
+            "size": size_tag, "rows": sz, "arm": arm,
+            "touched_partitions": touched,
+            "pending_entries": st["entries"],
+            "fold_sec": round(dt, 3),
+            "victims": fold.get("victims"),
+            "new_files": fold.get("files"),
+            "live_files": len(live["files"]),
+        })
+    print(json.dumps({
+        "probe": "fold_scoped",
+        "batch_rows": batch_rows,
+        "batches": n_batches,
+        "partitions": 32,
+        "runs": rows_out,
+    }))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def ndv_decision_probe(n_rows: int, workdir: str) -> None:
     """NDV-informed merge_into discovery A/B (VERDICT r14 #6): at the
     keep-all shape (B distinct uniform keys >> table NDV / file — every
@@ -2816,6 +2956,9 @@ def main() -> None:
         return
     if "--auto-fold" in sys.argv:
         auto_fold_probe(n_rows if args else 4_000_000, workdir)
+        return
+    if "--fold-scoped" in sys.argv:
+        fold_scoped_probe(n_rows if args else 4_000_000, workdir)
         return
     if "--ndv-decision" in sys.argv:
         ndv_decision_probe(n_rows if args else 4_000_000, workdir)

@@ -110,6 +110,11 @@ def test_drain_pipeline_diamond_plus_mirror(spark, tmp_path):
         o.get("keys_refreshed", 0) in (0, None) or o["kind"] != "keep-latest"
         for o in out
     )
+    # stack-health surface (VERDICT r18 #6): every maintainer stage
+    # carries the owned table's zero-job census + whether a fold fired
+    for o in out:
+        assert set(o["pending_deletes"]) == {"entries", "rows"}
+        assert o["fold_fired"] is ("auto_fold" in o)
     assert sorted(
         (r["k"], r["a"], r["b"]) for r in wh.read("lab", "mvj").collect()
     ) == _expected(wh)

@@ -772,6 +772,10 @@ DML_OPS = st.lists(
                 # must equal the row model the table had at the target
                 # version, under the CURRENT (non-reverted) schema
                 "rollback",
+                # r19 delete-scoped fold: rewrite only delete-target
+                # files, retire the pending set exactly — rows invariant
+                # whatever DML/DDL produced the stack, census at zero
+                "fold_pending",
             ]
         ),
         st.integers(0, 9),
@@ -942,6 +946,11 @@ def test_random_dml_sequences_match_row_model(spark, ops):
                 new = "w" if vcol == "v" else "v"
                 wh.rename_column("lab", "t", vcol, new)
                 vcol = new
+            elif op == "fold_pending" and wh._snapshot_versions("lab", "t"):
+                wh.fold_pending_deletes("lab", "t")
+                assert wh.pending_delete_stats("lab", "t") == {
+                    "entries": 0, "rows": 0,
+                }
             elif op == "expire" and wh._snapshot_versions("lab", "t"):
                 wh.expire_snapshots("lab", "t", keep_last=(pick % 2) + 1)
             elif op == "tag" and wh._snapshot_versions("lab", "t"):
