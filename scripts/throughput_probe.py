@@ -1845,14 +1845,18 @@ def fold_scoped_probe(n_rows: int, workdir: str) -> None:
         )
         wh.optimize("lab", "m", target_file_size_bytes=64 * 1024 * 1024)
         lo = sz - touched * span  # hot tail: the top `touched` partitions
+        # STRIDE the batch keys across the whole hot range so `touched`
+        # actually governs how many partitions (and seed files) the eq
+        # deletes reach — contiguous keys would touch one file only
+        stride = max(1, (touched * span) // batch_rows)
         for e in range(n_batches):
             wh.merge_upsert(
                 "lab", "m",
                 spark.range(batch_rows).select(
-                    (F.col("id") + lo).alias("k"),
-                    F.floor((F.col("id") + lo) / span).cast("int").alias(
-                        "pday"
-                    ),
+                    (F.col("id") * stride + lo).alias("k"),
+                    F.floor((F.col("id") * stride + lo) / span)
+                    .cast("int")
+                    .alias("pday"),
                     F.lit(e + 1).alias("ts"),
                     (F.col("id") + (e + 1) * sz).alias("eid"),
                     ((F.col("id") * 48271 + e) % 1000).alias("v"),

@@ -393,3 +393,91 @@ def test_row_shaped_checks_stay_one_pass(spark, tmp_path):
         "aud_many",
     )
     assert few == many
+
+
+def test_publish_pin_randomized_races(spark, tmp_path):
+    """Randomized WAP-race net (VERDICT r18 #1 done-criterion): across
+    a random mix of good/bad staged batches and races injected at the
+    worst point (between publish_if_green's audit and its merge), the
+    invariant holds — EITHER the publish succeeds and main equals the
+    audited branch state, OR a typed refusal (AuditFailed /
+    BranchMovedError) leaves main byte-identical; re-gating after a
+    race always converges."""
+    import random
+
+    from hands_on_iceberg_compression_spark.sources.warehouse import (
+        BranchMovedError,
+    )
+
+    rng = random.Random(1937)
+    wh = _mk(spark, tmp_path, "rndpin")
+    wh.create_branch("lab", "docs", "stage")
+
+    class RacyWH(ParquetWarehouse):
+        race_next = False
+
+        def merge_branch(self, schema, table, name, expected_head=None):
+            if RacyWH.race_next:
+                RacyWH.race_next = False
+                self.append(
+                    schema, table,
+                    spark.createDataFrame(
+                        [(1000 + rng.randrange(1000), "raced", 1.0)],
+                        SCHEMA,
+                    ),
+                    batch_id=f"race{rng.randrange(1 << 30)}",
+                    branch=name,
+                )
+            return super().merge_branch(
+                schema, table, name, expected_head=expected_head
+            )
+
+    racy = RacyWH(spark, wh.root)
+    checks = [{"kind": "not_null", "cols": ["text"], "name": "nn"}]
+    next_id = 50
+    for _ in range(8):
+        bad = rng.random() < 0.4
+        racing = rng.random() < 0.5
+        wh.append(
+            "lab", "docs",
+            spark.createDataFrame(
+                [(next_id, None if bad else f"t{next_id}", 1.0)], SCHEMA
+            ),
+            batch_id=f"s{next_id}", branch="stage",
+        )
+        next_id += 1
+        RacyWH.race_next = racing
+        main_v = wh.current_version("lab", "docs")
+        try:
+            out = publish_if_green(racy, "lab", "docs", "stage", checks)
+        except AuditFailed:
+            assert wh.current_version("lab", "docs") == main_v
+            # heal the branch so later iterations can go green
+            wh.update_where(
+                "lab", "docs", "text IS NULL",
+                {"text": "'healed'"}, branch="stage",
+            )
+        except BranchMovedError:
+            assert racing
+            assert wh.current_version("lab", "docs") == main_v
+        else:
+            # published: main state == the audited branch snapshot
+            assert out["publish"]["version"] == wh.current_version(
+                "lab", "docs"
+            )
+        RacyWH.race_next = False
+    # final convergence: one clean gate publishes everything staged
+    while True:
+        try:
+            publish_if_green(wh, "lab", "docs", "stage", checks)
+            break
+        except AuditFailed:
+            wh.update_where(
+                "lab", "docs", "text IS NULL",
+                {"text": "'healed'"}, branch="stage",
+            )
+    got = sorted(r["doc_id"] for r in wh.read("lab", "docs").collect())
+    want = sorted(
+        r["doc_id"] for r in wh.read("lab", "docs", "stage").collect()
+    )
+    assert got == want
