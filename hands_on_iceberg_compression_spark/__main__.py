@@ -650,12 +650,16 @@ def _cmd_mv_report(args: argparse.Namespace) -> int:
     # whole file list just to count deletes — pending_delete_stats
     # reads the light head only (delete-segment refs carry count/rows)
     dels = wh.pending_delete_stats(mschema, mtable)
+    # fragmentation census rides the same light head (r19): live file
+    # count is what a max_live_files policy would poll
+    fstats = wh.live_file_stats(mschema, mtable)
     applied = _mv_applied_version(wh, mschema, mtable)
     auto = _resolve_agg_mv_mode(wh, mschema, mtable, "auto")
     print(
         f"mv {args.mv}: head v{mv_v}  "
         f"rows={'unknown (pending eq deletes)' if rows is None else rows}  "
         f"pend_dels={dels['entries']}/{dels['rows']}  "
+        f"files={fstats['files']}  "
         f"applied_to={'-' if applied < 0 else f'v{applied}'}  "
         f"auto_mode={auto}"
     )

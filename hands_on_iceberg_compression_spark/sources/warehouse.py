@@ -313,6 +313,8 @@ class AlreadyPublishedError(RuntimeError):
 MAINTENANCE_POLICY_KEYS = {
     "max_pending_delete_entries",
     "max_pending_delete_rows",
+    "max_live_files",
+    "small_file_bytes",
     "target_file_size_bytes",
     "fold_scope",
 }
@@ -334,13 +336,24 @@ def validate_maintenance_policy(policy: dict | None) -> None:
             f"unknown maintenance_policy key(s) {sorted(unknown)} — "
             f"supported: {sorted(MAINTENANCE_POLICY_KEYS)}"
         )
+    if "small_file_bytes" in policy and "max_live_files" not in policy:
+        raise ValueError(
+            "small_file_bytes tunes the max_live_files compaction — "
+            "set max_live_files or drop it (a tuning knob without its "
+            "threshold silently does nothing)"
+        )
     if not any(
         k in policy
-        for k in ("max_pending_delete_entries", "max_pending_delete_rows")
+        for k in (
+            "max_pending_delete_entries",
+            "max_pending_delete_rows",
+            "max_live_files",
+        )
     ):
         raise ValueError(
-            "maintenance_policy needs max_pending_delete_entries and/or "
-            "max_pending_delete_rows — without a threshold it never folds"
+            "maintenance_policy needs max_pending_delete_entries, "
+            "max_pending_delete_rows, and/or max_live_files — without a "
+            "threshold it never fires"
         )
     if policy.get("fold_scope") not in (None, "full", "pending"):
         raise ValueError(
@@ -1517,6 +1530,31 @@ class ParquetWarehouse:
                 )
         if not victims:
             return 0
+        new = self._rewrite_entries_delta(
+            schema, table, meta, head, version, victims,
+            target_file_size_bytes, branch,
+        )
+        return len(new)
+
+    def _rewrite_entries_delta(
+        self,
+        schema: str,
+        table: str,
+        meta: TableMeta,
+        head: dict,
+        version: int,
+        victims: list[dict],
+        target_file_size_bytes: int,
+        branch: str = "main",
+        retire_deletes: list[str] | None = None,
+    ) -> list[str]:
+        """The ONE scoped-rewrite body (r19 factoring — partition-scoped
+        optimize, the delete-scoped fold, and small-file compaction all
+        share it): read the victim entries DELETE-APPLIED under the
+        current schema, write one new generation under the CURRENT
+        spec/sort order, and publish an add+drop delta fenced by
+        ``rewrite_read_version`` and the schema/spec ids of the head
+        that was read.  Returns the new file paths."""
         tdir = self._tdir(schema, table)
         victim_paths = [os.path.join(tdir, e["path"]) for e in victims]
         total = sum(e["bytes"] for e in victims)
@@ -1552,9 +1590,10 @@ class ParquetWarehouse:
             expected_schema_id=head.get("schema_id"),
             expected_spec_id=head["spec_id"] if "specs" in head else 0,
             rewrite_read_version=version,
+            retire_deletes=retire_deletes,
             branch=branch,
         )
-        return len(new)
+        return new
 
     def fold_pending_deletes(
         self,
@@ -1620,49 +1659,87 @@ class ParquetWarehouse:
                 add_files=[], retire_deletes=retire, branch=branch,
             )
             return {"files": 0, "victims": 0, "retired": len(retire)}
-        tdir = self._tdir(schema, table)
-        victim_paths = [os.path.join(tdir, e["path"]) for e in victims]
-        total = sum(e["bytes"] for e in victims)
-        n_files = max(1, math.ceil(total / target_file_size_bytes))
         # delete-APPLIED read of exactly the victims (files outside the
         # hot set are untouched BY CONSTRUCTION of the applicability)
-        df = self._read_entries(schema, table, meta, head, victims)
-        data_dir = self._live_data_dir(schema, table)
-        gen_dir = os.path.join(data_dir, f"compact_{uuid.uuid4().hex[:8]}")
-        if meta.sort_order:
-            sort_cols = [F.col(c) for c in meta.sort_order]
-            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-                *sort_cols
-            )
-            writer = df.write.mode("error")
-        else:
-            writer = df.coalesce(n_files).write.mode("error")
-        cur_part = self._head_partitioning(meta, head)
-        if cur_part:
-            part_names = [n for n, _ in partition_transform_exprs(cur_part)]
-            writer = writer.partitionBy(*part_names)
-        for k, v in self._write_options(meta).items():
-            writer = writer.option(k, v)
-        writer.parquet(gen_dir)
-        new = sorted(
-            os.path.join(base, fn)
-            for base, _d, fns in os.walk(gen_dir)
-            for fn in fns
-            if fn.endswith(".parquet")
-        )
-        self.commit_snapshot(
-            schema, table, "optimize", add_files=new,
-            drop_files=victim_paths, retire_deletes=retire,
-            expected_schema_id=head.get("schema_id"),
-            expected_spec_id=head["spec_id"] if "specs" in head else 0,
-            rewrite_read_version=version,
-            branch=branch,
+        new = self._rewrite_entries_delta(
+            schema, table, meta, head, version, victims,
+            target_file_size_bytes, branch, retire_deletes=retire,
         )
         return {
             "files": len(new),
             "victims": len(victims),
             "retired": len(retire),
         }
+
+    def live_file_stats(
+        self, schema: str, table: str, branch: str = "main"
+    ) -> dict:
+        """{"files", "bytes"} of the ref's LIVE data set — HEAD JSON
+        ONLY (segment refs carry count/bytes; legacy inline heads count
+        their list), the fragmentation twin of
+        ``pending_delete_stats``: zero Spark jobs, no segment parse, so
+        a maintenance policy can poll it every tick for free."""
+        head = self._head_light(schema, table, branch)
+        if head is None:
+            return {"files": 0, "bytes": 0}
+        if "segments" in head:
+            refs = head["segments"]
+            return {
+                "files": sum(r.get("count", 0) for r in refs),
+                "bytes": sum(r.get("bytes", 0) for r in refs),
+            }
+        files = head.get("files") or []
+        return {
+            "files": len(files),
+            "bytes": sum(e["bytes"] for e in files),
+        }
+
+    def compact_small_files(
+        self,
+        schema: str,
+        table: str,
+        small_file_bytes: int = 16 * 1024 * 1024,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        branch: str = "main",
+    ) -> dict:
+        """SMALL-FILE-scoped compaction (r19 — Iceberg's
+        ``rewrite_data_files`` BIN_PACK with ``min-file-size-bytes``):
+        rewrite ONLY the live files smaller than ``small_file_bytes``
+        into target-sized ones, leaving well-sized files untouched —
+        O(small files) per fire however large the table.  This is the
+        FRAGMENTATION twin of ``fold_pending_deletes``: an unbounded
+        CDC mirror accumulates one small image parquet per MoR batch
+        even when its delete stack is bounded, and a full ``optimize()``
+        inside a poll is O(mirror).  Victims read DELETE-APPLIED and
+        commit as an add+drop delta (``_rewrite_entries_delta`` — the
+        same fences as the scoped optimize: ``rewrite_read_version``
+        raises on a concurrent MoR delete, drop conflicts raise, pos
+        delete targets prune on the drop).  Pending eq deletes are NOT
+        retired here (they may still apply to untouched files — that is
+        the delete policy's job); folding them INTO the rewritten rows
+        is exact, the entries just keep applying to the remaining older
+        files.  Fewer than TWO victims is a no-op (rewriting one small
+        file alone gains nothing).  Returns {"files", "victims"}."""
+        meta = self.table_meta(schema, table)
+        if not self._log_mode(meta):
+            raise ValueError(
+                "compact_small_files requires a log-mode "
+                "(snapshots=true) table — victims come from the manifest"
+            )
+        version = self._latest_version(schema, table, branch)
+        if version is None:
+            return {"files": 0, "victims": 0}
+        head = self._load_snapshot(schema, table, version, branch)
+        victims = [
+            e for e in head["files"] if e["bytes"] < small_file_bytes
+        ]
+        if len(victims) < 2:
+            return {"files": 0, "victims": 0}
+        new = self._rewrite_entries_delta(
+            schema, table, meta, head, version, victims,
+            target_file_size_bytes, branch,
+        )
+        return {"files": len(new), "victims": len(victims)}
 
     def _write_pos_deletes(
         self, schema: str, table: str, tuples: DataFrame
@@ -3471,40 +3548,67 @@ class ParquetWarehouse:
 
         ``default_scope`` is the call-site's target class (maintainers
         pass "full", the CDC mirror paths pass "pending"); an explicit
-        policy key always wins.  Returns
-        {"pending_delete_entries", "pending_delete_rows", "scope",
-        "files"[, "victims", "retired"]} when it folded, else None."""
+        policy key always wins.
+
+        ``policy["max_live_files"]`` (r19) is the FRAGMENTATION
+        threshold: past it, ``compact_small_files`` bin-packs the live
+        files smaller than ``policy["small_file_bytes"]`` (default
+        16 MB) — the census is head-JSON-only like the delete one, and
+        the fire is O(small files).  Size it above the steady-state
+        file count (partition count x files/partition) or an all-large
+        table will pay a no-op victim scan every call past threshold.
+
+        Returns {"pending_delete_entries", "pending_delete_rows",
+        "scope", "files"[, "victims", "retired"]} and/or
+        {"small_file_compaction": {...}} when anything fired, else
+        None."""
         if not policy:
             return None
         validate_maintenance_policy(policy)
+        kwargs = {}
+        if "target_file_size_bytes" in policy:
+            kwargs["target_file_size_bytes"] = policy["target_file_size_bytes"]
+        result: dict = {}
         st = self.pending_delete_stats(schema, table, branch=branch)
         over = (
             st["entries"]
             > policy.get("max_pending_delete_entries", float("inf"))
             or st["rows"] > policy.get("max_pending_delete_rows", float("inf"))
         )
-        if not over:
-            return None
-        scope = policy.get("fold_scope", default_scope)
-        kwargs = {}
-        if "target_file_size_bytes" in policy:
-            kwargs["target_file_size_bytes"] = policy["target_file_size_bytes"]
-        if scope == "pending":
-            out = self.fold_pending_deletes(
-                schema, table, branch=branch, **kwargs
-            )
-            files = out["files"]
-            extra = {"victims": out["victims"], "retired": out["retired"]}
-        else:
-            files = self.optimize(schema, table, branch=branch, **kwargs)
-            extra = {}
-        return {
-            "pending_delete_entries": st["entries"],
-            "pending_delete_rows": st["rows"],
-            "scope": scope,
-            "files": files,
-            **extra,
-        }
+        if over:
+            scope = policy.get("fold_scope", default_scope)
+            if scope == "pending":
+                out = self.fold_pending_deletes(
+                    schema, table, branch=branch, **kwargs
+                )
+                files = out["files"]
+                extra = {"victims": out["victims"], "retired": out["retired"]}
+            else:
+                files = self.optimize(schema, table, branch=branch, **kwargs)
+                extra = {}
+            result.update({
+                "pending_delete_entries": st["entries"],
+                "pending_delete_rows": st["rows"],
+                "scope": scope,
+                "files": files,
+                **extra,
+            })
+        # fragmentation threshold (r19): the census is head-JSON-only,
+        # the fire is small-file-scoped — O(small files), never O(table)
+        if "max_live_files" in policy:
+            fs = self.live_file_stats(schema, table, branch=branch)
+            if fs["files"] > policy["max_live_files"]:
+                comp = self.compact_small_files(
+                    schema, table, branch=branch,
+                    small_file_bytes=policy.get(
+                        "small_file_bytes", 16 * 1024 * 1024
+                    ),
+                    **kwargs,
+                )
+                result["small_file_compaction"] = {
+                    "live_files": fs["files"], **comp,
+                }
+        return result or None
 
     def _eq_current_names(self, head: dict, d: dict) -> list[str]:
         """Resolve an equality delete's write-time key column names to the

@@ -196,7 +196,7 @@ def test_merge_upsert_maintenance_policy(spark, tmp_path):
             mode="merge-on-read",
             maintenance_policy={"max_pending_deletes": 3},
         )
-    with pytest.raises(ValueError, match="never folds"):
+    with pytest.raises(ValueError, match="never fires"):
         validate_maintenance_policy({"fold_scope": "pending"})
     with pytest.raises(ValueError, match="unknown fold_scope"):
         validate_maintenance_policy(
@@ -221,3 +221,85 @@ def test_fold_scope_full_still_available(spark, tmp_path):
             assert wh.pending_delete_stats("lab", "t") == {
                 "entries": 0, "rows": 0,
             }
+
+
+def test_compact_small_files_scoped(spark, tmp_path):
+    """r19 fragmentation twin: compact_small_files bin-packs only the
+    live files below the size threshold — well-sized files survive
+    untouched, rows are exact (delete-applied read), and pending eq
+    deletes are NOT retired (they may still apply elsewhere)."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "smallf"))
+    wh.create_table("lab", "t", "zstd", 1, properties={"snapshots": "true"})
+    # one WELL-SIZED file and three tiny ones
+    wh.append(
+        "lab", "t",
+        spark.createDataFrame(
+            [(k, 0, "x" * 200) for k in range(20000)], SCHEMA
+        ).coalesce(1),
+        batch_id="big",
+    )
+    for i in range(3):
+        wh.append(
+            "lab", "t",
+            spark.createDataFrame(
+                [(100000 + i * 10 + j, 0, f"s{i}{j}") for j in range(5)],
+                SCHEMA,
+            ).coalesce(1),
+            batch_id=f"tiny{i}",
+        )
+    st = wh.live_file_stats("lab", "t")
+    head = wh.head_snapshot("lab", "t")
+    assert st["files"] == len(head["files"]) == 4
+    assert st["bytes"] == sum(e["bytes"] for e in head["files"])
+    big_path = max(head["files"], key=lambda e: e["bytes"])["path"]
+    big_bytes = max(e["bytes"] for e in head["files"])
+    # a pending eq delete rides through the compaction un-retired
+    wh.delete_by_keys("lab", "t", [100000], ["k"])
+    expected = _rows(wh)
+    out = wh.compact_small_files(
+        "lab", "t", small_file_bytes=big_bytes
+    )
+    # victims: 3 tiny data files (+ the small delete-image files MoR
+    # would add — none here); the big file is untouched
+    assert out["victims"] == 3 and out["files"] >= 1
+    head2 = wh.head_snapshot("lab", "t")
+    assert big_path in {e["path"] for e in head2["files"]}
+    assert len(head2["files"]) == 2  # big + one packed file
+    assert _rows(wh) == expected
+    # the eq delete folded INTO the rewritten rows but stays pending
+    # for the (older) untouched big file — not retired here
+    assert wh.pending_delete_stats("lab", "t")["entries"] == 1
+    # fewer than two victims -> no-op, no commit
+    v = wh.current_version("lab", "t")
+    assert wh.compact_small_files(
+        "lab", "t", small_file_bytes=1024
+    ) == {"files": 0, "victims": 0}
+    assert wh.current_version("lab", "t") == v
+
+
+def test_max_live_files_policy(spark, tmp_path):
+    """maintenance_policy={"max_live_files": N}: the head-JSON census
+    fires a small-file compaction past the threshold — a merge_upsert
+    loop's file count stays bounded with zero manual maintenance."""
+    wh = _mk(spark, tmp_path, "flimit")
+    pol = {"max_live_files": 6}
+    fired = None
+    for i in range(1, 10):
+        res = wh.merge_upsert(
+            "lab", "t",
+            spark.createDataFrame(
+                [(1000 + i * 10 + j, i, f"u{i}{j}") for j in range(5)],
+                SCHEMA,
+            ),
+            ["k"], mode="merge-on-read", maintenance_policy=pol,
+        )
+        if "auto_fold" in res and "small_file_compaction" in res["auto_fold"]:
+            fired = res["auto_fold"]["small_file_compaction"]
+            assert fired["live_files"] > 6
+        assert wh.live_file_stats("lab", "t")["files"] <= 8
+    assert fired is not None, "the file threshold never fired"
+    # file-only policies are legal (no delete threshold required)...
+    validate_maintenance_policy({"max_live_files": 10})
+    # ...but a tuning knob without its threshold refuses
+    with pytest.raises(ValueError, match="small_file_bytes"):
+        validate_maintenance_policy({"small_file_bytes": 1024})

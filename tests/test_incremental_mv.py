@@ -432,6 +432,7 @@ def test_cli_mv_report(spark, tmp_path, capsys):
     assert "lag=1 commit(s)" in out
     assert "pending_rows_est=1" in out
     assert "mv lab.mv:" in out and "rows=2" in out
+    assert "files=" in out  # r19: fragmentation census on the same head
     assert "auto_mode=copy-on-write" in out
 
     # missing checkpoint reads as bootstrap-pending, not an error
@@ -884,7 +885,7 @@ def test_auto_fold_bounds_delete_stack(spark, tmp_path):
     # typo'd key refuses up front; threshold-less policy refuses too
     with pytest.raises(ValueError, match="unknown maintenance_policy"):
         _mv_tick_pol(wh, ckpt, {"max_pending_deletes": 1})
-    with pytest.raises(ValueError, match="never folds"):
+    with pytest.raises(ValueError, match="never fires"):
         _mv_tick_pol(wh, ckpt, {"target_file_size_bytes": 1 << 20})
 
 
