@@ -38,18 +38,24 @@ RANGE_BAND = 2 * RANGE_TOL
 
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """For each purchase event, the nearest prior (ts <=) click of the same
-    user: union-tag both sides, per-user time order, running last(click).
+    user: tag both sides in ONE scan, per-user time order, running
+    last(click).
 
     Equal-timestamp ties sort clicks before purchases, matching ASOF's
-    inclusive >= bound."""
+    inclusive >= bound.
+
+    r19: the original union of two filtered branches scanned events TWICE
+    (one pass per event_type); a single scan with an isin filter + a CASE
+    tag is row-identical and halves the scan/decode work (guide §2.4 —
+    a union of disjoint filters over one source is an accidental second
+    pass, not a semantic need).  Measured 2x at sf0.1; equality asserted."""
     ev = load_table(spark, sf, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_p")
+    unioned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("src_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("is_p")
-    )
-    unioned = clicks.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_p", "src_id")
@@ -72,11 +78,44 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap-based user sessions via native session_window (4h inactivity
-    closes a session)."""
+    """Gap-based user sessions: 4h inactivity closes a session.
+
+    r19 formulation: lag -> is_new flag -> running sum session id -> groupBy
+    (the classic sessionization shape; same semantics as native
+    ``session_window``, whose gap boundary is exclusive — an event at
+    exactly prev + gap starts a NEW session, hence ``>=``).
+
+    Why not session_window: its physical plan runs a partial HashAggregate
+    keyed on a per-event (start, end) STRUCT before the exchange — at one
+    session-window per event that partial agg reduces nothing, hashes 100%
+    of rows on a 16-byte struct key, and ships the struct through the
+    shuffle (guide §2.3: shuffle fewer bytes).  The lag/cumsum twin shuffles
+    bare (user_id, ts), shares ONE exchange+sort across both window ops AND
+    the final aggregate (hash(user_id) satisfies the groupBy's clustering),
+    and measured ~2x faster at sf0.1 with byte-identical results (oracle
+    unchanged — it was already written in this form).  Rows with NULL ts
+    are dropped exactly as session_window's implicit isnotnull filter did.
+    """
     ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) >= SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        ev.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select("user_id", "ts", F.sum("is_new").over(wc).alias("sess"))
+    )
     return (
-        ev.groupBy("user_id", F.session_window(F.col("ts"), SESSION_GAP))
+        tagged.groupBy("user_id", "sess")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),

@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -63,14 +64,50 @@ def normalize_events_ts(df: DataFrame, ns_as_long: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Per-(session, file) metadata cache: parquet READ schema + the events
+# ns-as-long probe result (r19 optimization, guide §6 "file listing"/metadata
+# overheads).  Schema inference is a driver-side footer read costing
+# 70-170 ms per spark.read.parquet call — pure planning overhead a cataloged
+# table never pays (its schema is declared once).  Caching the inferred
+# schema and re-reading with spark.read.schema(...) keeps plans byte-
+# identical (pushdown/pruning/column order unchanged; the cached schema IS
+# the inferred one) while every build after the first skips the footer job.
+# Keyed by (applicationId, abspath): a new session/JVM re-probes (the
+# ns-as-long answer is runtime-dependent), a different fixture dir is a
+# different key, and the cache holds pure-Python StructTypes only (no JVM
+# references — safe across session restarts).  NEVER cache data or results
+# here: this is plan metadata, recomputed from the file on first touch.
+_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+_NS_PROBE_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _cache_key(spark: SparkSession, path: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, os.path.abspath(path))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _cache_key(spark, path)
     if name == "events":
-        ns_as_long = prepare_events_session(spark, path)
-        return normalize_events_ts(spark.read.parquet(path), ns_as_long)
-    return spark.read.parquet(path)
+        # the session confs are (re)pinned on EVERY call — they are cheap
+        # (no job) and other code may legitimately reset them mid-session;
+        # only the footer-read probe + schema are cached
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if key not in _NS_PROBE_CACHE:
+            raw = spark.read.parquet(path)
+            _NS_PROBE_CACHE[key] = dict(raw.dtypes)["ts"] == "bigint"
+            _SCHEMA_CACHE[key] = raw.schema
+        raw = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+        return normalize_events_ts(raw, _NS_PROBE_CACHE[key])
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
