@@ -62,46 +62,58 @@ def q_dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _word_trigrams(words):
-    """DISTINCT word 3-grams; empty array for docs shorter than N tokens.
+def _word_trigram_hashes(words):
+    """DISTINCT word-3-gram HASHES (``xxhash64(w_i, w_{i+1}, w_{i+2})``,
+    Spark's multi-arg chaining); empty bigint array for docs shorter than N
+    tokens.
 
     IMPORTANT: pass a *materialized column reference* (project the split
     array first), not the split expression itself — higher-order-function
     lambdas are interpreted (no codegen, no CSE), so an inlined split would
     re-tokenize the document for every element_at call: O(len^2) per doc
-    (measured 5.6s -> 0.6s at sf0.1 for shingle generation)."""
+    (measured 5.6s -> 0.6s at sf0.1 for shingle generation).
+
+    r19: hashing the three words directly replaced the previous
+    build-a-"w1 w2 w3"-string-then-hash shape — no per-gram string
+    allocation, array_distinct deduplicates 8-byte longs instead of
+    ~25-char strings, and downstream set ops (array_intersect/union in the
+    exact-Jaccard verify) compare longs.  Trigram-set semantics are
+    unchanged w.h.p. (space-joining words is injective, so string-distinct
+    == tuple-distinct; a 2^-64 hash collision is the same risk class the
+    hashed join keys always carried).  Measured: shingle pass 0.48 -> 0.26 s,
+    full ngram-Jaccard query 3.14 -> 1.88 s at sf0.1, results identical."""
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(NGRAM_N - 1)),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        lambda i: F.xxhash64(
+            F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
         ),
     )
-    return F.array_distinct(F.when(n >= NGRAM_N, grams).otherwise(F.array()))
+    return F.array_distinct(
+        F.when(n >= NGRAM_N, grams).otherwise(F.array().cast("array<bigint>"))
+    )
 
 
-def _with_trigrams(docs: DataFrame, out: str = "grams") -> DataFrame:
-    """doc_id + distinct-trigram array, with the token split materialized
-    in its own projection so the HOF sees a column, not an expression."""
+def _with_trigram_hashes(docs: DataFrame, out: str = "grams") -> DataFrame:
+    """doc_id + distinct-trigram-hash array, with the token split
+    materialized in its own projection so the HOF sees a column, not an
+    expression."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
-    return toks.select("doc_id", _word_trigrams(F.col("words")).alias(out))
+    return toks.select("doc_id", _word_trigram_hashes(F.col("words")).alias(out))
 
 
-def _shingle_df(docs: DataFrame, hashed: bool = False) -> DataFrame:
-    """(doc_id, sh) exploded distinct trigrams.  ``hashed=True`` replaces the
-    ~25-char shingle string with its xxhash64 — the join/shuffle key drops to
-    8 bytes and counts are unchanged w.h.p. (a 2^-64 collision changes one
-    count by one)."""
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) exploded distinct trigram hashes — the join/shuffle key
+    is 8 bytes and counts match the raw-string-shingle counts w.h.p. (a
+    2^-64 collision changes one count by one)."""
     # exact shape matters: explode(trigrams(words_col)) directly over the
     # words projection keeps the split materialized (0.6s at sf0.1); an
     # intermediate grams projection lets the optimizer re-inline the split
     # into the interpreted HOF lambda (9.5s)
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
-    sh_expr = F.explode(_word_trigrams(F.col("words"))).alias("sh")
-    out = toks.select("doc_id", sh_expr)
-    if hashed:
-        out = out.select("doc_id", F.xxhash64(F.col("sh")).alias("sh"))
-    return out
+    return toks.select(
+        "doc_id", F.explode(_word_trigram_hashes(F.col("words"))).alias("sh")
+    )
 
 
 def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -127,10 +139,8 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     from pyspark.sql.window import Window
 
-    words = _with_trigrams(docs).localCheckpoint(eager=True)
-    sh_all = words.select(
-        "doc_id", F.explode(F.col("grams")).alias("s0")
-    ).select("doc_id", F.xxhash64(F.col("s0")).alias("sh"))
+    words = _with_trigram_hashes(docs).localCheckpoint(eager=True)
+    sh_all = words.select("doc_id", F.explode(F.col("grams")).alias("sh"))
     sh = (
         sh_all.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("df") <= NGRAM_MAX_DF)
@@ -168,20 +178,24 @@ def _verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
     Shingles, not word sets: documents drawn from a small vocabulary share
     nearly all *words* (set-Jaccard ~1 for everything — quadratic candidate
     blowup), while 3-gram *sequences* discriminate (true near-dups ~0.99,
-    random pairs ~0).  The shingle string is hashed ONCE; each permutation
-    re-hashes the 8-byte long, not the string — 64x less string hashing in
-    the hot loop.
+    random pairs ~0).  The trigram is hashed ONCE (direct 3-word xxhash64,
+    no shingle string built — r19); each permutation re-hashes the 8-byte
+    long, not the string — 64x less string hashing in the hot loop.
 
     The 16 band buckets are a literal column array (codegen'd), not a
-    transform() lambda — HOF lambdas are interpreted.  A checkpoint-the-
-    trigrams-once variant (one corpus tokenization pass instead of three)
-    was A/B-measured and REJECTED: interleaved warm best-of-4 at sf0.1 is
-    2.39 s rescan vs 2.74 s checkpointed — on a page-cached source the
-    re-scan is fused into codegen and beats the materialization round-trip
-    (same negative-result family as the join-free HOF pair generation,
-    PERF.md).  On a cluster where the source scan is remote IO, persist()
-    on the trigram projection is the first knob to revisit."""
-    sh = _shingle_df(docs, hashed=True)
+    transform() lambda — HOF lambdas are interpreted.  Negative results on
+    file (kept so they are not re-tried): (a) checkpoint-the-trigrams-once
+    (2.39 s rescan vs 2.74 s checkpointed warm at sf0.1 — on a page-cached
+    source the re-scan fuses into codegen; revisit persist() when the scan
+    is remote IO); (b) r19 xor-rotate signature family (min over
+    h1^rotl(h2,i) instead of 64 xxhash64 calls: 1.28 s vs 1.13 s — the agg
+    machinery, not the hash, bounds the signature stage); (c) r19 semi-
+    join-pruned exact verify (checkpoint cands, trigram only candidate
+    docs: 3.08 s vs 2.95 s — the checkpoint barrier + extra jobs cost more
+    than the saved trigram compute on a page-cached 5k-doc corpus; the
+    pruning becomes the right shape when the corpus scan is remote and the
+    candidate fraction is small)."""
+    sh = _shingle_df(docs)
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_PERMS)
@@ -196,6 +210,9 @@ def _verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
     )
 
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+    # band bucket = multi-arg xxhash64 of the band's signature slice (r19:
+    # the previous concat_ws(",") built a ~80-char string per band per doc
+    # just to hash it — hashing the 4 longs directly is allocation-free)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -204,12 +221,10 @@ def _verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.slice(
-                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
-                                ),
-                            )
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(LSH_BANDS)
@@ -231,7 +246,10 @@ def _verified_near_dup_pairs(docs: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    words = _with_trigrams(docs, "ws")
+    # exact verify on trigram-HASH sets (longs): intersection/union counts
+    # equal the string-set counts w.h.p. and compare 8-byte values instead
+    # of ~25-char strings
+    words = _with_trigram_hashes(docs, "ws")
     wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
@@ -333,7 +351,15 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     whole upstream LSH pipeline 2^iters times and OOMs the driver during
     planning, at any data size."""
     docs = load_table(spark, sf, "documents")
-    edges = _verified_near_dup_pairs(docs).select("doc_a", "doc_b")
+    # materialize the verified pairs ONCE before the symmetric closure —
+    # a union whose two branches both reference the un-materialized pair
+    # pipeline executes the whole LSH+verify plan twice (r19; the same
+    # double-evaluation class as the iterative-lineage rule below)
+    edges = (
+        _verified_near_dup_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     # symmetric closure once; labels ride on the vertex set of the edge graph
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -352,19 +378,25 @@ SIMHASH_BITS = 48
 
 
 def _simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 48-bit bitwise-majority signature per document."""
+    """(doc_id, simhash): 48-bit bitwise-majority signature per document.
+
+    r19: each bit aggregate is a bare ``sum((h >> j) & 1)`` plus one shared
+    ``count(*)`` — the previous per-bit ``when(bit==1, 1).otherwise(-1)``
+    CASE is equivalent (sum(±1) > 0  ⟺  2·ones > n) but evaluated a branch
+    per token per bit.  Signature values are IDENTICAL (majority rule
+    unchanged; the recompute pin needed no update)."""
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     h = F.xxhash64(F.col("w"))
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    per_doc = toks.groupBy("doc_id").agg(*bit_aggs)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_aggs)
     sim = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(
+            F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return per_doc.select("doc_id", sim.alias("simhash"))
 

@@ -188,7 +188,7 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     from hands_on_iceberg_compression_spark.operators.dedup import _shingle_df
 
     docs = load_table(spark, sf, "documents")
-    sh = _shingle_df(docs, hashed=True)
+    sh = _shingle_df(docs)
     is_eval = F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == 0
     eval_sh = sh.filter(is_eval).select("sh").distinct()
     train_sh = sh.filter(~is_eval)

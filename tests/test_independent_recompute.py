@@ -237,11 +237,17 @@ def test_simhash_near_dup_recompute(spark, expected_simhashes):
 # ---------------------------------------------------------------------------
 
 
-def _trigram_set(text: str) -> set[str]:
+def _trigram_set(text: str) -> set[int]:
+    """Distinct trigram HASHES — r19: the engine hashes the three words
+    directly (multi-arg xxhash64) instead of building a 'w1 w2 w3' string
+    and hashing that; the recompute mirrors the new encoding."""
     words = text.split(" ")
     if len(words) < 3:
         return set()
-    return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    return {
+        xxh64_spark(words[i], words[i + 1], words[i + 2])
+        for i in range(len(words) - 2)
+    }
 
 
 def _expected_verified_pairs(docs_pdf):
@@ -259,18 +265,17 @@ def _expected_verified_pairs(docs_pdf):
         if not gset:
             continue
         # xxhash64(sh, i) chains through the seed: the inner xxhash64 of the
-        # 8-byte shingle hash is permutation-invariant — hoist it
-        bases = [
-            xxh64(struct.pack("<q", xxh64_spark(g)), _SPARK_SEED) for g in gset
-        ]
+        # 8-byte shingle hash is permutation-invariant — hoist it (gset
+        # already holds the signed trigram hashes)
+        bases = [xxh64(struct.pack("<q", g), _SPARK_SEED) for g in gset]
         sig = [
             min(_signed(xxh64(pb, base)) for base in bases) for pb in perm_bytes
         ]
         for b in range(LSH_BANDS):
-            key = ",".join(
-                str(v) for v in sig[b * rows_per_band : (b + 1) * rows_per_band]
-            )
-            buckets[(b, xxh64_spark(key))].append(doc_id)
+            # r19: band bucket = multi-arg xxhash64 of the signature slice
+            # (8-byte LE longs chained), not a comma-joined string
+            sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            buckets[(b, xxh64_spark(*sl))].append(doc_id)
     cands = set()
     for members in buckets.values():
         members = sorted(set(members))
