@@ -62,10 +62,10 @@ def main() -> None:
 
         docs = load_table(spark, SF, "documents")
         t("scan only", lambda: noop(docs), runs)
-        t("shingles (hashed)", lambda: noop(D._shingle_df(docs, hashed=True)), runs)
+        t("shingles (hashed)", lambda: noop(D._shingle_df(docs)), runs)
 
         def sig_current():
-            sh = D._shingle_df(docs, hashed=True)
+            sh = D._shingle_df(docs)
             aggs = [
                 F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
                 for i in range(D.MINHASH_PERMS)
@@ -75,7 +75,7 @@ def main() -> None:
         t("signatures (64x xxhash64)", sig_current, runs)
 
         def sig_combo():
-            sh = D._shingle_df(docs, hashed=True)
+            sh = D._shingle_df(docs)
             h1 = F.xxhash64(F.col("sh"))
             h2 = F.xxhash64(F.col("sh"), F.lit(1))
             sh2 = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
@@ -93,7 +93,7 @@ def main() -> None:
         t("full verified pairs (current)", full_current, runs)
 
         # stage split of the current pipeline
-        sh = D._shingle_df(docs, hashed=True)
+        sh = D._shingle_df(docs)
         aggs = [
             F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
             for i in range(D.MINHASH_PERMS)
@@ -241,7 +241,7 @@ def main() -> None:
                 .distinct()
             )
             cdocs = docs.join(F.broadcast(ids), "doc_id", "left_semi")
-            words = D._with_trigrams(cdocs, "ws")
+            words = D._with_trigram_hashes(cdocs, "ws")
             wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
             wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
             inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
@@ -354,10 +354,10 @@ def main() -> None:
 
         t(
             "trigram checkpoint (words materialize)",
-            lambda: D._with_trigrams(docs).localCheckpoint(eager=True),
+            lambda: D._with_trigram_hashes(docs).localCheckpoint(eager=True),
             runs,
         )
-        words = D._with_trigrams(docs).localCheckpoint(eager=True)
+        words = D._with_trigram_hashes(docs).localCheckpoint(eager=True)
         sh_all = words.select(
             "doc_id", F.explode(F.col("grams")).alias("s0")
         ).select("doc_id", F.xxhash64(F.col("s0")).alias("sh"))
