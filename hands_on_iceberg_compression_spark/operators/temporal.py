@@ -48,7 +48,8 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     (one pass per event_type); a single scan with an isin filter + a CASE
     tag is row-identical and halves the scan/decode work (guide §2.4 —
     a union of disjoint filters over one source is an accidental second
-    pass, not a semantic need).  Measured 2x at sf0.1; equality asserted."""
+    pass, not a semantic need).  Measured -29% solo at sf0.1 (~2x under
+    host contention); equality asserted."""
     ev = load_table(spark, sf, "events")
     unioned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
