@@ -145,3 +145,23 @@ def test_bench_canary_inflation_math():
     ratios = bench._canary_ratios(at_floor, spiked)
     assert ratios["io_read_sec"] == 2.0
     assert ratios["cpu_sec"] == 1.0 and ratios["io_write_sec"] == 1.0
+
+
+def test_bench_official_attempt_is_lowest_total():
+    """r19 measurement-protocol fix: the official attempt is the lowest
+    TOTAL — bracketing canaries cannot see a squall that starts mid-run,
+    so a low-inflation/high-total attempt must never win (observed live:
+    15.48 s @ 2.80 vs 28.93 s @ 1.77 — the old tie-break picked 28.93)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    attempts = [
+        {"total": 15.48, "inflation": 2.803},
+        {"total": 28.93, "inflation": 1.771},
+    ]
+    assert bench._official_attempt_ix(attempts) == 0
+    assert bench._official_attempt_ix(list(reversed(attempts))) == 1
+    assert bench._official_attempt_ix([{"total": 10.0, "inflation": 1.2}]) == 0
