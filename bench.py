@@ -260,6 +260,12 @@ def main() -> None:
     canary_pre = _host_canary()  # before the JVM exists: host state, solo
     spark = make_session(app_name="bench")
     queries = all_queries()
+    # Contract self-evidence (VERDICT r19 #2): the driver's scaling heuristic
+    # flagged suspect_cpus_ignored because nothing in the JSON showed the
+    # resolved master.  These are ADDITIVE keys; the env var has always been
+    # honored via make_session (session.py reads $SPARK_GRAFT_CPUS).
+    resolved_master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
 
     # JVM/session warmup so fixed startup cost isn't billed to the first query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -320,6 +326,14 @@ def main() -> None:
                     {"total": a["total"], "inflation": a["inflation"]}
                     for a in attempts
                 ],
+                # ADVICE r19: the guardrail should read the official total
+                # against the MIN inflation across attempts, not the chosen
+                # attempt's own (possibly squall-bracketed) inflation —
+                # emitted here so the ceiling is computable from the line.
+                "guardrail_inflation": min(a["inflation"] for a in attempts),
+                "master": resolved_master,
+                "default_parallelism": default_parallelism,
+                "sf_dir": sf_dir,
             }
         )
     )

@@ -77,12 +77,21 @@ def normalize_events_ts(df: DataFrame, ns_as_long: bool) -> DataFrame:
 # different key, and the cache holds pure-Python StructTypes only (no JVM
 # references — safe across session restarts).  NEVER cache data or results
 # here: this is plan metadata, recomputed from the file on first touch.
-_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
-_NS_PROBE_CACHE: dict[tuple[str, str], bool] = {}
+_SCHEMA_CACHE: dict[tuple[str, str, int, int], StructType] = {}
+_NS_PROBE_CACHE: dict[tuple[str, str, int, int], bool] = {}
 
 
-def _cache_key(spark: SparkSession, path: str) -> tuple[str, str]:
-    return (spark.sparkContext.applicationId, os.path.abspath(path))
+def _cache_key(spark: SparkSession, path: str) -> tuple[str, str, int, int]:
+    # (st_mtime_ns, st_size) folded in (ADVICE r19): a file rewritten
+    # in-place with a different schema during the same application must
+    # invalidate the entry, or explicit-schema reads would misdecode.
+    st = os.stat(path)
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        st.st_mtime_ns,
+        st.st_size,
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,343 @@
+#!/usr/bin/env python
+"""Round-20 optimization experiments (guide §1.4: noop sink isolation).
+
+The r19 plan dumps show the dominant defect in both heavy dedup queries:
+the LSH/shingle self-join's right side is a BroadcastExchange that REBUILDS
+the whole upstream pipeline (64-agg signature stage / doc-frequency window
+stage) instead of reusing the left side's work.  Candidates:
+
+  minhash   V0 current | V1 +localCheckpoint(bands) | V2 V1+packed single-
+            long band key | V3 V2+shared checkpointed verify words
+  ngram     N0 current | N1 +localCheckpoint(filtered shingles)
+  knn       K0 current | K1 checkpointed unit-vector frame
+  quality   Q0 current | Q1 regexp_count digits | Q2 Q1+regexp_count stopwords
+            (equality-checked: oracle-facing query, results must be identical)
+
+Every variant is result-equality-checked against the current implementation
+before its timing is trusted.
+
+Usage: python scripts/exp_r20_stages.py <mode> [--runs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hands_on_iceberg_compression_spark.session import make_session
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(label: str, fn, runs: int = 3) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:58s} {best:8.3f} s", flush=True)
+    return best
+
+
+def interleaved(labels_fns: list, runs: int = 4) -> None:
+    """Interleave variants round-robin so host drift hits all equally."""
+    best = [float("inf")] * len(labels_fns)
+    for _ in range(runs):
+        for i, (_, fn) in enumerate(labels_fns):
+            t0 = time.perf_counter()
+            fn()
+            best[i] = min(best[i], time.perf_counter() - t0)
+    for (label, _), b in zip(labels_fns, best):
+        print(f"[interleaved] {label:44s} {b:8.3f} s", flush=True)
+
+
+def noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def rows_equal(a: DataFrame, b: DataFrame, sort_cols: list) -> bool:
+    ra = sorted(tuple(r) for r in a.select(*sort_cols).collect())
+    rb = sorted(tuple(r) for r in b.select(*sort_cols).collect())
+    same = ra == rb
+    print(f"  equality: {len(ra)} vs {len(rb)} rows -> {'OK' if same else 'MISMATCH'}", flush=True)
+    if not same:
+        only_a = [r for r in ra if r not in set(rb)][:5]
+        only_b = [r for r in rb if r not in set(ra)][:5]
+        print(f"  only_a={only_a}\n  only_b={only_b}", flush=True)
+    return same
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_variants(spark, docs):
+    from hands_on_iceberg_compression_spark.operators import dedup as D
+
+    rows_per_band = D.MINHASH_PERMS // D.LSH_BANDS
+
+    def sig_frame(shingles):
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(D.MINHASH_PERMS)
+        ]
+        return (
+            shingles.groupBy("doc_id")
+            .agg(*aggs)
+            .select(
+                "doc_id",
+                F.array(*[F.col(f"h{i}") for i in range(D.MINHASH_PERMS)]).alias("sig"),
+            )
+        )
+
+    def bands_struct(sig):
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(D.LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    def bands_packed(sig):
+        # band id hashed INTO the bucket: one long key, band distinctness
+        # preserved w.h.p. (2^-64 cross-band collision = the accepted class)
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(D.LSH_BANDS)
+                    ]
+                )
+            ).alias("bkt"),
+        )
+
+    def cands_from(bands, keys):
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+        return (
+            a.join(b, cond)
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+
+    def verify(cands, words):
+        wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+        wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+        inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+        union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b")))
+        return (
+            cands.join(wa, "doc_a")
+            .join(wb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= D.MINHASH_JACCARD_THRESHOLD)
+        )
+
+    def v0():
+        return D._verified_near_dup_pairs(docs)
+
+    def v1():
+        bands = bands_struct(sig_frame(D._shingle_df(docs))).localCheckpoint(eager=True)
+        return verify(cands_from(bands, ["band", "bucket"]), D._with_trigram_hashes(docs, "ws"))
+
+    def v2():
+        bands = bands_packed(sig_frame(D._shingle_df(docs))).localCheckpoint(eager=True)
+        return verify(cands_from(bands, ["bkt"]), D._with_trigram_hashes(docs, "ws"))
+
+    def v3():
+        bands = bands_packed(sig_frame(D._shingle_df(docs))).localCheckpoint(eager=True)
+        words = D._with_trigram_hashes(docs, "ws").localCheckpoint(eager=True)
+        return verify(cands_from(bands, ["bkt"]), words)
+
+    def v2nc():  # packed key, NO checkpoint (isolates the two effects)
+        bands = bands_packed(sig_frame(D._shingle_df(docs)))
+        return verify(cands_from(bands, ["bkt"]), D._with_trigram_hashes(docs, "ws"))
+
+    return {"V0 current": v0, "V1 ckpt bands": v1, "V2 ckpt+packed": v2,
+            "V3 V2+ckpt words": v3, "V2nc packed only": v2nc}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode")
+    ap.add_argument("--runs", type=int, default=4)
+    args = ap.parse_args()
+
+    spark = make_session(app_name=f"exp_r20_{args.mode}")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    runs = args.runs
+
+    from hands_on_iceberg_compression_spark.sources.fixtures import load_table
+
+    if args.mode == "minhash":
+        docs = load_table(spark, SF, "documents")
+        vs = minhash_variants(spark, docs)
+        # equality first (collects, also warms)
+        base = vs["V0 current"]()
+        for name in ["V1 ckpt bands", "V2 ckpt+packed", "V3 V2+ckpt words"]:
+            print(name, flush=True)
+            assert rows_equal(base, vs[name](), ["doc_a", "doc_b", "jaccard"])
+        interleaved([(n, (lambda f=f: noop(f()))) for n, f in vs.items()], runs)
+
+    elif args.mode == "ngram":
+        from hands_on_iceberg_compression_spark.operators import dedup as D
+        from pyspark.sql.window import Window
+
+        docs = load_table(spark, SF, "documents")
+
+        def n0():
+            return D.q_ngram_jaccard_topk(spark, SF)
+
+        def n1():
+            words = D._with_trigram_hashes(docs).localCheckpoint(eager=True)
+            sh_all = words.select("doc_id", F.explode(F.col("grams")).alias("sh"))
+            sh = (
+                sh_all.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+                .filter(F.col("df") <= D.NGRAM_MAX_DF)
+                .select("doc_id", "sh")
+                .localCheckpoint(eager=True)
+            )
+            sizes = words.select("doc_id", F.size(F.col("grams")).alias("n_sh"))
+            a = sh.alias("a")
+            b = sh.alias("b")
+            common = (
+                a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                .agg(F.count("*").alias("common"))
+            )
+            sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+            sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+            jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            return (
+                common.join(F.broadcast(sa), "doc_a")
+                .join(F.broadcast(sb), "doc_b")
+                .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                .orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+                .limit(D.TOPK_PAIRS)
+            )
+
+        print("equality n0 vs n1", flush=True)
+        assert rows_equal(n0(), n1(), ["doc_a", "doc_b", "jaccard"])
+        interleaved([("N0 current", lambda: n0().collect()),
+                     ("N1 ckpt shingles", lambda: n1().collect())], runs)
+
+    elif args.mode == "knn":
+        from hands_on_iceberg_compression_spark.operators import similarity as S
+        from pyspark.sql.window import Window
+
+        emb = load_table(spark, SF, "embeddings")
+
+        def k0():
+            return S.q_knn_bruteforce(spark, SF)
+
+        def k1():
+            unit = S._with_unit(emb, "embedding", "u").select("vec_id", "u").localCheckpoint(
+                eager=True
+            )
+            queries = unit.filter(F.col("vec_id") < S.N_QUERIES).select(
+                F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+            )
+            cands = unit.select(F.col("vec_id").alias("n_id"), F.col("u").alias("n_u"))
+            sim = S._dot(F.col("q_u"), F.col("n_u"))
+            w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+            return (
+                cands.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
+                .select("q_id", "n_id", sim.alias("sim"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= S.TOPK)
+                .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+            )
+
+        print("equality k0 vs k1", flush=True)
+        assert rows_equal(k0(), k1(), ["q_id", "n_id", "sim", "rank"])
+        interleaved([("K0 current", lambda: k0().collect()),
+                     ("K1 ckpt units", lambda: k1().collect())], runs)
+
+    elif args.mode == "quality":
+        from hands_on_iceberg_compression_spark.operators import textops as T
+
+        docs = load_table(spark, SF, "documents")
+
+        def q0():
+            return T.q_quality_score(spark, SF)
+
+        def q1():  # digits via regexp_count; toks projected once
+            toks_df = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+            toks = F.col("toks")
+            n = F.size(toks)
+            stop_n = F.size(F.filter(toks, lambda w: T._any_eq(w, T._STOPWORDS)))
+            digit_n = F.regexp_count(F.col("text"), F.lit("[0-9]"))
+            uniq_n = F.size(F.array_distinct(toks))
+            return toks_df.select(
+                "doc_id",
+                F.length("text").alias("n_chars_obs"),
+                n.alias("n_tokens"),
+                F.round(stop_n.cast("double") / n, 4).alias("stopword_ratio"),
+                F.round(digit_n.cast("double") / F.length("text"), 4).alias("digit_ratio"),
+                F.round(uniq_n.cast("double") / n, 4).alias("distinct_ratio"),
+            )
+
+        def q2():  # stopwords via lookaround regexp_count too
+            pat = "(?<=^| )(" + "|".join(T._STOPWORDS) + ")(?=$| )"
+            toks_df = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+            toks = F.col("toks")
+            n = F.size(toks)
+            stop_n = F.regexp_count(F.col("text"), F.lit(pat))
+            digit_n = F.regexp_count(F.col("text"), F.lit("[0-9]"))
+            uniq_n = F.size(F.array_distinct(toks))
+            return toks_df.select(
+                "doc_id",
+                F.length("text").alias("n_chars_obs"),
+                n.alias("n_tokens"),
+                F.round(stop_n.cast("double") / n, 4).alias("stopword_ratio"),
+                F.round(digit_n.cast("double") / F.length("text"), 4).alias("digit_ratio"),
+                F.round(uniq_n.cast("double") / n, 4).alias("distinct_ratio"),
+            )
+
+        cols = ["doc_id", "n_chars_obs", "n_tokens", "stopword_ratio", "digit_ratio", "distinct_ratio"]
+        print("equality q0 vs q1", flush=True)
+        assert rows_equal(q0(), q1(), cols)
+        print("equality q0 vs q2", flush=True)
+        assert rows_equal(q0(), q2(), cols)
+        interleaved([("Q0 current", lambda: q0().collect()),
+                     ("Q1 regexp digits", lambda: q1().collect()),
+                     ("Q2 Q1+regexp stopwords", lambda: q2().collect())], runs)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

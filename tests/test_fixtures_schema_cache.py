@@ -11,6 +11,19 @@ from hands_on_iceberg_compression_spark.sources import fixtures as FX
 from tests.conftest import SF_ORACLE, SF_SMALL
 
 
+@pytest.fixture(autouse=True)
+def _restore_caches():
+    """ADVICE r19: tests clear the module-global caches — snapshot and
+    restore them so cache state never leaks between tests."""
+    schema_snap = dict(FX._SCHEMA_CACHE)
+    probe_snap = dict(FX._NS_PROBE_CACHE)
+    yield
+    FX._SCHEMA_CACHE.clear()
+    FX._SCHEMA_CACHE.update(schema_snap)
+    FX._NS_PROBE_CACHE.clear()
+    FX._NS_PROBE_CACHE.update(probe_snap)
+
+
 def test_cached_build_schema_and_rows_identical(spark):
     FX._SCHEMA_CACHE.clear()
     FX._NS_PROBE_CACHE.clear()
@@ -48,3 +61,28 @@ def test_events_ts_is_timestamp_on_hit(spark):
 def test_unknown_table_still_refuses(spark):
     with pytest.raises(KeyError):
         FX.load_table(spark, SF_ORACLE, "nope")
+
+
+def test_inplace_rewrite_invalidates_cache(spark, tmp_path):
+    """ADVICE r19: a parquet file rewritten in-place with a different schema
+    during the same application must MISS the cache (key folds mtime+size),
+    so the explicit-schema read can never misdecode the new file."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    FX._SCHEMA_CACHE.clear()
+    FX._NS_PROBE_CACHE.clear()
+    d = tmp_path / "sfX"
+    d.mkdir()
+    dst = d / "documents.parquet"
+    shutil.copyfile(f"{SF_ORACLE}/documents.parquet", dst)
+    first = FX.load_table(spark, str(d), "documents")
+    first_schema = first.schema
+    # rewrite in place with one column dropped (different schema, same path)
+    tbl = pq.read_table(dst)
+    pq.write_table(tbl.drop_columns([tbl.schema.names[-1]]), dst)
+    second = FX.load_table(spark, str(d), "documents")
+    assert len(second.schema) == len(first_schema) - 1
+    second.limit(1).collect()  # decodes under the re-inferred schema

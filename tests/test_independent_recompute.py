@@ -260,7 +260,7 @@ def _expected_verified_pairs(docs_pdf):
     grams = {int(r.doc_id): _trigram_set(r.text) for r in docs_pdf.itertuples()}
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     perm_bytes = [struct.pack("<i", i) for i in range(MINHASH_PERMS)]
-    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    buckets: dict[int, list[int]] = defaultdict(list)
     for doc_id, gset in grams.items():
         if not gset:
             continue
@@ -272,10 +272,11 @@ def _expected_verified_pairs(docs_pdf):
             min(_signed(xxh64(pb, base)) for base in bases) for pb in perm_bytes
         ]
         for b in range(LSH_BANDS):
-            # r19: band bucket = multi-arg xxhash64 of the signature slice
-            # (8-byte LE longs chained), not a comma-joined string
+            # r20: band bucket = ONE long, xxhash64(band id as INT literal,
+            # signature slice) — the band id is hashed INTO the bucket so
+            # the engine's explode emits a bare long array (no struct)
             sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            buckets[(b, xxh64_spark(*sl))].append(doc_id)
+            buckets[xxh64_spark(("i", b), *sl)].append(doc_id)
     cands = set()
     for members in buckets.values():
         members = sorted(set(members))
