@@ -395,6 +395,295 @@ def main() -> None:
             ("SIG explode+min per (doc,perm)", sig_minby_explode),
         ], runs)
 
+    if args.mode == "minhash3":
+        # verify-join direction: current plan broadcasts the FULL-corpus
+        # trigram arrays (two 5000-array hash relations); alternative keeps
+        # the tiny candidate side as the build side both times.
+        from hands_on_iceberg_compression_spark.operators import dedup as D
+
+        docs = load_table(spark, SF, "documents")
+
+        def w0():
+            return D._verified_near_dup_pairs(docs)
+
+        def w1():
+            sh = D._shingle_df(docs)
+            rows_per_band = D.MINHASH_PERMS // D.LSH_BANDS
+            aggs = [
+                F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+                for i in range(D.MINHASH_PERMS)
+            ]
+            sig = (
+                sh.groupBy("doc_id").agg(*aggs)
+                .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(D.MINHASH_PERMS)]).alias("sig"))
+            )
+            bands = sig.select(
+                "doc_id",
+                F.explode(F.array(*[
+                    F.xxhash64(F.lit(b), *[
+                        F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]) for b in range(D.LSH_BANDS)
+                ])).alias("bkt"),
+            )
+            a, b = bands.alias("a"), bands.alias("b")
+            cands = (
+                a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                .distinct()
+            )
+            words = D._with_trigram_hashes(docs, "ws")
+            wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+            wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+            # build side = the small frames (cands, then cands+ws_a)
+            step1 = wa.join(F.broadcast(cands), "doc_a")
+            step2 = wb.join(F.broadcast(step1), "doc_b")
+            inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+            union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b")))
+            return step2.select(
+                "doc_a", "doc_b",
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            ).filter(F.col("jaccard") >= D.MINHASH_JACCARD_THRESHOLD)
+
+        print("equality w0 vs w1", flush=True)
+        assert rows_equal(w0(), w1(), ["doc_a", "doc_b", "jaccard"])
+        interleaved([("W0 current (bcast words)", lambda: noop(w0())),
+                     ("W1 bcast cands", lambda: noop(w1()))], runs)
+
+    if args.mode == "ngramsplit":
+        # post-r20-fix stage split of dedup_ngram_jaccard (noop-isolated)
+        from pyspark.sql.window import Window
+
+        from hands_on_iceberg_compression_spark.operators import dedup as D
+
+        docs = load_table(spark, SF, "documents")
+
+        def ckpt_words():
+            D._with_trigram_hashes(docs).localCheckpoint(eager=True)
+
+        def window_and_ckpt():
+            words = D._with_trigram_hashes(docs).localCheckpoint(eager=True)
+            sh_all = words.select("doc_id", F.explode(F.col("grams")).alias("sh"))
+            (
+                sh_all.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+                .filter(F.col("df") <= D.NGRAM_MAX_DF)
+                .select("doc_id", "sh")
+                .localCheckpoint(eager=True)
+            )
+
+        def full():
+            noop(D.q_ngram_jaccard_topk(spark, SF))
+
+        interleaved([
+            ("NG words ckpt only", ckpt_words),
+            ("NG words+window ckpt", window_and_ckpt),
+            ("NG full query", full),
+        ], runs)
+
+    if args.mode == "ngram2":
+        # bucket-pairs formulation: groupBy(sh).collect_list replaces BOTH
+        # the doc-frequency window AND the self-join — bucket size IS the
+        # document frequency (sh is distinct per doc), so filter(size<=df)
+        # is the same cap, and per-bucket pair expansion over a <=100-long
+        # sorted array replaces the 1M-row broadcast-hash self-join.
+        from hands_on_iceberg_compression_spark.operators import dedup as D
+
+        docs = load_table(spark, SF, "documents")
+
+        def g0():
+            return D.q_ngram_jaccard_topk(spark, SF)
+
+        def g1():
+            words = D._with_trigram_hashes(docs).localCheckpoint(eager=True)
+            sh_all = words.select("doc_id", F.explode(F.col("grams")).alias("sh"))
+            ds = F.array_sort(F.collect_list("doc_id"))
+            buckets = (
+                sh_all.groupBy("sh")
+                .agg(ds.alias("ds"))
+                .filter(F.size(F.col("ds")) <= D.NGRAM_MAX_DF)
+                .filter(F.size(F.col("ds")) >= 2)
+                .select("ds")
+            )
+            n = F.size(F.col("ds"))
+            pair_arr = F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, n - i - 1),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+            pairs = buckets.select(F.explode(pair_arr).alias("p")).select(
+                F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+            )
+            common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+            sizes = words.select("doc_id", F.size(F.col("grams")).alias("n_sh"))
+            sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+            sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+            jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            return (
+                common.join(F.broadcast(sa), "doc_a")
+                .join(F.broadcast(sb), "doc_b")
+                .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                .orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+                .limit(D.TOPK_PAIRS)
+            )
+
+        print("equality g0 vs g1", flush=True)
+        assert rows_equal(g0(), g1(), ["doc_a", "doc_b", "jaccard"])
+        interleaved([("G0 current", lambda: g0().collect()),
+                     ("G1 bucket pairs", lambda: g1().collect())], runs)
+
+    if args.mode == "minhash4":
+        # same bucket-pairs idea for the LSH candidate join
+        from hands_on_iceberg_compression_spark.operators import dedup as D
+
+        docs = load_table(spark, SF, "documents")
+
+        def m0():
+            return D._verified_near_dup_pairs(docs)
+
+        def m1():
+            sh = D._shingle_df(docs)
+            rows_per_band = D.MINHASH_PERMS // D.LSH_BANDS
+            aggs = [
+                F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+                for i in range(D.MINHASH_PERMS)
+            ]
+            sig = (
+                sh.groupBy("doc_id").agg(*aggs)
+                .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(D.MINHASH_PERMS)]).alias("sig"))
+            )
+            bands = sig.select(
+                "doc_id",
+                F.explode(F.array(*[
+                    F.xxhash64(F.lit(b), *[
+                        F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]) for b in range(D.LSH_BANDS)
+                ])).alias("bkt"),
+            )
+            ds = F.array_sort(F.collect_list("doc_id"))
+            buckets = (
+                bands.groupBy("bkt").agg(ds.alias("ds"))
+                .filter(F.size(F.col("ds")) >= 2)
+                .select("ds")
+            )
+            n = F.size(F.col("ds"))
+            pair_arr = F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, n - i - 1),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+            cands = (
+                buckets.select(F.explode(pair_arr).alias("p"))
+                .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+                .distinct()
+            )
+            words = D._with_trigram_hashes(docs, "ws")
+            wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+            wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+            inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+            union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b")))
+            return (
+                cands.join(wa, "doc_a")
+                .join(wb, "doc_b")
+                .select("doc_a", "doc_b",
+                        F.round(inter.cast("double") / union, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= D.MINHASH_JACCARD_THRESHOLD)
+            )
+
+        print("equality m0 vs m1", flush=True)
+        assert rows_equal(m0(), m1(), ["doc_a", "doc_b", "jaccard"])
+        interleaved([("M0 current", lambda: noop(m0())),
+                     ("M1 bucket pairs", lambda: noop(m1()))], runs)
+
+    if args.mode == "micro":
+        from pyspark.sql.window import Window
+
+        from hands_on_iceberg_compression_spark.operators import temporal as T
+        from hands_on_iceberg_compression_spark.operators import workload as W
+
+        # sessionize without the event_id tie-break: session assignment
+        # depends only on the sorted ts sequence per user (equal-ts
+        # permutations move is_new among tied rows but never the boundary
+        # count/positions in ts terms), so min/max/count per session are
+        # ORDER-INSENSITIVE — exact equality expected, 8B/row less shuffle.
+        def s0():
+            return T.q_sessionize(spark, SF)
+
+        def s1():
+            from pyspark.sql import functions as F
+            ev = load_table(spark, SF, "events")
+            w = Window.partitionBy("user_id").orderBy("ts")
+            prev_ts = F.lag("ts").over(w)
+            is_new = F.when(
+                prev_ts.isNull()
+                | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) >= T.SESSION_GAP_US),
+                1,
+            ).otherwise(0)
+            wc = (
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            tagged = (
+                ev.filter(F.col("ts").isNotNull())
+                .select("user_id", "ts", is_new.alias("is_new"))
+                .select("user_id", "ts", F.sum("is_new").over(wc).alias("sess"))
+            )
+            return (
+                tagged.groupBy("user_id", "sess")
+                .agg(
+                    F.min("ts").alias("session_start"),
+                    F.max("ts").alias("session_end"),
+                    F.count("*").alias("n_events"),
+                )
+                .select("user_id", "session_start", "session_end", "n_events")
+            )
+
+        print("equality s0 vs s1", flush=True)
+        assert rows_equal(s0(), s1(), ["user_id", "session_start", "session_end", "n_events"])
+
+        # join_shuffle_agg with partial aggregation BELOW the join: sum per
+        # l_orderkey first, join 1:1 with orders, re-aggregate.  Float sum
+        # reorder CAN change last-ulp bits — only landable if exactly equal.
+        def j0():
+            return W.QUERIES["join_shuffle_agg"].build(spark, SF)
+
+        def j1():
+            from pyspark.sql import functions as F
+            li = load_table(spark, SF, "lineitem")
+            orders = load_table(spark, SF, "orders")
+            pre = li.groupBy("l_orderkey").agg(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+                F.count("*").alias("cnt"),
+            )
+            return (
+                pre.join(orders, pre.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.round(F.sum("rev"), 2).alias("revenue"),
+                    F.sum("cnt").alias("line_cnt"),
+                )
+            )
+
+        print("equality j0 vs j1", flush=True)
+        eq = rows_equal(j0(), j1(), ["o_orderstatus", "revenue", "line_cnt"])
+        print(f"  j1 landable: {eq}", flush=True)
+
+        fns = [("S0 sessionize current", lambda: s0().collect()),
+               ("S1 sessionize no tiebreak", lambda: s1().collect())]
+        if eq:
+            fns += [("J0 join_shuffle current", lambda: j0().collect()),
+                    ("J1 join_shuffle preagg", lambda: j1().collect())]
+        interleaved(fns, runs)
+
     spark.stop()
 
 
