@@ -73,6 +73,23 @@ def _with_unit(df: DataFrame, emb_col: str, out_col: str) -> DataFrame:
     return normed.withColumn(out_col, unit).drop("_norm")
 
 
+def _unit_ckpt(emb: DataFrame) -> DataFrame:
+    """(vec_id, u) unit-normalized frame, MATERIALIZED once (r20).
+
+    Un-materialized, Catalyst inlines the interpreted transform + norm fold
+    into every consumer — a crossJoin against C centroids or a per-pair dot
+    re-normalizes each vector C (or pair-count) times, because HOF lambdas
+    are interpreted with no CSE.  localCheckpoint pays the normalization
+    exactly once per query; values are bit-identical (same expressions,
+    evaluated once).  (localCheckpoint is executor-local — on a lossy
+    cluster swap for persist(DISK).)"""
+    return (
+        _with_unit(emb, "embedding", "u")
+        .select("vec_id", "u")
+        .localCheckpoint(eager=True)
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-k for each of the N_QUERIES query vectors.
 
@@ -88,13 +105,8 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     # norm fold into BOTH the broadcast build side and the probe side's
     # per-pair dot, so every corpus vector re-normalized under the 5-query
     # loop.  Interleaved A/B at sf0.1: 0.920 -> 0.831 s (-10%), results
-    # bit-identical (same expressions, evaluated once).  (localCheckpoint
-    # is executor-local — on a lossy cluster swap for persist(DISK).)
-    unit = (
-        _with_unit(emb, "embedding", "u")
-        .select("vec_id", "u")
-        .localCheckpoint(eager=True)
-    )
+    # bit-identical (same expressions, evaluated once).
+    unit = _unit_ckpt(emb)
     queries = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
     )
@@ -134,7 +146,10 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             f"ALL_PAIRS_MAX_VECTORS={ALL_PAIRS_MAX_VECTORS}. Use the "
             f"sub-quadratic twin sim_near_dup_lsh for real corpora."
         )
-    unit = _with_unit(emb, "embedding", "u")
+    # r20: checkpointed unit — the nested-loop pair dot used to re-evaluate
+    # the inlined norm fold PER PAIR (O(N^2 d) normalization); the SF gate
+    # above bounds the checkpoint at 50k x ~0.5 KB
+    unit = _unit_ckpt(emb)
     # the fixture is a single parquet file -> 1 input partition; fan the
     # streamed side out so the nested-loop probe uses every core
     par = spark.sparkContext.defaultParallelism
@@ -166,8 +181,17 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     n = emb.count()  # metadata-only (parquet footer aggregate)
     bits = _adaptive_bits(n, TARGET_BUCKET_PAIRS)
-    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
-    tables = _lsh_tables(unit, "vec_id", "u", bits, LSH_TABLES)
+    # r20: unit checkpointed once (norm fold evaluated once, not per
+    # consumer) and the SLIM (vec_id, table, sig) signature frame
+    # checkpointed before the self-join — mapInPandas is opaque (no
+    # exchange to reuse), so both join sides used to re-run the whole
+    # Arrow signature pass over the corpus.  24 B/row x N x LSH_TABLES.
+    unit = _unit_ckpt(emb)
+    tables = (
+        _lsh_tables(unit, "vec_id", "u", bits, LSH_TABLES)
+        .select("vec_id", "table", "sig")
+        .localCheckpoint(eager=True)
+    )
     a = tables.alias("a")
     b = tables.alias("b")
     # dedup the 16-byte id pairs BEFORE re-attaching vectors: a pair that
@@ -277,8 +301,18 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     n = emb.count()  # metadata-only (parquet footer aggregate)
     bits = _adaptive_bits(n, TARGET_BUCKET)
-    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
-    tables = _lsh_tables(unit, "vec_id", "u", bits, LSH_TABLES)
+    # r20: unit + SLIM signature frame checkpointed (see q_near_dup_lsh) —
+    # the broadcast query side used to rebuild the WHOLE corpus Arrow
+    # signature pass just to keep the 5 query vectors (a filter cannot push
+    # through mapInPandas); candidates now dedup on bare (q_id, n_id) ids
+    # and the unit vectors re-attach afterwards from the checkpoint
+    # (functionally dependent on the id — same candidate set, same dots).
+    unit = _unit_ckpt(emb)
+    tables = (
+        _lsh_tables(unit, "vec_id", "u", bits, LSH_TABLES)
+        .select("vec_id", "table", "sig")
+        .localCheckpoint(eager=True)
+    )
     # multi-probe fan-out: the exact signature plus every 1-bit flip
     probe_sigs = F.explode(
         F.array(
@@ -291,10 +325,7 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     q_tables = (
         tables.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), "table",
-            probe_sigs.alias("sig"),
-        )
+        .select(F.col("vec_id").alias("q_id"), "table", probe_sigs.alias("sig"))
     )
     t = tables.alias("t")
     qt = q_tables.alias("qt")
@@ -305,13 +336,17 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("t.sig") == F.col("qt.sig"))
             & (F.col("qt.q_id") != F.col("t.vec_id")),
         )
-        .select("q_id", "q_u", F.col("t.vec_id").alias("n_id"), F.col("t.u").alias("u"))
+        .select("q_id", F.col("t.vec_id").alias("n_id"))
         .distinct()
     )
+    qu = unit.select(F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"))
+    nu = unit.select(F.col("vec_id").alias("n_id"), F.col("u").alias("u"))
     sim = _dot(F.col("q_u"), F.col("u"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
-        cands.select("q_id", "n_id", sim.alias("sim"))
+        cands.join(F.broadcast(qu), "q_id")
+        .join(nu, "n_id")
+        .select("q_id", "n_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("q_id", "n_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
@@ -345,7 +380,9 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     cost drops from O(N) to O(N * probes / centroids) per query; recall < 1
     by construction -> rows-only driver check."""
     emb = load_table(spark, sf, "embeddings")
-    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
+    # r20: checkpointed unit — the centroid-assignment crossJoin used to
+    # re-evaluate the inlined norm fold IVF_CENTROIDS times per vector
+    unit = _unit_ckpt(emb)
     centroids, assignments = _ivf_assignments(unit)
     listed = unit.join(assignments, "vec_id")
 
@@ -443,9 +480,15 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
     The iterative-algorithm template: each iteration is one shuffle of
     (centroid_id, pos, value) triples; centroids collect to the driver
-    (C x dim doubles — tiny) and re-broadcast.  Rows-only (approximate)."""
+    (C x dim doubles — tiny) and re-broadcast.  Rows-only (approximate).
+
+    r20: unit checkpointed once — every Lloyd iteration's crossJoin used to
+    re-evaluate the inlined norm fold C times per vector per iteration
+    (plus the seed collect and the final assignment; the iterative-
+    algorithm lineage rule applies to the INPUT here, not just the
+    evolving frame)."""
     emb = load_table(spark, sf, "embeddings")
-    unit = _with_unit(emb, "embedding", "u").select("vec_id", "u")
+    unit = _unit_ckpt(emb)
 
     centroids_rows = sorted(
         unit.filter(F.col("vec_id") < IVF_CENTROIDS).collect(), key=lambda r: r.vec_id
